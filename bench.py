@@ -1,0 +1,76 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is forced end-to-end with the ``noop`` sink (full compute,
+no driver collect, no disk write) so the number is engine time, not
+materialization time.  A warmup query first touches every input file so
+JVM/codegen startup isn't billed to the first query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entrymod
+from etl_based_real_time_air_quality_monitoring_system_spark.session import get_session
+
+#: queries() subset benchmarked per-round; keep headline-worthy ones.
+HEADLINE = [
+    "flagship",
+    "grouped_stats",
+    "multikey_summary",
+    "hourly_activity",
+    "latest_event_per_type",
+    "top_orders",
+    "weighted_score",
+    "props_k_stats",
+]
+
+
+def run_once(df) -> float:
+    t0 = time.perf_counter()
+    df.write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+    spark = get_session("bench")
+    qs = entrymod.queries()
+    names = [n for n in HEADLINE if n in qs] + [
+        n for n in qs if n not in HEADLINE and os.environ.get("BENCH_ALL")
+    ]
+    # warmup: flagship at the bench SF primes file listing + codegen
+    run_once(qs[names[0]](spark, sf_dir))
+    timings: dict[str, float] = {}
+    for name in names:
+        timings[name] = round(run_once(qs[name](spark, sf_dir)), 3)
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,106 @@
+"""Aggregation operators (SURVEY.md §2.4 A1-A11).
+
+Every one is a hash aggregation Spark plans as
+``HashAggregate(partial) -> Exchange -> HashAggregate(final)`` with
+map-side combine — the right shape at 100 TB because only one
+group-row per key per task crosses the shuffle.  AQE coalesces the
+post-shuffle partitions (low-cardinality keys -> few final tasks).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def grouped_stats(
+    df: DataFrame,
+    key: str | Sequence[str],
+    value: str,
+    scale: int = 2,
+) -> DataFrame:
+    """A1 — per-key avg/min/max/count with 2-dp rounding + aliases
+    (spark_processor.py:157-163)."""
+    keys = [key] if isinstance(key, str) else list(key)
+    return df.groupBy(*keys).agg(
+        F.round(F.avg(value), scale).alias(f"avg_{value}"),
+        F.round(F.min(value), scale).alias(f"min_{value}"),
+        F.round(F.max(value), scale).alias(f"max_{value}"),
+        F.count("*").alias("record_count"),
+    )
+
+
+def freq_distribution(df: DataFrame, key: Column | str, alias: str | None = None) -> DataFrame:
+    """A2 — value frequency, most frequent first, key tie-break for a
+    deterministic order (spark_processor.py:167-170)."""
+    c = F.col(key) if isinstance(key, str) else key
+    name = alias or (key if isinstance(key, str) else "key")
+    out = df.groupBy(c.alias(name)).agg(F.count("*").alias("count"))
+    return out.orderBy(F.desc("count"), F.col(name))
+
+
+def global_means(df: DataFrame, columns: Sequence[str], scale: int = 2) -> DataFrame:
+    """A3/A8 — grand averages of several columns in ONE pass
+    (spark_processor.py:174-180; fixes the dashboard's per-column pandas
+    loop, dashboard.py:129-132)."""
+    return df.agg(
+        *[F.round(F.avg(c), scale).alias(f"avg_{c}") for c in columns]
+    )
+
+
+def time_bucketed(
+    df: DataFrame,
+    ts: str,
+    values: Sequence[str],
+    bucket: str = "hour",
+    scale: int = 2,
+) -> DataFrame:
+    """A4 — calendar-bucketed counts + averages, ordered by bucket
+    (spark_processor.py:184-189).  ``bucket`` is any of
+    year/month/day/hour; the streaming analog is a tumbling window
+    (streaming.pipeline)."""
+    part = {
+        "year": F.year,
+        "month": F.month,
+        "day": F.dayofmonth,
+        "hour": F.hour,
+    }[bucket](F.col(ts))
+    return (
+        df.groupBy(part.alias(bucket))
+        .agg(
+            F.count("*").alias("record_count"),
+            *[F.round(F.avg(v), scale).alias(f"avg_{v}") for v in values],
+        )
+        .orderBy(bucket)
+    )
+
+
+def multikey_summary(
+    df: DataFrame,
+    keys: Sequence[str],
+    values: Sequence[str],
+    scale: int = 2,
+) -> DataFrame:
+    """A5 — the persisted summary table: count + rounded means per key
+    pair (spark_processor.py:210-217)."""
+    return df.groupBy(*keys).agg(
+        F.count("*").alias("record_count"),
+        *[F.round(F.avg(v), scale).alias(f"avg_{v}") for v in values],
+    )
+
+
+def count_distinct(df: DataFrame, column: str) -> DataFrame:
+    """A7 — exact distinct count (dashboard.py:181).  At 100 TB prefer
+    ``approx_count_distinct`` (HLL, no second shuffle) unless exactness
+    is required."""
+    return df.agg(F.countDistinct(column).alias(f"distinct_{column}"))
+
+
+def range_aggregate(df: DataFrame, column: str) -> DataFrame:
+    """A9 — max-min spread (dashboard.py:334) in one aggregate pass."""
+    return df.agg(
+        (F.max(column) - F.min(column)).alias(f"range_{column}"),
+        F.max(column).alias(f"max_{column}"),
+        F.min(column).alias(f"min_{column}"),
+    )

@@ -1,0 +1,86 @@
+"""Scans (SURVEY.md §2.1).
+
+- S7  schema-enforced JSON directory scan
+  (``spark_processing/spark_processor.py:59-62``)
+- S8  parquet scan (``streamlit_ui/dashboard.py:47``)
+- S9  schema-inferred JSON fallback (``streamlit_ui/dashboard.py:48-52``)
+- plus ``load_table`` for the driver testdata layout
+  (``/root/testdata/sf*/{name}.parquet``), including the
+  TIMESTAMP(NANOS) workaround for ``events.ts``.
+
+All scans are plain DataFrame reads, so Catalyst predicate pushdown /
+column pruning / partition pruning apply unchanged — at 100 TB the scan
+IS the query cost, and these reads keep ``PushedFilters`` and
+``ReadSchema`` minimal automatically.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import types as T
+
+from ..session import prepare
+
+#: tables shipped by the driver (TESTDATA.md)
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """S8 — parquet scan with partition discovery (dashboard.py:47)."""
+    return spark.read.parquet(path)
+
+
+def read_json_enforced(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
+    """S7 — JSON directory scan under an explicit schema, multiline,
+    permissive mode (malformed rows -> nulls, T9 error isolation).
+
+    Mirrors ``spark_processor.py:59-62``; permissive parse replaces the
+    reference's per-message try/except (``consumer.py:149-166``).
+    """
+    return (
+        spark.read.schema(schema)
+        .option("multiline", "true")
+        .option("mode", "PERMISSIVE")
+        .json(path)
+    )
+
+
+def read_json_inferred(spark: SparkSession, path: str) -> DataFrame:
+    """S9 — inference fallback (dashboard.py:51). Secondary path only:
+    inference costs an extra full scan, never use on the 100 TB table."""
+    return spark.read.json(path)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one driver testdata table.
+
+    ``events.ts`` is stored as parquet TIMESTAMP(NANOS,false), which
+    Spark's reader rejects outright ([PARQUET_TYPE_ILLEGAL]); with
+    ``spark.sql.legacy.parquet.nanosAsLong=true`` it arrives as a long
+    that we floor-divide to microseconds — exactly the truncation DuckDB
+    applies when it reads the same file, so event-time semantics match
+    the oracle bit-for-bit.  ``timestamp_micros`` interprets the value
+    as a UTC instant, independent of session timezone.
+    """
+    prepare(spark)
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> tuple[DataFrame, ...]:
+    return tuple(load_table(spark, sf_dir, n) for n in names)

@@ -1,0 +1,91 @@
+"""Operator-level tests on tiny literal frames + sf0.001 smoke."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_based_real_time_air_quality_monitoring_system_spark.operators.aggregates import (
+    freq_distribution,
+    grouped_stats,
+    range_aggregate,
+)
+from etl_based_real_time_air_quality_monitoring_system_spark.operators.cleaning import (
+    drop_null_rows,
+    exact_dedup,
+    fill_defaults,
+)
+from etl_based_real_time_air_quality_monitoring_system_spark.operators.topk import (
+    latest_per_key,
+    top_k,
+)
+from etl_based_real_time_air_quality_monitoring_system_spark.plans.flagship import (
+    flagship_pipeline,
+)
+
+
+def test_exact_dedup_full_and_subset(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (1, "a"), (1, "b"), (2, "a")], ["k", "v"]
+    )
+    assert exact_dedup(df).count() == 3
+    assert exact_dedup(df, ["k"]).count() == 2
+
+
+def test_drop_null_rows(spark):
+    df = spark.createDataFrame(
+        [(1, "x"), (None, "y"), (3, None), (None, None)], "a int, b string"
+    )
+    assert drop_null_rows(df, ["a", "b"]).count() == 1
+
+
+def test_fill_defaults(spark):
+    df = spark.createDataFrame([(None,), (2.0,)], "x double")
+    got = sorted(r["x"] for r in fill_defaults(df, {"x": 0.0}).collect())
+    assert got == [0.0, 2.0]
+
+
+def test_grouped_stats_values(spark):
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("b", 10.0)], ["k", "v"]
+    )
+    rows = {r["k"]: r for r in grouped_stats(df, "k", "v").collect()}
+    assert rows["a"]["avg_v"] == 1.5 and rows["a"]["record_count"] == 2
+    assert rows["b"]["min_v"] == rows["b"]["max_v"] == 10.0
+
+
+def test_freq_distribution_order(spark):
+    df = spark.createDataFrame([("x",), ("x",), ("y",)], ["k"])
+    rows = freq_distribution(df, "k").collect()
+    assert [(r["k"], r["count"]) for r in rows] == [("x", 2), ("y", 1)]
+
+
+def test_range_aggregate(spark):
+    df = spark.createDataFrame([(1.0,), (9.0,)], "v double")
+    row = range_aggregate(df, "v").collect()[0]
+    assert row["range_v"] == 8.0
+
+
+def test_top_k_deterministic_ties(spark):
+    df = spark.createDataFrame([(5.0, 1), (5.0, 2), (3.0, 3)], ["v", "id"])
+    rows = top_k(df, ["v"], 2, tie_break="id").collect()
+    assert [r["id"] for r in rows] == [1, 2]
+
+
+def test_latest_per_key(spark):
+    df = spark.createDataFrame(
+        [("a", 1, 10.0), ("a", 3, 30.0), ("b", 2, 20.0)], ["k", "t", "v"]
+    )
+    rows = {r["k"]: r["v"] for r in latest_per_key(df, "k", "t").collect()}
+    assert rows == {"a": 30.0, "b": 20.0}
+
+
+def test_flagship_smoke(spark, sf_dir):
+    df = flagship_pipeline(spark, sf_dir)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert set(df.columns) == {
+        "event_type", "band", "avg_value", "min_value", "max_value", "record_count",
+    }
+    # ordered by record_count desc
+    counts = [r["record_count"] for r in rows]
+    assert counts == sorted(counts, reverse=True)
