@@ -39,6 +39,48 @@ from etl_based_real_time_air_quality_monitoring_system_spark.operators.cleaning 
     drop_null_rows,
     exact_dedup,
 )
+from etl_based_real_time_air_quality_monitoring_system_spark.operators.dedup import (
+    SIMHASH_BITS,
+    exact_text_dedup,
+    minhash_lsh_candidates,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from etl_based_real_time_air_quality_monitoring_system_spark.operators.joins import (
+    anti_join,
+    broadcast_join,
+    semi_join,
+    star_join,
+)
+from etl_based_real_time_air_quality_monitoring_system_spark.operators.reshape import (
+    cube_agg,
+    except_rows,
+    intersect_rows,
+    pivot_agg,
+    rollup_agg,
+    union_distinct,
+    unpivot,
+)
+from etl_based_real_time_air_quality_monitoring_system_spark.operators.similarity import (
+    brute_force_topk,
+    knn_join,
+    lsh_topk,
+)
+from etl_based_real_time_air_quality_monitoring_system_spark.operators.text import (
+    STOPWORDS,
+    bpe_ish_token_count,
+    char_count,
+    distinct_token_count,
+    lang_id,
+    quality_score,
+    stopword_count,
+    token_count,
+)
+from etl_based_real_time_air_quality_monitoring_system_spark.operators.windows import (
+    lag_delta,
+    running_total,
+    top_n_per_key,
+)
 from etl_based_real_time_air_quality_monitoring_system_spark.operators.topk import (
     latest_per_key,
     top_k,
@@ -232,6 +274,223 @@ def _q_notnull_count(spark: SparkSession, sf: str) -> DataFrame:
     return clean.agg(F.count("*").alias("clean_rows"))
 
 
+def _q_join_revenue_by_segment(spark: SparkSession, sf: str) -> DataFrame:
+    # broadcast dim join: customer is small -> fact side never shuffles
+    orders = load_table(spark, sf, "orders")
+    customer = load_table(spark, sf, "customer")
+    joined = broadcast_join(
+        orders, customer, orders.o_custkey == customer.c_custkey
+    )
+    return joined.groupBy("c_mktsegment").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("total_revenue"),
+        F.count("*").alias("order_count"),
+    )
+
+
+def _q_join_star_region(spark: SparkSession, sf: str) -> DataFrame:
+    # star join: chained broadcast dims, fact scanned once
+    orders = load_table(spark, sf, "orders")
+    customer = load_table(spark, sf, "customer")
+    nation = load_table(spark, sf, "nation")
+    region = load_table(spark, sf, "region")
+    joined = star_join(
+        orders,
+        [
+            (customer, orders.o_custkey == customer.c_custkey),
+            (nation, customer.c_nationkey == nation.n_nationkey),
+            (region, nation.n_regionkey == region.r_regionkey),
+        ],
+    )
+    return joined.groupBy("r_name").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("total_revenue"),
+        F.count("*").alias("order_count"),
+    )
+
+
+def _q_customers_with_orders(spark: SparkSession, sf: str) -> DataFrame:
+    # left-semi join = EXISTS
+    customer = load_table(spark, sf, "customer")
+    orders = load_table(spark, sf, "orders")
+    hits = semi_join(customer, orders, customer.c_custkey == orders.o_custkey)
+    return hits.agg(F.count("*").alias("customer_count"))
+
+
+def _q_customers_without_orders(spark: SparkSession, sf: str) -> DataFrame:
+    # left-anti join = NOT EXISTS
+    customer = load_table(spark, sf, "customer")
+    orders = load_table(spark, sf, "orders")
+    misses = anti_join(customer, orders, customer.c_custkey == orders.o_custkey)
+    return misses.groupBy("c_mktsegment").agg(F.count("*").alias("customer_count"))
+
+
+def _q_running_user_value(spark: SparkSession, sf: str) -> DataFrame:
+    # window: cumulative sum per key in event order
+    events = load_table(spark, sf, "events")
+    out = running_total(events, "user_id", ["ts", "event_id"], "value")
+    return out.select(
+        "event_id", "user_id", F.round("running_total", 2).alias("running_value")
+    )
+
+
+def _q_top3_per_type(spark: SparkSession, sf: str) -> DataFrame:
+    # window: top-N per key via row_number <= n
+    events = load_table(spark, sf, "events")
+    return top_n_per_key(events, "event_type", "value", 3, tie_break="event_id").select(
+        "event_type", "event_id", "value"
+    )
+
+
+def _q_value_delta_per_user(spark: SparkSession, sf: str) -> DataFrame:
+    # window: lag delta (change since previous reading)
+    events = load_table(spark, sf, "events")
+    out = lag_delta(events, "user_id", "event_id", "value")
+    return out.select("event_id", "user_id", F.round("delta", 2).alias("value_delta"))
+
+
+def _q_users_click_and_purchase(spark: SparkSession, sf: str) -> DataFrame:
+    # set op: INTERSECT
+    events = load_table(spark, sf, "events")
+    clicks = events.filter(F.col("event_type") == "click").select("user_id")
+    buys = events.filter(F.col("event_type") == "purchase").select("user_id")
+    return intersect_rows(clicks, buys)
+
+
+def _q_users_click_not_purchase(spark: SparkSession, sf: str) -> DataFrame:
+    # set op: EXCEPT
+    events = load_table(spark, sf, "events")
+    clicks = events.filter(F.col("event_type") == "click").select("user_id")
+    buys = events.filter(F.col("event_type") == "purchase").select("user_id")
+    return except_rows(clicks, buys)
+
+
+def _q_union_hot_or_error(spark: SparkSession, sf: str) -> DataFrame:
+    # set op: UNION (distinct)
+    events = load_table(spark, sf, "events")
+    hot = events.filter(F.col("value") > 250).select("user_id", "event_type")
+    errs = events.filter(F.col("event_type") == "error").select("user_id", "event_type")
+    return union_distinct(hot, errs)
+
+
+def _q_pivot_qty_by_status(spark: SparkSession, sf: str) -> DataFrame:
+    # pivot with explicit values (no discovery scan)
+    li = load_table(spark, sf, "lineitem")
+    out = pivot_agg(li, "l_returnflag", "l_linestatus", ["O", "F"], "l_quantity", "sum")
+    return out.select(
+        "l_returnflag",
+        F.round("sum_l_quantity_O", 2).alias("sum_l_quantity_O"),
+        F.round("sum_l_quantity_F", 2).alias("sum_l_quantity_F"),
+    )
+
+
+def _q_rollup_flag_status(spark: SparkSession, sf: str) -> DataFrame:
+    # ROLLUP: subtotals + grand total in one shuffle
+    li = load_table(spark, sf, "lineitem")
+    return rollup_agg(li, ["l_returnflag", "l_linestatus"], "l_quantity")
+
+
+def _q_cube_flag_status(spark: SparkSession, sf: str) -> DataFrame:
+    # CUBE: all grouping-set combinations
+    li = load_table(spark, sf, "lineitem")
+    return cube_agg(li, ["l_returnflag", "l_linestatus"], "l_quantity")
+
+
+def _q_unpivot_means(spark: SparkSession, sf: str) -> DataFrame:
+    # wide -> long (melt) over the one-row global means
+    wide = global_means(
+        load_table(spark, sf, "lineitem"), ["l_quantity", "l_extendedprice", "l_discount"]
+    )
+    return unpivot(wide, [], ["avg_l_quantity", "avg_l_extendedprice", "avg_l_discount"])
+
+
+# ---------------------------------------- LLM-data-pipeline extensions
+
+def _q_text_stats(spark: SparkSession, sf: str) -> DataFrame:
+    # token counting / text profiling, all JVM-side array functions
+    docs = load_table(spark, sf, "documents")
+    return docs.select(
+        "doc_id",
+        char_count("text").alias("n_chars_measured"),
+        token_count("text").alias("n_tokens"),
+        bpe_ish_token_count("text").alias("n_tokens_bpe"),
+        distinct_token_count("text").alias("n_distinct_tokens"),
+        stopword_count("text").alias("n_stopwords"),
+    )
+
+
+def _q_text_quality(spark: SparkSession, sf: str) -> DataFrame:
+    # heuristic quality score (length + diversity + content density)
+    docs = load_table(spark, sf, "documents")
+    return docs.select("doc_id", quality_score("text").alias("quality"))
+
+
+def _q_doc_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
+    # exact dedup on normalized-text md5 fingerprint
+    docs = load_table(spark, sf, "documents")
+    return exact_text_dedup(docs, "doc_id", "text")
+
+
+def _q_lang_pred_counts(spark: SparkSession, sf: str) -> DataFrame:
+    # marker-based language-ID heuristic, distribution of predictions
+    docs = load_table(spark, sf, "documents")
+    return (
+        docs.select(lang_id("text").alias("lang_pred"))
+        .groupBy("lang_pred")
+        .agg(F.count("*").alias("doc_count"))
+    )
+
+
+def _q_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    # near-dup pairs by word-3-gram Jaccard similarity
+    docs = load_table(spark, sf, "documents")
+    return ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.1)
+
+
+def _q_minhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    # MinHash(16) + LSH(4 bands of 4) candidate pairs — md5 hash family
+    # keeps this bit-identical to the SQL oracle
+    docs = load_table(spark, sf, "documents")
+    return minhash_lsh_candidates(docs, "doc_id", "text", n=3, k=16, bands=4)
+
+
+def _q_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    # 60-bit SimHash fingerprints from per-token md5 bits
+    docs = load_table(spark, sf, "documents")
+    return simhash(docs, "doc_id", "text")
+
+
+def _get_query_vec(spark: SparkSession, sf: str, vec_id: int = 0) -> list[float]:
+    row = (
+        load_table(spark, sf, "embeddings")
+        .filter(F.col("vec_id") == vec_id)
+        .select("embedding")
+        .head()
+    )
+    return [float(x) for x in row["embedding"]]
+
+
+def _q_embedding_topk(spark: SparkSession, sf: str) -> DataFrame:
+    # brute-force cosine top-10 (exact ANN baseline)
+    emb = load_table(spark, sf, "embeddings")
+    return brute_force_topk(emb, "vec_id", "embedding", _get_query_vec(spark, sf), k=10)
+
+
+def _q_knn_join(spark: SparkSession, sf: str) -> DataFrame:
+    # batched kNN: top-5 corpus neighbors for each of 3 query vectors
+    emb = load_table(spark, sf, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 3)
+    return knn_join(emb, qs, "vec_id", "embedding", "vec_id", "embedding", k=5)
+
+
+def _q_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
+    # approximate top-k via random-hyperplane LSH (no SQL oracle — the
+    # hyperplanes are seeded NumPy; recall is asserted in tests vs the
+    # brute-force baseline)
+    emb = load_table(spark, sf, "embeddings")
+    return lsh_topk(
+        emb, "vec_id", "embedding", _get_query_vec(spark, sf), k=10, max_hamming=6
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
     return {
@@ -255,7 +514,77 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "member_filter": _q_member_filter,
         "distinct_user_event": _q_distinct_user_event,
         "notnull_count": _q_notnull_count,
+        "join_revenue_by_segment": _q_join_revenue_by_segment,
+        "join_star_region": _q_join_star_region,
+        "customers_with_orders": _q_customers_with_orders,
+        "customers_without_orders": _q_customers_without_orders,
+        "running_user_value": _q_running_user_value,
+        "top3_per_type": _q_top3_per_type,
+        "value_delta_per_user": _q_value_delta_per_user,
+        "users_click_and_purchase": _q_users_click_and_purchase,
+        "users_click_not_purchase": _q_users_click_not_purchase,
+        "union_hot_or_error": _q_union_hot_or_error,
+        "pivot_qty_by_status": _q_pivot_qty_by_status,
+        "rollup_flag_status": _q_rollup_flag_status,
+        "cube_flag_status": _q_cube_flag_status,
+        "unpivot_means": _q_unpivot_means,
+        "text_stats": _q_text_stats,
+        "text_quality": _q_text_quality,
+        "doc_fingerprints": _q_doc_fingerprints,
+        "lang_pred_counts": _q_lang_pred_counts,
+        "ngram_jaccard": _q_ngram_jaccard,
+        "minhash_pairs": _q_minhash_pairs,
+        "simhash": _q_simhash,
+        "embedding_topk": _q_embedding_topk,
+        "knn_join": _q_knn_join,
+        "lsh_topk": _q_lsh_topk,
     }
+
+
+# --- generated oracle fragments for the hash-based dedup family -------
+
+_TOKS = r"string_split_regex(trim(text), '\s+')"
+_STOP_SQL = "(" + ", ".join(f"'{w}'" for w in STOPWORDS) + ")"
+
+_SHINGLE_CTES = rf"""
+    toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    sh AS (
+        SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+        FROM toks, UNNEST(range(1, greatest(len(t) - 1, 1))) AS u(i)
+    )"""
+
+_MINHASH_AGGS = ",\n                   ".join(
+    f"min(md5('{i}:' || shingle)) AS h{i}" for i in range(16)
+)
+_BAND_SELECTS = "\n            UNION ALL\n            ".join(
+    "SELECT doc_id, {b} AS band, md5(concat_ws('|', {cols})) AS bucket FROM sig".format(
+        b=b, cols=", ".join(f"h{b * 4 + j}" for j in range(4))
+    )
+    for b in range(4)
+)
+
+_SIMHASH_BIT_AGGS = ",\n                   ".join(
+    f"sum(CASE WHEN (h & (1::BIGINT << {j})) != 0 THEN 1 ELSE -1 END) AS b{j}"
+    for j in range(SIMHASH_BITS)
+)
+_SIMHASH_ASSEMBLE = "\n                 + ".join(
+    f"(CASE WHEN b{j} > 0 THEN (1::BIGINT << {j}) ELSE 0::BIGINT END)"
+    for j in range(SIMHASH_BITS)
+)
+
+#: language-ID argmax as a CASE chain — provably equivalent to the
+#: engine's first-max fold (earlier language wins ties)
+_LANG_SCORES = ",\n                   ".join(
+    "len(list_filter(toks, x -> x IN ({words}))) AS s_{lang}".format(
+        lang=lang, words=", ".join(f"'{w}'" for w in words)
+    )
+    for lang, words in (
+        ("en", ("the", "and", "of", "to", "a")),
+        ("es", ("el", "la", "de", "que", "y")),
+        ("de", ("der", "die", "und", "das", "ist")),
+        ("fr", ("le", "la", "et", "les", "des")),
+    )
+)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -382,5 +711,233 @@ def oracle_sql() -> dict[str, str]:
         "notnull_count": """
             SELECT count(*) AS clean_rows FROM events
             WHERE event_type IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
+        """,
+        "join_revenue_by_segment": """
+            SELECT c_mktsegment,
+                   round(sum(o_totalprice), 2) AS total_revenue,
+                   count(*) AS order_count
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment
+        """,
+        "join_star_region": """
+            SELECT r_name,
+                   round(sum(o_totalprice), 2) AS total_revenue,
+                   count(*) AS order_count
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name
+        """,
+        "customers_with_orders": """
+            SELECT count(*) AS customer_count FROM customer
+            WHERE c_custkey IN (SELECT o_custkey FROM orders)
+        """,
+        "customers_without_orders": """
+            SELECT c_mktsegment, count(*) AS customer_count FROM customer
+            WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+            GROUP BY c_mktsegment
+        """,
+        "running_user_value": """
+            SELECT event_id, user_id,
+                   round(sum(value) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ), 2) AS running_value
+            FROM events
+        """,
+        "top3_per_type": """
+            SELECT event_type, event_id, value FROM (
+                SELECT event_type, event_id, value, row_number() OVER (
+                    PARTITION BY event_type ORDER BY value DESC, event_id ASC
+                ) AS rn
+                FROM events
+            ) WHERE rn <= 3
+        """,
+        "value_delta_per_user": """
+            SELECT event_id, user_id,
+                   round(value - lag(value, 1) OVER (
+                       PARTITION BY user_id ORDER BY event_id
+                   ), 2) AS value_delta
+            FROM events
+        """,
+        "users_click_and_purchase": """
+            SELECT user_id FROM events WHERE event_type = 'click'
+            INTERSECT
+            SELECT user_id FROM events WHERE event_type = 'purchase'
+        """,
+        "users_click_not_purchase": """
+            SELECT user_id FROM events WHERE event_type = 'click'
+            EXCEPT
+            SELECT user_id FROM events WHERE event_type = 'purchase'
+        """,
+        "union_hot_or_error": """
+            SELECT user_id, event_type FROM events WHERE value > 250
+            UNION
+            SELECT user_id, event_type FROM events WHERE event_type = 'error'
+        """,
+        "pivot_qty_by_status": """
+            SELECT l_returnflag,
+                   round(sum(l_quantity) FILTER (WHERE l_linestatus = 'O'), 2)
+                       AS sum_l_quantity_O,
+                   round(sum(l_quantity) FILTER (WHERE l_linestatus = 'F'), 2)
+                       AS sum_l_quantity_F
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "rollup_flag_status": """
+            SELECT l_returnflag, l_linestatus,
+                   count(*) AS record_count,
+                   round(sum(l_quantity), 2) AS sum_l_quantity,
+                   CAST(GROUPING(l_returnflag) + GROUPING(l_linestatus) AS INTEGER)
+                       AS grouping_level
+            FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
+        "cube_flag_status": """
+            SELECT l_returnflag, l_linestatus,
+                   count(*) AS record_count,
+                   round(sum(l_quantity), 2) AS sum_l_quantity,
+                   CAST(GROUPING(l_returnflag) + GROUPING(l_linestatus) AS INTEGER)
+                       AS grouping_level
+            FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        """,
+        "text_stats": rf"""
+            SELECT doc_id,
+                   CAST(length(text) AS INTEGER) AS n_chars_measured,
+                   CAST(len({_TOKS}) AS INTEGER) AS n_tokens,
+                   CAST(len(regexp_extract_all(text, '(\w+|[^\w\s])')) AS INTEGER)
+                       AS n_tokens_bpe,
+                   CAST(len(list_distinct({_TOKS})) AS INTEGER) AS n_distinct_tokens,
+                   CAST(len(list_filter({_TOKS}, x -> x IN {_STOP_SQL})) AS INTEGER)
+                       AS n_stopwords
+            FROM documents
+        """,
+        "text_quality": rf"""
+            WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents)
+            SELECT doc_id, round(
+                0.4::DOUBLE * least(len(toks)::DOUBLE / 100.0::DOUBLE, 1.0::DOUBLE)
+              + 0.3::DOUBLE * (len(list_distinct(toks))::DOUBLE / len(toks)::DOUBLE)
+              + 0.3::DOUBLE * (1.0::DOUBLE
+                    - len(list_filter(toks, x -> x IN {_STOP_SQL}))::DOUBLE
+                      / len(toks)::DOUBLE),
+              4) AS quality
+            FROM t
+        """,
+        "doc_fingerprints": r"""
+            SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+                       AS fingerprint,
+                   min(doc_id) AS survivor_id,
+                   count(*) AS dup_count
+            FROM documents GROUP BY 1
+        """,
+        "lang_pred_counts": rf"""
+            WITH t AS (
+                SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+                FROM documents
+            ),
+            scored AS (
+                SELECT doc_id,
+                   {_LANG_SCORES}
+                FROM t
+            ),
+            pred AS (
+                SELECT CASE
+                    WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr AND s_en > 0
+                        THEN 'en'
+                    WHEN s_es >= s_de AND s_es >= s_fr AND s_es > 0 THEN 'es'
+                    WHEN s_de >= s_fr AND s_de > 0 THEN 'de'
+                    WHEN s_fr > 0 THEN 'fr'
+                    ELSE 'und' END AS lang_pred
+                FROM scored
+            )
+            SELECT lang_pred, count(*) AS doc_count FROM pred GROUP BY lang_pred
+        """,
+        "ngram_jaccard": rf"""
+            WITH {_SHINGLE_CTES},
+            sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            pairs AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+                FROM sh a JOIN sh b
+                  ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT doc_a, doc_b, common,
+                   round(common / (sa.n + sb.n - common), 4) AS jaccard
+            FROM pairs
+            JOIN sizes sa ON doc_a = sa.doc_id
+            JOIN sizes sb ON doc_b = sb.doc_id
+            WHERE round(common / (sa.n + sb.n - common), 4) >= 0.1
+        """,
+        "minhash_pairs": rf"""
+            WITH {_SHINGLE_CTES},
+            sig AS (
+                SELECT doc_id,
+                   {_MINHASH_AGGS}
+                FROM sh GROUP BY doc_id
+            ),
+            bands AS (
+            {_BAND_SELECTS}
+            )
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+        """,
+        "simhash": rf"""
+            WITH tok AS (
+                SELECT doc_id, unnest({_TOKS}) AS token FROM documents
+            ),
+            h AS (
+                SELECT doc_id,
+                       ('0x' || substr(md5(token), 1, 15))::BIGINT AS h
+                FROM tok
+            ),
+            bits AS (
+                SELECT doc_id,
+                   {_SIMHASH_BIT_AGGS}
+                FROM h GROUP BY doc_id
+            )
+            SELECT doc_id,
+                   {_SIMHASH_ASSEMBLE} AS simhash
+            FROM bits
+        """,
+        "embedding_topk": """
+            SELECT vec_id,
+                   round(list_cosine_similarity(embedding::DOUBLE[],
+                       (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)),
+                       6) AS cosine_sim
+            FROM embeddings
+            ORDER BY cosine_sim DESC, vec_id ASC
+            LIMIT 10
+        """,
+        "knn_join": """
+            WITH q AS (
+                SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
+                FROM embeddings WHERE vec_id < 3
+            ),
+            scored AS (
+                SELECT q.query_id, e.vec_id AS corpus_id,
+                       round(list_cosine_similarity(e.embedding::DOUBLE[], q.qe), 6)
+                           AS cosine_sim
+                FROM embeddings e CROSS JOIN q
+            ),
+            ranked AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY query_id ORDER BY cosine_sim DESC, corpus_id ASC
+                ) AS rn
+                FROM scored
+            )
+            SELECT query_id, corpus_id, cosine_sim FROM ranked WHERE rn <= 5
+        """,
+        "unpivot_means": """
+            WITH wide AS (
+                SELECT round(avg(l_quantity), 2) AS avg_l_quantity,
+                       round(avg(l_extendedprice), 2) AS avg_l_extendedprice,
+                       round(avg(l_discount), 2) AS avg_l_discount
+                FROM lineitem
+            )
+            SELECT 'avg_l_quantity' AS metric, avg_l_quantity AS value FROM wide
+            UNION ALL
+            SELECT 'avg_l_extendedprice', avg_l_extendedprice FROM wide
+            UNION ALL
+            SELECT 'avg_l_discount', avg_l_discount FROM wide
         """,
     }

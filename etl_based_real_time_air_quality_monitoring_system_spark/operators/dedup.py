@@ -1,0 +1,257 @@
+"""Deduplication family for training-data pipelines (BASELINE.json
+north star): exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Design for 100 TB:
+
+- **exact**: hash-groupBy on a 16-byte fingerprint — the shuffle
+  carries (hash, id), never the text.
+- **n-gram Jaccard**: explode distinct shingles -> self-join on
+  shingle -> count ratio.  The shingle join is the scale hazard: a
+  shingle appearing in d docs contributes d^2 pairs, so
+  ``max_shingle_docs`` frequency-caps hot shingles (standard df-cut);
+  at scale you ALWAYS set it.
+- **MinHash+LSH**: k min-hashes per doc from md5(seed:shingle) —
+  md5 on purpose: available and bit-identical in every engine, so the
+  whole pipeline is oracle-checkable; banding turns all-pairs into
+  per-bucket pairs.  One groupBy(doc) + one groupBy(band bucket).
+- **SimHash**: 60-bit signature from per-token md5 bits; near-dup =
+  small hamming distance (bit_count(xor)).
+
+No Python UDFs anywhere — md5 / conv / bit ops / higher-order array
+functions are all JVM built-ins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from .text import fingerprint, tokens
+
+
+def word_shingles(text: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles as an array column: for token
+    array t, shingle_i = t[i] || ' ' || ... || t[i+n-1].
+
+    Built with ``transform`` over an index sequence — no explode until
+    the caller asks for one row per shingle.
+    """
+    toks = tokens(text)
+    count = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(count - n, F.lit(0)))
+    make = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(toks, (i + j + 1)) for j in range(n)]
+    )
+    return F.when(count >= n, F.array_distinct(F.transform(idx, make))).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def exploded_shingles(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """(id, shingle) rows, distinct per doc."""
+    return df.select(
+        F.col(id_col), F.explode(word_shingles(text_col, n)).alias("shingle")
+    )
+
+
+def exact_text_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact dedup on the normalized-text fingerprint: one survivor
+    (min id) per fingerprint + the duplicate count.  Shuffle carries
+    only (16-byte hash, id)."""
+    return (
+        df.select(fingerprint(text_col).alias("fingerprint"), F.col(id_col))
+        .groupBy("fingerprint")
+        .agg(
+            F.min(id_col).alias("survivor_id"),
+            F.count("*").alias("dup_count"),
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.1,
+    max_shingle_docs: int | None = None,
+    scale: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by n-gram Jaccard: |A∩B| / (|A|+|B|-|A∩B|).
+
+    ``max_shingle_docs`` drops shingles shared by more than that many
+    docs before the pair join (df-cut) — REQUIRED at scale; affects
+    recall only for extremely common shingles.
+    """
+    sh = exploded_shingles(df, id_col, text_col, n)
+    if max_shingle_docs is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") > max_shingle_docs)
+            .select("shingle")
+        )
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col(f"a.shingle") == F.col(f"b.shingle"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+        )
+        .agg(F.count("*").alias("common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_shingles").alias("na"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_shingles").alias("nb"))
+    jac = F.col("common") / (F.col("na") + F.col("nb") - F.col("common"))
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("jaccard", F.round(jac, scale))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "common", "jaccard")
+    )
+
+
+# ------------------------------------------------------------ MinHash
+
+def _minhash_agg(seed: int) -> Column:
+    """min over md5('{seed}:' || shingle) — a cheap, engine-portable
+    hash family: lexicographic min over hex strings is a valid
+    min-hash because md5 is uniform on the hex domain."""
+    return F.min(F.md5(F.concat(F.lit(f"{seed}:"), F.col("shingle")).cast("binary")))
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, k: int = 16
+) -> DataFrame:
+    """k-permutation MinHash signature per doc: columns h0..h{k-1}.
+
+    One explode + one groupBy(doc) computing all k mins map-side —
+    a single shuffle carrying k×32-byte strings per doc.
+    """
+    sh = exploded_shingles(df, id_col, text_col, n)
+    return sh.groupBy(id_col).agg(
+        *[_minhash_agg(i).alias(f"h{i}") for i in range(k)]
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    k: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """LSH banding over the MinHash signature: k hashes -> ``bands``
+    bands of k/bands rows; docs sharing any band bucket are candidate
+    near-dups.  Probability a pair with Jaccard s collides:
+    1-(1-s^r)^b.  Returns distinct (doc_a, doc_b) candidates.
+
+    The all-pairs O(n^2) never materializes — only per-bucket pairs.
+    """
+    assert k % bands == 0, "k must divide into equal bands"
+    r = k // bands
+    sig = minhash_signatures(df, id_col, text_col, n, k)
+    band_rows = None
+    for band_index in range(bands):
+        cols = [F.col(f"h{band_index * r + j}") for j in range(r)]
+        one = sig.select(
+            F.col(id_col),
+            F.lit(band_index).alias("band"),
+            F.md5(F.concat_ws("|", *cols).cast("binary")).alias("bucket"),
+        )
+        band_rows = one if band_rows is None else band_rows.unionByName(one)
+    a = band_rows.alias("a")
+    b = band_rows.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+# ------------------------------------------------------------ SimHash
+
+SIMHASH_BITS = 60  # 15 hex chars -> fits a signed 64-bit long exactly
+
+
+def _token_hash60() -> Column:
+    """First 60 bits of md5(token) as a non-negative long (conv on 15
+    hex chars cannot overflow a signed 64-bit)."""
+    return F.conv(F.substring(F.md5(F.col("token").cast("binary")), 1, 15), 16, 10).cast(
+        "long"
+    )
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """60-bit SimHash per doc: explode tokens (with multiplicity),
+    hash each to 60 bits, per bit position take sign of sum(±1),
+    assemble the signature long.
+
+    One explode + one groupBy(doc) with 60 conditional-sum aggregates
+    — all map-side combinable, shuffle carries 60 ints per doc.
+    """
+    tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("token"))
+    h = tok.withColumn("h", _token_hash60())
+    bit_sums = h.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.col("h").bitwiseAND(F.lit(1 << j)) != 0, 1).otherwise(-1)
+            ).alias(f"b{j}")
+            for j in range(SIMHASH_BITS)
+        ]
+    )
+    sig = None
+    for j in range(SIMHASH_BITS):
+        term = F.when(F.col(f"b{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        sig = term if sig is None else sig + term
+    return bit_sums.select(F.col(id_col), sig.alias("simhash"))
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 8,
+    prefix_bits: int = 12,
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance, blocked on the
+    signature's top ``prefix_bits`` so the pair join is per-block
+    rather than all-pairs (misses pairs whose diff bits fall in the
+    prefix — the standard multi-probe trade-off; raise blocks or probe
+    rotations for higher recall)."""
+    sig = simhash(df, id_col, text_col)
+    shift = SIMHASH_BITS - prefix_bits
+    blocked = sig.withColumn("block", F.shiftright(F.col("simhash"), shift))
+    a = blocked.alias("a")
+    b = blocked.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(
+            b,
+            (F.col("a.block") == F.col("b.block"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+            "hamming",
+        )
+    )

@@ -1,0 +1,77 @@
+"""Reshaping operators: set ops, pivot/unpivot, rollup/cube
+(SURVEY.md §2.7 — none in the reference; engine-native surface).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def union_distinct(a: DataFrame, b: DataFrame) -> DataFrame:
+    """UNION (set semantics) — union by name then distinct; the
+    distinct is a key-hash shuffle, so prefer unionAll when duplicates
+    are acceptable at scale."""
+    return a.unionByName(b).distinct()
+
+
+def intersect_rows(a: DataFrame, b: DataFrame) -> DataFrame:
+    return a.intersect(b)
+
+
+def except_rows(a: DataFrame, b: DataFrame) -> DataFrame:
+    """EXCEPT (set semantics)."""
+    return a.subtract(b)
+
+
+def pivot_agg(
+    df: DataFrame,
+    key: str,
+    pivot_col: str,
+    pivot_values: Sequence[str],
+    value: str,
+    agg: str = "sum",
+) -> DataFrame:
+    """Pivot with EXPLICIT pivot values — omitting them costs an extra
+    distinct-scan job to discover categories, which at 100 TB is a full
+    pass over the fact table.  Output columns renamed to
+    ``{agg}_{value}_{pivotval}`` for oracle alignment."""
+    agg_fn = {"sum": F.sum, "avg": F.avg, "count": F.count, "max": F.max, "min": F.min}[agg]
+    out = df.groupBy(key).pivot(pivot_col, list(pivot_values)).agg(agg_fn(value))
+    renames = {v: f"{agg}_{value}_{v}" for v in pivot_values}
+    return out.select(key, *[F.col(f"`{v}`").alias(n) for v, n in renames.items()])
+
+
+def unpivot(
+    df: DataFrame,
+    ids: Sequence[str],
+    value_cols: Sequence[str],
+    var_name: str = "metric",
+    value_name: str = "value",
+) -> DataFrame:
+    """Wide -> long via the built-in unpivot (melt)."""
+    return df.unpivot(list(ids), list(value_cols), var_name, value_name)
+
+
+def rollup_agg(
+    df: DataFrame, keys: Sequence[str], value: str, scale: int = 2
+) -> DataFrame:
+    """GROUP BY ROLLUP — hierarchical subtotals + grand total in one
+    pass (Spark expands grouping sets inside a single shuffle)."""
+    level = sum(F.grouping(k).cast("int") for k in keys)
+    return df.rollup(*keys).agg(
+        F.count("*").alias("record_count"),
+        F.round(F.sum(value), scale).alias(f"sum_{value}"),
+        level.alias("grouping_level"),
+    )
+
+
+def cube_agg(df: DataFrame, keys: Sequence[str], value: str, scale: int = 2) -> DataFrame:
+    """GROUP BY CUBE — all key combinations."""
+    level = sum(F.grouping(k).cast("int") for k in keys)
+    return df.cube(*keys).agg(
+        F.count("*").alias("record_count"),
+        F.round(F.sum(value), scale).alias(f"sum_{value}"),
+        level.alias("grouping_level"),
+    )

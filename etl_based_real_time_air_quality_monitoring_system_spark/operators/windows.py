@@ -1,0 +1,86 @@
+"""Window-function operators (SURVEY.md §2.5).
+
+The reference's only latent window semantic is latest-per-key
+(topk.latest_per_key).  The engine rounds this out with the standard
+analytic shapes — running totals, ranks, lag deltas — all one shuffle
+on the partition key, no global sort.
+
+Scale note: an ``orderBy`` window WITHOUT ``partitionBy`` forces every
+row through a single task — never do that on a fact table; always
+partition the window by a key with enough cardinality.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def running_total(
+    df: DataFrame,
+    key: str | Sequence[str],
+    order: str | Sequence[str],
+    value: str,
+    alias: str = "running_total",
+) -> DataFrame:
+    """Cumulative sum per key in event order (rows unbounded-preceding
+    to current)."""
+    keys = [key] if isinstance(key, str) else list(key)
+    orders = [order] if isinstance(order, str) else list(order)
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(*orders)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return df.withColumn(alias, F.sum(value).over(w))
+
+
+def ranked(
+    df: DataFrame,
+    key: str | Sequence[str],
+    order_desc: str,
+    method: str = "rank",
+    alias: str = "rank",
+) -> DataFrame:
+    """rank / dense_rank / row_number per key, descending order."""
+    keys = [key] if isinstance(key, str) else list(key)
+    w = Window.partitionBy(*keys).orderBy(F.col(order_desc).desc())
+    fn = {"rank": F.rank, "dense_rank": F.dense_rank, "row_number": F.row_number}[method]
+    return df.withColumn(alias, fn().over(w))
+
+
+def top_n_per_key(
+    df: DataFrame,
+    key: str | Sequence[str],
+    order_desc: str,
+    n: int,
+    tie_break: str | None = None,
+) -> DataFrame:
+    """Top-N rows per key — row_number <= n.  The per-key analog of
+    TakeOrderedAndProject; each task only keeps n rows per key after
+    the key shuffle."""
+    keys = [key] if isinstance(key, str) else list(key)
+    order = [F.col(order_desc).desc()]
+    if tie_break:
+        order.append(F.col(tie_break).asc())
+    w = Window.partitionBy(*keys).orderBy(*order)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= n)
+        .drop("_rn")
+    )
+
+
+def lag_delta(
+    df: DataFrame,
+    key: str | Sequence[str],
+    order: str,
+    value: str,
+    alias: str = "delta",
+) -> DataFrame:
+    """value - lag(value) per key in order — the change-since-previous
+    semantic (e.g. pollutant delta between consecutive readings)."""
+    keys = [key] if isinstance(key, str) else list(key)
+    w = Window.partitionBy(*keys).orderBy(order)
+    return df.withColumn(alias, F.col(value) - F.lag(value, 1).over(w))

@@ -1,0 +1,104 @@
+"""Dedup family: planted near-duplicates must be found by each method.
+
+The driver's synthetic documents rarely contain true near-dups, so the
+oracle gate only proves engine/SQL agreement there; these tests plant
+known duplicates and assert the *semantics* (recall on planted pairs,
+precision against unrelated docs).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_based_real_time_air_quality_monitoring_system_spark.operators.dedup import (
+    exact_text_dedup,
+    minhash_lsh_candidates,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_near_pairs,
+    word_shingles,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from the tall green tree near the old stone wall by the river"
+)
+
+
+@pytest.fixture(scope="module")
+def planted(spark):
+    rows = [
+        (0, BASE),
+        (1, BASE),  # exact dup of 0
+        (2, BASE.replace("lazy", "sleepy")),  # near dup of 0
+        (3, "completely different words about spark catalyst optimizer plans"),
+        (4, "another unrelated document mentioning parquet files and shuffles"),
+        (5, BASE.replace("river", "lake").replace("quick", "swift")),  # near dup
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_word_shingles_count(spark):
+    df = spark.createDataFrame([("a b c d e",), ("a b",)], ["text"])
+    sizes = df.select(F.size(word_shingles("text", 3)).alias("n")).collect()
+    assert [r["n"] for r in sizes] == [3, 0]
+
+
+def test_exact_text_dedup_finds_exact_pair(planted):
+    out = exact_text_dedup(planted, "doc_id", "text")
+    dup_groups = {r["survivor_id"]: r["dup_count"] for r in out.collect()}
+    assert dup_groups[0] == 2  # docs 0 and 1 collapse, min id survives
+    assert out.count() == 5
+
+
+def test_ngram_jaccard_finds_near_dups(planted):
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(planted, "doc_id", "text", threshold=0.3).collect()
+    }
+    assert pairs[(0, 1)] == 1.0
+    assert (0, 2) in pairs and pairs[(0, 2)] > 0.5
+    assert (0, 5) in pairs
+    assert all(3 not in p and 4 not in p for p in pairs)
+
+
+def test_ngram_jaccard_frequency_cap(planted):
+    # df-cut removes shingles shared by >3 docs (those shared by all of
+    # 0/1/2/5); the exact pair survives on its rarer shingles
+    out = ngram_jaccard_pairs(
+        planted, "doc_id", "text", threshold=0.3, max_shingle_docs=3
+    )
+    got = {(r["doc_a"], r["doc_b"]) for r in out.collect()}
+    assert (0, 1) in got
+
+
+def test_minhash_lsh_recall_on_planted(planted):
+    # 8 bands of 2 rows: collision prob for jaccard s is 1-(1-s^2)^8
+    # (s≈0.78 for the one-word edit -> ≈0.999); exact dups collide in
+    # every band regardless
+    cand = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_lsh_candidates(planted, "doc_id", "text", bands=8).collect()
+    }
+    assert (0, 1) in cand
+    assert (0, 2) in cand
+    # unrelated docs must not be candidates
+    assert (3, 4) not in cand
+
+
+def test_simhash_exact_dup_same_signature(planted):
+    sigs = {r["doc_id"]: r["simhash"] for r in simhash(planted, "doc_id", "text").collect()}
+    assert sigs[0] == sigs[1]
+    assert sigs[0] != sigs[3]
+
+
+def test_simhash_near_pairs(planted):
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in simhash_near_pairs(
+            planted, "doc_id", "text", max_hamming=12, prefix_bits=4
+        ).collect()
+    }
+    assert pairs.get((0, 1)) == 0
+    assert (3, 4) not in pairs
