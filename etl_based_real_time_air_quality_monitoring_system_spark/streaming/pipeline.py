@@ -1,0 +1,168 @@
+"""Structured Streaming pipeline (SURVEY.md §2.9) — the idiomatic
+replacement for the reference's hand-rolled Kafka poll loops.
+
+Reference semantics -> Spark mapping implemented here:
+
+- T1 micro-batch ingestion (``consumer.py:143-166`` 5 s poll) ->
+  ``trigger(processingTime="5 seconds")``
+- T3 at-least-once + replay (``consumer.py:50-52,169``)        ->
+  checkpointed ``foreachBatch`` with an idempotent parquet sink
+  (exactly-once-ish upgrade; at-least-once is the floor)
+- T4 three timestamps per record (``producer.py:77,81``,
+  ``consumer.py:98``) -> event time ``ts`` + ``processed_timestamp``
+  stamped in ``enrich``
+- T5/T7 watermark + stateful dedup (absent in reference; batch
+  ``dropDuplicates`` re-ran over everything, ``spark_processor.py:83``)
+  -> ``withWatermark`` + ``dropDuplicatesWithinWatermark``
+- T6 tumbling windows (batch ``groupBy(hour)`` analog,
+  ``spark_processor.py:184-189``) -> ``groupBy(window(ts, ...))``
+- T8 stream->table handoff (``consumer.py`` appends files, batch job
+  re-reads everything) -> ONE streaming query transforming and
+  appending partitioned parquet per micro-batch
+- T9 per-message error isolation (``consumer.py:149-166``) ->
+  permissive ``from_json`` + dead-letter split
+- T10 retry/backpressure (``producer.py:25-27``) -> restart from
+  checkpoint; Kafka source manages offsets/retries
+
+In production the source swaps to ``readStream.format("kafka")``
+(``startingOffsets=earliest`` ≙ ``consumer.py:51``); tests drive a
+file source through ``processAllAvailable`` — same plan, same state
+machinery.
+
+Scale notes: streaming state (dedup + window aggregates) lives in the
+state store keyed by (key, window); the watermark bounds its size —
+without it state grows forever, which is the first thing to check on
+a 1000-executor streaming job.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming import StreamingQuery
+
+#: default cadence ≙ the reference's 5 s poll (consumer.py:143)
+DEFAULT_TRIGGER = "5 seconds"
+
+
+def stream_json_records(
+    spark: SparkSession, path: str, schema: T.StructType, max_files_per_trigger: int = 10
+) -> DataFrame:
+    """File-source stream of JSON records under an explicit schema —
+    the test/dev stand-in for the Kafka source (same downstream plan).
+    ``maxFilesPerTrigger`` bounds micro-batch size (backpressure)."""
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .json(path)
+    )
+
+
+def dead_letter_split(
+    raw: DataFrame, payload_col: str, schema: T.StructType
+) -> tuple[DataFrame, DataFrame]:
+    """T9 — permissive parse: rows whose payload parses become the
+    good stream (flattened), the rest keep the raw payload for a
+    dead-letter sink.  Replaces the reference's per-message
+    try/except (consumer.py:149-166).
+
+    Gotcha encoded here: PERMISSIVE ``from_json`` yields an all-null
+    struct (not null) for corrupt input, so corruption is detected via
+    ``columnNameOfCorruptRecord`` inside the parse schema.
+    """
+    with_corrupt = T.StructType(
+        list(schema.fields) + [T.StructField("_corrupt_record", T.StringType(), True)]
+    )
+    parsed = raw.withColumn(
+        "_rec",
+        F.from_json(
+            F.col(payload_col),
+            with_corrupt,
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt_record"},
+        ),
+    )
+    is_bad = F.col("_rec._corrupt_record").isNotNull() | F.col("_rec").isNull()
+    good = (
+        parsed.filter(~is_bad)
+        .select("*", "_rec.*")
+        .drop("_rec", "_corrupt_record", payload_col)
+    )
+    bad = parsed.filter(is_bad).drop("_rec")
+    return good, bad
+
+
+def enrich(df: DataFrame) -> DataFrame:
+    """T4 — stamp processing time (≙ consumer.py:98's
+    ``processed_timestamp``)."""
+    return df.withColumn("processed_timestamp", F.current_timestamp())
+
+
+def dedup_within_watermark(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """T5+T7 — watermarked stateful dedup: duplicates arriving within
+    the watermark horizon are dropped; state for keys older than the
+    watermark is evicted (bounded state, unlike the reference's
+    re-scan-everything batch dedup)."""
+    return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def windowed_aggregate(
+    df: DataFrame,
+    key: str,
+    value: str,
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """T6 — tumbling-window count/avg per key (the streaming analog of
+    the reference's hourly groupBy, spark_processor.py:184-189).
+    Late rows beyond the watermark are dropped (T5)."""
+    return (
+        df.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window).alias("win"), F.col(key))
+        .agg(
+            F.count("*").alias("record_count"),
+            F.round(F.avg(value), 2).alias(f"avg_{value}"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            key,
+            "record_count",
+            f"avg_{value}",
+        )
+    )
+
+
+def run_to_partitioned_parquet(
+    df: DataFrame,
+    out_path: str,
+    checkpoint: str,
+    partition_cols: tuple[str, ...] = (),
+    trigger: str = DEFAULT_TRIGGER,
+    available_now: bool = False,
+) -> StreamingQuery:
+    """T8 — one streaming query appending partitioned parquet per
+    micro-batch via ``foreachBatch`` (idempotent per epoch thanks to
+    the checkpoint), replacing the reference's file-per-record sink +
+    separate re-read-everything batch job (consumer.py:66-77 +
+    spark_processor.py:59-64)."""
+
+    def write_batch(batch: DataFrame, epoch_id: int) -> None:
+        writer = batch.write.mode("append")
+        if partition_cols:
+            writer = writer.partitionBy(*partition_cols)
+        writer.parquet(out_path)
+
+    stream = df.writeStream.foreachBatch(write_batch).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        stream = stream.trigger(availableNow=True)
+    else:
+        stream = stream.trigger(processingTime=trigger)
+    return stream.start()

@@ -1,0 +1,156 @@
+"""Structured Streaming semantics (SURVEY.md §2.9, FIXTURES.md §4):
+T5 late-data windows, T6 tumbling aggregation, T7 watermarked dedup,
+T8 checkpointed parquet handoff, T9 dead-letter split."""
+
+from __future__ import annotations
+
+import json
+import time
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from etl_based_real_time_air_quality_monitoring_system_spark.streaming.pipeline import (
+    dead_letter_split,
+    dedup_within_watermark,
+    enrich,
+    run_to_partitioned_parquet,
+    stream_json_records,
+    windowed_aggregate,
+)
+
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType(), True),
+        T.StructField("ts", T.TimestampType(), True),
+        T.StructField("event_type", T.StringType(), True),
+        T.StructField("value", T.DoubleType(), True),
+    ]
+)
+
+
+def _write_jsonl(path, rows):
+    with open(path, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+
+def _rows(hour, minute, n, etype="click", base_id=0):
+    return [
+        {
+            "event_id": base_id + i,
+            "ts": f"2024-01-01 {hour:02d}:{minute:02d}:{i % 60:02d}",
+            "event_type": etype,
+            "value": float(10 * (i + 1)),
+        }
+        for i in range(n)
+    ]
+
+
+def test_windowed_aggregate_closes_on_watermark(spark, tmp_path):
+    src = tmp_path / "src"
+    src.mkdir()
+    # hours 0 and 1 get data; a far-future row advances the watermark
+    # past both windows so append mode finalizes them
+    _write_jsonl(src / "a.json", _rows(0, 5, 4) + _rows(1, 10, 2, base_id=100))
+    _write_jsonl(src / "b.json", _rows(10, 0, 1, base_id=200))
+    stream = stream_json_records(spark, str(src), EVENT_SCHEMA)
+    agg = windowed_aggregate(stream, "event_type", "value", window="1 hour")
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("winagg")
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        out = {
+            (r["window_start"].hour, r["record_count"], r["avg_value"])
+            for r in spark.sql("select * from winagg").collect()
+        }
+    finally:
+        q.stop()
+    assert (0, 4, 25.0) in out  # (10+20+30+40)/4
+    assert (1, 2, 15.0) in out
+    # hour-10 window is still open (watermark hasn't passed it)
+    assert not any(h == 10 for h, _, _ in out)
+
+
+def test_dedup_within_watermark(spark, tmp_path):
+    src = tmp_path / "src"
+    src.mkdir()
+    rows = _rows(0, 0, 5)
+    _write_jsonl(src / "a.json", rows + rows[:3])  # 3 in-file duplicates
+    stream = stream_json_records(spark, str(src), EVENT_SCHEMA)
+    deduped = dedup_within_watermark(stream, ["event_id"], watermark="10 minutes")
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = spark.sql("select event_id from dedup").collect()
+    finally:
+        q.stop()
+    ids = sorted(r["event_id"] for r in got)
+    assert ids == [0, 1, 2, 3, 4]
+
+
+def test_dead_letter_split(spark):
+    raw = spark.createDataFrame(
+        [
+            ('{"event_id": 1, "event_type": "click", "value": 2.0}',),
+            ("not json at all",),
+            ('{"event_id": 3, "event_type": "view", "value": 4.0}',),
+        ],
+        ["payload"],
+    )
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType(), True),
+            T.StructField("event_type", T.StringType(), True),
+            T.StructField("value", T.DoubleType(), True),
+        ]
+    )
+    good, bad = dead_letter_split(raw, "payload", schema)
+    assert sorted(r["event_id"] for r in good.collect()) == [1, 3]
+    bad_rows = bad.collect()
+    assert len(bad_rows) == 1 and bad_rows[0]["payload"] == "not json at all"
+
+
+def test_enrich_stamps_processing_time(spark):
+    df = spark.createDataFrame([(1,)], ["event_id"])
+    row = enrich(df).head()
+    assert row["processed_timestamp"] is not None
+
+
+def test_checkpointed_parquet_sink_idempotent_restart(spark, tmp_path):
+    src = tmp_path / "src"
+    src.mkdir()
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    _write_jsonl(src / "a.json", _rows(0, 0, 6, "click") + _rows(0, 1, 4, "view", 50))
+
+    def run():
+        stream = stream_json_records(spark, str(src), EVENT_SCHEMA)
+        q = run_to_partitioned_parquet(
+            stream, out, ckpt, partition_cols=("event_type",), available_now=True
+        )
+        q.awaitTermination(120)
+        q.stop()
+
+    run()
+    first = spark.read.parquet(out)
+    assert first.count() == 10
+    # partition pruning layout: event_type=... directories
+    assert set(first.select("event_type").distinct().toPandas()["event_type"]) == {
+        "click",
+        "view",
+    }
+    # restart with the same checkpoint: no new input -> no duplicates
+    run()
+    assert spark.read.parquet(out).count() == 10
