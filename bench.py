@@ -34,6 +34,16 @@ HEADLINE = [
     "top_orders",
     "weighted_score",
     "props_k_stats",
+    "join_star_region",
+    "running_user_value",
+    "rollup_flag_status",
+    "text_stats",
+    "doc_fingerprints",
+    "minhash_pairs",
+    "ngram_jaccard",
+    "simhash",
+    "embedding_topk",
+    "knn_join",
 ]
 
 

@@ -1,0 +1,95 @@
+"""Physical-plan regression tests (the 100 TB guarantees).
+
+Correctness tests prove the small-SF answer; these prove the *plan* is
+the one that survives a 1000-executor scale-up: filters reach the
+parquet scan, dimension joins broadcast, top-k never global-sorts,
+aggregations combine map-side.  A regression here is invisible at
+sf0.01 and fatal at 100 TB.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entrymod
+from etl_based_real_time_air_quality_monitoring_system_spark.operators.joins import broadcast_join
+from etl_based_real_time_air_quality_monitoring_system_spark.operators.topk import top_k
+from etl_based_real_time_air_quality_monitoring_system_spark.sources.readers import load_table
+
+
+def plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_filter_pushdown_reaches_parquet_scan(spark, sf_dir):
+    events = load_table(spark, sf_dir, "events")
+    q = events.filter(F.col("value") > 200).select("event_id", "value")
+    p = plan(q)
+    assert "PushedFilters: [IsNotNull(value), GreaterThan(value,200.0)]" in p
+    # column pruning: scan only reads the two projected columns
+    assert "ReadSchema: struct<event_id:bigint,value:double>" in p
+
+
+def test_dimension_join_broadcasts(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    j = broadcast_join(orders, customer, orders.o_custkey == customer.c_custkey)
+    p = plan(j)
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_top_k_uses_take_ordered(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    q = top_k(orders, ["o_totalprice"], 50, tie_break="o_orderkey")
+    p = plan(q)
+    assert "TakeOrderedAndProject" in p
+    # no global Sort+Exchange materializes
+    assert "Exchange rangepartitioning" not in p
+
+
+def test_aggregation_is_partial_final(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    q = li.groupBy("l_returnflag").agg(F.sum("l_quantity"))
+    p = plan(q)
+    # partial (map-side) + final HashAggregate around one exchange
+    assert "partial_sum" in p
+    assert p.count("HashAggregate") >= 2
+    assert "hashpartitioning" in p
+
+
+def test_semi_join_stays_semi(spark, sf_dir):
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    q = customer.join(orders, customer.c_custkey == orders.o_custkey, "left_semi")
+    assert "LeftSemi" in plan(q)
+
+
+def test_flagship_whole_stage_codegen(spark, sf_dir):
+    q = entrymod.queries()["flagship"](spark, sf_dir)
+    # AQE hides codegen until stages actually run; execute, then check
+    # the final plan's `*(n)` whole-stage-codegen markers
+    q.collect()
+    executed = q._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in executed
+    assert "*(" in executed, "no WholeStageCodegen stage in flagship plan"
+    # no Python evaluation anywhere in the reference-parity path
+    p = plan(q)
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_no_python_in_any_oracle_query(spark, sf_dir):
+    # every oracle-covered query must be 100% JVM (UDFs are the slow
+    # path; the whole reference surface needs none)
+    for name, fn in entrymod.queries().items():
+        p = plan(fn(spark, sf_dir))
+        assert "BatchEvalPython" not in p, f"{name} fell back to Python UDF"
+
+
+def test_lineitem_scan_prunes_columns(spark, sf_dir):
+    q = entrymod.queries()["grouped_stats"](spark, sf_dir)
+    p = plan(q)
+    assert "ReadSchema: struct<l_quantity:double,l_returnflag:string>" in p
