@@ -404,6 +404,15 @@ def _q_unpivot_means(spark: SparkSession, sf: str) -> DataFrame:
 
 # ---------------------------------------- LLM-data-pipeline extensions
 
+def _q_serving_tiles(spark: SparkSession, sf: str) -> DataFrame:
+    # EP3 serving tiles: every dashboard stat in ONE aggregation pass
+    # (vs the reference's full-table toPandas, dashboard.py:59)
+    from etl_based_real_time_air_quality_monitoring_system_spark.plans.serving import dashboard_tiles
+
+    events = load_table(spark, sf, "events")
+    return dashboard_tiles(events, key="event_type", metrics=["value"])
+
+
 def _q_text_stats(spark: SparkSession, sf: str) -> DataFrame:
     # token counting / text profiling, all JVM-side array functions
     docs = load_table(spark, sf, "documents")
@@ -528,6 +537,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_flag_status": _q_rollup_flag_status,
         "cube_flag_status": _q_cube_flag_status,
         "unpivot_means": _q_unpivot_means,
+        "serving_tiles": _q_serving_tiles,
         "text_stats": _q_text_stats,
         "text_quality": _q_text_quality,
         "doc_fingerprints": _q_doc_fingerprints,
@@ -799,6 +809,13 @@ def oracle_sql() -> dict[str, str]:
                    CAST(GROUPING(l_returnflag) + GROUPING(l_linestatus) AS INTEGER)
                        AS grouping_level
             FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        """,
+        "serving_tiles": """
+            SELECT count(*) AS record_count,
+                   count(DISTINCT event_type) AS distinct_event_type,
+                   round(avg(value), 2) AS avg_value,
+                   max(value) - min(value) AS range_value
+            FROM events
         """,
         "text_stats": rf"""
             SELECT doc_id,

@@ -45,6 +45,32 @@ from pyspark.sql.streaming import StreamingQuery
 DEFAULT_TRIGGER = "5 seconds"
 
 
+def rate_source(spark: SparkSession, rows_per_second: int = 1) -> DataFrame:
+    """T2 — synthetic cadence source (≙ the producer's 10 s emit loop,
+    producer.py:132): built-in ``rate`` source yielding (timestamp,
+    value); tests/dev only."""
+    return (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", rows_per_second)
+        .load()
+    )
+
+
+def with_ingest_metrics(df: DataFrame, name: str = "ingest") -> DataFrame:
+    """A12 — the consumer's processed/error tallies
+    (consumer.py:133-162) as an ``observe`` instrumentation: metrics
+    ride the query (collected per micro-batch via
+    ``QueryProgressEvent.observedMetrics`` or ``df.observe`` listeners)
+    instead of driver-side counters."""
+    return df.observe(
+        name,
+        F.count(F.lit(1)).alias("records"),
+        F.sum(F.when(F.col(df.columns[0]).isNull(), 1).otherwise(0)).alias(
+            "null_first_col"
+        ),
+    )
+
+
 def stream_json_records(
     spark: SparkSession, path: str, schema: T.StructType, max_files_per_trigger: int = 10
 ) -> DataFrame:

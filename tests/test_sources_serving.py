@@ -1,0 +1,79 @@
+"""HTTP ingest edge (S1/P5/P6/P7), Kafka builders (S2/S3), serving
+plan (EP3)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_based_real_time_air_quality_monitoring_system_spark.plans.serving import (
+    dashboard_tiles,
+    current_readings,
+    download_csv,
+    explore_top_k,
+    numeric_columns,
+)
+from etl_based_real_time_air_quality_monitoring_system_spark.sources.http import (
+    ingest_payloads,
+    simulate_weather_docs,
+)
+from etl_based_real_time_air_quality_monitoring_system_spark.sources.kafka import (
+    kafka_sink,
+    kafka_source,
+)
+from etl_based_real_time_air_quality_monitoring_system_spark.sources.readers import load_table
+
+
+def test_http_ingest_flattens_and_defaults(spark):
+    docs = simulate_weather_docs(35)
+    out = ingest_payloads(spark, docs).cache()
+    # error envelopes dropped (P5): ceil(35/7)=5 errors
+    assert out.count() == 30
+    # nested projection produced the flat schema (P6)
+    assert {"location", "temp_c", "humidity", "condition", "pm2_5"} <= set(out.columns)
+    # missing air_quality imputed to 0 (P7), never null
+    assert out.filter(F.col("pm2_5").isNull()).count() == 0
+    assert out.filter(F.col("pm2_5") == 0.0).count() > 0
+    out.unpersist()
+
+
+def test_kafka_builders_construct_lazily(spark):
+    # no broker/jar locally: building the plan must work (start() would
+    # need spark-sql-kafka); failure here means the builder itself is
+    # broken, not the environment
+    try:
+        src = kafka_source(spark, "localhost:9092")
+        assert "payload" in src.columns
+        writer = kafka_sink(src, "localhost:9092", checkpoint="/tmp/ckpt-unused")
+        assert writer is not None
+    except Exception as e:  # noqa: BLE001
+        # acceptable only if the data source itself is unavailable
+        assert "kafka" in str(e).lower()
+
+
+def test_dashboard_tiles_single_row(spark, sf_dir):
+    events = load_table(spark, sf_dir, "events")
+    row = dashboard_tiles(events, key="event_type", metrics=["value"]).collect()
+    assert len(row) == 1
+    r = row[0]
+    assert r["record_count"] == events.count()
+    assert r["distinct_event_type"] == 5
+    assert r["range_value"] > 0
+
+
+def test_current_readings_and_explorer(spark, sf_dir):
+    events = load_table(spark, sf_dir, "events")
+    latest = current_readings(events, key="event_type", ts="ts", tie_break="event_id")
+    assert latest.count() == 5
+    top = explore_top_k(events, "event_type", ["click"], "value", k=5, tie_break="event_id")
+    rows = top.collect()
+    assert len(rows) == 5
+    assert all(r["event_type"] == "click" for r in rows)
+    vals = [r["value"] for r in rows]
+    assert vals == sorted(vals, reverse=True)
+
+
+def test_numeric_columns_and_csv(spark, sf_dir):
+    events = load_table(spark, sf_dir, "events")
+    assert set(numeric_columns(events)) == {"event_id", "user_id", "value"}
+    csv = download_csv(events.select("event_id", "event_type"), limit=10)
+    assert len(csv.strip().splitlines()) == 11  # header + 10 rows
