@@ -48,7 +48,9 @@ from etl_based_real_time_air_quality_monitoring_system_spark.operators.dedup imp
 )
 from etl_based_real_time_air_quality_monitoring_system_spark.operators.joins import (
     anti_join,
+    asof_join,
     broadcast_join,
+    range_join,
     semi_join,
     star_join,
 )
@@ -63,6 +65,8 @@ from etl_based_real_time_air_quality_monitoring_system_spark.operators.reshape i
 )
 from etl_based_real_time_air_quality_monitoring_system_spark.operators.similarity import (
     brute_force_topk,
+    cosine_near_dup_pairs,
+    ivf_topk,
     knn_join,
     lsh_topk,
 )
@@ -79,6 +83,7 @@ from etl_based_real_time_air_quality_monitoring_system_spark.operators.text impo
 from etl_based_real_time_air_quality_monitoring_system_spark.operators.windows import (
     lag_delta,
     running_total,
+    sessionize,
     top_n_per_key,
 )
 from etl_based_real_time_air_quality_monitoring_system_spark.operators.topk import (
@@ -402,6 +407,79 @@ def _q_unpivot_means(spark: SparkSession, sf: str) -> DataFrame:
     return unpivot(wide, [], ["avg_l_quantity", "avg_l_extendedprice", "avg_l_discount"])
 
 
+def _q_asof_purchase_attribution(spark: SparkSession, sf: str) -> DataFrame:
+    # as-of join (operator Spark lacks; DuckDB ASOF JOIN is the oracle):
+    # each purchase attributed to the user's most recent prior click
+    events = load_table(spark, sf, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts"
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("ts").alias("click_ts"),
+    )
+    # unique per (user, time) so the as-of winner is engine-independent
+    clicks = latest_per_key(clicks, ["user_id", "click_ts"], "click_id")
+    joined = asof_join(
+        purchases, clicks, "user_id", "ts", "click_ts", ["click_id", "click_ts"]
+    )
+    return joined.select(
+        "purchase_id",
+        "user_id",
+        F.unix_micros("ts").alias("purchase_time_us"),
+        "click_id",
+        F.unix_micros("click_ts").alias("click_time_us"),
+        (F.unix_micros("ts") - F.unix_micros("click_ts")).alias("gap_us"),
+    )
+
+
+def _q_user_sessions(spark: SparkSession, sf: str) -> DataFrame:
+    # gap-based sessionization (4 h), rolled up to per-user stats
+    events = load_table(spark, sf, "events")
+    s = sessionize(events, "user_id", "ts", 4 * 3600, order_tie_break="event_id")
+    per_session = s.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events")
+    )
+    return per_session.groupBy("user_id").agg(
+        F.count("*").alias("session_count"),
+        F.round(F.avg("n_events"), 2).alias("avg_session_events"),
+        F.max("n_events").alias("max_session_events"),
+    )
+
+
+def _q_value_percentiles(spark: SparkSession, sf: str) -> DataFrame:
+    # exact interpolated percentiles per key (quantile_cont semantics)
+    events = load_table(spark, sf, "events")
+    return events.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.25)), 4).alias("p25_value"),
+        F.round(F.percentile("value", F.lit(0.5)), 4).alias("p50_value"),
+        F.round(F.percentile("value", F.lit(0.75)), 4).alias("p75_value"),
+        F.count("*").alias("record_count"),
+    )
+
+
+_VALUE_BANDS = (
+    ("low", -1e12, 50.0),
+    ("mid", 50.0, 150.0),
+    ("high", 150.0, 300.0),
+    ("extreme", 300.0, 1e12),
+)
+
+
+def _q_range_band_join(spark: SparkSession, sf: str) -> DataFrame:
+    # interval join against a broadcast band table (vs the CASE chain)
+    events = load_table(spark, sf, "events")
+    bands = spark.createDataFrame(
+        list(_VALUE_BANDS), "band string, lo double, hi double"
+    )
+    joined = range_join(events, bands, "value")
+    return joined.groupBy("band").agg(
+        F.count("*").alias("record_count"),
+        F.round(F.avg("value"), 2).alias("avg_value"),
+    )
+
+
 # ---------------------------------------- LLM-data-pipeline extensions
 
 def _q_serving_tiles(spark: SparkSession, sf: str) -> DataFrame:
@@ -490,6 +568,23 @@ def _q_knn_join(spark: SparkSession, sf: str) -> DataFrame:
     return knn_join(emb, qs, "vec_id", "embedding", "vec_id", "embedding", k=5)
 
 
+def _q_embedding_near_dup(spark: SparkSession, sf: str) -> DataFrame:
+    # embedding-cosine near-dup pairs, exact baseline (the scale path,
+    # cosine_near_dup_lsh, is recall-tested against this in tests)
+    emb = load_table(spark, sf, "embeddings")
+    return cosine_near_dup_pairs(emb, "vec_id", "embedding", threshold=0.35)
+
+
+def _q_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
+    # IVF-Flat approximate top-k (no SQL oracle — centroid assignment
+    # is engine-internal; recall asserted in tests vs brute force)
+    emb = load_table(spark, sf, "embeddings")
+    return ivf_topk(
+        emb, "vec_id", "embedding", _get_query_vec(spark, sf),
+        k=10, n_centroids=8, n_probe=4,
+    )
+
+
 def _q_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
     # approximate top-k via random-hyperplane LSH (no SQL oracle — the
     # hyperplanes are seeded NumPy; recall is asserted in tests vs the
@@ -537,6 +632,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_flag_status": _q_rollup_flag_status,
         "cube_flag_status": _q_cube_flag_status,
         "unpivot_means": _q_unpivot_means,
+        "asof_purchase_attribution": _q_asof_purchase_attribution,
+        "user_sessions": _q_user_sessions,
+        "value_percentiles": _q_value_percentiles,
+        "range_band_join": _q_range_band_join,
         "serving_tiles": _q_serving_tiles,
         "text_stats": _q_text_stats,
         "text_quality": _q_text_quality,
@@ -547,6 +646,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": _q_simhash,
         "embedding_topk": _q_embedding_topk,
         "knn_join": _q_knn_join,
+        "embedding_near_dup": _q_embedding_near_dup,
+        "ivf_topk": _q_ivf_topk,
         "lsh_topk": _q_lsh_topk,
     }
 
@@ -943,6 +1044,82 @@ def oracle_sql() -> dict[str, str]:
                 FROM scored
             )
             SELECT query_id, corpus_id, cosine_sim FROM ranked WHERE rn <= 5
+        """,
+        "asof_purchase_attribution": f"""
+            WITH p AS (
+                SELECT event_id AS purchase_id, user_id, {_TS} AS pts
+                FROM events WHERE event_type = 'purchase'
+            ),
+            c AS (
+                SELECT event_id AS click_id, user_id, {_TS} AS cts
+                FROM events WHERE event_type = 'click'
+                QUALIFY row_number() OVER (
+                    PARTITION BY user_id, ts ORDER BY event_id DESC
+                ) = 1
+            )
+            SELECT purchase_id, p.user_id,
+                   epoch_us(pts) AS purchase_time_us,
+                   click_id,
+                   epoch_us(cts) AS click_time_us,
+                   epoch_us(pts) - epoch_us(cts) AS gap_us
+            FROM p ASOF JOIN c
+              ON p.user_id = c.user_id AND p.pts >= c.cts
+        """,
+        "user_sessions": f"""
+            WITH e AS (
+                SELECT user_id, event_id, epoch_us({_TS}) AS tus FROM events
+            ),
+            m AS (
+                SELECT user_id, event_id, tus,
+                       CASE WHEN lag(tus) OVER w IS NULL
+                                 OR tus - lag(tus) OVER w > 14400000000
+                            THEN 1 ELSE 0 END AS is_new
+                FROM e
+                WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)
+            ),
+            s AS (
+                SELECT user_id,
+                       sum(is_new) OVER (
+                           PARTITION BY user_id ORDER BY tus, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                       ) AS session_id
+                FROM m
+            ),
+            ps AS (
+                SELECT user_id, session_id, count(*) AS n_events
+                FROM s GROUP BY 1, 2
+            )
+            SELECT user_id,
+                   count(*) AS session_count,
+                   round(avg(n_events), 2) AS avg_session_events,
+                   max(n_events) AS max_session_events
+            FROM ps GROUP BY user_id
+        """,
+        "value_percentiles": """
+            SELECT event_type,
+                   round(quantile_cont(value, 0.25), 4) AS p25_value,
+                   round(quantile_cont(value, 0.5), 4) AS p50_value,
+                   round(quantile_cont(value, 0.75), 4) AS p75_value,
+                   count(*) AS record_count
+            FROM events GROUP BY event_type
+        """,
+        "range_band_join": """
+            WITH bands(band, lo, hi) AS (VALUES
+                ('low', -1e12, 50.0), ('mid', 50.0, 150.0),
+                ('high', 150.0, 300.0), ('extreme', 300.0, 1e12))
+            SELECT band, count(*) AS record_count,
+                   round(avg(value), 2) AS avg_value
+            FROM events JOIN bands ON value >= lo AND value < hi
+            GROUP BY band
+        """,
+        "embedding_near_dup": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(
+                       a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6)
+                       AS cosine_sim
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE round(list_cosine_similarity(
+                      a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.35
         """,
         "unpivot_means": """
             WITH wide AS (

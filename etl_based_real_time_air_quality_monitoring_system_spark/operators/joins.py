@@ -18,7 +18,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 
 def broadcast_join(
@@ -51,3 +51,90 @@ def star_join(fact: DataFrame, dims: Sequence[tuple[DataFrame, str | Column]]) -
     for dim, key in dims:
         out = out.join(F.broadcast(dim), key, "inner")
     return out
+
+
+def range_join(
+    fact: DataFrame,
+    intervals: DataFrame,
+    value: str,
+    lo: str = "lo",
+    hi: str = "hi",
+) -> DataFrame:
+    """Interval (range) join: fact rows matched to the interval rows
+    with ``lo <= value < hi``.  The interval side is broadcast, so the
+    non-equi condition evaluates as a BroadcastNestedLoopJoin — linear
+    in the fact table, never a cartesian shuffle.  Correct whenever the
+    interval set is dimension-sized (band tables, calendars, SLA
+    tiers); for two large interval sets you'd bucketize both sides on
+    ``floor(value / bucket)`` first to recover an equi-join."""
+    cond = (F.col(value) >= F.col(lo)) & (F.col(value) < F.col(hi))
+    return fact.join(F.broadcast(intervals), cond, "inner")
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_time: str,
+    right_time: str,
+    right_values: Sequence[str],
+    how: str = "inner",
+) -> DataFrame:
+    """Backward as-of join: for each left row, the single most recent
+    right row with the same ``key`` and ``right_time <= left_time``
+    (exact time matches count).
+
+    Spark has no ASOF JOIN operator, and the naive encoding
+    (theta-join on ``r.t <= l.t`` + max_by) explodes to O(|L|x|R|)
+    per key.  This is the scale-correct composition instead: UNION the
+    two sides tagged (right rows sort before left rows at equal time),
+    then one pass of ``last(payload, ignorenulls=True)`` over a
+    (key)-partitioned, (time, tag)-ordered running window.  One
+    shuffle on the key, linear work per partition — the sort-merge
+    as-of strategy native engines (and DuckDB's ASOF JOIN, the test
+    oracle) implement internally.
+
+    Right-side payload travels as ONE struct column so legitimately
+    NULL payload fields don't make ``last(..., ignorenulls)`` skip to
+    an older right row.
+
+    Right rows should be unique per (key, time) — dedupe with
+    ``topk.latest_per_key`` first; ties would make the winner
+    engine-dependent.
+    """
+    payload = F.struct(*[F.col(c) for c in right_values]).alias("_rp")
+    payload_type = right.select(payload).schema["_rp"].dataType
+
+    r = right.select(
+        F.col(key).alias("_k"),
+        F.col(right_time).alias("_t"),
+        F.lit(0).alias("_tag"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left.columns],
+        payload,
+    )
+    l = left.select(
+        F.col(key).alias("_k"),
+        F.col(left_time).alias("_t"),
+        F.lit(1).alias("_tag"),
+        *left.columns,
+        F.lit(None).cast(payload_type).alias("_rp"),
+    )
+
+    w = (
+        Window.partitionBy("_k")
+        .orderBy("_t", "_tag")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = (
+        r.unionByName(l)
+        .withColumn("_m", F.last("_rp", ignorenulls=True).over(w))
+        .filter(F.col("_tag") == 1)
+    )
+    if how == "inner":
+        matched = matched.filter(F.col("_m").isNotNull())
+    elif how != "left":
+        raise ValueError(f"asof_join supports inner/left, got {how!r}")
+    return matched.select(
+        *left.columns,
+        *[F.col(f"_m.{c}").alias(c) for c in right_values],
+    )

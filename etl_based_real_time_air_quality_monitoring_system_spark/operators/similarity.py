@@ -106,6 +106,98 @@ def knn_join(
     )
 
 
+def cosine_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    emb_col: str,
+    threshold: float,
+    scale: int = 6,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (exact): every (a, b) with
+    ``a.id < b.id`` and ``round(cosine, scale) >= threshold``.
+
+    The threshold compares the ROUNDED similarity so engine-level float
+    summation order can't flip membership at the boundary (same idiom
+    as dedup.ngram_jaccard_pairs).
+
+    This is the correctness baseline: O(n^2) pairs — fine for a
+    dedup-verification pass over a candidate subset, NOT for a 100 TB
+    corpus.  The scale path is :func:`cosine_near_dup_lsh`, which cuts
+    candidate generation to bucket-equality equi-joins.
+    """
+    a = df.select(F.col(id_col).alias("id_a"), _as_double_array(emb_col).alias("_ea"))
+    b = df.select(F.col(id_col).alias("id_b"), _as_double_array(emb_col).alias("_eb"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    scored = pairs.select(
+        "id_a",
+        "id_b",
+        F.round(cosine(F.col("_ea"), F.col("_eb")), scale).alias("cosine_sim"),
+    )
+    return scored.filter(F.col("cosine_sim") >= threshold)
+
+
+def cosine_near_dup_lsh(
+    df: DataFrame,
+    id_col: str,
+    emb_col: str,
+    threshold: float,
+    n_planes: int = 16,
+    bands: int = 4,
+    seed: int = 42,
+    scale: int = 6,
+    dim: int | None = None,
+) -> DataFrame:
+    """Embedding near-dup pairs at scale: random-hyperplane signatures
+    split into ``bands`` bands; a pair becomes a candidate iff some
+    band matches exactly (an equi-join on (band, bucket) — shuffles
+    only the bucket ids, never compares all pairs); candidates are then
+    exact-verified against ``threshold``.
+
+    Output schema matches :func:`cosine_near_dup_pairs`; recall < 1 by
+    construction (measured floor asserted in tests).
+    """
+    if dim is None:
+        dim = len(df.select(emb_col).head()[0])
+    planes = hyperplanes(dim, n_planes, seed)
+    per_band = n_planes // bands
+    emb = _as_double_array(emb_col)
+    sigged = df.select(F.col(id_col).alias("_id"), emb.alias("_e")).withColumn(
+        "_sig", lsh_signature(F.col("_e"), planes)
+    )
+    band_rows = []
+    mask = (1 << per_band) - 1
+    for bi in range(bands):
+        band_rows.append(
+            sigged.select(
+                "_id",
+                "_e",
+                F.lit(bi).alias("_band"),
+                F.shiftright("_sig", bi * per_band).bitwiseAND(F.lit(mask)).alias("_bucket"),
+            )
+        )
+    banded = band_rows[0]
+    for extra in band_rows[1:]:
+        banded = banded.unionByName(extra)
+    left = banded.select(
+        F.col("_id").alias("id_a"), F.col("_e").alias("_ea"), "_band", "_bucket"
+    )
+    right = banded.select(
+        F.col("_id").alias("id_b"), F.col("_e").alias("_eb"), "_band", "_bucket"
+    )
+    cand = (
+        left.join(right, ["_band", "_bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "_ea", "_eb")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    scored = cand.select(
+        "id_a",
+        "id_b",
+        F.round(cosine(F.col("_ea"), F.col("_eb")), scale).alias("cosine_sim"),
+    )
+    return scored.filter(F.col("cosine_sim") >= threshold)
+
+
 # ----------------------------------------------------------------- LSH
 
 def hyperplanes(dim: int, n_planes: int = 16, seed: int = 42) -> np.ndarray:
@@ -148,6 +240,81 @@ def lsh_topk(
     near = with_sig.filter(
         F.bit_count(F.col("_sig").bitwiseXOR(F.lit(query_sig))) <= max_hamming
     )
+    scored = near.select(
+        F.col(id_col), F.round(cosine(F.col("_e"), vec_lit(qv)), scale).alias("cosine_sim")
+    )
+    return scored.orderBy(F.desc("cosine_sim"), F.col(id_col)).limit(k)
+
+
+# ----------------------------------------------------------------- IVF
+
+def ivf_centroids(
+    df: DataFrame, id_col: str, emb_col: str, n_centroids: int = 8
+) -> np.ndarray:
+    """Deterministic IVF-Flat centroids: the first ``n_centroids``
+    vectors by id (sampled-init, no Lloyd iterations — centroid quality
+    only shifts the recall/speed trade-off, never correctness, since
+    probing re-scores exactly).  Driver-side collect of k rows only."""
+    rows = (
+        df.select(F.col(id_col), _as_double_array(emb_col).alias("_e"))
+        .orderBy(id_col)
+        .limit(n_centroids)
+        .collect()
+    )
+    return np.array([list(r["_e"]) for r in rows], dtype=float)
+
+
+def ivf_assign(
+    df: DataFrame,
+    emb_col: str,
+    centroids: np.ndarray,
+    alias: str = "cluster_id",
+) -> DataFrame:
+    """Attach each vector's nearest-centroid id (max cosine).  The
+    argmax is an ``array_max`` over (similarity, id) structs — pure JVM
+    expressions, zero shuffle, so assignment streams with the scan.
+    At 100 TB this column is computed once and persisted as a partition
+    key so probes prune files instead of rows."""
+    emb = _as_double_array(emb_col)
+    scored = F.array(
+        *[
+            F.struct(
+                cosine(emb, vec_lit(c)).alias("sim"), F.lit(i).alias("cid")
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    return df.withColumn(alias, F.array_max(scored).getField("cid"))
+
+
+def ivf_topk(
+    df: DataFrame,
+    id_col: str,
+    emb_col: str,
+    query_vec: Sequence[float],
+    k: int = 10,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+    scale: int = 6,
+    centroids: np.ndarray | None = None,
+) -> DataFrame:
+    """Approximate top-k via IVF-Flat: score only vectors assigned to
+    the ``n_probe`` centroids nearest the query.  Plan shape is
+    scan -> assign (JVM exprs) -> filter -> TakeOrderedAndProject —
+    still no shuffle; with the assignment persisted as a partition
+    column the filter becomes partition pruning and the scan itself
+    shrinks by ~n_probe/n_centroids."""
+    if centroids is None:
+        centroids = ivf_centroids(df, id_col, emb_col, n_centroids)
+    qv = np.asarray(list(query_vec), dtype=float)
+    sims = (centroids @ qv) / (
+        np.linalg.norm(centroids, axis=1) * np.linalg.norm(qv) + 1e-12
+    )
+    probes = [int(i) for i in np.argsort(-sims)[:n_probe]]
+    assigned = ivf_assign(
+        df.select(F.col(id_col), _as_double_array(emb_col).alias("_e")), "_e", centroids
+    )
+    near = assigned.filter(F.col("cluster_id").isin(probes))
     scored = near.select(
         F.col(id_col), F.round(cosine(F.col("_e"), vec_lit(qv)), scale).alias("cosine_sim")
     )

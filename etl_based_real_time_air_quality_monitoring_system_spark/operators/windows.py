@@ -72,6 +72,39 @@ def top_n_per_key(
     )
 
 
+def sessionize(
+    df: DataFrame,
+    key: str | Sequence[str],
+    ts: str,
+    gap_seconds: int,
+    order_tie_break: str | None = None,
+    alias: str = "session_id",
+) -> DataFrame:
+    """Gap-based sessionization: a new session starts when the time
+    since the previous event for the same key exceeds ``gap_seconds``.
+
+    Classic two-window composition — boundary flag via ``lag`` then a
+    running sum numbers the sessions — both windows share the same
+    (key)-partitioning and ordering, so Catalyst plans ONE shuffle and
+    one sort for the whole thing (the batch analog of Structured
+    Streaming's ``session_window``).
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    order = [F.col(ts)] + ([F.col(order_tie_break)] if order_tie_break else [])
+    w = Window.partitionBy(*keys).orderBy(*order)
+    t_us = F.unix_micros(F.col(ts))
+    prev_us = F.lag(t_us, 1).over(w)
+    boundary = F.when(
+        prev_us.isNull() | (t_us - prev_us > gap_seconds * 1_000_000), F.lit(1)
+    ).otherwise(F.lit(0))
+    running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        df.withColumn("_boundary", boundary)
+        .withColumn(alias, F.sum("_boundary").over(running))
+        .drop("_boundary")
+    )
+
+
 def lag_delta(
     df: DataFrame,
     key: str | Sequence[str],

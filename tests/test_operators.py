@@ -89,3 +89,72 @@ def test_flagship_smoke(spark, sf_dir):
     # ordered by record_count desc
     counts = [r["record_count"] for r in rows]
     assert counts == sorted(counts, reverse=True)
+
+
+# ------------------------------------------------------ asof / range / sessions
+
+def test_asof_join_semantics(spark):
+    from datetime import datetime as dt
+
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [(100, "u1", 10.0), (101, "u1", 3.0), (102, "u2", 5.0)],
+        "id long, k string, t double",
+    )
+    # u1@2 carries a legitimately-NULL payload field x; u1@1 has x set —
+    # the struct payload must NOT skip past the null field to the older row
+    right = spark.createDataFrame(
+        [("u1", 1.0, "z", 5.0), ("u1", 2.0, "a", None), ("u1", 10.0, "b", 7.0),
+         ("u2", 6.0, "c", 1.0)],
+        "k string, rt double, val string, x double",
+    )
+    out = {
+        r["id"]: r
+        for r in asof_join(left, right, "k", "t", "rt", ["val", "x"]).collect()
+    }
+    assert set(out) == {100, 101}          # u2@5 has no right row <= 5 -> inner drops
+    assert out[100]["val"] == "b" and out[100]["x"] == 7.0   # exact time match counts
+    assert out[101]["val"] == "a" and out[101]["x"] is None  # null field preserved
+
+    outer = {
+        r["id"]: r
+        for r in asof_join(left, right, "k", "t", "rt", ["val", "x"], how="left").collect()
+    }
+    assert set(outer) == {100, 101, 102}
+    assert outer[102]["val"] is None
+
+
+def test_range_join_bands(spark):
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.joins import range_join
+
+    fact = spark.createDataFrame(
+        [(1, 5.0), (2, 50.0), (3, 149.9), (4, 500.0)], "id long, value double"
+    )
+    bands = spark.createDataFrame(
+        [("low", 0.0, 50.0), ("mid", 50.0, 150.0), ("high", 150.0, 1e9)],
+        "band string, lo double, hi double",
+    )
+    got = {r["id"]: r["band"] for r in range_join(fact, bands, "value").collect()}
+    # lo inclusive, hi exclusive: 50.0 lands in mid, not low
+    assert got == {1: "low", 2: "mid", 3: "mid", 4: "high"}
+
+
+def test_sessionize_gap_boundaries(spark):
+    from datetime import datetime as dt
+
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.windows import sessionize
+
+    rows = [
+        ("u", dt(2024, 1, 1, 0, 0, 0), 1),
+        ("u", dt(2024, 1, 1, 0, 30, 0), 2),   # +30min  -> same session
+        ("u", dt(2024, 1, 1, 1, 30, 0), 3),   # +60min exactly = gap -> same session
+        ("u", dt(2024, 1, 1, 2, 30, 1), 4),   # gap exceeded by 1s -> new session
+        ("v", dt(2024, 1, 1, 0, 0, 0), 5),    # other key always starts at 1
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, id long")
+    out = {
+        r["id"]: r["session_id"]
+        for r in sessionize(df, "k", "ts", 3600, order_tie_break="id").collect()
+    }
+    assert out == {1: 1, 2: 1, 3: 1, 4: 2, 5: 1}

