@@ -164,6 +164,75 @@ def windowed_aggregate(
     )
 
 
+def stateful_running_stats(
+    df: DataFrame,
+    key: str = "event_type",
+    value: str = "value",
+    timeout_ms: int | None = None,
+) -> DataFrame:
+    """A12/T-custom — arbitrary stateful per-key aggregation via
+    ``applyInPandasWithState``: keeps (count, sum) per key in the state
+    store and emits the updated running count/sum/mean every
+    micro-batch.  This is the engine's seam for custom stateful
+    operators Spark's built-ins can't express (counters with custom
+    eviction, per-key ML state, CEP-ish logic).
+
+    State is tiny (two scalars per key) and Arrow-batched per group, so
+    at 1000 executors the cost is one key-shuffle per micro-batch —
+    the same bound as the built-in streaming aggregation.  With
+    ``timeout_ms`` set, idle keys are evicted (ProcessingTimeTimeout),
+    bounding state like a watermark would.
+    """
+    import pandas as pd  # local: Arrow path only, never on the driver's hot path
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = T.StructType(
+        [
+            T.StructField("key", T.StringType(), True),
+            T.StructField("record_count", T.LongType(), True),
+            T.StructField("value_sum", T.DoubleType(), True),
+            T.StructField("value_mean", T.DoubleType(), True),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("record_count", T.LongType(), True),
+            T.StructField("value_sum", T.DoubleType(), True),
+        ]
+    )
+
+    def update(key_tuple, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        count, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            count += len(pdf)
+            total += float(pdf[value].fillna(0.0).sum())
+        state.update((count, total))
+        if timeout_ms is not None:
+            state.setTimeoutDuration(timeout_ms)
+        yield pd.DataFrame(
+            [
+                {
+                    "key": key_tuple[0],
+                    "record_count": count,
+                    "value_sum": total,
+                    "value_mean": total / count if count else None,
+                }
+            ]
+        )
+
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if timeout_ms is not None
+        else GroupStateTimeout.NoTimeout
+    )
+    return df.groupBy(key).applyInPandasWithState(
+        update, out_schema, state_schema, "update", timeout
+    )
+
+
 def run_to_partitioned_parquet(
     df: DataFrame,
     out_path: str,

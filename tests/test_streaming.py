@@ -175,3 +175,40 @@ def test_checkpointed_parquet_sink_idempotent_restart(spark, tmp_path):
     # restart with the same checkpoint: no new input -> no duplicates
     run()
     assert spark.read.parquet(out).count() == 10
+
+
+def test_stateful_running_stats_across_batches(spark, tmp_path):
+    from etl_based_real_time_air_quality_monitoring_system_spark.streaming.pipeline import stateful_running_stats
+
+    src = tmp_path / "src"
+    src.mkdir()
+    # two files -> two micro-batches (maxFilesPerTrigger=1): state must
+    # carry the first batch's totals into the second
+    _write_jsonl(src / "a.json", _rows(0, 0, 4, "click"))          # values 10..40
+    _write_jsonl(src / "b.json", _rows(0, 1, 2, "click", 100) + _rows(0, 2, 3, "view", 200))
+    stream = stream_json_records(spark, str(src), EVENT_SCHEMA, max_files_per_trigger=1)
+    stats = stateful_running_stats(stream, key="event_type", value="value")
+    q = (
+        stats.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("runstats")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql("select * from runstats").collect()
+    finally:
+        q.stop()
+    # update mode emits one row per key per touched batch; the final
+    # (max record_count) row per key reflects ALL input
+    latest = {}
+    for r in rows:
+        if r["key"] not in latest or r["record_count"] > latest[r["key"]]["record_count"]:
+            latest[r["key"]] = r
+    assert latest["click"]["record_count"] == 6
+    assert latest["click"]["value_sum"] == 10.0 + 20 + 30 + 40 + 10 + 20
+    assert latest["view"]["record_count"] == 3
+    assert latest["view"]["value_mean"] == (10 + 20 + 30) / 3
+    # click was emitted in batch 1 (count 4) and batch 2 (count 6)
+    click_counts = sorted(r["record_count"] for r in rows if r["key"] == "click")
+    assert click_counts == [4, 6]
