@@ -664,8 +664,12 @@ _SHINGLE_CTES = rf"""
         FROM toks, UNNEST(range(1, greatest(len(t) - 1, 1))) AS u(i)
     )"""
 
+#: Kirsch–Mitzenmacher double hashing, mirroring
+#: dedup.minhash_signatures: h_i = h1 + i*h2 (h1 60 bits, h2 28 bits)
+_MH_H1 = "('0x' || substr(md5(shingle), 1, 15))::BIGINT"
+_MH_H2 = "('0x' || substr(md5('salt:' || shingle), 1, 7))::BIGINT"
 _MINHASH_AGGS = ",\n                   ".join(
-    f"min(md5('{i}:' || shingle)) AS h{i}" for i in range(16)
+    f"min({_MH_H1} + {i} * {_MH_H2}) AS h{i}" for i in range(16)
 )
 _BAND_SELECTS = "\n            UNION ALL\n            ".join(
     "SELECT doc_id, {b} AS band, md5(concat_ws('|', {cols})) AS bucket FROM sig".format(

@@ -164,20 +164,23 @@ def cosine_near_dup_lsh(
     sigged = df.select(F.col(id_col).alias("_id"), emb.alias("_e")).withColumn(
         "_sig", lsh_signature(F.col("_e"), planes)
     )
-    band_rows = []
+    # all bands in one pass (explode of per-band structs) so the
+    # signature expression evaluates once per vector, not once per band
     mask = (1 << per_band) - 1
-    for bi in range(bands):
-        band_rows.append(
-            sigged.select(
-                "_id",
-                "_e",
+    band_structs = F.array(
+        *[
+            F.struct(
                 F.lit(bi).alias("_band"),
-                F.shiftright("_sig", bi * per_band).bitwiseAND(F.lit(mask)).alias("_bucket"),
+                F.shiftright("_sig", bi * per_band)
+                .bitwiseAND(F.lit(mask))
+                .alias("_bucket"),
             )
-        )
-    banded = band_rows[0]
-    for extra in band_rows[1:]:
-        banded = banded.unionByName(extra)
+            for bi in range(bands)
+        ]
+    )
+    banded = sigged.select(
+        "_id", "_e", F.explode(band_structs).alias("_bb")
+    ).select("_id", "_e", F.col("_bb._band").alias("_band"), F.col("_bb._bucket").alias("_bucket"))
     left = banded.select(
         F.col("_id").alias("id_a"), F.col("_e").alias("_ea"), "_band", "_bucket"
     )
