@@ -37,6 +37,10 @@ HEADLINE = [
     "join_star_region",
     "running_user_value",
     "rollup_flag_status",
+    "asof_purchase_attribution",
+    "user_sessions",
+    "value_percentiles",
+    "range_band_join",
     "text_stats",
     "doc_fingerprints",
     "minhash_pairs",
@@ -44,6 +48,7 @@ HEADLINE = [
     "simhash",
     "embedding_topk",
     "knn_join",
+    "ivf_topk",
 ]
 
 

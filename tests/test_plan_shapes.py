@@ -93,3 +93,49 @@ def test_lineitem_scan_prunes_columns(spark, sf_dir):
     q = entrymod.queries()["grouped_stats"](spark, sf_dir)
     p = plan(q)
     assert "ReadSchema: struct<l_quantity:double,l_returnflag:string>" in p
+
+
+def test_asof_join_is_single_shuffle_window(spark, sf_dir):
+    # the as-of composition must plan as ONE key-shuffle + Window —
+    # never a nested-loop / cartesian on the time condition
+    q = entrymod.queries()["asof_purchase_attribution"](spark, sf_dir)
+    p = plan(q)
+    assert "Window" in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    # exchanges: union side hash-partitions once on the key (plus the
+    # click-dedup window's); no join-driven exchange at all
+    assert "SortMergeJoin" not in p and "BroadcastHashJoin" not in p
+
+
+def test_range_join_broadcasts_interval_side(spark, sf_dir):
+    q = entrymod.queries()["range_band_join"](spark, sf_dir)
+    p = plan(q)
+    # non-equi condition + tiny interval dim -> BroadcastNestedLoopJoin
+    # (linear in the fact side), never a cartesian shuffle
+    assert "BroadcastNestedLoopJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_ivf_topk_no_shuffle(spark, sf_dir):
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.similarity import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    row = emb.filter(F.col("vec_id") == 0).head()
+    q = ivf_topk(emb, "vec_id", "embedding", [float(x) for x in row["embedding"]],
+                 k=10, n_centroids=4, n_probe=2)
+    p = plan(q)
+    # scan -> assign (JVM exprs) -> filter -> TakeOrderedAndProject:
+    # the only exchange is the single-partition gather for the top-k
+    assert "TakeOrderedAndProject" in p
+    assert "hashpartitioning" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_sessionize_single_shuffle(spark, sf_dir):
+    q = entrymod.queries()["user_sessions"](spark, sf_dir)
+    p = plan(q)
+    # both windows + both aggregations share the user_id partitioning:
+    # exactly one exchange in the whole plan
+    import re
+    n_exchanges = len(re.findall(r"\) Exchange", p))
+    assert n_exchanges == 1, f"expected 1 shuffle, got {n_exchanges}:\n{p[:2000]}"
