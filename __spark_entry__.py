@@ -77,6 +77,7 @@ from etl_based_real_time_air_quality_monitoring_system_spark.operators.text impo
     distinct_token_count,
     lang_id,
     quality_score,
+    rolling_fingerprint,
     stopword_count,
     token_count,
 )
@@ -480,6 +481,44 @@ def _q_range_band_join(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_tpch_q1(spark: SparkSession, sf: str) -> DataFrame:
+    # TPC-H Q1-style pricing summary: pushed date filter + 8 aggregates
+    # in one partial+final hash aggregation
+    li = load_table(spark, sf, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+        F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+        F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
+        F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+        F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+        F.count("*").alias("count_order"),
+    )
+
+
+def _q_tpch_q3(spark: SparkSession, sf: str) -> DataFrame:
+    # TPC-H Q3-style shipping priority: filtered 3-way join (dim side
+    # broadcast, fact-fact on the order key) + grouped revenue + top-10
+    cutoff = F.lit("1997-01-01").cast("timestamp")
+    c = load_table(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf, "orders").filter(F.col("o_orderdate") < cutoff)
+    li = load_table(spark, sf, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    joined = li.join(o, li.l_orderkey == o.o_orderkey).join(
+        F.broadcast(c), o.o_custkey == c.c_custkey
+    )
+    revenue = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        joined.groupBy("l_orderkey", "o_orderpriority")
+        .agg(F.round(revenue, 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
 # ---------------------------------------- LLM-data-pipeline extensions
 
 def _q_serving_tiles(spark: SparkSession, sf: str) -> DataFrame:
@@ -514,6 +553,36 @@ def _q_doc_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
     # exact dedup on normalized-text md5 fingerprint
     docs = load_table(spark, sf, "documents")
     return exact_text_dedup(docs, "doc_id", "text")
+
+
+def _q_rolling_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
+    # order-sensitive polynomial rolling hash per document (vs the
+    # order-insensitive md5 fingerprint of doc_fingerprints)
+    docs = load_table(spark, sf, "documents")
+    return docs.select(
+        "doc_id", rolling_fingerprint("text").alias("rolling_fp")
+    )
+
+
+def _q_multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
+    # multimodal plumbing end-to-end on the deterministic synthetic
+    # corpus (no driver table carries binaries): mapInPandas feature
+    # extraction -> per-modality profile.  Rows-only check: the
+    # feature seam is pandas-side by design (SURVEY §2.10).
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.multimodal import (
+        extract_features,
+        synthesize_assets,
+    )
+
+    assets = synthesize_assets(spark, 48, "image").unionByName(
+        synthesize_assets(spark, 16, "audio")
+    )
+    feats = extract_features(assets)
+    return feats.groupBy("modality").agg(
+        F.count("*").alias("asset_count"),
+        F.round(F.avg("payload_bytes"), 2).alias("avg_payload_bytes"),
+        F.round(F.avg(F.element_at("features", 1)), 6).alias("avg_f0"),
+    )
 
 
 def _q_lang_pred_counts(spark: SparkSession, sf: str) -> DataFrame:
@@ -636,10 +705,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_sessions": _q_user_sessions,
         "value_percentiles": _q_value_percentiles,
         "range_band_join": _q_range_band_join,
+        "tpch_q1": _q_tpch_q1,
+        "tpch_q3": _q_tpch_q3,
         "serving_tiles": _q_serving_tiles,
         "text_stats": _q_text_stats,
         "text_quality": _q_text_quality,
         "doc_fingerprints": _q_doc_fingerprints,
+        "rolling_fingerprints": _q_rolling_fingerprints,
+        "multimodal_features": _q_multimodal_features,
         "lang_pred_counts": _q_lang_pred_counts,
         "ngram_jaccard": _q_ngram_jaccard,
         "minhash_pairs": _q_minhash_pairs,
@@ -1115,6 +1188,44 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(value), 2) AS avg_value
             FROM events JOIN bands ON value >= lo AND value < hi
             GROUP BY band
+        """,
+        "tpch_q1": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2)
+                       AS sum_disc_price,
+                   round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
+                       AS sum_charge,
+                   round(avg(l_quantity), 2) AS avg_qty,
+                   round(avg(l_extendedprice), 2) AS avg_price,
+                   round(avg(l_discount), 4) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "tpch_q3": """
+            SELECT l_orderkey, o_orderpriority,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1997-01-01'
+              AND l_shipdate > TIMESTAMP '1997-01-01'
+            GROUP BY l_orderkey, o_orderpriority
+            ORDER BY revenue DESC, l_orderkey ASC
+            LIMIT 10
+        """,
+        "rolling_fingerprints": rf"""
+            SELECT doc_id,
+                   list_reduce(
+                       list_prepend(0::BIGINT, list_transform({_TOKS},
+                           t -> ('0x' || substr(md5(t), 1, 7))::BIGINT)),
+                       (a, b) -> (a * 31 + b) % 1000000007
+                   ) AS rolling_fp
+            FROM documents
         """,
         "embedding_near_dup": """
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,

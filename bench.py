@@ -27,6 +27,8 @@ from etl_based_real_time_air_quality_monitoring_system_spark.session import get_
 #: queries() subset benchmarked per-round; keep headline-worthy ones.
 HEADLINE = [
     "flagship",
+    "tpch_q1",
+    "tpch_q3",
     "grouped_stats",
     "multikey_summary",
     "hourly_activity",

@@ -94,6 +94,34 @@ def fingerprint(text: Column | str) -> Column:
     return F.md5(normalized.cast("binary"))
 
 
+def rolling_fingerprint(
+    text: Column | str, mult: int = 31, mod: int = 1_000_000_007
+) -> Column:
+    """Polynomial rolling hash over the token stream:
+    ``h = (h*mult + hash(token)) % mod`` folded left-to-right — the
+    order-sensitive fingerprint (same token multiset, different order
+    -> different hash, unlike the md5-of-normalized-text key).
+
+    Token hashes are the first 28 bits of md5 so the fold stays exact
+    in signed-64 arithmetic (h*31 + t < 2^35) and is reproducible
+    bit-for-bit in any engine with md5 + integer ops (the oracle runs
+    it via DuckDB ``list_reduce``).  Pure JVM expressions: one
+    ``transform`` + one ``aggregate``, no shuffle, no Python.
+    """
+    toks = tokens(text)
+    hashed = F.transform(
+        toks,
+        lambda t: F.conv(F.substring(F.md5(t.cast("binary")), 1, 7), 16, 10).cast(
+            "long"
+        ),
+    )
+    return F.aggregate(
+        hashed,
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * mult + x) % mod,
+    )
+
+
 def lang_scores(text: Column | str, markers: Mapping[str, Sequence[str]] | None = None) -> dict[str, Column]:
     """Per-language marker-hit counts (the language-ID evidence)."""
     markers = markers or LANG_MARKERS

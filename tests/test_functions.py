@@ -73,3 +73,16 @@ def test_calendar_parts(spark):
     df = spark.createDataFrame([("2024-03-07 13:45:00",)], ["timestamp"])
     row = with_calendar_parts(df, parse_string=True).collect()[0]
     assert (row["year"], row["month"], row["day"], row["hour"]) == (2024, 3, 7, 13)
+
+
+def test_rolling_fingerprint_order_sensitive(spark):
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.text import rolling_fingerprint
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "gamma beta alpha"), (3, "alpha beta gamma")],
+        "id long, text string",
+    )
+    fps = {r["id"]: r["fp"] for r in df.select("id", rolling_fingerprint("text").alias("fp")).collect()}
+    assert fps[1] == fps[3]          # identical text -> identical hash
+    assert fps[1] != fps[2]          # same tokens, different order -> different
+    assert 0 <= fps[1] < 1_000_000_007

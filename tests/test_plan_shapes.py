@@ -139,3 +139,12 @@ def test_sessionize_single_shuffle(spark, sf_dir):
     import re
     n_exchanges = len(re.findall(r"\) Exchange", p))
     assert n_exchanges == 1, f"expected 1 shuffle, got {n_exchanges}:\n{p[:2000]}"
+
+
+def test_tpch_q3_broadcasts_dim_and_pushes_filters(spark, sf_dir):
+    q = entrymod.queries()["tpch_q3"](spark, sf_dir)
+    p = plan(q)
+    # customer dim broadcast; date filters pushed to the parquet scans
+    assert "BroadcastHashJoin" in p
+    assert "PushedFilters: [IsNotNull(c_mktsegment), EqualTo(c_mktsegment,BUILDING)" in p
+    assert "TakeOrderedAndProject" in p
