@@ -53,6 +53,47 @@ def star_join(fact: DataFrame, dims: Sequence[tuple[DataFrame, str | Column]]) -
     return out
 
 
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    salt_from: str,
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-mitigated equi-join: the left (big, skewed) side gets a
+    deterministic salt from ``xxhash64(salt_from) % n_salts``; the
+    right side is replicated once per salt value, so a hot key's rows
+    spread over ``n_salts`` shuffle partitions instead of one straggler
+    task.
+
+    AQE's skew-join splitting (enabled in session.py) handles most
+    skew at runtime; explicit salting is for the cases AQE can't fix —
+    a single key too hot for any split, or a deterministic layout you
+    want stable across runs.  Cost: right side shuffles n_salts copies
+    — use only when the right side is modest (but too big / wrong
+    shape to broadcast).
+
+    ``salt_from`` should be a high-cardinality left column (a row id)
+    so salts distribute evenly.  Result equals the unsalted join
+    row-for-row (asserted in tests).
+    """
+    salted_l = left.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.col(salt_from)), F.lit(n_salts)).cast("int")
+    )
+    salted_r = right.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    out = salted_l.join(
+        salted_r,
+        (salted_l[left_key] == salted_r[right_key])
+        & (salted_l["_salt"] == salted_r["_salt"]),
+        how,
+    )
+    return out.drop("_salt")
+
+
 def range_join(
     fact: DataFrame,
     intervals: DataFrame,

@@ -158,3 +158,20 @@ def test_sessionize_gap_boundaries(spark):
         for r in sessionize(df, "k", "ts", 3600, order_tie_break="id").collect()
     }
     assert out == {1: 1, 2: 1, 3: 1, 4: 2, 5: 1}
+
+
+def test_salted_join_matches_plain_join(spark):
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.joins import salted_join
+
+    # planted skew: 90% of left rows share key 1
+    left = spark.createDataFrame(
+        [(i, 1 if i % 10 else i) for i in range(1000)], "row_id long, k long"
+    )
+    right = spark.createDataFrame(
+        [(k, f"dim_{k}") for k in range(0, 1000, 10)], "rk long, label string"
+    )
+    plain = left.join(right, left.k == right.rk).select("row_id", "label")
+    salted = salted_join(left, right, "k", "rk", salt_from="row_id", n_salts=8).select(
+        "row_id", "label"
+    )
+    assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))

@@ -212,3 +212,35 @@ def test_stateful_running_stats_across_batches(spark, tmp_path):
     # click was emitted in batch 1 (count 4) and batch 2 (count 6)
     click_counts = sorted(r["record_count"] for r in rows if r["key"] == "click")
     assert click_counts == [4, 6]
+
+
+def test_streaming_session_window(spark, tmp_path):
+    # built-in session_window: gap-based sessions in the streaming
+    # engine proper (batch analog: operators.windows.sessionize)
+    src = tmp_path / "src"
+    src.mkdir()
+    rows = (
+        _rows(0, 0, 3)                      # 00:00:00..02 -> one session
+        + _rows(0, 30, 2, base_id=10)       # 00:30 -> second session (>10min gap)
+        + _rows(9, 0, 1, base_id=99)        # far future advances watermark
+    )
+    _write_jsonl(src / "a.json", rows)
+    stream = stream_json_records(spark, str(src), EVENT_SCHEMA)
+    agg = (
+        stream.withWatermark("ts", "1 minute")
+        .groupBy(F.session_window("ts", "10 minutes"), F.col("event_type"))
+        .agg(F.count("*").alias("n"))
+        .select("event_type", "n")
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sesswin")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = sorted(r["n"] for r in spark.sql("select * from sesswin").collect())
+    finally:
+        q.stop()
+    assert got == [2, 3]  # two closed sessions; the future row's is still open
