@@ -45,6 +45,7 @@ from etl_based_real_time_air_quality_monitoring_system_spark.operators.dedup imp
     minhash_lsh_candidates,
     ngram_jaccard_pairs,
     simhash,
+    simhash_near_pairs,
 )
 from etl_based_real_time_air_quality_monitoring_system_spark.operators.joins import (
     anti_join,
@@ -65,6 +66,7 @@ from etl_based_real_time_air_quality_monitoring_system_spark.operators.reshape i
 )
 from etl_based_real_time_air_quality_monitoring_system_spark.operators.similarity import (
     brute_force_topk,
+    cosine_near_dup_gemm,
     cosine_near_dup_pairs,
     ivf_topk,
     knn_join,
@@ -614,6 +616,13 @@ def _q_simhash(spark: SparkSession, sf: str) -> DataFrame:
     return simhash(docs, "doc_id", "text")
 
 
+def _q_simhash_near_dup(spark: SparkSession, sf: str) -> DataFrame:
+    # near-dup pairs by SimHash hamming distance, prefix-blocked so the
+    # pair join is per-block (bit_count/xor are cross-engine exact)
+    docs = load_table(spark, sf, "documents")
+    return simhash_near_pairs(docs, "doc_id", "text", max_hamming=16, prefix_bits=8)
+
+
 def _get_query_vec(spark: SparkSession, sf: str, vec_id: int = 0) -> list[float]:
     row = (
         load_table(spark, sf, "embeddings")
@@ -642,6 +651,14 @@ def _q_embedding_near_dup(spark: SparkSession, sf: str) -> DataFrame:
     # cosine_near_dup_lsh, is recall-tested against this in tests)
     emb = load_table(spark, sf, "embeddings")
     return cosine_near_dup_pairs(emb, "vec_id", "embedding", threshold=0.35)
+
+
+def _q_embedding_near_dup_gemm(spark: SparkSession, sf: str) -> DataFrame:
+    # same exact pairs via the Arrow/BLAS blocked-GEMM seam (~50x the
+    # JVM fold at sf0.1) — the vectorized-pandas-UDF scale path,
+    # verified against the same SQL oracle
+    emb = load_table(spark, sf, "embeddings")
+    return cosine_near_dup_gemm(emb, "vec_id", "embedding", threshold=0.35)
 
 
 def _q_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
@@ -717,9 +734,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": _q_ngram_jaccard,
         "minhash_pairs": _q_minhash_pairs,
         "simhash": _q_simhash,
+        "simhash_near_dup": _q_simhash_near_dup,
         "embedding_topk": _q_embedding_topk,
         "knn_join": _q_knn_join,
         "embedding_near_dup": _q_embedding_near_dup,
+        "embedding_near_dup_gemm": _q_embedding_near_dup_gemm,
         "ivf_topk": _q_ivf_topk,
         "lsh_topk": _q_lsh_topk,
     }
@@ -1094,6 +1113,33 @@ def oracle_sql() -> dict[str, str]:
                    {_SIMHASH_ASSEMBLE} AS simhash
             FROM bits
         """,
+        "simhash_near_dup": rf"""
+            WITH tok AS (
+                SELECT doc_id, unnest({_TOKS}) AS token FROM documents
+            ),
+            h AS (
+                SELECT doc_id,
+                       ('0x' || substr(md5(token), 1, 15))::BIGINT AS h
+                FROM tok
+            ),
+            bits AS (
+                SELECT doc_id,
+                   {_SIMHASH_BIT_AGGS}
+                FROM h GROUP BY doc_id
+            ),
+            sig AS (
+                SELECT doc_id,
+                       {_SIMHASH_ASSEMBLE} AS simhash
+                FROM bits
+            )
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER)
+                       AS hamming
+            FROM sig a JOIN sig b
+              ON (a.simhash >> 52) = (b.simhash >> 52)
+             AND a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= 16
+        """,
         "embedding_topk": """
             SELECT vec_id,
                    round(list_cosine_similarity(embedding::DOUBLE[],
@@ -1228,6 +1274,15 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "embedding_near_dup": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(
+                       a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6)
+                       AS cosine_sim
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE round(list_cosine_similarity(
+                      a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.35
+        """,
+        "embedding_near_dup_gemm": """
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                    round(list_cosine_similarity(
                        a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6)

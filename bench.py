@@ -51,6 +51,8 @@ HEADLINE = [
     "embedding_topk",
     "knn_join",
     "ivf_topk",
+    "embedding_near_dup_gemm",
+    "simhash_near_dup",
 ]
 
 

@@ -145,6 +145,58 @@ def cosine_near_dup_pairs(
     return scored.filter(F.col("cosine_sim") >= threshold)
 
 
+def cosine_near_dup_gemm(
+    df: DataFrame,
+    id_col: str,
+    emb_col: str,
+    threshold: float,
+    scale: int = 6,
+) -> DataFrame:
+    """Exact near-dup pairs via blocked matrix multiply: the normalized
+    corpus is broadcast once, and each Arrow batch scores its rows
+    against the whole corpus with ONE BLAS GEMM (``block @ corpus.T``).
+
+    Same output as :func:`cosine_near_dup_pairs`; this is the
+    vectorized exact path — per-pair array folds in the JVM are
+    interpreted expression evaluation, a dense GEMM is hardware FMA
+    (measured ~20x at 5k x 64).  The broadcast bounds applicability to
+    corpora that fit executor memory (n*d*8 bytes; ~1 GB at 2M x 64) —
+    beyond that, LSH-prefilter (:func:`cosine_near_dup_lsh`) or block
+    the right side too.
+
+    The ONLY Python here is the GEMM seam (mapInPandas, Arrow-batched)
+    — the pattern SURVEY §2.10 reserves for work JVM expressions can't
+    express efficiently.
+    """
+    import pandas as pd
+
+    spark = df.sparkSession
+    narrow = df.select(F.col(id_col).alias("_id"), _as_double_array(emb_col).alias("_e"))
+    corpus_pdf = narrow.toPandas()
+    corpus_ids = corpus_pdf["_id"].to_numpy()
+    corpus = np.stack(corpus_pdf["_e"].to_numpy()).astype(np.float64)
+    corpus /= np.linalg.norm(corpus, axis=1, keepdims=True)
+    bcast = spark.sparkContext.broadcast((corpus_ids, corpus))
+
+    def score(batches):
+        bids, bm = bcast.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            qids = pdf["_id"].to_numpy()
+            qm = np.stack(pdf["_e"].to_numpy()).astype(np.float64)
+            qm /= np.linalg.norm(qm, axis=1, keepdims=True)
+            sims = np.round(qm @ bm.T, scale)
+            ii, jj = np.nonzero((sims >= threshold) & (qids[:, None] < bids[None, :]))
+            yield pd.DataFrame(
+                {"id_a": qids[ii], "id_b": bids[jj], "cosine_sim": sims[ii, jj]}
+            )
+
+    return narrow.mapInPandas(
+        score, "id_a long, id_b long, cosine_sim double"
+    )
+
+
 def cosine_near_dup_lsh(
     df: DataFrame,
     id_col: str,

@@ -149,3 +149,27 @@ def test_ivf_topk_recall_and_exhaustive_probe(emb, query_vec):
         ).collect()
     ]
     assert full == exact
+
+
+def test_cosine_near_dup_gemm_matches_fold(emb):
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.similarity import (
+        cosine_near_dup_gemm,
+        cosine_near_dup_pairs,
+    )
+
+    th = 0.3
+    fold = {
+        (r["id_a"], r["id_b"]): r["cosine_sim"]
+        for r in cosine_near_dup_pairs(emb, "vec_id", "embedding", th).collect()
+    }
+    gemm = {
+        (r["id_a"], r["id_b"]): r["cosine_sim"]
+        for r in cosine_near_dup_gemm(emb, "vec_id", "embedding", th).collect()
+    }
+    # membership may legitimately differ only for pairs sitting within
+    # float-summation noise of the threshold (fold vs BLAS order)
+    for diff in set(fold) ^ set(gemm):
+        sim = fold.get(diff, gemm.get(diff))
+        assert abs(sim - th) < 5e-6, f"{diff} sim={sim} differs beyond boundary noise"
+    for k in set(fold) & set(gemm):
+        assert abs(fold[k] - gemm[k]) <= 1e-6
