@@ -587,6 +587,43 @@ def _q_multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_corpus_filter(spark: SparkSession, sf: str) -> DataFrame:
+    # the canonical pretraining-corpus filter: quality score + lang-ID
+    # + token-count bounds composed in ONE scan — tokenized ONCE per
+    # casing (the _of family), not once per metric
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.text import (
+        lang_id_of,
+        quality_score_of,
+        token_count_of,
+        tokens,
+    )
+
+    docs = load_table(spark, sf, "documents")
+    tokenized = docs.select(
+        "doc_id",
+        "source",
+        tokens("text").alias("_toks"),
+        tokens(F.lower(F.col("text"))).alias("_ltoks"),
+    )
+    profiled = tokenized.select(
+        "doc_id",
+        "source",
+        quality_score_of(F.col("_toks")).alias("quality"),
+        lang_id_of(F.col("_ltoks")).alias("lang_pred"),
+        token_count_of(F.col("_toks")).alias("n_tokens"),
+    )
+    kept = profiled.filter(
+        (F.col("quality") >= 0.5)
+        & (F.col("lang_pred") == "en")
+        & F.col("n_tokens").between(20, 2000)
+    )
+    return kept.groupBy("source").agg(
+        F.count("*").alias("kept_docs"),
+        F.round(F.avg("quality"), 4).alias("avg_quality"),
+        F.round(F.avg("n_tokens"), 2).alias("avg_tokens"),
+    )
+
+
 def _q_lang_pred_counts(spark: SparkSession, sf: str) -> DataFrame:
     # marker-based language-ID heuristic, distribution of predictions
     docs = load_table(spark, sf, "documents")
@@ -731,6 +768,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_fingerprints": _q_rolling_fingerprints,
         "multimodal_features": _q_multimodal_features,
         "lang_pred_counts": _q_lang_pred_counts,
+        "corpus_filter": _q_corpus_filter,
         "ngram_jaccard": _q_ngram_jaccard,
         "minhash_pairs": _q_minhash_pairs,
         "simhash": _q_simhash,
@@ -1042,6 +1080,45 @@ def oracle_sql() -> dict[str, str]:
                    min(doc_id) AS survivor_id,
                    count(*) AS dup_count
             FROM documents GROUP BY 1
+        """,
+        "corpus_filter": rf"""
+            WITH t AS (
+                SELECT doc_id, source, {_TOKS} AS toks,
+                       string_split_regex(trim(lower(text)), '\s+') AS ltoks
+                FROM documents
+            ),
+            profiled AS (
+                SELECT doc_id, source,
+                       round(
+                           0.4::DOUBLE * least(len(toks)::DOUBLE / 100.0::DOUBLE, 1.0::DOUBLE)
+                         + 0.3::DOUBLE * (len(list_distinct(toks))::DOUBLE / len(toks)::DOUBLE)
+                         + 0.3::DOUBLE * (1.0::DOUBLE
+                               - len(list_filter(toks, x -> x IN {_STOP_SQL}))::DOUBLE
+                                 / len(toks)::DOUBLE),
+                           4) AS quality,
+                       CAST(len(toks) AS INTEGER) AS n_tokens,
+                       len(list_filter(ltoks, x -> x IN ('the','and','of','to','a'))) AS s_en,
+                       len(list_filter(ltoks, x -> x IN ('el','la','de','que','y'))) AS s_es,
+                       len(list_filter(ltoks, x -> x IN ('der','die','und','das','ist'))) AS s_de,
+                       len(list_filter(ltoks, x -> x IN ('le','la','et','les','des'))) AS s_fr
+                FROM t
+            ),
+            kept AS (
+                SELECT * FROM profiled
+                WHERE quality >= 0.5
+                  AND n_tokens BETWEEN 20 AND 2000
+                  AND (CASE
+                        WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr AND s_en > 0
+                            THEN 'en'
+                        WHEN s_es >= s_de AND s_es >= s_fr AND s_es > 0 THEN 'es'
+                        WHEN s_de >= s_fr AND s_de > 0 THEN 'de'
+                        WHEN s_fr > 0 THEN 'fr'
+                        ELSE 'und' END) = 'en'
+            )
+            SELECT source, count(*) AS kept_docs,
+                   round(avg(quality), 4) AS avg_quality,
+                   round(avg(n_tokens), 2) AS avg_tokens
+            FROM kept GROUP BY source
         """,
         "lang_pred_counts": rf"""
             WITH t AS (

@@ -44,6 +44,7 @@ HEADLINE = [
     "value_percentiles",
     "range_band_join",
     "text_stats",
+    "corpus_filter",
     "doc_fingerprints",
     "minhash_pairs",
     "ngram_jaccard",

@@ -37,9 +37,18 @@ def tokens(text: Column | str) -> Column:
     return F.split(F.trim(c), r"\s+")
 
 
+def token_count_of(toks: Column) -> Column:
+    """Token count over a pre-tokenized array column — use the ``_of``
+    family when several metrics share one tokenization: materialize
+    ``tokens(text)`` once with an alias and Catalyst keeps it a single
+    split (CollapseProject won't inline a multiply-referenced alias),
+    instead of re-splitting per metric."""
+    return F.size(toks)
+
+
 def token_count(text: Column | str) -> Column:
     """Token count — ``size(split(trim(text), '\\s+'))``."""
-    return F.size(tokens(text))
+    return token_count_of(tokens(text))
 
 
 def bpe_ish_token_count(text: Column | str) -> Column:
@@ -56,17 +65,25 @@ def char_count(text: Column | str) -> Column:
     return F.length(c)
 
 
+def distinct_token_count_of(toks: Column) -> Column:
+    return F.size(F.array_distinct(toks))
+
+
 def distinct_token_count(text: Column | str) -> Column:
-    return F.size(F.array_distinct(tokens(text)))
+    return distinct_token_count_of(tokens(text))
+
+
+def stopword_count_of(toks: Column, stopwords: Sequence[str] = STOPWORDS) -> Column:
+    """Count of stopword tokens via a higher-order filter (JVM-side)."""
+    return F.size(F.filter(toks, lambda t: t.isin(*stopwords)))
 
 
 def stopword_count(text: Column | str, stopwords: Sequence[str] = STOPWORDS) -> Column:
-    """Count of stopword tokens via a higher-order filter (JVM-side)."""
-    return F.size(F.filter(tokens(text), lambda t: t.isin(*stopwords)))
+    return stopword_count_of(tokens(text), stopwords)
 
 
-def quality_score(text: Column | str, scale: int = 4) -> Column:
-    """Heuristic document quality in [0, 1]:
+def quality_score_of(toks: Column, scale: int = 4) -> Column:
+    """Heuristic document quality in [0, 1] over pre-tokenized input:
 
     ``0.4 * min(n_tokens/100, 1)``  (length term)
     ``+ 0.3 * type_token_ratio``    (lexical diversity)
@@ -75,15 +92,19 @@ def quality_score(text: Column | str, scale: int = 4) -> Column:
     Deterministic column arithmetic; rounded so oracle comparison is
     exact.
     """
-    n = token_count(text).cast("double")
-    ttr = distinct_token_count(text) / n
-    stop_ratio = stopword_count(text) / n
+    n = token_count_of(toks).cast("double")
+    ttr = distinct_token_count_of(toks) / n
+    stop_ratio = stopword_count_of(toks) / n
     score = (
         F.lit(0.4) * F.least(n / F.lit(100.0), F.lit(1.0))
         + F.lit(0.3) * ttr
         + F.lit(0.3) * (F.lit(1.0) - stop_ratio)
     )
     return F.round(score, scale)
+
+
+def quality_score(text: Column | str, scale: int = 4) -> Column:
+    return quality_score_of(tokens(text), scale)
 
 
 def fingerprint(text: Column | str) -> Column:
@@ -122,10 +143,12 @@ def rolling_fingerprint(
     )
 
 
-def lang_scores(text: Column | str, markers: Mapping[str, Sequence[str]] | None = None) -> dict[str, Column]:
-    """Per-language marker-hit counts (the language-ID evidence)."""
+def lang_scores_of(
+    ltoks: Column, markers: Mapping[str, Sequence[str]] | None = None
+) -> dict[str, Column]:
+    """Per-language marker-hit counts over pre-tokenized LOWERCASED
+    tokens (the language-ID evidence)."""
     markers = markers or LANG_MARKERS
-    toks = tokens(F.lower(F.col(text) if isinstance(text, str) else text))
 
     def hit_counter(words: Sequence[str]):
         # single-arg lambda: F.filter treats a 2-arg callable as
@@ -133,16 +156,24 @@ def lang_scores(text: Column | str, markers: Mapping[str, Sequence[str]] | None 
         return lambda t: t.isin(*words)
 
     return {
-        lang: F.size(F.filter(toks, hit_counter(words)))
+        lang: F.size(F.filter(ltoks, hit_counter(words)))
         for lang, words in markers.items()
     }
 
 
-def lang_id(text: Column | str, markers: Mapping[str, Sequence[str]] | None = None) -> Column:
-    """Argmax language by marker hits; deterministic tie-break by the
-    mapping's iteration order (first language wins ties); 'und' when no
-    marker hits at all."""
-    scores = lang_scores(text, markers)
+def lang_scores(text: Column | str, markers: Mapping[str, Sequence[str]] | None = None) -> dict[str, Column]:
+    return lang_scores_of(
+        tokens(F.lower(F.col(text) if isinstance(text, str) else text)), markers
+    )
+
+
+def lang_id_of(
+    ltoks: Column, markers: Mapping[str, Sequence[str]] | None = None
+) -> Column:
+    """Argmax language by marker hits over pre-tokenized lowercased
+    tokens; deterministic tie-break by the mapping's iteration order
+    (first language wins ties); 'und' when no marker hits at all."""
+    scores = lang_scores_of(ltoks, markers)
     items = list(scores.items())
     best_score = items[0][1]
     best_lang = F.lit(items[0][0])
@@ -151,6 +182,12 @@ def lang_id(text: Column | str, markers: Mapping[str, Sequence[str]] | None = No
         best_lang = F.when(is_better, F.lit(lang)).otherwise(best_lang)
         best_score = F.when(is_better, s).otherwise(best_score)
     return F.when(best_score > 0, best_lang).otherwise(F.lit("und"))
+
+
+def lang_id(text: Column | str, markers: Mapping[str, Sequence[str]] | None = None) -> Column:
+    return lang_id_of(
+        tokens(F.lower(F.col(text) if isinstance(text, str) else text)), markers
+    )
 
 
 def with_text_stats(df: DataFrame, text: str = "text") -> DataFrame:
