@@ -191,17 +191,26 @@ def lang_id(text: Column | str, markers: Mapping[str, Sequence[str]] | None = No
 
 
 def with_text_stats(df: DataFrame, text: str = "text") -> DataFrame:
-    """One-projection text profile: counts, ratios, quality,
-    fingerprint, predicted language."""
-    return df.withColumns(
+    """Text profile: counts, ratios, quality, fingerprint, predicted
+    language — tokenized once per casing via the ``_of`` family (the
+    multiply-referenced alias keeps Catalyst from inlining the split
+    back into every metric)."""
+    toks, ltoks = "_toks", "_ltoks"
+    tokenized = df.withColumns(
         {
-            "n_chars_measured": char_count(text),
-            "n_tokens": token_count(text),
-            "n_tokens_bpe": bpe_ish_token_count(text),
-            "n_distinct_tokens": distinct_token_count(text),
-            "n_stopwords": stopword_count(text),
-            "quality": quality_score(text),
-            "fingerprint": fingerprint(text),
-            "lang_pred": lang_id(text),
+            toks: tokens(text),
+            ltoks: tokens(F.lower(F.col(text))),
         }
     )
+    return tokenized.withColumns(
+        {
+            "n_chars_measured": char_count(text),
+            "n_tokens": token_count_of(F.col(toks)),
+            "n_tokens_bpe": bpe_ish_token_count(text),
+            "n_distinct_tokens": distinct_token_count_of(F.col(toks)),
+            "n_stopwords": stopword_count_of(F.col(toks)),
+            "quality": quality_score_of(F.col(toks)),
+            "fingerprint": fingerprint(text),
+            "lang_pred": lang_id_of(F.col(ltoks)),
+        }
+    ).drop(toks, ltoks)
