@@ -29,6 +29,8 @@ HEADLINE = [
     "flagship",
     "tpch_q1",
     "tpch_q3",
+    "tpch_q5",
+    "tpch_q6",
     "grouped_stats",
     "multikey_summary",
     "hourly_activity",

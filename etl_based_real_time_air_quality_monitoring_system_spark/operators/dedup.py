@@ -310,24 +310,40 @@ def simhash_near_pairs(
     signature's top ``prefix_bits`` so the pair join is per-block
     rather than all-pairs (misses pairs whose diff bits fall in the
     prefix — the standard multi-probe trade-off; raise blocks or probe
-    rotations for higher recall)."""
+    rotations for higher recall).
+
+    Same inverted-index formulation as the Jaccard/MinHash paths: one
+    groupBy(block) + in-array ordered-pair expansion, so the signature
+    subtree is evaluated ONCE (a blocked self-join evaluates the whole
+    explode+60-agg pipeline per side — measured ~2x this runtime) and
+    the only shuffle after the signature carries (block, id, sig)."""
     sig = simhash(df, id_col, text_col)
     shift = SIMHASH_BITS - prefix_bits
-    blocked = sig.withColumn("block", F.shiftright(F.col("simhash"), shift))
-    a = blocked.alias("a")
-    b = blocked.alias("b")
-    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    members = (
+        sig.select(
+            F.shiftright(F.col("simhash"), shift).alias("block"),
+            F.struct(F.col(id_col).alias("_id"), F.col("simhash").alias("_sig")).alias(
+                "_doc"
+            ),
+        )
+        .groupBy("block")
+        .agg(F.collect_list("_doc").alias("_docs"))
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            "_docs",
+            lambda x: F.transform(
+                F.filter("_docs", lambda y: x["_id"] < y["_id"]),
+                lambda y: F.struct(
+                    x["_id"].alias("doc_a"),
+                    y["_id"].alias("doc_b"),
+                    F.bit_count(x["_sig"].bitwiseXOR(y["_sig"])).alias("hamming"),
+                ),
+            ),
+        )
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.block") == F.col("b.block"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .withColumn("hamming", ham)
+        members.select(F.explode(pair_structs).alias("_p"))
+        .select("_p.doc_a", "_p.doc_b", "_p.hamming")
         .filter(F.col("hamming") <= max_hamming)
-        .select(
-            F.col(f"a.{id_col}").alias("doc_a"),
-            F.col(f"b.{id_col}").alias("doc_b"),
-            "hamming",
-        )
     )

@@ -37,3 +37,70 @@ def export_csv_pandas(df: DataFrame, limit: int = 1000) -> str:
     """S12 — serving-edge CSV export: cap rows *before* collecting
     (fixes dashboard.py:59's full-table ``toPandas``)."""
     return df.limit(limit).toPandas().to_csv(index=False)
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    name: str,
+    bucket_cols: tuple[str, ...],
+    num_buckets: int = 32,
+    sort_cols: tuple[str, ...] | None = None,
+    path: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Hash-clustered (bucketed) parquet table: pays the shuffle ONCE
+    at write time so every later equi-join / aggregation on the bucket
+    key runs with ZERO exchange on that side — the canonical co-located
+    join for fact×fact at 100 TB, where broadcasting is impossible and
+    a per-query shuffle of the big side dominates the job.
+
+    ``sort_cols`` additionally sorts within each bucket file, letting
+    sort-merge joins skip their sort.  Bucket count is a real tuning
+    knob: buckets ≈ (table bytes / target partition bytes), and both
+    sides of a co-located join must agree on it (Spark joins m×n
+    bucketed sides exchange-free only when the counts divide).
+
+    Requires ``saveAsTable`` (bucket metadata lives in the catalog);
+    pass ``path`` to keep the data external at a chosen location.
+    """
+    writer = df.write.mode(mode).bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    if path is not None:
+        writer = writer.option("path", path)
+    writer.format("parquet").saveAsTable(name)
+
+
+def compact_small_files(
+    spark,
+    src_path: str,
+    dst_path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    mode: str = "overwrite",
+) -> int:
+    """Compact a directory of many small parquet files into
+    ~``target_file_bytes`` files; returns the output file count.
+
+    The reference's ingestion sink writes ONE file per record
+    (consumer.py:66-77, kafka_to_hdfs.py:17-24) — at its own 8.6k
+    records/day that is 8.6k files/day, and at 100 TB it is a
+    namenode-killing, listing-dominated scan.  The streaming engine
+    avoids creating the problem (micro-batch parquet sink), but any
+    long-running append sink still accretes per-trigger files, so
+    periodic compaction is part of the table's lifecycle.
+
+    Sizing reads the actual on-disk bytes (Hadoop FS via the gateway,
+    driver-side metadata only) rather than guessing from row counts,
+    then ``repartition(n)`` — a full shuffle on purpose: ``coalesce``
+    would skip the shuffle but chains upstream into the scan and can
+    unbalance downstream writes.
+    """
+    df = spark.read.parquet(src_path)
+    jvm = spark.sparkContext._jvm
+    jsc = spark.sparkContext._jsc
+    hadoop_path = jvm.org.apache.hadoop.fs.Path(src_path)
+    fs = hadoop_path.getFileSystem(jsc.hadoopConfiguration())
+    total_bytes = fs.getContentSummary(hadoop_path).getLength()
+    n = max(1, -(-total_bytes // target_file_bytes))  # ceil
+    df.repartition(int(n)).write.mode(mode).parquet(dst_path)
+    return len(spark.read.parquet(dst_path).inputFiles())

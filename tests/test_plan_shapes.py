@@ -148,3 +148,68 @@ def test_tpch_q3_broadcasts_dim_and_pushes_filters(spark, sf_dir):
     assert "BroadcastHashJoin" in p
     assert "PushedFilters: [IsNotNull(c_mktsegment), EqualTo(c_mktsegment,BUILDING)" in p
     assert "TakeOrderedAndProject" in p
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
+    """Both sides bucketed on the join key -> sort-merge join with ZERO
+    exchange: the co-located fact×fact join that makes 100 TB joins
+    pay their shuffle once, at write time."""
+    from etl_based_real_time_air_quality_monitoring_system_spark.sources.writers import write_bucketed_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    write_bucketed_table(
+        orders.select("o_orderkey", "o_totalprice"), "b_orders",
+        ("o_orderkey",), num_buckets=4, sort_cols=("o_orderkey",),
+        path=str(tmp_path / "b_orders"),
+    )
+    write_bucketed_table(
+        li.select("l_orderkey", "l_quantity"), "b_lineitem",
+        ("l_orderkey",), num_buckets=4, sort_cols=("l_orderkey",),
+        path=str(tmp_path / "b_lineitem"),
+    )
+    try:
+        bo = spark.table("b_orders")
+        bl = spark.table("b_lineitem")
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            j = bo.join(bl, bo.o_orderkey == bl.l_orderkey)
+            p = plan(j)
+            assert "SortMergeJoin" in p
+            assert "Exchange" not in p, f"bucketed join shuffled:\n{p[:2000]}"
+            assert j.count() == li.count()
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_bucketed_aggregation_has_no_exchange(spark, sf_dir, tmp_path):
+    from etl_based_real_time_air_quality_monitoring_system_spark.sources.writers import write_bucketed_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    write_bucketed_table(
+        li.select("l_orderkey", "l_quantity"), "b_li_agg",
+        ("l_orderkey",), num_buckets=4,
+        path=str(tmp_path / "b_li_agg"),
+    )
+    try:
+        q = spark.table("b_li_agg").groupBy("l_orderkey").agg(F.sum("l_quantity"))
+        p = plan(q)
+        assert "Exchange" not in p, f"bucketed agg shuffled:\n{p[:2000]}"
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_li_agg")
+
+
+def test_tpch_q6_is_scan_bound(spark, sf_dir):
+    """Q6: every predicate pushes to the parquet scan; the plan is
+    scan -> filter -> partial/final agg with a single 1-row exchange."""
+    q = entrymod.queries()["tpch_q6"](spark, sf_dir)
+    p = plan(q)
+    assert "GreaterThanOrEqual(l_shipdate" in p
+    assert "GreaterThanOrEqual(l_discount,0.05)" in p
+    assert "LessThan(l_quantity,24.0)" in p
+    assert p.count("HashAggregate") >= 2
+    assert "hashpartitioning" not in p  # only the SinglePartition gather

@@ -77,3 +77,19 @@ def test_numeric_columns_and_csv(spark, sf_dir):
     assert set(numeric_columns(events)) == {"event_id", "user_id", "value"}
     csv = download_csv(events.select("event_id", "event_type"), limit=10)
     assert len(csv.strip().splitlines()) == 11  # header + 10 rows
+
+
+def test_compact_small_files(spark, sf_dir, tmp_path):
+    """Many tiny files (the reference's per-record sink pattern) compact
+    to the file count implied by target_file_bytes."""
+    from etl_based_real_time_air_quality_monitoring_system_spark.sources.readers import load_table
+    from etl_based_real_time_air_quality_monitoring_system_spark.sources.writers import compact_small_files
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    src = str(tmp_path / "fragmented")
+    li.repartition(64).write.parquet(src)  # 64 tiny files
+    assert len(spark.read.parquet(src).inputFiles()) == 64
+    dst = str(tmp_path / "compacted")
+    n_files = compact_small_files(spark, src, dst, target_file_bytes=512 * 1024)
+    assert 1 <= n_files < 64
+    assert spark.read.parquet(dst).count() == li.count()
