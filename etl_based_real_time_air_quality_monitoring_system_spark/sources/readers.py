@@ -84,3 +84,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> tuple[DataFrame, ...]:
     return tuple(load_table(spark, sf_dir, n) for n in names)
+
+
+def register_views(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TESTDATA_TABLES
+) -> None:
+    """Register every testdata table as a temp view so the whole engine
+    surface is reachable from plain ``spark.sql`` — the same table
+    names the DuckDB oracle sees, so any ``oracle_sql()`` string is
+    *also* runnable against Spark SQL directly (modulo dialect).
+
+    Temp views are lazy: registration reads only parquet footers; all
+    pushdown/pruning happens per-query exactly as with ``load_table``.
+    """
+    for name in names:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

@@ -93,3 +93,25 @@ def test_compact_small_files(spark, sf_dir, tmp_path):
     n_files = compact_small_files(spark, src, dst, target_file_bytes=512 * 1024)
     assert 1 <= n_files < 64
     assert spark.read.parquet(dst).count() == li.count()
+
+
+def test_register_views_sql_surface(spark, sf_dir):
+    """The full engine surface is reachable from plain spark.sql over
+    the registered views, and SQL results match the DataFrame API."""
+    from etl_based_real_time_air_quality_monitoring_system_spark.sources.readers import load_table, register_views
+
+    register_views(spark, sf_dir)
+    sql_rows = spark.sql(
+        """SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_qty
+           FROM lineitem GROUP BY l_returnflag"""
+    ).collect()
+    from pyspark.sql import functions as F
+    api_rows = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+        .collect()
+    )
+    assert sorted(map(tuple, sql_rows)) == sorted(map(tuple, api_rows))
+    # events view carries the nanos->timestamp normalization
+    assert dict(spark.table("events").dtypes)["ts"] == "timestamp"
