@@ -16,6 +16,7 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import types as T
 
 from etl_based_real_time_air_quality_monitoring_system_spark.functions.banding import (
     AQI_BANDS,
@@ -567,6 +568,65 @@ def _q_tpch_q6(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_streaming_hourly_counts(spark: SparkSession, sf: str) -> DataFrame:
+    # an ACTUAL Structured Streaming run inside the correctness gate:
+    # file-source stream over events.parquet -> tumbling 1 h window per
+    # event_type -> complete-mode memory sink, availableNow trigger.
+    # In complete mode the result is independent of micro-batch split
+    # and lateness, so it equals the batch date_trunc aggregation and
+    # is DuckDB-oracle-checked like any batch query.
+    import os as _os
+
+    from etl_based_real_time_air_quality_monitoring_system_spark.session import prepare
+    from etl_based_real_time_air_quality_monitoring_system_spark.streaming.pipeline import (
+        windowed_aggregate,
+    )
+
+    import tempfile as _tempfile
+
+    prepare(spark)
+    path = _os.path.join(sf, "events.parquet")
+    batch = spark.read.parquet(path)  # schema only (footer read)
+    # file streaming sources require a DIRECTORY; expose the single
+    # file through a symlink dir (zero copy)
+    stream_dir = _os.path.join(
+        _tempfile.gettempdir(), "spark_graft_stream_" + sf.strip("/").replace("/", "_")
+    )
+    _os.makedirs(stream_dir, exist_ok=True)
+    link = _os.path.join(stream_dir, "events.parquet")
+    if not _os.path.islink(link):
+        _os.symlink(path, link)
+    stream = spark.readStream.schema(batch.schema).parquet(stream_dir)
+    if isinstance(stream.schema["ts"].dataType, T.LongType):
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # decimal sum, not float avg: float sums are order-sensitive and the
+    # per-window groups are tiny (2-4 rows), so rounding boundaries flip
+    # between engines; decimal arithmetic is exact and associative
+    agg = windowed_aggregate(
+        stream,
+        key="event_type",
+        value="value",
+        ts_col="ts",
+        window="1 hour",
+        aggs=[
+            F.count("*").alias("record_count"),
+            F.round(F.sum(F.col("value").cast("decimal(20,6)")), 2)
+            .cast("double")
+            .alias("value_sum"),
+        ],
+    )
+    sink = "streaming_hourly_counts_sink"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)
+
+
 # ---------------------------------------- LLM-data-pipeline extensions
 
 def _q_serving_tiles(spark: SparkSession, sf: str) -> DataFrame:
@@ -809,6 +869,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q3": _q_tpch_q3,
         "tpch_q5": _q_tpch_q5,
         "tpch_q6": _q_tpch_q6,
+        "streaming_hourly_counts": _q_streaming_hourly_counts,
         "serving_tiles": _q_serving_tiles,
         "text_stats": _q_text_stats,
         "text_quality": _q_text_quality,
@@ -1388,6 +1449,14 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY l_orderkey, o_orderpriority
             ORDER BY revenue DESC, l_orderkey ASC
             LIMIT 10
+        """,
+        "streaming_hourly_counts": """
+            SELECT date_trunc('hour', ts) AS window_start,
+                   date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+                   event_type,
+                   count(*) AS record_count,
+                   round(sum(value::DECIMAL(20,6)), 2)::DOUBLE AS value_sum
+            FROM events GROUP BY 1, 2, 3
         """,
         "tpch_q5": """
             SELECT n_name,

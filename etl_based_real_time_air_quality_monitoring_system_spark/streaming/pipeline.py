@@ -143,24 +143,33 @@ def windowed_aggregate(
     ts_col: str = "ts",
     window: str = "1 hour",
     watermark: str = "10 minutes",
+    aggs: list | None = None,
 ) -> DataFrame:
     """T6 — tumbling-window count/avg per key (the streaming analog of
     the reference's hourly groupBy, spark_processor.py:184-189).
-    Late rows beyond the watermark are dropped (T5)."""
-    return (
-        df.withWatermark(ts_col, watermark)
-        .groupBy(F.window(F.col(ts_col), window).alias("win"), F.col(key))
-        .agg(
+    Late rows beyond the watermark are dropped (T5).
+
+    ``aggs`` replaces the default [count, round(avg, 2)] aggregate
+    list (pre-aliased Columns) — e.g. decimal sums when the result must
+    be bit-identical across engines (float sums are order-sensitive,
+    and tiny per-window groups make the rounding boundary visible).
+    """
+    if aggs is None:
+        aggs = [
             F.count("*").alias("record_count"),
             F.round(F.avg(value), 2).alias(f"avg_{value}"),
-        )
-        .select(
-            F.col("win.start").alias("window_start"),
-            F.col("win.end").alias("window_end"),
-            key,
-            "record_count",
-            f"avg_{value}",
-        )
+        ]
+    agged = (
+        df.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window).alias("win"), F.col(key))
+        .agg(*aggs)
+    )
+    out_cols = [c for c in agged.columns if c not in ("win", key)]
+    return agged.select(
+        F.col("win.start").alias("window_start"),
+        F.col("win.end").alias("window_end"),
+        key,
+        *out_cols,
     )
 
 
