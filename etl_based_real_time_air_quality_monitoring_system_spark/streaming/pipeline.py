@@ -173,6 +173,40 @@ def windowed_aggregate(
     )
 
 
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    watermark: str = "10 minutes",
+    max_delay: str = "1 hour",
+    join_type: str = "inner",
+) -> DataFrame:
+    """Watermarked stream-stream equi-join with a time-range condition
+    (e.g. purchases joined to the click that preceded them by at most
+    ``max_delay``) — the streaming analog of the batch as-of/range
+    joins in ``operators/joins.py``.
+
+    Both sides carry watermarks and the join condition bounds
+    ``right_ts`` to [left_ts, left_ts + max_delay], so Spark can evict
+    buffered rows once the other side's watermark passes — without the
+    time bound the join state grows forever, which is the failure mode
+    to design out FIRST on a 1000-executor streaming job.  State is
+    key-partitioned: one shuffle per side, skew rules as for batch
+    joins.
+    """
+    lw = left.withWatermark(left_ts, watermark).alias("l")
+    rw = right.withWatermark(right_ts, watermark).alias("r")
+    lts, rts = F.col(f"l.{left_ts}"), F.col(f"r.{right_ts}")
+    cond = (
+        (F.col(f"l.{key}") == F.col(f"r.{key}"))
+        & (rts >= lts)
+        & (rts <= lts + F.expr(f"INTERVAL {max_delay}"))
+    )
+    return lw.join(rw, cond, join_type)
+
+
 def stateful_running_stats(
     df: DataFrame,
     key: str = "event_type",

@@ -244,3 +244,69 @@ def test_streaming_session_window(spark, tmp_path):
     finally:
         q.stop()
     assert got == [2, 3]  # two closed sessions; the future row's is still open
+
+
+def test_stream_stream_join_matches_batch(spark, tmp_path):
+    """Watermarked stream-stream time-range join == the same join run
+    in batch over the same files (availableNow drains everything)."""
+    from etl_based_real_time_air_quality_monitoring_system_spark.streaming.pipeline import stream_stream_join
+
+    user_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType(), True),
+            T.StructField("ts", T.TimestampType(), True),
+            T.StructField("kind", T.StringType(), True),
+        ]
+    )
+    clicks_dir = tmp_path / "clicks"
+    buys_dir = tmp_path / "buys"
+    clicks_dir.mkdir(); buys_dir.mkdir()
+    _write_jsonl(
+        clicks_dir / "a.json",
+        [{"user_id": u, "ts": f"2024-01-01 10:{m:02d}:00", "kind": "click"}
+         for u, m in [(1, 0), (1, 30), (2, 5), (3, 50)]],
+    )
+    _write_jsonl(
+        buys_dir / "a.json",
+        [{"user_id": u, "ts": f"2024-01-01 10:{m:02d}:00", "kind": "buy"}
+         for u, m in [(1, 20), (2, 45), (3, 55), (4, 59)]],
+    )
+    def _streams():
+        c = stream_json_records(spark, str(clicks_dir), user_schema)
+        b = stream_json_records(spark, str(buys_dir), user_schema)
+        return stream_stream_join(
+            c.drop("kind"), b.drop("kind"),
+            key="user_id", watermark="5 minutes", max_delay="30 minutes",
+        ).select(
+            F.col("l.user_id").alias("user_id"),
+            F.col("l.ts").alias("click_ts"),
+            F.col("r.ts").alias("buy_ts"),
+        )
+
+    q = (
+        _streams().writeStream.format("memory").queryName("ssj_sink")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = sorted(map(tuple, spark.table("ssj_sink").collect()))
+    # batch equivalent over the same files
+    c = spark.read.schema(user_schema).json(str(clicks_dir)).alias("l")
+    b = spark.read.schema(user_schema).json(str(buys_dir)).alias("r")
+    cond = (
+        (F.col("l.user_id") == F.col("r.user_id"))
+        & (F.col("r.ts") >= F.col("l.ts"))
+        & (F.col("r.ts") <= F.col("l.ts") + F.expr("INTERVAL 30 minutes"))
+    )
+    want = sorted(
+        map(
+            tuple,
+            c.join(b, cond).select(
+                F.col("l.user_id"), F.col("l.ts"), F.col("r.ts")
+            ).collect(),
+        )
+    )
+    assert got == want
+    # matches: (u1 click 10:00, buy 10:20) and (u3 click 10:50, buy
+    # 10:55); u1's 10:30 click has no later buy, u2's buy at 10:45 is
+    # beyond 10:05+30m, u4 never clicked
+    assert len(got) == 2
