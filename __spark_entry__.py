@@ -568,6 +568,35 @@ def _q_tpch_q6(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_part_type_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    # TPC-H Q14-flavored revenue share by part type: fact scan with a
+    # pushed date filter, broadcast part dim, decimal sums (exact and
+    # associative -> bit-identical across engines), then a global
+    # window over the 6-row aggregate for the share
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    part = load_table(spark, sf, "part")
+    disc = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(20,6)"
+    )
+    agged = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_type")
+        .agg(
+            F.round(F.sum(disc), 2).cast("double").alias("revenue"),
+            F.count("*").alias("line_count"),
+        )
+    )
+    total = F.sum("revenue").over(Window.partitionBy())
+    return agged.withColumn(
+        "revenue_share_pct", F.round(100 * F.col("revenue") / total, 4)
+    )
+
+
 def _q_streaming_hourly_counts(spark: SparkSession, sf: str) -> DataFrame:
     # an ACTUAL Structured Streaming run inside the correctness gate:
     # file-source stream over events.parquet -> tumbling 1 h window per
@@ -869,6 +898,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q3": _q_tpch_q3,
         "tpch_q5": _q_tpch_q5,
         "tpch_q6": _q_tpch_q6,
+        "part_type_revenue": _q_part_type_revenue,
         "streaming_hourly_counts": _q_streaming_hourly_counts,
         "serving_tiles": _q_serving_tiles,
         "text_stats": _q_text_stats,
@@ -1449,6 +1479,22 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY l_orderkey, o_orderpriority
             ORDER BY revenue DESC, l_orderkey ASC
             LIMIT 10
+        """,
+        "part_type_revenue": """
+            WITH t AS (
+                SELECT p_type,
+                       round(sum((l_extendedprice * (1 - l_discount))
+                                 ::DECIMAL(20,6)), 2)::DOUBLE AS revenue,
+                       count(*) AS line_count
+                FROM lineitem JOIN part ON l_partkey = p_partkey
+                WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                  AND l_shipdate < TIMESTAMP '1997-01-01'
+                GROUP BY p_type
+            )
+            SELECT p_type, revenue, line_count,
+                   round(100 * revenue / sum(revenue) OVER (), 4)
+                       AS revenue_share_pct
+            FROM t
         """,
         "streaming_hourly_counts": """
             SELECT date_trunc('hour', ts) AS window_start,
