@@ -759,6 +759,18 @@ def _q_corpus_filter(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_corpus_pipeline(spark: SparkSession, sf: str) -> DataFrame:
+    # the capstone composition: exact dedup (deterministic min-id
+    # survivor) -> quality/lang/token filter -> per-source accounting
+    from etl_based_real_time_air_quality_monitoring_system_spark.plans.corpus import (
+        corpus_report,
+        prepare_corpus,
+    )
+
+    docs = load_table(spark, sf, "documents")
+    return corpus_report(prepare_corpus(docs))
+
+
 def _q_lang_pred_counts(spark: SparkSession, sf: str) -> DataFrame:
     # marker-based language-ID heuristic, distribution of predictions
     docs = load_table(spark, sf, "documents")
@@ -908,6 +920,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": _q_multimodal_features,
         "lang_pred_counts": _q_lang_pred_counts,
         "corpus_filter": _q_corpus_filter,
+        "corpus_pipeline": _q_corpus_pipeline,
         "ngram_jaccard": _q_ngram_jaccard,
         "minhash_pairs": _q_minhash_pairs,
         "simhash": _q_simhash,
@@ -1503,6 +1516,56 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS record_count,
                    round(sum(value::DECIMAL(20,6)), 2)::DOUBLE AS value_sum
             FROM events GROUP BY 1, 2, 3
+        """,
+        "corpus_pipeline": rf"""
+            WITH fp AS (
+                SELECT doc_id, source, text,
+                       md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS f
+                FROM documents
+            ),
+            surv AS (
+                SELECT doc_id, source, text FROM (
+                    SELECT *, row_number() OVER (PARTITION BY f ORDER BY doc_id) AS rn
+                    FROM fp
+                ) WHERE rn = 1
+            ),
+            t AS (
+                SELECT doc_id, source, {_TOKS} AS toks,
+                       string_split_regex(trim(lower(text)), '\s+') AS ltoks
+                FROM surv
+            ),
+            profiled AS (
+                SELECT doc_id, source,
+                       round(
+                           0.4::DOUBLE * least(len(toks)::DOUBLE / 100.0::DOUBLE, 1.0::DOUBLE)
+                         + 0.3::DOUBLE * (len(list_distinct(toks))::DOUBLE / len(toks)::DOUBLE)
+                         + 0.3::DOUBLE * (1.0::DOUBLE
+                               - len(list_filter(toks, x -> x IN {_STOP_SQL}))::DOUBLE
+                                 / len(toks)::DOUBLE),
+                           4) AS quality,
+                       CAST(len(toks) AS INTEGER) AS n_tokens,
+                       len(list_filter(ltoks, x -> x IN ('the','and','of','to','a'))) AS s_en,
+                       len(list_filter(ltoks, x -> x IN ('el','la','de','que','y'))) AS s_es,
+                       len(list_filter(ltoks, x -> x IN ('der','die','und','das','ist'))) AS s_de,
+                       len(list_filter(ltoks, x -> x IN ('le','la','et','les','des'))) AS s_fr
+                FROM t
+            ),
+            kept AS (
+                SELECT * FROM profiled
+                WHERE quality >= 0.5
+                  AND n_tokens BETWEEN 20 AND 2000
+                  AND (CASE
+                        WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr AND s_en > 0
+                            THEN 'en'
+                        WHEN s_es >= s_de AND s_es >= s_fr AND s_es > 0 THEN 'es'
+                        WHEN s_de >= s_fr AND s_de > 0 THEN 'de'
+                        WHEN s_fr > 0 THEN 'fr'
+                        ELSE 'und' END) = 'en'
+            )
+            SELECT source, count(*) AS kept_docs,
+                   sum(n_tokens) AS total_tokens,
+                   round(avg(quality), 4) AS avg_quality
+            FROM kept GROUP BY source
         """,
         "tpch_q5": """
             SELECT n_name,

@@ -47,6 +47,7 @@ HEADLINE = [
     "range_band_join",
     "text_stats",
     "corpus_filter",
+    "corpus_pipeline",
     "doc_fingerprints",
     "minhash_pairs",
     "ngram_jaccard",

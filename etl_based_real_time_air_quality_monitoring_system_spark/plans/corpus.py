@@ -1,0 +1,83 @@
+"""The composed pretraining-corpus pipeline (BASELINE.json north star):
+exact dedup -> quality / language / token-bound filtering -> corpus
+accounting, as ONE declarative plan.
+
+This is the capstone composition of the text + dedup operator families:
+a user of the reference-style ETL pipeline points this at a documents
+table and gets the canonical LLM-data-prep flow with every stage
+running as Catalyst-optimized DataFrame ops (no Python anywhere).
+
+Scale shape (the 100 TB reading):
+
+- the dedup stage is ONE wide shuffle, hash-partitioned on the 16-byte
+  text fingerprint; the survivor rule (min id per fingerprint) is a
+  window ``row_number``, deterministic by construction —
+  ``dropDuplicates`` would keep an arbitrary row per key, which is
+  fine operationally but untestable against an oracle and
+  non-reproducible across runs, a property a training-data pipeline
+  actually cares about;
+- profiling is a narrow projection (tokenize once via the ``_of``
+  family), so it fuses into the post-shuffle stage;
+- the report is a partial+final aggregation on the (low-cardinality)
+  source key; token totals are exact longs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from ..operators.text import (
+    fingerprint,
+    lang_id_of,
+    quality_score_of,
+    token_count_of,
+    tokens,
+)
+
+
+def prepare_corpus(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_quality: float = 0.5,
+    lang: str = "en",
+    min_tokens: int = 20,
+    max_tokens: int = 2000,
+) -> DataFrame:
+    """Deduplicated, filtered corpus: survivor rows (min ``id_col`` per
+    exact-text fingerprint) that clear the quality / language /
+    token-count bar, with profile columns attached."""
+    w = Window.partitionBy(fingerprint(text_col)).orderBy(F.col(id_col))
+    survivors = (
+        docs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    profiled = (
+        survivors.withColumn("_toks", tokens(text_col))
+        .withColumn("_ltoks", tokens(F.lower(F.col(text_col))))
+        .withColumns(
+            {
+                "quality": quality_score_of(F.col("_toks")),
+                "n_tokens": token_count_of(F.col("_toks")),
+                "lang_pred": lang_id_of(F.col("_ltoks")),
+            }
+        )
+        .drop("_toks", "_ltoks")
+    )
+    return profiled.filter(
+        (F.col("quality") >= min_quality)
+        & (F.col("lang_pred") == lang)
+        & F.col("n_tokens").between(min_tokens, max_tokens)
+    )
+
+
+def corpus_report(kept: DataFrame, source_col: str = "source") -> DataFrame:
+    """Per-source corpus accounting over ``prepare_corpus`` output:
+    document and exact token totals (the numbers a training run is
+    provisioned from) plus mean quality."""
+    return kept.groupBy(source_col).agg(
+        F.count("*").alias("kept_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.round(F.avg("quality"), 4).alias("avg_quality"),
+    )

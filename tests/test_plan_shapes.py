@@ -213,3 +213,14 @@ def test_tpch_q6_is_scan_bound(spark, sf_dir):
     assert "LessThan(l_quantity,24.0)" in p
     assert p.count("HashAggregate") >= 2
     assert "hashpartitioning" not in p  # only the SinglePartition gather
+
+
+def test_corpus_pipeline_two_shuffles_no_python(spark, sf_dir):
+    """The composed dedup->filter->report pipeline: one wide exchange
+    (fingerprint hash) + one narrow agg exchange, all JVM expressions."""
+    import re
+    q = entrymod.queries()["corpus_pipeline"](spark, sf_dir)
+    p = plan(q)
+    n_exchanges = len(re.findall(r"\) Exchange", p))
+    assert n_exchanges == 2, f"expected 2 shuffles, got {n_exchanges}"
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
