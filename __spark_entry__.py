@@ -704,8 +704,10 @@ def _q_rolling_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
 def _q_multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
     # multimodal plumbing end-to-end on the deterministic synthetic
     # corpus (no driver table carries binaries): mapInPandas feature
-    # extraction -> per-modality profile.  Rows-only check: the
-    # feature seam is pandas-side by design (SURVEY §2.10).
+    # extraction -> per-modality profile.  FULLY oracle-checked even
+    # though the features come out of a pandas UDF: the fake features
+    # are md5-derived u4/2^32 doubles, so multiplying back by 2^32
+    # yields exact integers and the checksum is engine-independent.
     from etl_based_real_time_air_quality_monitoring_system_spark.operators.multimodal import (
         extract_features,
         synthesize_assets,
@@ -718,7 +720,9 @@ def _q_multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
     return feats.groupBy("modality").agg(
         F.count("*").alias("asset_count"),
         F.round(F.avg("payload_bytes"), 2).alias("avg_payload_bytes"),
-        F.round(F.avg(F.element_at("features", 1)), 6).alias("avg_f0"),
+        F.sum((F.element_at("features", 1) * F.lit(2.0**32)).cast("long")).alias(
+            "f0_checksum"
+        ),
     )
 
 
@@ -1516,6 +1520,28 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS record_count,
                    round(sum(value::DECIMAL(20,6)), 2)::DOUBLE AS value_sum
             FROM events GROUP BY 1, 2, 3
+        """,
+        "multimodal_features": """
+            WITH assets AS (
+                SELECT range AS asset_id, 'image' AS modality,
+                       repeat(md5(range::VARCHAR), 8) AS payload
+                FROM range(48)
+                UNION ALL
+                SELECT range, 'audio', repeat(md5(range::VARCHAR), 8)
+                FROM range(16)
+            ),
+            f AS (
+                SELECT modality, length(payload) AS payload_bytes,
+                       ('0x' || substr(md5(payload), 7, 2)
+                             || substr(md5(payload), 5, 2)
+                             || substr(md5(payload), 3, 2)
+                             || substr(md5(payload), 1, 2))::BIGINT AS f0_u4
+                FROM assets
+            )
+            SELECT modality, count(*) AS asset_count,
+                   round(avg(payload_bytes), 2) AS avg_payload_bytes,
+                   sum(f0_u4) AS f0_checksum
+            FROM f GROUP BY modality
         """,
         "corpus_pipeline": rf"""
             WITH fp AS (
