@@ -859,6 +859,18 @@ def _q_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_ivf_topk_exhaustive(spark: SparkSession, sf: str) -> DataFrame:
+    # the IVF code path probed exhaustively (n_probe = n_centroids)
+    # equals exact brute force, so THIS variant is oracle-checked in
+    # the gate itself; the approximate n_probe<n variant above stays
+    # rows-only with recall asserted in tests
+    emb = load_table(spark, sf, "embeddings")
+    return ivf_topk(
+        emb, "vec_id", "embedding", _get_query_vec(spark, sf),
+        k=10, n_centroids=8, n_probe=8,
+    )
+
+
 def _q_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
     # approximate top-k via random-hyperplane LSH (no SQL oracle — the
     # hyperplanes are seeded NumPy; recall is asserted in tests vs the
@@ -934,6 +946,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": _q_embedding_near_dup,
         "embedding_near_dup_gemm": _q_embedding_near_dup_gemm,
         "ivf_topk": _q_ivf_topk,
+        "ivf_topk_exhaustive": _q_ivf_topk_exhaustive,
         "lsh_topk": _q_lsh_topk,
     }
 
@@ -1374,6 +1387,15 @@ def oracle_sql() -> dict[str, str]:
             WHERE bit_count(xor(a.simhash, b.simhash)) <= 16
         """,
         "embedding_topk": """
+            SELECT vec_id,
+                   round(list_cosine_similarity(embedding::DOUBLE[],
+                       (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)),
+                       6) AS cosine_sim
+            FROM embeddings
+            ORDER BY cosine_sim DESC, vec_id ASC
+            LIMIT 10
+        """,
+        "ivf_topk_exhaustive": """
             SELECT vec_id,
                    round(list_cosine_similarity(embedding::DOUBLE[],
                        (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)),
