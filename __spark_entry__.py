@@ -43,6 +43,7 @@ from etl_based_real_time_air_quality_monitoring_system_spark.operators.cleaning 
 from etl_based_real_time_air_quality_monitoring_system_spark.operators.dedup import (
     SIMHASH_BITS,
     exact_text_dedup,
+    levenshtein_near_pairs,
     minhash_lsh_candidates,
     ngram_jaccard_pairs,
     simhash,
@@ -59,6 +60,7 @@ from etl_based_real_time_air_quality_monitoring_system_spark.operators.joins imp
 from etl_based_real_time_air_quality_monitoring_system_spark.operators.reshape import (
     cube_agg,
     except_rows,
+    grouping_sets_agg,
     intersect_rows,
     pivot_agg,
     rollup_agg,
@@ -86,9 +88,11 @@ from etl_based_real_time_air_quality_monitoring_system_spark.operators.text impo
 )
 from etl_based_real_time_air_quality_monitoring_system_spark.operators.windows import (
     lag_delta,
+    moving_frame_sum,
     running_total,
     sessionize,
     top_n_per_key,
+    trailing_range_count,
 )
 from etl_based_real_time_air_quality_monitoring_system_spark.operators.topk import (
     latest_per_key,
@@ -881,6 +885,107 @@ def _q_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_tpch_q18(spark: SparkSession, sf: str) -> DataFrame:
+    # TPC-H Q18 (large-volume customer): self-aggregated HAVING filter
+    # on the fact table, then the tiny qualifying set drives BROADCAST
+    # joins back to orders/customer — one lineitem shuffle total, the
+    # orders/customer sides never shuffle.  l_quantity is integral, so
+    # the double sums are exact across engines.
+    li = load_table(spark, sf, "lineitem")
+    orders = load_table(spark, sf, "orders")
+    cust = load_table(spark, sf, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 300)
+    )
+    return (
+        orders.join(F.broadcast(big), orders.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate",
+            "o_totalprice", "sum_qty",
+        )
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+def _q_sliding_window_counts(spark: SparkSession, sf: str) -> DataFrame:
+    # overlapping (sliding) event-time windows: 2 h width, 1 h slide —
+    # each event lands in exactly two windows.  Spark expands the
+    # window assignment inline (no self-join); decimal sums keep the
+    # values bit-identical across engines.
+    events = load_table(spark, sf, "events")
+    return (
+        events.groupBy(
+            F.window("ts", "2 hours", "1 hour").alias("win"), "event_type"
+        )
+        .agg(
+            F.count("*").alias("record_count"),
+            F.round(F.sum(F.col("value").cast("decimal(20,6)")), 2)
+            .cast("double")
+            .alias("value_sum"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            "event_type", "record_count", "value_sum",
+        )
+    )
+
+
+def _q_moving_sum_user_value(spark: SparkSession, sf: str) -> DataFrame:
+    # ROWS-frame sliding aggregate: trailing 4-row sum per user in
+    # (ts, event_id) order — decimal so the tiny frame sums don't hit
+    # float association differences between engines
+    events = load_table(spark, sf, "events")
+    out = moving_frame_sum(
+        events,
+        "user_id",
+        ["ts", "event_id"],
+        F.col("value").cast("decimal(20,6)"),
+        preceding=3,
+        alias="trailing_sum",
+        count_alias="frame_count",
+    )
+    return out.select(
+        "user_id",
+        "event_id",
+        F.col("trailing_sum").cast("double").alias("trailing_sum"),
+        "frame_count",
+    )
+
+
+def _q_trailing_hour_count(spark: SparkSession, sf: str) -> DataFrame:
+    # RANGE-frame trailing count: events by the same user within the
+    # preceding hour (inclusive) of each event — integer-exact
+    events = load_table(spark, sf, "events")
+    out = trailing_range_count(events, "user_id", "ts", 3600)
+    return out.select("user_id", "event_id", "trailing_count")
+
+
+def _q_levenshtein_near_dup(spark: SparkSession, sf: str) -> DataFrame:
+    # edit-distance near-dup over the DISTINCT name domain, blocked by
+    # the last token — the O(n^2) pair work runs on the (tiny) value
+    # vocabulary, never the fact rows
+    part = load_table(spark, sf, "part")
+    return levenshtein_near_pairs(part, "p_name", max_dist=3)
+
+
+def _q_grouping_sets_qty(spark: SparkSession, sf: str) -> DataFrame:
+    # explicit GROUPING SETS (sparse subset of the cube): one Expand +
+    # one shuffle; grouping() indicator columns disambiguate subtotal
+    # rows from genuine NULLs
+    li = load_table(spark, sf, "lineitem")
+    out = grouping_sets_agg(
+        li,
+        ["l_returnflag", "l_linestatus"],
+        [["l_returnflag", "l_linestatus"], ["l_returnflag"], []],
+        F.col("l_quantity").cast("decimal(20,6)"),
+    )
+    return out.withColumn("value_sum", F.col("value_sum").cast("double"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
     return {
@@ -923,6 +1028,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_percentiles": _q_value_percentiles,
         "range_band_join": _q_range_band_join,
         "tpch_q1": _q_tpch_q1,
+        "tpch_q18": _q_tpch_q18,
+        "sliding_window_counts": _q_sliding_window_counts,
+        "moving_sum_user_value": _q_moving_sum_user_value,
+        "trailing_hour_count": _q_trailing_hour_count,
+        "levenshtein_near_dup": _q_levenshtein_near_dup,
+        "grouping_sets_qty": _q_grouping_sets_qty,
         "tpch_q3": _q_tpch_q3,
         "tpch_q5": _q_tpch_q5,
         "tpch_q6": _q_tpch_q6,
@@ -1489,6 +1600,84 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(value), 2) AS avg_value
             FROM events JOIN bands ON value >= lo AND value < hi
             GROUP BY band
+        """,
+        "tpch_q18": """
+            SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+                   o_totalprice, sum_qty
+            FROM orders
+            JOIN (
+                SELECT l_orderkey, sum(l_quantity) AS sum_qty
+                FROM lineitem
+                GROUP BY l_orderkey
+                HAVING sum(l_quantity) > 300
+            ) big ON o_orderkey = big.l_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey ASC
+            LIMIT 100
+        """,
+        "sliding_window_counts": """
+            WITH buckets AS (
+                SELECT time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP))
+                           AS b,
+                       event_type, value
+                FROM events
+            ), expanded AS (
+                SELECT b AS window_start, event_type, value FROM buckets
+                UNION ALL
+                SELECT b - INTERVAL 1 HOUR, event_type, value FROM buckets
+            )
+            SELECT window_start, event_type,
+                   count(*) AS record_count,
+                   round(sum(value::DECIMAL(20,6)), 2)::DOUBLE AS value_sum
+            FROM expanded
+            GROUP BY window_start, event_type
+        """,
+        "moving_sum_user_value": """
+            SELECT user_id, event_id,
+                   (sum(value::DECIMAL(20,6)) OVER w)::DOUBLE
+                       AS trailing_sum,
+                   count(*) OVER w AS frame_count
+            FROM events
+            WINDOW w AS (
+                PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN 3 PRECEDING AND CURRENT ROW
+            )
+        """,
+        "trailing_hour_count": """
+            SELECT user_id, event_id,
+                   count(*) OVER (
+                       PARTITION BY user_id
+                       ORDER BY CAST(ts AS TIMESTAMP)
+                       RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                             AND CURRENT ROW
+                   ) AS trailing_count
+            FROM events
+        """,
+        "levenshtein_near_dup": r"""
+            WITH names AS (
+                SELECT DISTINCT p_name AS name FROM part
+                WHERE p_name IS NOT NULL
+            ), blocked AS (
+                SELECT name,
+                       string_split_regex(trim(name), '\s+')[-1] AS block
+                FROM names
+            )
+            SELECT a.name AS name_a, b.name AS name_b,
+                   levenshtein(a.name, b.name) AS distance
+            FROM blocked a JOIN blocked b
+              ON a.block = b.block AND a.name < b.name
+            WHERE levenshtein(a.name, b.name) <= 3
+        """,
+        "grouping_sets_qty": """
+            SELECT l_returnflag, l_linestatus,
+                   count(*) AS record_count,
+                   (sum(l_quantity::DECIMAL(20,6)))::DOUBLE AS value_sum,
+                   grouping(l_returnflag)::INT AS grp_l_returnflag,
+                   grouping(l_linestatus)::INT AS grp_l_linestatus
+            FROM lineitem
+            GROUP BY GROUPING SETS (
+                (l_returnflag, l_linestatus), (l_returnflag), ()
+            )
         """,
         "tpch_q1": """
             SELECT l_returnflag, l_linestatus,

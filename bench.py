@@ -31,6 +31,7 @@ HEADLINE = [
     "tpch_q3",
     "tpch_q5",
     "tpch_q6",
+    "tpch_q18",
     "grouped_stats",
     "multikey_summary",
     "hourly_activity",
@@ -40,7 +41,11 @@ HEADLINE = [
     "props_k_stats",
     "join_star_region",
     "running_user_value",
+    "moving_sum_user_value",
+    "trailing_hour_count",
+    "sliding_window_counts",
     "rollup_flag_status",
+    "grouping_sets_qty",
     "asof_purchase_attribution",
     "user_sessions",
     "value_percentiles",
@@ -49,6 +54,7 @@ HEADLINE = [
     "corpus_filter",
     "corpus_pipeline",
     "doc_fingerprints",
+    "levenshtein_near_dup",
     "minhash_pairs",
     "ngram_jaccard",
     "simhash",

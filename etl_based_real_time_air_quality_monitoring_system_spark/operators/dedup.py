@@ -347,3 +347,54 @@ def simhash_near_pairs(
         .select("_p.doc_a", "_p.doc_b", "_p.hamming")
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def levenshtein_near_pairs(
+    df: DataFrame,
+    text_col: str,
+    block: Column | None = None,
+    max_dist: int = 2,
+) -> DataFrame:
+    """Edit-distance near-dup pairs over the DISTINCT value domain.
+
+    Pairwise Levenshtein is O(n^2 * len^2) — never run it over raw
+    rows.  Two scale levers instead:
+
+    1. **Distinct-first**: collapse to the distinct strings before any
+       pairing (a fact table with 10^9 rows but 10^5 distinct names
+       pays 10^5-scale cost; the map back to rows is a broadcast join
+       the caller can do if needed).
+    2. **Blocking**: only strings sharing ``block`` (default: last
+       whitespace token) are compared, turning one global O(d^2) into
+       many small per-block quadratics.
+
+    Output: (name_a, name_b, distance), name_a < name_b, distance <=
+    ``max_dist``.  Spark's ``levenshtein`` is the classic unit-cost
+    edit distance, identical to DuckDB's ``levenshtein`` — exact
+    integer, oracle-safe.
+    """
+    if block is None:
+        # default block: last whitespace token of the (renamed) value
+        block = F.element_at(F.split(F.trim(F.col("name")), r"\s+"), -1)
+    names = (
+        df.select(F.col(text_col).alias("name"))
+        .where(F.col("name").isNotNull())
+        .distinct()
+        .select(block.alias("block"), F.col("name"))
+    )
+    a = names.alias("a")
+    b = names.alias("b")
+    dist = F.levenshtein(F.col("a.name"), F.col("b.name"))
+    return (
+        a.join(
+            F.broadcast(b),
+            (F.col("a.block") == F.col("b.block"))
+            & (F.col("a.name") < F.col("b.name")),
+        )
+        .select(
+            F.col("a.name").alias("name_a"),
+            F.col("b.name").alias("name_b"),
+            dist.alias("distance"),
+        )
+        .filter(F.col("distance") <= max_dist)
+    )

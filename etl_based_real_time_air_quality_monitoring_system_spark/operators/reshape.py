@@ -75,3 +75,28 @@ def cube_agg(df: DataFrame, keys: Sequence[str], value: str, scale: int = 2) -> 
         F.round(F.sum(value), scale).alias(f"sum_{value}"),
         level.alias("grouping_level"),
     )
+
+
+def grouping_sets_agg(
+    df: DataFrame,
+    keys: Sequence[str],
+    sets: Sequence[Sequence[str]],
+    value,
+    sum_alias: str = "value_sum",
+) -> DataFrame:
+    """GROUP BY GROUPING SETS — an explicit, possibly sparse subset of
+    the cube lattice, expanded inside ONE shuffle (Spark plans a single
+    Expand + HashAggregate, not one scan per set).
+
+    Per-key ``grouping(k)`` indicator columns (0 = grouped, 1 =
+    aggregated away) disambiguate subtotal rows from genuine NULL key
+    values.  ``value`` may be a pre-cast Column (decimal for
+    cross-engine exactness).
+    """
+    val = F.col(value) if isinstance(value, str) else value
+    flags = [F.grouping(k).cast("int").alias(f"grp_{k}") for k in keys]
+    return df.groupingSets([list(s) for s in sets], *keys).agg(
+        F.count("*").alias("record_count"),
+        F.sum(val).alias(sum_alias),
+        *flags,
+    )

@@ -105,6 +105,62 @@ def sessionize(
     )
 
 
+def moving_frame_sum(
+    df: DataFrame,
+    key: str | Sequence[str],
+    order: str | Sequence[str],
+    value,
+    preceding: int,
+    alias: str = "moving_sum",
+    count_alias: str | None = "frame_count",
+) -> DataFrame:
+    """ROWS-frame sliding aggregate: sum of ``value`` over the last
+    ``preceding`` rows plus the current one, per key in event order.
+
+    ``value`` may be a Column (e.g. a decimal cast when the result must
+    be bit-identical across engines — float sums are order-sensitive).
+    One shuffle on the key, one sort; the frame itself is evaluated
+    streamingly inside each partition (no quadratic work).
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    orders = [order] if isinstance(order, str) else list(order)
+    val = F.col(value) if isinstance(value, str) else value
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(*orders)
+        .rowsBetween(-preceding, Window.currentRow)
+    )
+    out = df.withColumn(alias, F.sum(val).over(w))
+    if count_alias:
+        out = out.withColumn(count_alias, F.count(F.lit(1)).over(w))
+    return out
+
+
+def trailing_range_count(
+    df: DataFrame,
+    key: str | Sequence[str],
+    ts: str,
+    seconds: int,
+    alias: str = "trailing_count",
+) -> DataFrame:
+    """RANGE-frame trailing count: events per key within the closed
+    interval ``[ts - seconds, ts]`` of each row's event time.
+
+    The frame is a RANGE over ``unix_micros(ts)`` so rows with equal
+    timestamps are peers (included together), matching ANSI
+    ``RANGE BETWEEN INTERVAL ... PRECEDING AND CURRENT ROW``.  Single
+    shuffle on the key; the range frame slides with two pointers, so
+    cost is linear per partition.
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.unix_micros(F.col(ts)))
+        .rangeBetween(-seconds * 1_000_000, 0)
+    )
+    return df.withColumn(alias, F.count(F.lit(1)).over(w))
+
+
 def lag_delta(
     df: DataFrame,
     key: str | Sequence[str],

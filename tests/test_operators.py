@@ -175,3 +175,80 @@ def test_salted_join_matches_plain_join(spark):
         "row_id", "label"
     )
     assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def test_moving_frame_sum_and_range_count(spark):
+    from datetime import datetime
+
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.windows import (
+        moving_frame_sum,
+        trailing_range_count,
+    )
+
+    rows = [
+        # key, minute offset, value  (one key; 5 events; minute gaps
+        # chosen so the 1-hour RANGE frame drops the first event at the
+        # last row, and two events share a timestamp -> RANGE peers)
+        ("u", 0, 1.0, 1),
+        ("u", 10, 2.0, 2),
+        ("u", 10, 3.0, 3),  # same ts as event 2 (peer)
+        ("u", 40, 4.0, 4),
+        ("u", 70, 5.0, 5),  # 70 min: event at 0 falls out of 1 h frame
+    ]
+    df = spark.createDataFrame(
+        [
+            (k, datetime(2024, 1, 1, m // 60, m % 60), v, i)
+            for (k, m, v, i) in rows
+        ],
+        "user string, ts timestamp, value double, event_id int",
+    )
+
+    out = moving_frame_sum(
+        df, "user", ["ts", "event_id"], "value", preceding=1,
+        alias="s", count_alias="c",
+    )
+    got = {
+        r["event_id"]: (r["s"], r["c"])
+        for r in out.collect()
+    }
+    assert got == {
+        1: (1.0, 1), 2: (3.0, 2), 3: (5.0, 2), 4: (7.0, 2), 5: (9.0, 2)
+    }
+
+    rng = trailing_range_count(df, "user", "ts", 3600)
+    got = {r["event_id"]: r["trailing_count"] for r in rng.collect()}
+    # events 2 and 3 are RANGE peers (same ts) so both see each other;
+    # at event 5 (t=70min) the t=0 event is outside the closed 1 h frame
+    assert got == {1: 1, 2: 3, 3: 3, 4: 4, 5: 4}
+
+
+def test_grouping_sets_agg(spark):
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.reshape import grouping_sets_agg
+
+    df = spark.createDataFrame(
+        [("A", "x", 1.0), ("A", "y", 2.0), ("B", "x", 4.0)],
+        "f string, s string, v double",
+    )
+    out = grouping_sets_agg(
+        df, ["f", "s"], [["f", "s"], ["f"], []], "v"
+    ).collect()
+    # 3 leaf rows + 2 per-f subtotals + 1 grand total
+    assert len(out) == 6
+    by = {(r["f"], r["s"], r["grp_f"], r["grp_s"]): (r["record_count"], r["value_sum"]) for r in out}
+    assert by[("A", None, 0, 1)] == (2, 3.0)
+    assert by[(None, None, 1, 1)] == (3, 7.0)
+    assert by[("B", "x", 0, 0)] == (1, 4.0)
+
+
+def test_levenshtein_near_pairs(spark):
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.dedup import levenshtein_near_pairs
+
+    df = spark.createDataFrame(
+        [(1, "small ring"), (2, "smol ring"), (3, "red widget"),
+         (4, "red ring"), (5, "small ring")],  # 5 dups with 1
+        "id int, name string",
+    )
+    out = levenshtein_near_pairs(df, "name", max_dist=2).collect()
+    pairs = {(r["name_a"], r["name_b"]): r["distance"] for r in out}
+    # distinct-first: the (1,5) exact dup collapses before pairing
+    assert pairs == {("small ring", "smol ring"): 2}

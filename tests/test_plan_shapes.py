@@ -224,3 +224,53 @@ def test_corpus_pipeline_two_shuffles_no_python(spark, sf_dir):
     n_exchanges = len(re.findall(r"\) Exchange", p))
     assert n_exchanges == 2, f"expected 2 shuffles, got {n_exchanges}"
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def _n_shuffles(p: str) -> int:
+    # detail headers "(6) Exchange" — one per plain shuffle exchange
+    # (BroadcastExchange deliberately not matched)
+    import re
+
+    return len(re.findall(r"\) Exchange", p))
+
+
+def test_tpch_q18_single_fact_shuffle(spark, sf_dir):
+    # the HAVING-filtered self-agg shuffles lineitem ONCE; both join
+    # sides broadcast — no sort-merge join materializes anywhere
+    q = entrymod.queries()["tpch_q18"](spark, sf_dir)
+    p = plan(q)
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert _n_shuffles(p) == 1
+    assert "TakeOrderedAndProject" in p  # top-100 never global-sorts
+
+
+def test_window_frames_single_shuffle(spark, sf_dir):
+    # ROWS / RANGE frame windows: one hash shuffle on the partition
+    # key, one Window operator, no global (rangepartitioned) sort
+    for name in ("moving_sum_user_value", "trailing_hour_count"):
+        q = entrymod.queries()[name](spark, sf_dir)
+        p = plan(q)
+        assert _n_shuffles(p) == 1, name
+        assert "rangepartitioning" not in p, name
+        assert "Window" in p, name
+
+
+def test_grouping_sets_one_expand_one_shuffle(spark, sf_dir):
+    # GROUPING SETS expands inside a single aggregation: one Expand,
+    # one shuffle, partial+final HashAggregate (not one scan per set)
+    q = entrymod.queries()["grouping_sets_qty"](spark, sf_dir)
+    p = plan(q)
+    assert "Expand" in p
+    assert _n_shuffles(p) == 1
+    assert p.count("(1) Scan parquet") == 1 and "(2) Scan parquet" not in p
+
+
+def test_sliding_window_no_self_join(spark, sf_dir):
+    # F.window with slide expands window assignment inline — the plan
+    # must not contain any join, and aggregates partial+final
+    q = entrymod.queries()["sliding_window_counts"](spark, sf_dir)
+    p = plan(q)
+    assert "Join" not in p
+    assert _n_shuffles(p) == 1
+    assert "partial_count" in p  # map-side combine before the shuffle
