@@ -34,6 +34,7 @@ from etl_based_real_time_air_quality_monitoring_system_spark.operators.aggregate
     grouped_stats,
     multikey_summary,
     range_aggregate,
+    session_window_agg,
     time_bucketed,
 )
 from etl_based_real_time_air_quality_monitoring_system_spark.operators.cleaning import (
@@ -601,27 +602,18 @@ def _q_part_type_revenue(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def _q_streaming_hourly_counts(spark: SparkSession, sf: str) -> DataFrame:
-    # an ACTUAL Structured Streaming run inside the correctness gate:
-    # file-source stream over events.parquet -> tumbling 1 h window per
-    # event_type -> complete-mode memory sink, availableNow trigger.
-    # In complete mode the result is independent of micro-batch split
-    # and lateness, so it equals the batch date_trunc aggregation and
-    # is DuckDB-oracle-checked like any batch query.
+def _events_file_stream(spark: SparkSession, sf: str) -> DataFrame:
+    """Structured-Streaming file source over the events table (file
+    streaming sources require a DIRECTORY; expose the single parquet
+    file through a symlink dir — zero copy)."""
     import os as _os
+    import tempfile as _tempfile
 
     from etl_based_real_time_air_quality_monitoring_system_spark.session import prepare
-    from etl_based_real_time_air_quality_monitoring_system_spark.streaming.pipeline import (
-        windowed_aggregate,
-    )
-
-    import tempfile as _tempfile
 
     prepare(spark)
     path = _os.path.join(sf, "events.parquet")
     batch = spark.read.parquet(path)  # schema only (footer read)
-    # file streaming sources require a DIRECTORY; expose the single
-    # file through a symlink dir (zero copy)
     stream_dir = _os.path.join(
         _tempfile.gettempdir(), "spark_graft_stream_" + sf.strip("/").replace("/", "_")
     )
@@ -632,6 +624,21 @@ def _q_streaming_hourly_counts(spark: SparkSession, sf: str) -> DataFrame:
     stream = spark.readStream.schema(batch.schema).parquet(stream_dir)
     if isinstance(stream.schema["ts"].dataType, T.LongType):
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream
+
+
+def _q_streaming_hourly_counts(spark: SparkSession, sf: str) -> DataFrame:
+    # an ACTUAL Structured Streaming run inside the correctness gate:
+    # file-source stream over events.parquet -> tumbling 1 h window per
+    # event_type -> complete-mode memory sink, availableNow trigger.
+    # In complete mode the result is independent of micro-batch split
+    # and lateness, so it equals the batch date_trunc aggregation and
+    # is DuckDB-oracle-checked like any batch query.
+    from etl_based_real_time_air_quality_monitoring_system_spark.streaming.pipeline import (
+        windowed_aggregate,
+    )
+
+    stream = _events_file_stream(spark, sf)
     # decimal sum, not float avg: float sums are order-sensitive and the
     # per-window groups are tiny (2-4 rows), so rounding boundaries flip
     # between engines; decimal arithmetic is exact and associative
@@ -658,6 +665,71 @@ def _q_streaming_hourly_counts(spark: SparkSession, sf: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(sink)
+
+
+def _q_streaming_dedup_keys(spark: SparkSession, sf: str) -> DataFrame:
+    # streaming stateful dedup (T7) inside the correctness gate: the
+    # keys-only projection makes the surviving-row nondeterminism
+    # invisible, so append-mode output == batch SELECT DISTINCT and the
+    # query is fully oracle-checked.  (Unwatermarked dropDuplicates
+    # keeps all key state forever — correct here; the production path
+    # at scale is dropDuplicatesWithinWatermark, exercised in
+    # tests/test_streaming.py where lateness semantics matter.)
+    stream = _events_file_stream(spark, sf)
+    deduped = stream.select("user_id", "event_type").dropDuplicates(
+        ["user_id", "event_type"]
+    )
+    sink = "streaming_dedup_keys_sink"
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)
+
+
+def _q_session_window_stats(spark: SparkSession, sf: str) -> DataFrame:
+    # native session windows (F.session_window): gap-merged per-user
+    # activity bursts in ONE MergingSessions pass — the operator-level
+    # analog of the two-window sessionize composition, oracle-checked
+    # against the ANSI lag-boundary island SQL.  Touching intervals
+    # merge (verified: events exactly `gap` apart share a session).
+    events = load_table(spark, sf, "events")
+    return session_window_agg(
+        events,
+        key="user_id",
+        ts="ts",
+        gap="30 minutes",
+        aggs=[
+            F.count("*").alias("event_count"),
+            F.round(F.sum(F.col("value").cast("decimal(20,6)")), 2)
+            .cast("double")
+            .alias("value_sum"),
+        ],
+    )
+
+
+def _q_above_avg_customers(spark: SparkSession, sf: str) -> DataFrame:
+    # plain-SQL surface + correlated scalar subquery: customers above
+    # their own nation's average balance.  Catalyst decorrelates the
+    # subquery into an aggregate + join (no per-row re-execution) —
+    # pinned in tests/test_plan_shapes.py.
+    from etl_based_real_time_air_quality_monitoring_system_spark.sources.readers import register_views
+
+    register_views(spark, sf, names=("customer",))
+    return spark.sql(
+        """
+        SELECT c.c_custkey, c.c_nationkey, c.c_acctbal
+        FROM customer c
+        WHERE c.c_acctbal > (
+            SELECT avg(c2.c_acctbal) FROM customer c2
+            WHERE c2.c_nationkey = c.c_nationkey
+        )
+        """
+    )
 
 
 # ---------------------------------------- LLM-data-pipeline extensions
@@ -1039,6 +1111,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q6": _q_tpch_q6,
         "part_type_revenue": _q_part_type_revenue,
         "streaming_hourly_counts": _q_streaming_hourly_counts,
+        "streaming_dedup_keys": _q_streaming_dedup_keys,
+        "session_window_stats": _q_session_window_stats,
+        "above_avg_customers": _q_above_avg_customers,
         "serving_tiles": _q_serving_tiles,
         "text_stats": _q_text_stats,
         "text_quality": _q_text_quality,
@@ -1723,6 +1798,43 @@ def oracle_sql() -> dict[str, str]:
                    round(100 * revenue / sum(revenue) OVER (), 4)
                        AS revenue_share_pct
             FROM t
+        """,
+        "streaming_dedup_keys": """
+            SELECT DISTINCT user_id, event_type FROM events
+        """,
+        "session_window_stats": """
+            WITH flagged AS (
+                SELECT user_id, ts, value,
+                       CASE WHEN lag(CAST(ts AS TIMESTAMP)) OVER win IS NULL
+                                 OR CAST(ts AS TIMESTAMP)
+                                    - lag(CAST(ts AS TIMESTAMP)) OVER win
+                                    > INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS boundary
+                FROM events
+                WINDOW win AS (PARTITION BY user_id ORDER BY ts)
+            ), numbered AS (
+                SELECT *, sum(boundary) OVER (
+                    PARTITION BY user_id ORDER BY ts
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                ) AS sid
+                FROM flagged
+            )
+            SELECT min(CAST(ts AS TIMESTAMP)) AS session_start,
+                   max(CAST(ts AS TIMESTAMP)) + INTERVAL 30 MINUTE
+                       AS session_end,
+                   user_id,
+                   count(*) AS event_count,
+                   round(sum(value::DECIMAL(20,6)), 2)::DOUBLE AS value_sum
+            FROM numbered
+            GROUP BY user_id, sid
+        """,
+        "above_avg_customers": """
+            SELECT c.c_custkey, c.c_nationkey, c.c_acctbal
+            FROM customer c
+            WHERE c.c_acctbal > (
+                SELECT avg(c2.c_acctbal) FROM customer c2
+                WHERE c2.c_nationkey = c.c_nationkey
+            )
         """,
         "streaming_hourly_counts": """
             SELECT date_trunc('hour', ts) AS window_start,

@@ -48,6 +48,7 @@ HEADLINE = [
     "grouping_sets_qty",
     "asof_purchase_attribution",
     "user_sessions",
+    "session_window_stats",
     "value_percentiles",
     "range_band_join",
     "text_stats",

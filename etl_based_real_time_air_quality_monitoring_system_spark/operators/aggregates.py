@@ -104,3 +104,31 @@ def range_aggregate(df: DataFrame, column: str) -> DataFrame:
         F.max(column).alias(f"max_{column}"),
         F.min(column).alias(f"min_{column}"),
     )
+
+
+def session_window_agg(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    gap: str,
+    aggs: Sequence[Column],
+) -> DataFrame:
+    """Native session-window aggregation (``F.session_window``): merges
+    per-key event intervals ``[ts, ts+gap)`` that overlap OR touch, so
+    a session ends ``gap`` after its last event.  Equivalent to the
+    gap-based island SQL (lag-boundary + running sum — see
+    windows.sessionize) but planned as ONE MergingSessionsExec pass:
+    single shuffle on the key, sessions merged in sort order, no
+    second window pass.
+
+    Works identically on batch and Structured Streaming inputs (the
+    streaming form needs a watermark on ``ts``).
+    """
+    sw = F.session_window(F.col(ts), gap).alias("session_window")
+    agged = df.groupBy(sw, F.col(key)).agg(*aggs)
+    return agged.select(
+        F.col("session_window.start").alias("session_start"),
+        F.col("session_window.end").alias("session_end"),
+        F.col(key),
+        *[c for c in agged.columns if c not in ("session_window", key)],
+    )

@@ -252,3 +252,29 @@ def test_levenshtein_near_pairs(spark):
     pairs = {(r["name_a"], r["name_b"]): r["distance"] for r in out}
     # distinct-first: the (1,5) exact dup collapses before pairing
     assert pairs == {("small ring", "smol ring"): 2}
+
+
+def test_session_window_agg_touching_merge(spark):
+    from datetime import datetime
+
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.aggregates import session_window_agg
+
+    df = spark.createDataFrame(
+        [
+            ("u", datetime(2024, 1, 1, 0, 0, 0), 1.0),
+            ("u", datetime(2024, 1, 1, 0, 30, 0), 2.0),  # touches: merges
+            ("u", datetime(2024, 1, 1, 2, 0, 0), 4.0),   # > gap: new session
+            ("v", datetime(2024, 1, 1, 0, 0, 0), 8.0),
+        ],
+        "user_id string, ts timestamp, value double",
+    )
+    out = session_window_agg(
+        df, "user_id", "ts", "30 minutes",
+        [F.count("*").alias("n"), F.sum("value").alias("s")],
+    ).collect()
+    rows = {(r["user_id"], r["session_start"].isoformat()): (r["n"], r["s"], r["session_end"].isoformat())
+            for r in out}
+    assert rows[("u", "2024-01-01T00:00:00")] == (2, 3.0, "2024-01-01T01:00:00")
+    assert rows[("u", "2024-01-01T02:00:00")] == (1, 4.0, "2024-01-01T02:30:00")
+    assert rows[("v", "2024-01-01T00:00:00")] == (1, 8.0, "2024-01-01T00:30:00")
+    assert len(rows) == 3

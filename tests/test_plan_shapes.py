@@ -274,3 +274,22 @@ def test_sliding_window_no_self_join(spark, sf_dir):
     assert "Join" not in p
     assert _n_shuffles(p) == 1
     assert "partial_count" in p  # map-side combine before the shuffle
+
+
+def test_session_window_single_pass(spark, sf_dir):
+    # native session_window: ONE shuffle + MergingSessions aggregation,
+    # not the two-window composition
+    q = entrymod.queries()["session_window_stats"](spark, sf_dir)
+    p = plan(q)
+    assert _n_shuffles(p) == 1
+    assert "rangepartitioning" not in p
+
+
+def test_correlated_subquery_decorrelates(spark, sf_dir):
+    # Catalyst must rewrite the correlated scalar subquery into an
+    # aggregate + join — a per-row subquery re-execution would be
+    # invisible at sf0.01 and fatal at scale
+    q = entrymod.queries()["above_avg_customers"](spark, sf_dir)
+    p = plan(q)
+    assert "Join" in p
+    assert "HashAggregate" in p
