@@ -691,6 +691,36 @@ def _q_streaming_dedup_keys(spark: SparkSession, sf: str) -> DataFrame:
     return spark.table(sink)
 
 
+def _q_streaming_session_stats(spark: SparkSession, sf: str) -> DataFrame:
+    # session windows over an ACTUAL stream (MergingSessions with
+    # streaming state): complete-mode output is independent of
+    # micro-batch split, so it equals the batch session_window
+    # aggregation and shares its island-SQL oracle.
+    stream = _events_file_stream(spark, sf)
+    agg = session_window_agg(
+        stream,
+        key="user_id",
+        ts="ts",
+        gap="30 minutes",
+        aggs=[
+            F.count("*").alias("event_count"),
+            F.round(F.sum(F.col("value").cast("decimal(20,6)")), 2)
+            .cast("double")
+            .alias("value_sum"),
+        ],
+    )
+    sink = "streaming_session_stats_sink"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)
+
+
 def _q_session_window_stats(spark: SparkSession, sf: str) -> DataFrame:
     # native session windows (F.session_window): gap-merged per-user
     # activity bursts in ONE MergingSessions pass — the operator-level
@@ -1113,6 +1143,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_hourly_counts": _q_streaming_hourly_counts,
         "streaming_dedup_keys": _q_streaming_dedup_keys,
         "session_window_stats": _q_session_window_stats,
+        "streaming_session_stats": _q_streaming_session_stats,
         "above_avg_customers": _q_above_avg_customers,
         "serving_tiles": _q_serving_tiles,
         "text_stats": _q_text_stats,
@@ -1189,6 +1220,14 @@ _LANG_SCORES = ",\n                   ".join(
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-ANSI twins, column-name-aligned with ``queries()``."""
+    out = _oracle_sql_literal()
+    # the streaming session-window run is batch-equivalent in complete
+    # mode, so it shares the batch island-SQL oracle verbatim
+    out["streaming_session_stats"] = out["session_window_stats"]
+    return out
+
+
+def _oracle_sql_literal() -> dict[str, str]:
     return {
         "flagship": f"""
             WITH deduped AS (SELECT DISTINCT * FROM events),
