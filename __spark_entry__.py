@@ -33,6 +33,7 @@ from etl_based_real_time_air_quality_monitoring_system_spark.operators.aggregate
     global_means,
     grouped_stats,
     multikey_summary,
+    histogram,
     range_aggregate,
     session_window_agg,
     time_bucketed,
@@ -60,8 +61,10 @@ from etl_based_real_time_air_quality_monitoring_system_spark.operators.joins imp
 )
 from etl_based_real_time_air_quality_monitoring_system_spark.operators.reshape import (
     cube_agg,
+    except_all_rows,
     except_rows,
     grouping_sets_agg,
+    intersect_all_rows,
     intersect_rows,
     pivot_agg,
     rollup_agg,
@@ -987,6 +990,53 @@ def _q_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_latest_value_max_by(spark: SparkSession, sf: str) -> DataFrame:
+    # A11 (latest reading) as a single max_by/arg_max aggregate — no
+    # window, no self-join: one partial+final hash aggregation.
+    # Deterministic because (event_type, ts) is unique in the data.
+    events = load_table(spark, sf, "events")
+    return events.groupBy("event_type").agg(
+        F.max_by("value", "ts").alias("latest_value"),
+        F.max("ts").alias("latest_ts"),
+    )
+
+
+def _q_value_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    # fixed-width histogram of event values: one aggregation, exact
+    # integer counts, IEEE-deterministic bucket arithmetic
+    events = load_table(spark, sf, "events")
+    return histogram(events, "value", width=25.0)
+
+
+def _q_priority_except_all(spark: SparkSession, sf: str) -> DataFrame:
+    # EXCEPT ALL (multiset difference): order priorities of 1995-H1
+    # minus 1995-H2, multiplicities preserved
+    orders = load_table(spark, sf, "orders")
+    h1 = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1995-07-01").cast("timestamp"))
+    ).select("o_orderpriority")
+    h2 = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1995-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp"))
+    ).select("o_orderpriority")
+    return except_all_rows(h1, h2)
+
+
+def _q_priority_intersect_all(spark: SparkSession, sf: str) -> DataFrame:
+    # INTERSECT ALL (multiset min of multiplicities), same halves
+    orders = load_table(spark, sf, "orders")
+    h1 = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1995-07-01").cast("timestamp"))
+    ).select("o_orderpriority")
+    h2 = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1995-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp"))
+    ).select("o_orderpriority")
+    return intersect_all_rows(h1, h2)
+
+
 def _q_tpch_q18(spark: SparkSession, sf: str) -> DataFrame:
     # TPC-H Q18 (large-volume customer): self-aggregated HAVING filter
     # on the fact table, then the tiny qualifying set drives BROADCAST
@@ -1101,6 +1151,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "acctbal_range": _q_acctbal_range,
         "priority_counts": _q_priority_counts,
         "latest_event_per_type": _q_latest_event_per_type,
+        "latest_value_max_by": _q_latest_value_max_by,
+        "value_histogram": _q_value_histogram,
+        "priority_except_all": _q_priority_except_all,
+        "priority_intersect_all": _q_priority_intersect_all,
         "top_orders": _q_top_orders,
         "price_bands": _q_price_bands,
         "value_temp_bands": _q_value_temp_bands,
@@ -1714,6 +1768,38 @@ def _oracle_sql_literal() -> dict[str, str]:
                    round(avg(value), 2) AS avg_value
             FROM events JOIN bands ON value >= lo AND value < hi
             GROUP BY band
+        """,
+        "latest_value_max_by": f"""
+            SELECT event_type,
+                   max_by(value, ts) AS latest_value,
+                   max({_TS}) AS latest_ts
+            FROM events
+            GROUP BY event_type
+        """,
+        "value_histogram": """
+            SELECT floor(value / 25.0)::INT AS bucket,
+                   count(*) AS record_count,
+                   floor(value / 25.0)::INT * 25.0 AS bucket_lo
+            FROM events
+            GROUP BY 1
+        """,
+        "priority_except_all": """
+            SELECT o_orderpriority FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+              AND o_orderdate < TIMESTAMP '1995-07-01'
+            EXCEPT ALL
+            SELECT o_orderpriority FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1995-07-01'
+              AND o_orderdate < TIMESTAMP '1996-01-01'
+        """,
+        "priority_intersect_all": """
+            SELECT o_orderpriority FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+              AND o_orderdate < TIMESTAMP '1995-07-01'
+            INTERSECT ALL
+            SELECT o_orderpriority FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1995-07-01'
+              AND o_orderdate < TIMESTAMP '1996-01-01'
         """,
         "tpch_q18": """
             SELECT c_name, c_custkey, o_orderkey, o_orderdate,

@@ -132,3 +132,18 @@ def session_window_agg(
         F.col(key),
         *[c for c in agged.columns if c not in ("session_window", key)],
     )
+
+
+def histogram(
+    df: DataFrame, column: str, width: float, lo: float = 0.0
+) -> DataFrame:
+    """Fixed-width value histogram: bucket ordinal + row count + bucket
+    lower bound.  Pure arithmetic bucketing (floor((x-lo)/width)) so the
+    whole thing is ONE partial+final aggregation — no sort, no UDF, and
+    the bucket math is bit-deterministic IEEE division in any engine."""
+    bucket = F.floor((F.col(column) - F.lit(lo)) / F.lit(width)).cast("int")
+    return (
+        df.groupBy(bucket.alias("bucket"))
+        .agg(F.count("*").alias("record_count"))
+        .withColumn("bucket_lo", F.lit(lo) + F.col("bucket") * F.lit(width))
+    )

@@ -25,6 +25,18 @@ def except_rows(a: DataFrame, b: DataFrame) -> DataFrame:
     return a.subtract(b)
 
 
+def except_all_rows(a: DataFrame, b: DataFrame) -> DataFrame:
+    """EXCEPT ALL (multiset semantics: multiplicities subtract).
+    Spark plans a count-tagged aggregate + generate, not a join —
+    one shuffle per side on the full row."""
+    return a.exceptAll(b)
+
+
+def intersect_all_rows(a: DataFrame, b: DataFrame) -> DataFrame:
+    """INTERSECT ALL (multiset semantics: min of multiplicities)."""
+    return a.intersectAll(b)
+
+
 def pivot_agg(
     df: DataFrame,
     key: str,
