@@ -278,3 +278,56 @@ def test_session_window_agg_touching_merge(spark):
     assert rows[("u", "2024-01-01T02:00:00")] == (1, 4.0, "2024-01-01T02:30:00")
     assert rows[("v", "2024-01-01T00:00:00")] == (1, 8.0, "2024-01-01T00:30:00")
     assert len(rows) == 3
+
+
+def test_sessionize_equals_session_window_hypothesis(spark):
+    """Property: the two independent sessionization implementations —
+    the lag-boundary/running-sum composition (windows.sessionize) and
+    native F.session_window (aggregates.session_window_agg) — must
+    produce identical per-session event counts on any input."""
+    from collections import Counter
+    from datetime import datetime, timedelta
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.aggregates import session_window_agg
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.windows import sessionize
+
+    GAP = 600  # seconds
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(
+        st.lists(
+            st.tuples(
+                st.sampled_from(["a", "b"]),
+                st.integers(min_value=0, max_value=5000),
+            ),
+            min_size=1,
+            max_size=30,
+        )
+    )
+    def check(rows):
+        base = datetime(2024, 1, 1)
+        df = spark.createDataFrame(
+            [(k, base + timedelta(seconds=s)) for k, s in rows],
+            "k string, ts timestamp",
+        )
+        composed = (
+            sessionize(df, "k", "ts", GAP)
+            .groupBy("k", "session_id")
+            .count()
+            .collect()
+        )
+        native = session_window_agg(
+            df, "k", "ts", f"{GAP} seconds", [F.count("*").alias("count")]
+        ).collect()
+        assert Counter((r["k"], r["count"]) for r in composed) == Counter(
+            (r["k"], r["count"]) for r in native
+        )
+
+    check()

@@ -293,3 +293,22 @@ def test_correlated_subquery_decorrelates(spark, sf_dir):
     p = plan(q)
     assert "Join" in p
     assert "HashAggregate" in p
+
+
+def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
+    """The S10 write scheme must actually prune at read: a predicate on
+    the partition column becomes a PartitionFilter (directory skip),
+    never a row filter over the full scan."""
+    from etl_based_real_time_air_quality_monitoring_system_spark.sources.writers import write_partitioned_parquet
+
+    events = load_table(spark, sf_dir, "events")
+    out = str(tmp_path / "events_by_type")
+    write_partitioned_parquet(events, out, partition_cols=("event_type",))
+    q = spark.read.parquet(out).filter(F.col("event_type") == "purchase")
+    p = plan(q)
+    assert "PartitionFilters: [isnotnull(event_type" in p
+    # the predicate must NOT degrade to a data filter (the line is
+    # either absent entirely or printed empty)
+    assert "PushedFilters: []" in p or "PushedFilters" not in p
+    n_match = events.filter(F.col("event_type") == "purchase").count()
+    assert q.count() == n_match
