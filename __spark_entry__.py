@@ -1291,7 +1291,8 @@ def _oracle_sql_literal() -> dict[str, str]:
             ),
             banded AS (SELECT event_type, {_AQI_CASE} AS band, value FROM clean)
             SELECT event_type, band,
-                   round(avg(value), 2) AS avg_value,
+                   round(sum(value::DECIMAL(20,6))::DOUBLE / count(*), 2)
+                       AS avg_value,
                    round(min(value), 2) AS min_value,
                    round(max(value), 2) AS max_value,
                    count(*) AS record_count

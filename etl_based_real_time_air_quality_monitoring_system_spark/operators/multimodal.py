@@ -144,3 +144,48 @@ def frame_sample(df: DataFrame, n_frames: int = 4) -> DataFrame:
         F.posexplode(frames).alias("frame_index", "frame_payload"),
     )
     return out.filter(F.length("frame_payload") > 0)
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("modality", T.StringType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+    ]
+)
+
+
+def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
+    """Arrow-batched image resize seam via ``mapInPandas``.
+
+    The real body is decode -> resample -> re-encode (PIL's
+    ``Image.resize``); no codec ships in this container, so the
+    deterministic stand-in emulates the *shape contract*: output
+    payload length is exactly ``width*height`` bytes derived from the
+    input payload (truncate/cycle), and the declared meta dimensions
+    are rewritten.  Everything a production build keeps — batch
+    iteration, binary in/out schema, no shuffle, output partitioning
+    following input — is real and tested.
+    """
+    target = width * height
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            def body(p) -> bytes:
+                src = bytes(p) if p is not None else b"\0"
+                reps = -(-target // len(src))  # ceil-div: cycle payload
+                return (src * reps)[:target]
+
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "modality": pdf["modality"],
+                    "payload": pdf["payload"].map(body),
+                    "width": width,
+                    "height": height,
+                }
+            )
+
+    return df.mapInPandas(run, RESIZED_SCHEMA)

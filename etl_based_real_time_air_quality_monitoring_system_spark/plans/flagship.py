@@ -35,10 +35,18 @@ def flagship_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         exact_dedup(events), ["event_type", "ts", "value"]
     )
     banded = clean.withColumn("band", aqi_band("value"))
+    # avg via decimal sum / count: a float avg is summation-order-
+    # sensitive, and on small groups the last ulp can sit exactly on a
+    # round() boundary (observed at sf0.001) — the decimal sum is exact
+    # and associative, so the pre-round quotient is bit-identical in
+    # any engine
+    exact_avg = (
+        F.sum(F.col("value").cast("decimal(20,6)")).cast("double") / F.count("*")
+    )
     return (
         banded.groupBy("event_type", "band")
         .agg(
-            F.round(F.avg("value"), 2).alias("avg_value"),
+            F.round(exact_avg, 2).alias("avg_value"),
             F.round(F.min("value"), 2).alias("min_value"),
             F.round(F.max("value"), 2).alias("max_value"),
             F.count("*").alias("record_count"),

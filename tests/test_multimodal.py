@@ -50,3 +50,23 @@ def test_frame_sample(spark):
 def test_decode_real_is_stub():
     with pytest.raises(NotImplementedError):
         decode_real(b"bytes", "image")
+
+
+def test_resize_images_shape_contract(spark):
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.multimodal import (
+        resize_images,
+        synthesize_assets,
+    )
+
+    assets = synthesize_assets(spark, 6, "image")
+    out = resize_images(assets, 8, 4)
+    rows = out.collect()
+    assert len(rows) == 6
+    assert all(len(r["payload"]) == 32 for r in rows)
+    assert all((r["width"], r["height"]) == (8, 4) for r in rows)
+    # deterministic: same input -> byte-identical output
+    again = {r["asset_id"]: bytes(r["payload"]) for r in resize_images(assets, 8, 4).collect()}
+    assert {r["asset_id"]: bytes(r["payload"]) for r in rows} == again
+    # no shuffle: the seam is a pure mapInPandas over the scan
+    p = out._sc._jvm.PythonSQLUtils.explainString(out._jdf.queryExecution(), "formatted")
+    assert "Exchange" not in p
