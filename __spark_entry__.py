@@ -56,6 +56,7 @@ from etl_based_real_time_air_quality_monitoring_system_spark.operators.joins imp
     asof_join,
     broadcast_join,
     range_join,
+    salted_join,
     semi_join,
     star_join,
 )
@@ -304,6 +305,26 @@ def _q_join_revenue_by_segment(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_salted_revenue_by_segment(spark: SparkSession, sf: str) -> DataFrame:
+    # the skew-salting path IN the gate: same aggregate as
+    # join_revenue_by_segment but routed through salted_join (hot keys
+    # spread over 8 shuffle partitions).  Decimal sums because the salt
+    # changes summation order — float totals would drift a ulp from the
+    # oracle's sequential sum.
+    orders = load_table(spark, sf, "orders")
+    customer = load_table(spark, sf, "customer")
+    joined = salted_join(
+        orders, customer, "o_custkey", "c_custkey",
+        salt_from="o_orderkey", n_salts=8,
+    )
+    return joined.groupBy("c_mktsegment").agg(
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(20,6)")), 2)
+        .cast("double")
+        .alias("total_revenue"),
+        F.count("*").alias("order_count"),
+    )
+
+
 def _q_join_star_region(spark: SparkSession, sf: str) -> DataFrame:
     # star join: chained broadcast dims, fact scanned once
     orders = load_table(spark, sf, "orders")
@@ -453,9 +474,14 @@ def _q_user_sessions(spark: SparkSession, sf: str) -> DataFrame:
     per_session = s.groupBy("user_id", "session_id").agg(
         F.count("*").alias("n_events")
     )
+    # half-up via floor: avg of small-int counts lands exactly on .xx5
+    # (e.g. 17/8), where Spark HALF_UP vs DuckDB HALF_EVEN round()
+    # disagree — floor(x*100 + 0.5)/100 is identical IEEE math in both
     return per_session.groupBy("user_id").agg(
         F.count("*").alias("session_count"),
-        F.round(F.avg("n_events"), 2).alias("avg_session_events"),
+        (F.floor(F.avg("n_events") * 100 + F.lit(0.5)) / 100).alias(
+            "avg_session_events"
+        ),
         F.max("n_events").alias("max_session_events"),
     )
 
@@ -1166,6 +1192,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_user_event": _q_distinct_user_event,
         "notnull_count": _q_notnull_count,
         "join_revenue_by_segment": _q_join_revenue_by_segment,
+        "salted_revenue_by_segment": _q_salted_revenue_by_segment,
         "join_star_region": _q_join_star_region,
         "customers_with_orders": _q_customers_with_orders,
         "customers_without_orders": _q_customers_without_orders,
@@ -1413,6 +1440,14 @@ def _oracle_sql_literal() -> dict[str, str]:
             FROM orders JOIN customer ON o_custkey = c_custkey
             GROUP BY c_mktsegment
         """,
+        "salted_revenue_by_segment": """
+            SELECT c_mktsegment,
+                   round(sum(o_totalprice::DECIMAL(20,6)), 2)::DOUBLE
+                       AS total_revenue,
+                   count(*) AS order_count
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment
+        """,
         "join_star_region": """
             SELECT r_name,
                    round(sum(o_totalprice), 2) AS total_revenue,
@@ -1514,13 +1549,13 @@ def _oracle_sql_literal() -> dict[str, str]:
         """,
         "text_quality": rf"""
             WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents)
-            SELECT doc_id, round(
+            SELECT doc_id, floor((
                 0.4::DOUBLE * least(len(toks)::DOUBLE / 100.0::DOUBLE, 1.0::DOUBLE)
               + 0.3::DOUBLE * (len(list_distinct(toks))::DOUBLE / len(toks)::DOUBLE)
               + 0.3::DOUBLE * (1.0::DOUBLE
                     - len(list_filter(toks, x -> x IN {_STOP_SQL}))::DOUBLE
-                      / len(toks)::DOUBLE),
-              4) AS quality
+                      / len(toks)::DOUBLE)
+              ) * 10000.0 + 0.5) / 10000.0 AS quality
             FROM t
         """,
         "doc_fingerprints": r"""
@@ -1538,13 +1573,13 @@ def _oracle_sql_literal() -> dict[str, str]:
             ),
             profiled AS (
                 SELECT doc_id, source,
-                       round(
+                       floor((
                            0.4::DOUBLE * least(len(toks)::DOUBLE / 100.0::DOUBLE, 1.0::DOUBLE)
                          + 0.3::DOUBLE * (len(list_distinct(toks))::DOUBLE / len(toks)::DOUBLE)
                          + 0.3::DOUBLE * (1.0::DOUBLE
                                - len(list_filter(toks, x -> x IN {_STOP_SQL}))::DOUBLE
-                                 / len(toks)::DOUBLE),
-                           4) AS quality,
+                                 / len(toks)::DOUBLE)
+                           ) * 10000.0 + 0.5) / 10000.0 AS quality,
                        CAST(len(toks) AS INTEGER) AS n_tokens,
                        len(list_filter(ltoks, x -> x IN ('the','and','of','to','a'))) AS s_en,
                        len(list_filter(ltoks, x -> x IN ('el','la','de','que','y'))) AS s_es,
@@ -1749,7 +1784,8 @@ def _oracle_sql_literal() -> dict[str, str]:
             )
             SELECT user_id,
                    count(*) AS session_count,
-                   round(avg(n_events), 2) AS avg_session_events,
+                   floor(avg(n_events) * 100 + 0.5) / 100
+                       AS avg_session_events,
                    max(n_events) AS max_session_events
             FROM ps GROUP BY user_id
         """,
@@ -2011,13 +2047,13 @@ def _oracle_sql_literal() -> dict[str, str]:
             ),
             profiled AS (
                 SELECT doc_id, source,
-                       round(
+                       floor((
                            0.4::DOUBLE * least(len(toks)::DOUBLE / 100.0::DOUBLE, 1.0::DOUBLE)
                          + 0.3::DOUBLE * (len(list_distinct(toks))::DOUBLE / len(toks)::DOUBLE)
                          + 0.3::DOUBLE * (1.0::DOUBLE
                                - len(list_filter(toks, x -> x IN {_STOP_SQL}))::DOUBLE
-                                 / len(toks)::DOUBLE),
-                           4) AS quality,
+                                 / len(toks)::DOUBLE)
+                           ) * 10000.0 + 0.5) / 10000.0 AS quality,
                        CAST(len(toks) AS INTEGER) AS n_tokens,
                        len(list_filter(ltoks, x -> x IN ('the','and','of','to','a'))) AS s_en,
                        len(list_filter(ltoks, x -> x IN ('el','la','de','que','y'))) AS s_es,

@@ -100,7 +100,12 @@ def quality_score_of(toks: Column, scale: int = 4) -> Column:
         + F.lit(0.3) * ttr
         + F.lit(0.3) * (F.lit(1.0) - stop_ratio)
     )
-    return F.round(score, scale)
+    # half-up via floor, not round(): the score is a ratio of small
+    # integers and lands EXACTLY on .00005 halves, where Spark's
+    # HALF_UP and DuckDB's HALF_EVEN disagree (observed at sf0.1);
+    # floor(x*10^s + 0.5)/10^s is the same IEEE arithmetic everywhere
+    pow10 = float(10**scale)
+    return F.floor(score * F.lit(pow10) + F.lit(0.5)) / F.lit(pow10)
 
 
 def quality_score(text: Column | str, scale: int = 4) -> Column:
