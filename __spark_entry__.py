@@ -1016,6 +1016,32 @@ def _q_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_dq_report(spark: SparkSession, sf: str) -> DataFrame:
+    # the reference's promised-but-unbuilt "Automated Data Quality
+    # Checks" (README.md:46-53) as a one-pass operator: every check is
+    # a conditional sum in ONE aggregation over ONE scan
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.dq import (
+        dq_report,
+        in_range_check,
+        in_set_check,
+        not_null_check,
+    )
+
+    events = load_table(spark, sf, "events")
+    return dq_report(
+        events,
+        checks={
+            "user_id_null": not_null_check("user_id"),
+            "ts_null": not_null_check("ts"),
+            "value_out_of_range": in_range_check("value", 0.0, 250.0),
+            "event_type_unknown": in_set_check(
+                "event_type", ["click", "view", "purchase", "error"]
+            ),
+        },
+        unique_keys=["event_id"],
+    )
+
+
 def _q_latest_value_max_by(spark: SparkSession, sf: str) -> DataFrame:
     # A11 (latest reading) as a single max_by/arg_max aggregate — no
     # window, no self-join: one partial+final hash aggregation.
@@ -1177,6 +1203,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "acctbal_range": _q_acctbal_range,
         "priority_counts": _q_priority_counts,
         "latest_event_per_type": _q_latest_event_per_type,
+        "dq_report": _q_dq_report,
         "latest_value_max_by": _q_latest_value_max_by,
         "value_histogram": _q_value_histogram,
         "priority_except_all": _q_priority_except_all,
@@ -1805,6 +1832,35 @@ def _oracle_sql_literal() -> dict[str, str]:
                    round(avg(value), 2) AS avg_value
             FROM events JOIN bands ON value >= lo AND value < hi
             GROUP BY band
+        """,
+        "dq_report": """
+            WITH wide AS (
+                SELECT
+                    count(*) FILTER (WHERE user_id IS NULL) AS user_id_null,
+                    count(*) FILTER (WHERE ts IS NULL) AS ts_null,
+                    count(*) FILTER (WHERE value IS NOT NULL
+                        AND value NOT BETWEEN 0.0 AND 250.0)
+                        AS value_out_of_range,
+                    count(*) FILTER (WHERE event_type IS NOT NULL
+                        AND event_type NOT IN
+                            ('click','view','purchase','error'))
+                        AS event_type_unknown,
+                    count(*) - count(DISTINCT event_id) AS event_id_dup,
+                    count(*) AS total_rows
+                FROM events
+            )
+            SELECT 'user_id_null' AS check_name,
+                   user_id_null AS violations, total_rows FROM wide
+            UNION ALL
+            SELECT 'ts_null', ts_null, total_rows FROM wide
+            UNION ALL
+            SELECT 'value_out_of_range', value_out_of_range, total_rows
+            FROM wide
+            UNION ALL
+            SELECT 'event_type_unknown', event_type_unknown, total_rows
+            FROM wide
+            UNION ALL
+            SELECT 'event_id_dup', event_id_dup, total_rows FROM wide
         """,
         "latest_value_max_by": f"""
             SELECT event_type,

@@ -383,3 +383,47 @@ def ivf_topk(
         F.col(id_col), F.round(cosine(F.col("_e"), vec_lit(qv)), scale).alias("cosine_sim")
     )
     return scored.orderBy(F.desc("cosine_sim"), F.col(id_col)).limit(k)
+
+
+def ivf_centroids_kmeans(
+    df: DataFrame,
+    id_col: str,
+    emb_col: str,
+    n_centroids: int = 8,
+    iters: int = 3,
+    sample_fraction: float | None = None,
+) -> np.ndarray:
+    """Lloyd-refined IVF centroids: start from the deterministic
+    first-k init (ivf_centroids) and run ``iters`` distributed k-means
+    steps — assign (zero-shuffle JVM argmax) then per-cluster mean via
+    posexplode -> groupBy(cluster, dim).avg.
+
+    Each iteration is one scan + one narrow (cluster_id, dim, value)
+    shuffle; only k*d floats ever reach the driver.  At 100 TB pass
+    ``sample_fraction`` — centroid quality needs a sample, not the
+    corpus (deterministic seed, so runs are reproducible).  Refinement
+    shifts recall/balance only, never correctness: probing re-scores
+    candidates exactly, and exhaustive probing equals brute force
+    regardless of where the centroids sit.
+    """
+    base = df.select(F.col(id_col), _as_double_array(emb_col).alias("_e"))
+    if sample_fraction is not None:
+        base = base.sample(fraction=sample_fraction, seed=42)
+    centroids = ivf_centroids(base, id_col, "_e", n_centroids)
+    dim = centroids.shape[1]
+    for _ in range(iters):
+        assigned = ivf_assign(base, "_e", centroids)
+        means = (
+            assigned.select("cluster_id", F.posexplode("_e").alias("dim", "v"))
+            .groupBy("cluster_id", "dim")
+            .agg(F.avg("v").alias("m"))
+            .collect()
+        )
+        nxt = centroids.copy()  # clusters that lost all members keep position
+        seen = {}
+        for r in means:
+            seen.setdefault(r["cluster_id"], np.zeros(dim))[r["dim"]] = r["m"]
+        for cid, vec in seen.items():
+            nxt[cid] = vec
+        centroids = nxt
+    return centroids

@@ -331,3 +331,44 @@ def test_sessionize_equals_session_window_hypothesis(spark):
         )
 
     check()
+
+
+def test_dq_report_one_pass(spark):
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.dq import (
+        dq_report,
+        in_range_check,
+        in_set_check,
+        not_null_check,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "a", 10.0),
+            (1, "a", 999.0),   # dup id + out of range
+            (2, None, 50.0),   # null kind
+            (3, "zz", None),   # unknown kind; NULL value must NOT violate range
+        ],
+        "id int, kind string, v double",
+    )
+    out = {
+        r["check_name"]: (r["violations"], r["total_rows"])
+        for r in dq_report(
+            df,
+            checks={
+                "kind_null": not_null_check("kind"),
+                "v_range": in_range_check("v", 0, 100),
+                "kind_set": in_set_check("kind", ["a", "b"]),
+            },
+            unique_keys=["id"],
+        ).collect()
+    }
+    assert out == {
+        "kind_null": (1, 4),
+        "v_range": (1, 4),
+        "kind_set": (1, 4),
+        "id_dup": (1, 4),
+    }
+    # the whole report is ONE aggregation over ONE scan
+    rep = dq_report(df, checks={"kind_null": not_null_check("kind")})
+    p = rep._sc._jvm.PythonSQLUtils.explainString(rep._jdf.queryExecution(), "formatted")
+    assert p.count("(1) Scan") <= 1

@@ -173,3 +173,40 @@ def test_cosine_near_dup_gemm_matches_fold(emb):
         assert abs(sim - th) < 5e-6, f"{diff} sim={sim} differs beyond boundary noise"
     for k in set(fold) & set(gemm):
         assert abs(fold[k] - gemm[k]) <= 1e-6
+
+
+def test_ivf_kmeans_refined_centroids(spark, sf_dir):
+    import numpy as np
+
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_centroids,
+        ivf_centroids_kmeans,
+        ivf_topk,
+    )
+    from etl_based_real_time_air_quality_monitoring_system_spark.sources.readers import load_table
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    row = emb.filter(F.col("vec_id") == 0).head()
+    q = [float(x) for x in row["embedding"]]
+
+    refined = ivf_centroids_kmeans(emb, "vec_id", "embedding", n_centroids=4, iters=2)
+    naive = ivf_centroids(emb, "vec_id", "embedding", n_centroids=4)
+    assert refined.shape == naive.shape
+    assert not np.allclose(refined, naive)  # Lloyd steps moved them
+    # determinism: same input -> identical centroids
+    again = ivf_centroids_kmeans(emb, "vec_id", "embedding", n_centroids=4, iters=2)
+    assert np.allclose(refined, again)
+
+    # correctness invariant: exhaustive probe == brute force regardless
+    # of centroid placement
+    exact = [r["vec_id"] for r in brute_force_topk(emb, "vec_id", "embedding", q, k=5).collect()]
+    ivf = [
+        r["vec_id"]
+        for r in ivf_topk(
+            emb, "vec_id", "embedding", q, k=5,
+            n_centroids=4, n_probe=4, centroids=refined,
+        ).collect()
+    ]
+    assert ivf == exact
