@@ -1138,6 +1138,28 @@ def _q_sliding_window_counts(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_value_rankings(spark: SparkSession, sf: str) -> DataFrame:
+    # the full ranking-function family in ONE window (one shuffle on
+    # event_type, one sort): rank / dense_rank / ntile / percent_rank.
+    # (value, event_id) ordering is unique -> every function is
+    # deterministic; percent_rank is an exact ratio of small ints so
+    # the doubles are bit-identical across engines.
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf, "events")
+    w = Window.partitionBy("event_type").orderBy(
+        F.desc("value"), F.asc("event_id")
+    )
+    return events.select(
+        "event_type",
+        "event_id",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("dense_rnk"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+    )
+
+
 def _q_moving_sum_user_value(spark: SparkSession, sf: str) -> DataFrame:
     # ROWS-frame sliding aggregate: trailing 4-row sum per user in
     # (ts, event_id) order — decimal so the tiny frame sums don't hit
@@ -1240,6 +1262,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q1": _q_tpch_q1,
         "tpch_q18": _q_tpch_q18,
         "sliding_window_counts": _q_sliding_window_counts,
+        "value_rankings": _q_value_rankings,
         "moving_sum_user_value": _q_moving_sum_user_value,
         "trailing_hour_count": _q_trailing_hour_count,
         "levenshtein_near_dup": _q_levenshtein_near_dup,
@@ -1924,6 +1947,17 @@ def _oracle_sql_literal() -> dict[str, str]:
                    round(sum(value::DECIMAL(20,6)), 2)::DOUBLE AS value_sum
             FROM expanded
             GROUP BY window_start, event_type
+        """,
+        "value_rankings": """
+            SELECT event_type, event_id,
+                   rank() OVER w AS rnk,
+                   dense_rank() OVER w AS dense_rnk,
+                   ntile(4) OVER w AS quartile,
+                   percent_rank() OVER w AS pct_rank
+            FROM events
+            WINDOW w AS (
+                PARTITION BY event_type ORDER BY value DESC, event_id ASC
+            )
         """,
         "moving_sum_user_value": """
             SELECT user_id, event_id,
