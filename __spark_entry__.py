@@ -861,6 +861,23 @@ def _q_multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_top_tokens(spark: SparkSession, sf: str) -> DataFrame:
+    # the canonical wordcount shape: explode tokens -> partial+final
+    # count -> TakeOrderedAndProject(50).  The generator runs inside
+    # the scan stage (no pre-shuffle materialization); only (token,
+    # partial count) rows shuffle.
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.text import tokens
+
+    docs = load_table(spark, sf, "documents")
+    return (
+        docs.select(F.explode(tokens(F.lower(F.col("text")))).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("occurrences"))
+        .orderBy(F.desc("occurrences"), F.asc("token"))
+        .limit(50)
+    )
+
+
 def _q_corpus_filter(spark: SparkSession, sf: str) -> DataFrame:
     # the canonical pretraining-corpus filter: quality score + lang-ID
     # + token-count bounds composed in ONE scan — tokenized ONCE per
@@ -1283,6 +1300,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_fingerprints": _q_rolling_fingerprints,
         "multimodal_features": _q_multimodal_features,
         "lang_pred_counts": _q_lang_pred_counts,
+        "top_tokens": _q_top_tokens,
         "corpus_filter": _q_corpus_filter,
         "corpus_pipeline": _q_corpus_pipeline,
         "ngram_jaccard": _q_ngram_jaccard,
@@ -1653,6 +1671,17 @@ def _oracle_sql_literal() -> dict[str, str]:
                    round(avg(quality), 4) AS avg_quality,
                    round(avg(n_tokens), 2) AS avg_tokens
             FROM kept GROUP BY source
+        """,
+        "top_tokens": r"""
+            SELECT token, count(*) AS occurrences
+            FROM (
+                SELECT unnest(string_split_regex(trim(lower(text)), '\s+'))
+                           AS token
+                FROM documents
+            )
+            GROUP BY token
+            ORDER BY occurrences DESC, token ASC
+            LIMIT 50
         """,
         "lang_pred_counts": rf"""
             WITH t AS (
