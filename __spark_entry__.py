@@ -1132,6 +1132,34 @@ def _q_tpch_q18(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_tpch_q10(spark: SparkSession, sf: str) -> DataFrame:
+    # TPC-H Q10 (returned-item reporting): one quarter of orders,
+    # returned lineitems only, revenue per customer with nation name.
+    # lineitem is the only shuffled side — orders is date-filtered then
+    # broadcast, customer and nation broadcast; top-20 compiles to
+    # TakeOrderedAndProject.  Decimal revenue for cross-engine
+    # exactness.
+    li = load_table(spark, sf, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = load_table(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-10-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp"))
+    )
+    cust = load_table(spark, sf, "customer")
+    nation = load_table(spark, sf, "nation")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(20,6)"
+    )
+    return (
+        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.round(F.sum(rev), 2).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
 def _q_sliding_window_counts(spark: SparkSession, sf: str) -> DataFrame:
     # overlapping (sliding) event-time windows: 2 h width, 1 h slide —
     # each event lands in exactly two windows.  Spark expands the
@@ -1277,6 +1305,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_percentiles": _q_value_percentiles,
         "range_band_join": _q_range_band_join,
         "tpch_q1": _q_tpch_q1,
+        "tpch_q10": _q_tpch_q10,
         "tpch_q18": _q_tpch_q18,
         "sliding_window_counts": _q_sliding_window_counts,
         "value_rankings": _q_value_rankings,
@@ -1945,6 +1974,21 @@ def _oracle_sql_literal() -> dict[str, str]:
             SELECT o_orderpriority FROM orders
             WHERE o_orderdate >= TIMESTAMP '1995-07-01'
               AND o_orderdate < TIMESTAMP '1996-01-01'
+        """,
+        "tpch_q10": """
+            SELECT c_custkey, c_name, c_acctbal, n_name,
+                   round(sum((l_extendedprice * (1 - l_discount))
+                             ::DECIMAL(20,6)), 2)::DOUBLE AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            WHERE l_returnflag = 'R'
+              AND o_orderdate >= TIMESTAMP '1995-10-01'
+              AND o_orderdate < TIMESTAMP '1996-01-01'
+            GROUP BY c_custkey, c_name, c_acctbal, n_name
+            ORDER BY revenue DESC, c_custkey ASC
+            LIMIT 20
         """,
         "tpch_q18": """
             SELECT c_name, c_custkey, o_orderkey, o_orderdate,

@@ -31,6 +31,7 @@ HEADLINE = [
     "tpch_q3",
     "tpch_q5",
     "tpch_q6",
+    "tpch_q10",
     "tpch_q18",
     "grouped_stats",
     "multikey_summary",
