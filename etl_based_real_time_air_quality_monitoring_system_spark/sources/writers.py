@@ -20,10 +20,20 @@ def write_partitioned_parquet(
     path: str,
     partition_cols: tuple[str, ...] = ("location", "year", "month"),
     mode: str = "overwrite",
+    sort_cols: tuple[str, ...] = (),
 ) -> None:
     """S10 — reference partitioning scheme ``location, year, month``
     (spark_processor.py:204) so later per-location / per-date predicates
-    prune whole directories at 100 TB."""
+    prune whole directories at 100 TB.
+
+    ``sort_cols`` additionally sorts rows WITHIN each write task
+    (``sortWithinPartitions`` — no extra shuffle): parquet then gets
+    tight per-row-group min/max stats on those columns, so point/range
+    predicates skip row groups inside the files that directory pruning
+    can't skip.  Sort by the columns your queries filter on most (e.g.
+    the event timestamp)."""
+    if sort_cols:
+        df = df.sortWithinPartitions(*sort_cols)
     df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
 
 

@@ -115,3 +115,25 @@ def test_register_views_sql_surface(spark, sf_dir):
     assert sorted(map(tuple, sql_rows)) == sorted(map(tuple, api_rows))
     # events view carries the nanos->timestamp normalization
     assert dict(spark.table("events").dtypes)["ts"] == "timestamp"
+
+
+def test_partitioned_write_sort_within_partitions(spark, sf_dir, tmp_path):
+    """sort_cols must cluster rows inside each parquet file (tight
+    min/max row-group stats for skipping) without adding a shuffle."""
+    from etl_based_real_time_air_quality_monitoring_system_spark.sources.readers import load_table
+    from etl_based_real_time_air_quality_monitoring_system_spark.sources.writers import write_partitioned_parquet
+
+    events = load_table(spark, sf_dir, "events")
+    out = str(tmp_path / "sorted_events")
+    write_partitioned_parquet(
+        events, out, partition_cols=("event_type",), sort_cols=("ts",)
+    )
+    import glob
+
+    import pyarrow.parquet as pq
+
+    files = glob.glob(f"{out}/*/*.parquet")
+    assert files
+    for f in files[:4]:
+        ts = pq.read_table(f, columns=["ts"])["ts"].to_pylist()
+        assert ts == sorted(ts), f"rows not ts-sorted within {f}"
