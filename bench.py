@@ -42,6 +42,7 @@ HEADLINE = [
     "props_k_stats",
     "join_star_region",
     "running_user_value",
+    "value_rankings",
     "moving_sum_user_value",
     "trailing_hour_count",
     "sliding_window_counts",
@@ -53,6 +54,8 @@ HEADLINE = [
     "value_percentiles",
     "range_band_join",
     "text_stats",
+    "top_tokens",
+    "dq_report",
     "corpus_filter",
     "corpus_pipeline",
     "doc_fingerprints",
