@@ -7,7 +7,10 @@ values (columns sorted by name, rows sorted, exact equality with a
 float-diff report on mismatch).
 
 Usage:  python tools/oracle_check.py [sf_dir] [query ...]
-Default sf_dir: /root/testdata/sf0.01
+        python tools/oracle_check.py --all-sf [query ...]
+Default sf_dir: /root/testdata/sf0.01; --all-sf sweeps
+sf0.001 + sf0.01 + sf0.1 (the robustness sweep that caught both
+observed cross-engine drift classes).
 """
 
 from __future__ import annotations
@@ -77,7 +80,22 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[
 
 def main() -> int:
     args = sys.argv[1:]
+    if args and args[0] == "--all-sf":
+        # the standard robustness sweep: the gate runs at sf0.01, but
+        # value drift (float summation order, exact-half rounding) is
+        # data-dependent — both observed classes surfaced ONLY at
+        # sf0.001 / sf0.1
+        args.pop(0)
+        rc = 0
+        for sf in ("0.001", "0.01", "0.1"):
+            print(f"===== sf{sf}")
+            rc |= run_one(f"/root/testdata/sf{sf}", args)
+        return rc
     sf_dir = args.pop(0) if args and "/" in args[0] else "/root/testdata/sf0.01"
+    return run_one(sf_dir, args)
+
+
+def run_one(sf_dir: str, args: list[str]) -> int:
     spark = get_session("oracle-check")
     con = duckdb.connect()
     for t in TESTDATA_TABLES:
