@@ -372,3 +372,22 @@ def test_dq_report_one_pass(spark):
     rep = dq_report(df, checks={"kind_null": not_null_check("kind")})
     p = rep._sc._jvm.PythonSQLUtils.explainString(rep._jdf.queryExecution(), "formatted")
     assert p.count("(1) Scan") <= 1
+
+
+def test_approx_percentile_close_to_exact(spark, sf_dir):
+    """approx_percentile (t-digest-free sketch, constant memory) must
+    land within 2% relative error of the exact interpolated quantile —
+    the scale path when exact percentile_cont's full sort is too
+    expensive.  Not oracle-checked (sketch internals are
+    engine-specific by nature); tolerance-tested instead."""
+    from etl_based_real_time_air_quality_monitoring_system_spark.sources.readers import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    approx = events.agg(
+        F.percentile_approx("value", [0.5, 0.9], 10000).alias("a")
+    ).head()["a"]
+    exact = events.agg(
+        F.expr("percentile(value, array(0.5, 0.9))").alias("e")
+    ).head()["e"]
+    for a, e in zip(approx, exact):
+        assert abs(a - e) / e < 0.02, (a, e)
