@@ -47,6 +47,17 @@ def prepare(spark: SparkSession) -> SparkSession:
             # Non-runtime-settable conf on this build — leave the
             # session's value in place rather than failing the query.
             pass
+    try:
+        # AQE coalescing fixes oversized BATCH shuffles at runtime, but
+        # stateful STREAMING operators disable AQE and would run the
+        # Spark default 200 state partitions on a vanilla session
+        # (observed in the driver harness).  Only right-size when the
+        # session still has the untouched default — a deliberate
+        # builder-time setting (get_session, tests) is respected.
+        if spark.conf.get("spark.sql.shuffle.partitions") == "200":
+            spark.conf.set("spark.sql.shuffle.partitions", "32")
+    except Exception:
+        pass
     return spark
 
 
