@@ -861,6 +861,19 @@ def _q_multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_train_test_split(spark: SparkSession, sf: str) -> DataFrame:
+    # deterministic content-hash split (md5-bucket, no RNG): stable
+    # under repartitioning and bit-identical in any engine — the split
+    # counts per source are therefore exactly oracle-checkable
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.sampling import train_test_split
+
+    docs = load_table(spark, sf, "documents")
+    tagged = train_test_split(docs, "doc_id", test_pct=10)
+    return tagged.groupBy("source", "split").agg(
+        F.count("*").alias("doc_count")
+    )
+
+
 def _q_top_tokens(spark: SparkSession, sf: str) -> DataFrame:
     # the canonical wordcount shape: explode tokens -> partial+final
     # count -> TakeOrderedAndProject(50).  The generator runs inside
@@ -1329,6 +1342,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_fingerprints": _q_rolling_fingerprints,
         "multimodal_features": _q_multimodal_features,
         "lang_pred_counts": _q_lang_pred_counts,
+        "train_test_split": _q_train_test_split,
         "top_tokens": _q_top_tokens,
         "corpus_filter": _q_corpus_filter,
         "corpus_pipeline": _q_corpus_pipeline,
@@ -1700,6 +1714,16 @@ def _oracle_sql_literal() -> dict[str, str]:
                    round(avg(quality), 4) AS avg_quality,
                    round(avg(n_tokens), 2) AS avg_tokens
             FROM kept GROUP BY source
+        """,
+        "train_test_split": """
+            SELECT source,
+                   CASE WHEN ('0x' || substr(
+                            md5('split:v1' || doc_id::VARCHAR), 1, 7)
+                        )::BIGINT % 100 < 10
+                        THEN 'test' ELSE 'train' END AS split,
+                   count(*) AS doc_count
+            FROM documents
+            GROUP BY 1, 2
         """,
         "top_tokens": r"""
             SELECT token, count(*) AS occurrences

@@ -1,0 +1,42 @@
+"""Deterministic sampling / splitting for training-data pipelines.
+
+The scale-correct way to carve train/val/test out of a 100 TB corpus
+is NOT ``df.randomSplit`` (RNG state per partition — resplits when
+partitioning changes, irreproducible across engines): it is a
+content-addressed hash split — ``bucket = md5(salt || id) % 100`` —
+which is stable under repartitioning, reproducible in any engine with
+md5 (hence DuckDB-oracle-checkable), and lets you grow/shrink the
+split later by moving the threshold without reshuffling history.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def hash_bucket(id_col: Column | str, n_buckets: int = 100, salt: str = "split:v1") -> Column:
+    """Stable bucket in [0, n_buckets): first 7 hex chars of
+    md5(salt || id) as an integer, mod n_buckets.  28 bits of hash is
+    plenty for split assignment and stays exact in 64-bit arithmetic
+    everywhere."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    h = F.md5(F.concat(F.lit(salt), c.cast("string")).cast("binary"))
+    return (F.conv(F.substring(h, 1, 7), 16, 10).cast("long") % n_buckets).cast(
+        "int"
+    )
+
+
+def train_test_split(
+    df: DataFrame,
+    id_col: str,
+    test_pct: int = 10,
+    salt: str = "split:v1",
+    alias: str = "split",
+) -> DataFrame:
+    """Tag each row 'test' (bucket < test_pct) or 'train' — a pure
+    narrow projection: no shuffle, no RNG, no state; re-running on any
+    partitioning of the same data yields the identical split."""
+    bucket = hash_bucket(id_col, 100, salt)
+    return df.withColumn(
+        alias, F.when(bucket < test_pct, F.lit("test")).otherwise(F.lit("train"))
+    )

@@ -391,3 +391,24 @@ def test_approx_percentile_close_to_exact(spark, sf_dir):
     ).head()["e"]
     for a, e in zip(approx, exact):
         assert abs(a - e) / e < 0.02, (a, e)
+
+
+def test_hash_split_stable_under_repartitioning(spark, sf_dir):
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.sampling import train_test_split
+    from etl_based_real_time_air_quality_monitoring_system_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    a = {r["doc_id"]: r["split"] for r in train_test_split(docs, "doc_id").collect()}
+    b = {
+        r["doc_id"]: r["split"]
+        for r in train_test_split(docs.repartition(13), "doc_id").collect()
+    }
+    assert a == b  # content-addressed: partitioning can't move rows
+    frac = sum(1 for v in a.values() if v == "test") / len(a)
+    assert 0.05 < frac < 0.15  # ~10% with hash noise at 500 docs
+    # different salt -> different split (versioned splits)
+    c = {
+        r["doc_id"]: r["split"]
+        for r in train_test_split(docs, "doc_id", salt="split:v2").collect()
+    }
+    assert a != c
