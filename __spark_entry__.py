@@ -1173,6 +1173,232 @@ def _q_tpch_q10(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_tpch_q4(spark: SparkSession, sf: str) -> DataFrame:
+    # TPC-H Q4 (order-priority checking), adapted: the testdata schema
+    # has no l_commitdate/l_receiptdate, so the EXISTS predicate is
+    # "some lineitem shipped after the order date".  Shape is the
+    # point: LEFT SEMI join with a compound (equi + inequality)
+    # condition — the non-equi part rides along on the equi sort-merge
+    # and never expands rows, then a tiny grouped count.
+    orders = load_table(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf, "lineitem").select("l_orderkey", "l_shipdate")
+    shipped = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > orders.o_orderdate),
+        "left_semi",
+    )
+    return (
+        shipped.groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def _q_tpch_q7(spark: SparkSession, sf: str) -> DataFrame:
+    # TPC-H Q7 (volume shipping): bidirectional nation-pair trade flow.
+    # Both nation dims are pre-filtered to the two names so the
+    # broadcast joins drop ~92% of lineitem before the single
+    # fact-fact shuffle on the order key; the pair filter runs after
+    # both nations are attached.  Decimal revenue for exactness.
+    two = ["NATION_1", "NATION_2"]
+    li = load_table(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    s = load_table(spark, sf, "supplier")
+    c = load_table(spark, sf, "customer")
+    o = load_table(spark, sf, "orders")
+    n1 = (
+        load_table(spark, sf, "nation")
+        .filter(F.col("n_name").isin(two))
+        .select(
+            F.col("n_nationkey").alias("s_nkey"),
+            F.col("n_name").alias("supp_nation"),
+        )
+    )
+    n2 = (
+        load_table(spark, sf, "nation")
+        .filter(F.col("n_name").isin(two))
+        .select(
+            F.col("n_nationkey").alias("c_nkey"),
+            F.col("n_name").alias("cust_nation"),
+        )
+    )
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(20,6)"
+    )
+    joined = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nkey"))
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nkey"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+    )
+    return (
+        joined.groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(F.round(F.sum(rev), 2).cast("double").alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+def _q_tpch_q8(spark: SparkSession, sf: str) -> DataFrame:
+    # TPC-H Q8 (national market share): 7-way star — part/supplier/
+    # customer/nation/region all broadcast, orders⋈lineitem is the only
+    # shuffle.  Share = exact decimal conditional sum / exact decimal
+    # total, divided as doubles (bit-identical across engines, no
+    # rounding needed).
+    li = load_table(spark, sf, "lineitem")
+    o = load_table(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    p = load_table(spark, sf, "part").filter(F.col("p_type") == "ECONOMY")
+    s = load_table(spark, sf, "supplier")
+    c = load_table(spark, sf, "customer")
+    n1 = load_table(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("c_nkey"),
+        F.col("n_regionkey").alias("c_rkey"),
+    )
+    n2 = load_table(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("s_nkey"),
+        F.col("n_name").alias("supp_nation"),
+    )
+    r = load_table(spark, sf, "region").filter(F.col("r_name") == "AMERICA")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(20,6)"
+    )
+    joined = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("s_nkey"))
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("c_nkey"))
+        .join(F.broadcast(r), F.col("c_rkey") == r.r_regionkey)
+    )
+    zero = F.lit(0).cast("decimal(20,6)")
+    agged = joined.groupBy(F.year("o_orderdate").alias("o_year")).agg(
+        F.sum(F.when(F.col("supp_nation") == "NATION_3", rev).otherwise(zero))
+        .alias("nation_vol"),
+        F.sum(rev).alias("total_vol"),
+    )
+    return agged.select(
+        "o_year",
+        (
+            F.col("nation_vol").cast("double")
+            / F.col("total_vol").cast("double")
+        ).alias("mkt_share"),
+    ).orderBy("o_year")
+
+
+def _q_tpch_q15(spark: SparkSession, sf: str) -> DataFrame:
+    # TPC-H Q15 (top supplier): quarterly revenue per supplier, keep
+    # the max.  The agg output is tiny, so the "= (SELECT max(...))"
+    # correlation is a global-window max over the aggregate (one extra
+    # single-partition exchange of ~10k rows, never fact rows), and the
+    # winner row broadcasts back to the supplier dim.  Revenue equality
+    # is compared in exact decimal — safe across engines.
+    li = load_table(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(20,6)"
+    )
+    from pyspark.sql import Window
+
+    per_supp = li.groupBy("l_suppkey").agg(F.sum(rev).alias("total_rev"))
+    top = per_supp.withColumn(
+        "max_rev", F.max("total_rev").over(Window.partitionBy())
+    ).filter(F.col("total_rev") == F.col("max_rev")).drop("max_rev")
+    s = load_table(spark, sf, "supplier")
+    return (
+        s.join(F.broadcast(top), s.s_suppkey == top.l_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round(F.col("total_rev"), 2).cast("double").alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+def _q_tpch_q17(spark: SparkSession, sf: str) -> DataFrame:
+    # TPC-H Q17 (small-quantity-order revenue), adapted to the reduced
+    # part schema (no p_container — brand filter only).  The correlated
+    # per-part average-quantity subquery becomes a broadcast of the
+    # brand-restricted per-part aggregate back onto the same filtered
+    # fact subset: the fact table is scanned once for the averages and
+    # once for the probe, both scans pruned by the broadcast part dim.
+    # l_quantity is integral so double avg is exact in any sum order.
+    p = (
+        load_table(spark, sf, "part")
+        .filter(F.col("p_brand") == "Brand#23")
+        .select("p_partkey")
+    )
+    li = load_table(spark, sf, "lineitem")
+    brand_li = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    part_avg = brand_li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.avg("l_quantity").alias("avg_qty")
+    )
+    probe = brand_li.join(
+        F.broadcast(part_avg), F.col("l_partkey") == F.col("pk")
+    ).filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+    return probe.agg(
+        F.round(
+            F.sum(F.col("l_extendedprice").cast("decimal(20,6)")).cast("double")
+            / 7.0,
+            2,
+        ).alias("avg_yearly")
+    )
+
+
+def _q_tpch_q22(spark: SparkSession, sf: str) -> DataFrame:
+    # TPC-H Q22 (global sales opportunity), adapted: c_mktsegment
+    # stands in for the phone country code, and (because every
+    # synthetic customer has ordered at least once) the NOT EXISTS
+    # window is "no order since 1999-01-01" — lapsed high-balance
+    # customers.  Above-average positive balance via an exact-decimal
+    # scalar aggregate broadcast onto the customer scan, then LEFT
+    # ANTI join against date-filtered orders (keys-only projection),
+    # then a tiny grouped count/sum.
+    c = load_table(spark, sf, "customer")
+    avg_bal = c.filter(F.col("c_acctbal") > 0.0).agg(
+        (
+            F.sum(F.col("c_acctbal").cast("decimal(20,6)")).cast("double")
+            / F.count("*")
+        ).alias("avg_bal")
+    )
+    rich = c.join(F.broadcast(avg_bal)).filter(
+        F.col("c_acctbal") > F.col("avg_bal")
+    )
+    o_keys = (
+        load_table(spark, sf, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp"))
+        .select("o_custkey")
+    )
+    never = rich.join(o_keys, rich.c_custkey == o_keys.o_custkey, "left_anti")
+    return (
+        never.groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count("*").alias("numcust"),
+            F.round(F.sum(F.col("c_acctbal").cast("decimal(20,6)")), 2)
+            .cast("double")
+            .alias("totacctbal"),
+        )
+        .orderBy("segment")
+    )
+
+
 def _q_sliding_window_counts(spark: SparkSession, sf: str) -> DataFrame:
     # overlapping (sliding) event-time windows: 2 h width, 1 h slide —
     # each event lands in exactly two windows.  Spark expands the
@@ -1318,8 +1544,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_percentiles": _q_value_percentiles,
         "range_band_join": _q_range_band_join,
         "tpch_q1": _q_tpch_q1,
+        "tpch_q4": _q_tpch_q4,
+        "tpch_q7": _q_tpch_q7,
+        "tpch_q8": _q_tpch_q8,
         "tpch_q10": _q_tpch_q10,
+        "tpch_q15": _q_tpch_q15,
+        "tpch_q17": _q_tpch_q17,
         "tpch_q18": _q_tpch_q18,
+        "tpch_q22": _q_tpch_q22,
         "sliding_window_counts": _q_sliding_window_counts,
         "value_rankings": _q_value_rankings,
         "moving_sum_user_value": _q_moving_sum_user_value,
@@ -2013,6 +2245,104 @@ def _oracle_sql_literal() -> dict[str, str]:
             GROUP BY c_custkey, c_name, c_acctbal, n_name
             ORDER BY revenue DESC, c_custkey ASC
             LIMIT 20
+        """,
+        "tpch_q4": """
+            SELECT o_orderpriority, count(*) AS order_count
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1996-04-01'
+              AND EXISTS (
+                  SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey
+                    AND l_shipdate > o_orderdate
+              )
+            GROUP BY o_orderpriority
+            ORDER BY o_orderpriority
+        """,
+        "tpch_q7": """
+            SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                   year(l_shipdate)::INT AS l_year,
+                   round(sum((l_extendedprice * (1 - l_discount))
+                             ::DECIMAL(20,6)), 2)::DOUBLE AS revenue
+            FROM lineitem
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation n1 ON s_nationkey = n1.n_nationkey
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation n2 ON c_nationkey = n2.n_nationkey
+            WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+                   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+              AND l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1998-01-01'
+            GROUP BY supp_nation, cust_nation, l_year
+            ORDER BY supp_nation, cust_nation, l_year
+        """,
+        "tpch_q8": """
+            SELECT year(o_orderdate)::INT AS o_year,
+                   (sum(CASE WHEN n2.n_name = 'NATION_3'
+                             THEN (l_extendedprice * (1 - l_discount))
+                                  ::DECIMAL(20,6)
+                             ELSE 0::DECIMAL(20,6) END))::DOUBLE
+                   / (sum((l_extendedprice * (1 - l_discount))
+                          ::DECIMAL(20,6)))::DOUBLE AS mkt_share
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation n2 ON s_nationkey = n2.n_nationkey
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation n1 ON c_nationkey = n1.n_nationkey
+            JOIN region ON n1.n_regionkey = r_regionkey
+            WHERE r_name = 'AMERICA'
+              AND p_type = 'ECONOMY'
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1998-01-01'
+            GROUP BY o_year
+            ORDER BY o_year
+        """,
+        "tpch_q15": """
+            WITH revenue AS (
+                SELECT l_suppkey AS supplier_no,
+                       sum((l_extendedprice * (1 - l_discount))
+                           ::DECIMAL(20,6)) AS total_rev
+                FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                  AND l_shipdate < TIMESTAMP '1996-04-01'
+                GROUP BY l_suppkey
+            )
+            SELECT s_suppkey, s_name,
+                   round(total_rev, 2)::DOUBLE AS total_revenue
+            FROM supplier JOIN revenue ON s_suppkey = supplier_no
+            WHERE total_rev = (SELECT max(total_rev) FROM revenue)
+            ORDER BY s_suppkey
+        """,
+        "tpch_q17": """
+            SELECT round((sum(l_extendedprice::DECIMAL(20,6)))::DOUBLE
+                         / 7.0, 2) AS avg_yearly
+            FROM lineitem
+            JOIN part ON p_partkey = l_partkey
+            WHERE p_brand = 'Brand#23'
+              AND l_quantity < (
+                  SELECT 0.2 * avg(l_quantity) FROM lineitem l2
+                  WHERE l2.l_partkey = lineitem.l_partkey
+              )
+        """,
+        "tpch_q22": """
+            SELECT c_mktsegment AS segment, count(*) AS numcust,
+                   round(sum(c_acctbal::DECIMAL(20,6)), 2)::DOUBLE
+                       AS totacctbal
+            FROM customer
+            WHERE c_acctbal > (
+                  SELECT (sum(c_acctbal::DECIMAL(20,6)))::DOUBLE / count(*)
+                  FROM customer WHERE c_acctbal > 0.0
+              )
+              AND NOT EXISTS (
+                  SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '1999-01-01'
+              )
+            GROUP BY segment
+            ORDER BY segment
         """,
         "tpch_q18": """
             SELECT c_name, c_custkey, o_orderkey, o_orderdate,
