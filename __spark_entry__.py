@@ -55,10 +55,14 @@ from etl_based_real_time_air_quality_monitoring_system_spark.operators.joins imp
     anti_join,
     asof_join,
     broadcast_join,
+    full_outer_diff,
     range_join,
     salted_join,
     semi_join,
     star_join,
+)
+from etl_based_real_time_air_quality_monitoring_system_spark.operators.timeseries import (
+    gap_fill_locf,
 )
 from etl_based_real_time_air_quality_monitoring_system_spark.operators.reshape import (
     cube_agg,
@@ -1173,6 +1177,48 @@ def _q_tpch_q10(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_gapfill_hourly_locf(spark: SparkSession, sf: str) -> DataFrame:
+    # time-series regularization (the reference's charts connect dots
+    # across sensor gaps, dashboard.py:98-105 — this materializes the
+    # gaps instead): dense hourly grid per event_type, LOCF-filled
+    # bucket averages.  One fact-sized agg; spine + LOCF run on the
+    # aggregate (operators/timeseries.py).
+    events = load_table(spark, sf, "events")
+    return gap_fill_locf(events, "event_type", "ts", "value", unit="hour")
+
+
+def _q_order_snapshot_diff(spark: SparkSession, sf: str) -> DataFrame:
+    # CDC-style snapshot diff: per-customer 1997 vs 1998 order
+    # count/spend, FULL OUTER joined and classified added / removed /
+    # changed / unchanged.  Both sides fact-derived aggregates —
+    # sort-merge on the key at scale, no broadcast.
+    o = load_table(spark, sf, "orders")
+
+    def year_agg(y: int) -> DataFrame:
+        return (
+            o.filter(
+                (F.col("o_orderdate") >= F.lit(f"{y}-01-01").cast("timestamp"))
+                & (
+                    F.col("o_orderdate")
+                    < F.lit(f"{y + 1}-01-01").cast("timestamp")
+                )
+            )
+            .groupBy("o_custkey")
+            .agg(
+                F.count("*").alias("order_cnt"),
+                F.round(
+                    F.sum(F.col("o_totalprice").cast("decimal(20,6)")), 2
+                )
+                .cast("double")
+                .alias("spend"),
+            )
+        )
+
+    return full_outer_diff(
+        year_agg(1997), year_agg(1998), ["o_custkey"], ["order_cnt", "spend"]
+    )
+
+
 def _q_tpch_q4(spark: SparkSession, sf: str) -> DataFrame:
     # TPC-H Q4 (order-priority checking), adapted: the testdata schema
     # has no l_commitdate/l_receiptdate, so the EXISTS predicate is
@@ -1543,6 +1589,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_sessions": _q_user_sessions,
         "value_percentiles": _q_value_percentiles,
         "range_band_join": _q_range_band_join,
+        "gapfill_hourly_locf": _q_gapfill_hourly_locf,
+        "order_snapshot_diff": _q_order_snapshot_diff,
         "tpch_q1": _q_tpch_q1,
         "tpch_q4": _q_tpch_q4,
         "tpch_q7": _q_tpch_q7,
@@ -2245,6 +2293,63 @@ def _oracle_sql_literal() -> dict[str, str]:
             GROUP BY c_custkey, c_name, c_acctbal, n_name
             ORDER BY revenue DESC, c_custkey ASC
             LIMIT 20
+        """,
+        "gapfill_hourly_locf": """
+            WITH hourly AS (
+                SELECT event_type,
+                       date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket_ts,
+                       sum(value::DECIMAL(20,6)) AS s,
+                       count(value) AS c
+                FROM events
+                GROUP BY 1, 2
+            ), bounds AS (
+                SELECT min(bucket_ts) AS lo, max(bucket_ts) AS hi FROM hourly
+            ), spine AS (
+                SELECT event_type,
+                       unnest(generate_series(lo, hi, INTERVAL 1 HOUR))
+                           AS bucket_ts
+                FROM (SELECT DISTINCT event_type FROM events), bounds
+            )
+            SELECT sp.event_type, sp.bucket_ts,
+                   (last_value(h.s IGNORE NULLS) OVER w)::DOUBLE
+                       / (last_value(h.c IGNORE NULLS) OVER w) AS value_locf,
+                   (h.s IS NULL)::INT AS was_filled
+            FROM spine sp LEFT JOIN hourly h
+              ON sp.event_type = h.event_type
+             AND sp.bucket_ts = h.bucket_ts
+            WINDOW w AS (
+                PARTITION BY sp.event_type ORDER BY sp.bucket_ts
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+            )
+        """,
+        "order_snapshot_diff": """
+            WITH y97 AS (
+                SELECT o_custkey, count(*) AS cnt,
+                       round(sum(o_totalprice::DECIMAL(20,6)), 2)::DOUBLE
+                           AS spend
+                FROM orders
+                WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+                  AND o_orderdate < TIMESTAMP '1998-01-01'
+                GROUP BY o_custkey
+            ), y98 AS (
+                SELECT o_custkey, count(*) AS cnt,
+                       round(sum(o_totalprice::DECIMAL(20,6)), 2)::DOUBLE
+                           AS spend
+                FROM orders
+                WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+                  AND o_orderdate < TIMESTAMP '1999-01-01'
+                GROUP BY o_custkey
+            )
+            SELECT coalesce(y97.o_custkey, y98.o_custkey) AS o_custkey,
+                   y97.cnt AS old_order_cnt, y97.spend AS old_spend,
+                   y98.cnt AS new_order_cnt, y98.spend AS new_spend,
+                   CASE WHEN y97.o_custkey IS NULL THEN 'added'
+                        WHEN y98.o_custkey IS NULL THEN 'removed'
+                        WHEN y97.cnt IS DISTINCT FROM y98.cnt
+                             OR y97.spend IS DISTINCT FROM y98.spend
+                            THEN 'changed'
+                        ELSE 'unchanged' END AS diff_status
+            FROM y97 FULL OUTER JOIN y98 ON y97.o_custkey = y98.o_custkey
         """,
         "tpch_q4": """
             SELECT o_orderpriority, count(*) AS order_count

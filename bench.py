@@ -55,6 +55,8 @@ HEADLINE = [
     "rollup_flag_status",
     "grouping_sets_qty",
     "asof_purchase_attribution",
+    "gapfill_hourly_locf",
+    "order_snapshot_diff",
     "user_sessions",
     "session_window_stats",
     "value_percentiles",

@@ -179,3 +179,49 @@ def asof_join(
         *left.columns,
         *[F.col(f"_m.{c}").alias(c) for c in right_values],
     )
+
+
+def full_outer_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: Sequence[str],
+    values: Sequence[str],
+    status_col: str = "diff_status",
+) -> DataFrame:
+    """CDC-style snapshot diff: FULL OUTER join two snapshots on their
+    key and classify every key as added / removed / changed /
+    unchanged (null-safe value comparison).
+
+    The one reference-adjacent join type the rest of the library
+    doesn't exercise: both sides are fact-sized, so neither broadcasts
+    — Catalyst plans a shuffle on the key for each side (SortMergeJoin
+    at scale).  Output columns: keys, old_<v>/new_<v> per value, and
+    ``status_col``.
+    """
+    o = old.select(
+        *keys,
+        F.lit(1).alias("_in_old"),
+        *[F.col(v).alias(f"old_{v}") for v in values],
+    )
+    n = new.select(
+        *keys,
+        F.lit(1).alias("_in_new"),
+        *[F.col(v).alias(f"new_{v}") for v in values],
+    )
+    j = o.join(n, list(keys), "full_outer")
+    changed = None
+    for v in values:
+        neq = ~F.col(f"old_{v}").eqNullSafe(F.col(f"new_{v}"))
+        changed = neq if changed is None else (changed | neq)
+    status = (
+        F.when(F.col("_in_old").isNull(), F.lit("added"))
+        .when(F.col("_in_new").isNull(), F.lit("removed"))
+        .when(changed, F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return j.select(
+        *keys,
+        *[F.col(f"old_{v}") for v in values],
+        *[F.col(f"new_{v}") for v in values],
+        status.alias(status_col),
+    )

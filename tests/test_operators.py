@@ -412,3 +412,55 @@ def test_hash_split_stable_under_repartitioning(spark, sf_dir):
         for r in train_test_split(docs, "doc_id", salt="split:v2").collect()
     }
     assert a != c
+
+
+def test_gap_fill_locf_semantics(spark):
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.timeseries import gap_fill_locf
+
+    rows = [
+        # key A: hours 0 and 3 observed -> 1, 2 filled with hour-0 avg
+        ("A", "2024-01-01 00:10:00", 10.0),
+        ("A", "2024-01-01 00:50:00", 20.0),
+        ("A", "2024-01-01 03:05:00", 40.0),
+        # key B: first observation at hour 2 -> hours 0, 1 stay null
+        ("B", "2024-01-01 02:30:00", 7.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, ts string, value double").select(
+        "k", F.to_timestamp("ts").alias("ts"), "value"
+    )
+    out = gap_fill_locf(df, "k", "ts", "value", unit="hour").collect()
+    got = {(r.k, r.bucket_ts.hour): (r.value_locf, r.was_filled) for r in out}
+    # grid is global hours 0..3 for both keys
+    assert len(out) == 8
+    assert got[("A", 0)] == (15.0, 0)
+    assert got[("A", 1)] == (15.0, 1)
+    assert got[("A", 2)] == (15.0, 1)
+    assert got[("A", 3)] == (40.0, 0)
+    assert got[("B", 0)][0] is None and got[("B", 0)][1] == 1
+    assert got[("B", 1)][0] is None
+    assert got[("B", 2)] == (7.0, 0)
+    assert got[("B", 3)] == (7.0, 1)
+
+
+def test_full_outer_diff_classification(spark):
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.joins import full_outer_diff
+
+    old = spark.createDataFrame(
+        [(1, 10, None), (2, 20, 5.0), (3, 30, 1.0)],
+        "id int, cnt int, amt double",
+    )
+    new = spark.createDataFrame(
+        [(2, 20, 5.0), (3, 31, 1.0), (4, 40, 2.0), (5, None, None)],
+        "id int, cnt int, amt double",
+    )
+    out = {
+        r.id: r.diff_status
+        for r in full_outer_diff(old, new, ["id"], ["cnt", "amt"]).collect()
+    }
+    assert out == {
+        1: "removed",
+        2: "unchanged",  # null-safe: None==None is not a change
+        3: "changed",
+        4: "added",
+        5: "added",
+    }
