@@ -61,6 +61,9 @@ from etl_based_real_time_air_quality_monitoring_system_spark.operators.joins imp
     semi_join,
     star_join,
 )
+from etl_based_real_time_air_quality_monitoring_system_spark.operators.graph import (
+    connected_components,
+)
 from etl_based_real_time_air_quality_monitoring_system_spark.operators.timeseries import (
     gap_fill_locf,
 )
@@ -967,6 +970,21 @@ def _q_minhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
     return minhash_lsh_candidates(docs, "doc_id", "text", n=3, k=16, bands=4)
 
 
+def _q_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    # duplicate-cluster resolution: MinHash/LSH candidate pairs ->
+    # connected components (iterative hash-to-min + pointer jumping,
+    # operators/graph.py) -> (doc_id, cluster_id) with cluster_id =
+    # min doc_id of the cluster.  The canonical keep-one-per-cluster
+    # step of a pretraining dedup pipeline; exactly oracle-checked
+    # against a recursive-CTE transitive closure.
+    docs = load_table(spark, sf, "documents")
+    pairs = minhash_lsh_candidates(docs, "doc_id", "text", n=3, k=16, bands=4)
+    cc = connected_components(pairs, "doc_a", "doc_b")
+    return cc.select(
+        F.col("vertex").alias("doc_id"), F.col("component").alias("cluster_id")
+    )
+
+
 def _q_simhash(spark: SparkSession, sf: str) -> DataFrame:
     # 60-bit SimHash fingerprints from per-token md5 bits
     docs = load_table(spark, sf, "documents")
@@ -1628,6 +1646,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_pipeline": _q_corpus_pipeline,
         "ngram_jaccard": _q_ngram_jaccard,
         "minhash_pairs": _q_minhash_pairs,
+        "dedup_clusters": _q_dedup_clusters,
         "simhash": _q_simhash,
         "simhash_near_dup": _q_simhash_near_dup,
         "embedding_topk": _q_embedding_topk,
@@ -2067,6 +2086,35 @@ def _oracle_sql_literal() -> dict[str, str]:
             SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
             FROM bands a JOIN bands b
               ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+        """,
+        "dedup_clusters": rf"""
+            WITH RECURSIVE {_SHINGLE_CTES},
+            sig AS (
+                SELECT doc_id,
+                   {_MINHASH_AGGS}
+                FROM sh GROUP BY doc_id
+            ),
+            bands AS (
+            {_BAND_SELECTS}
+            ),
+            pairs AS (
+                SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                FROM bands a JOIN bands b
+                  ON a.band = b.band AND a.bucket = b.bucket
+                 AND a.doc_id < b.doc_id
+            ),
+            sym AS (
+                SELECT doc_a AS a, doc_b AS b FROM pairs
+                UNION
+                SELECT doc_b, doc_a FROM pairs
+            ),
+            reach(v, r) AS (
+                SELECT a, b FROM sym
+                UNION
+                SELECT reach.v, sym.b FROM reach JOIN sym ON reach.r = sym.a
+            )
+            SELECT v AS doc_id, least(v, min(r)) AS cluster_id
+            FROM reach GROUP BY v
         """,
         "simhash": rf"""
             WITH tok AS (

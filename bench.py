@@ -69,6 +69,7 @@ HEADLINE = [
     "doc_fingerprints",
     "levenshtein_near_dup",
     "minhash_pairs",
+    "dedup_clusters",
     "ngram_jaccard",
     "simhash",
     "embedding_topk",

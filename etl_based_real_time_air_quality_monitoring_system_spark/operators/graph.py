@@ -1,0 +1,99 @@
+"""Iterative graph operators for dedup-cluster resolution.
+
+Candidate-pair generators (MinHash/LSH, SimHash, n-gram Jaccard —
+operators/dedup.py) emit *pairs*; an actual dedup pipeline must then
+group transitively-linked documents into clusters and keep one
+canonical doc per cluster.  That grouping is connected components —
+the one step of the dedup family that is inherently iterative.
+
+Scale design (100 TB): hash-to-min label propagation with pointer
+jumping.  Each round is two hash-shuffles of the (vertex, label)
+table — join labels onto the edge list and take the min neighbor
+label, then one label-table self-join that short-circuits chains
+(label <- label(label)).  Min-neighbor alone needs O(diameter)
+rounds; the pointer jump makes long chains collapse in O(log d)
+rounds (cf. the MapReduce small-star/large-star family, Kiveris et
+al., "Connected Components in MapReduce and Beyond", SoCC'14).  LSH
+duplicate clusters are near-cliques (diameter 1-2), so in practice
+2-3 rounds converge.  Labels persist per round with explicit
+unpersist, and lineage is cut with localCheckpoint so the plan does
+not grow unboundedly with iterations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(vertex, component) for every vertex in ``edges``; component is
+    the minimum vertex id reachable from the vertex.  Deterministic —
+    exactly checkable against a recursive-CTE transitive closure.
+
+    Only vertices that appear in an edge are returned (isolated docs
+    are their own trivial cluster and never enter the pair graph).
+    """
+    sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    sym = (
+        sym.union(sym.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        sym.select(F.col("a").alias("v"))
+        .distinct()
+        .withColumn("label", F.col("v"))
+        .persist()
+    )
+    try:
+        for _ in range(max_iter):
+            # min label over neighbors, joined back onto every vertex
+            nbr_min = (
+                sym.join(labels, sym.b == labels.v)
+                .groupBy("a")
+                .agg(F.min("label").alias("_nmin"))
+            )
+            stepped = (
+                labels.join(nbr_min, labels.v == nbr_min.a, "left")
+                .select(
+                    F.col("v"),
+                    F.least(
+                        F.col("label"), F.coalesce(F.col("_nmin"), F.col("label"))
+                    ).alias("label"),
+                )
+            )
+            # pointer jump: label <- label(label).  label(x) <= x is an
+            # invariant (labels start as self and only decrease), so
+            # this is monotone and collapses label chains exponentially.
+            jump = stepped.alias("s").join(
+                stepped.select(
+                    F.col("v").alias("_lv"), F.col("label").alias("_ll")
+                ),
+                F.col("s.label") == F.col("_lv"),
+            )
+            new_labels = jump.select(
+                F.col("s.v").alias("v"),
+                F.least(F.col("s.label"), F.col("_ll")).alias("label"),
+            ).localCheckpoint(eager=False)
+            new_labels.persist()
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "v")
+                .filter(F.col("n.label") != F.col("o.label"))
+                .limit(1)
+                .count()
+            )
+            labels.unpersist()
+            labels = new_labels
+            if changed == 0:
+                break
+        return labels.select(
+            F.col("v").alias("vertex"), F.col("label").alias("component")
+        )
+    finally:
+        sym.unpersist()

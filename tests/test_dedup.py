@@ -102,3 +102,23 @@ def test_simhash_near_pairs(planted):
     }
     assert pairs.get((0, 1)) == 0
     assert (3, 4) not in pairs
+
+
+def test_connected_components_chain_and_islands(spark):
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.graph import connected_components
+
+    # one 12-node chain (worst case for plain min-propagation — the
+    # pointer jump must collapse it in O(log n) rounds), one triangle,
+    # one isolated pair; edges deliberately unsorted/reversed
+    chain = [(i + 1, i) for i in range(11)]
+    tri = [(100, 101), (101, 102), (102, 100)]
+    pair = [(201, 200)]
+    edges = spark.createDataFrame(chain + tri + pair, "src bigint, dst bigint")
+    got = {
+        r.vertex: r.component
+        for r in connected_components(edges, "src", "dst", max_iter=6).collect()
+    }
+    assert {v for v in got if got[v] == 0} == set(range(12))
+    assert {v for v in got if got[v] == 100} == {100, 101, 102}
+    assert {v for v in got if got[v] == 200} == {200, 201}
+    assert len(got) == 17
