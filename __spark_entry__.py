@@ -985,6 +985,30 @@ def _q_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_fuzzy_dedup_corpus(spark: SparkSession, sf: str) -> DataFrame:
+    # the full fuzzy-dedup pipeline end-to-end: MinHash/LSH pairs ->
+    # connected components -> keep ONE canonical doc per cluster (the
+    # min doc_id, i.e. cluster_id == doc_id) -> per-source survivor
+    # accounting.  Non-candidate docs never enter the pair graph and
+    # survive by the anti-join; only the loser set (cluster members
+    # that aren't the canonical doc) is dropped.
+    docs = load_table(spark, sf, "documents")
+    pairs = minhash_lsh_candidates(docs, "doc_id", "text", n=3, k=16, bands=4)
+    cc = connected_components(pairs, "doc_a", "doc_b")
+    losers = cc.filter(F.col("vertex") != F.col("component")).select(
+        F.col("vertex").alias("doc_id")
+    )
+    kept = docs.join(losers, "doc_id", "left_anti")
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count("*").alias("kept_docs"),
+            F.sum("n_chars").alias("kept_chars"),
+        )
+        .orderBy("source")
+    )
+
+
 def _q_simhash(spark: SparkSession, sf: str) -> DataFrame:
     # 60-bit SimHash fingerprints from per-token md5 bits
     docs = load_table(spark, sf, "documents")
@@ -1647,6 +1671,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": _q_ngram_jaccard,
         "minhash_pairs": _q_minhash_pairs,
         "dedup_clusters": _q_dedup_clusters,
+        "fuzzy_dedup_corpus": _q_fuzzy_dedup_corpus,
         "simhash": _q_simhash,
         "simhash_near_dup": _q_simhash_near_dup,
         "embedding_topk": _q_embedding_topk,
@@ -2115,6 +2140,43 @@ def _oracle_sql_literal() -> dict[str, str]:
             )
             SELECT v AS doc_id, least(v, min(r)) AS cluster_id
             FROM reach GROUP BY v
+        """,
+        "fuzzy_dedup_corpus": rf"""
+            WITH RECURSIVE {_SHINGLE_CTES},
+            sig AS (
+                SELECT doc_id,
+                   {_MINHASH_AGGS}
+                FROM sh GROUP BY doc_id
+            ),
+            bands AS (
+            {_BAND_SELECTS}
+            ),
+            pairs AS (
+                SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                FROM bands a JOIN bands b
+                  ON a.band = b.band AND a.bucket = b.bucket
+                 AND a.doc_id < b.doc_id
+            ),
+            sym AS (
+                SELECT doc_a AS a, doc_b AS b FROM pairs
+                UNION
+                SELECT doc_b, doc_a FROM pairs
+            ),
+            reach(v, r) AS (
+                SELECT a, b FROM sym
+                UNION
+                SELECT reach.v, sym.b FROM reach JOIN sym ON reach.r = sym.a
+            ),
+            losers AS (
+                SELECT v AS doc_id FROM reach
+                GROUP BY v HAVING least(v, min(r)) != v
+            )
+            SELECT source, count(*) AS kept_docs,
+                   sum(n_chars) AS kept_chars
+            FROM documents
+            WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+            GROUP BY source
+            ORDER BY source
         """,
         "simhash": rf"""
             WITH tok AS (

@@ -70,6 +70,7 @@ HEADLINE = [
     "levenshtein_near_dup",
     "minhash_pairs",
     "dedup_clusters",
+    "fuzzy_dedup_corpus",
     "ngram_jaccard",
     "simhash",
     "embedding_topk",

@@ -312,3 +312,39 @@ def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
     assert "PushedFilters: []" in p or "PushedFilters" not in p
     n_match = events.filter(F.col("event_type") == "purchase").count()
     assert q.count() == n_match
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark, sf_dir):
+    # 100 TB semi-join reduction: when a selective dim side feeds a
+    # shuffle join, Spark can build a bloom filter from the dim keys
+    # and apply might_contain() on the fact side BEFORE the shuffle —
+    # rows that can't match never leave the scan stage.  The size
+    # thresholds (app side >= 10 GB by default) make this a no-op at
+    # test SFs, so pin the mechanism with the threshold lowered.
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "1B",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        fact = load_table(spark, sf_dir, "lineitem")
+        dim = load_table(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        q = (
+            fact.join(dim, fact.l_orderkey == dim.o_orderkey)
+            .groupBy("l_returnflag")
+            .count()
+        )
+        p = plan(q)
+        assert "might_contain" in p, "bloom filter not injected on fact side"
+        assert "bloom_filter_agg" in p, "bloom filter build side missing"
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
