@@ -757,6 +757,48 @@ def _q_streaming_session_stats(spark: SparkSession, sf: str) -> DataFrame:
     return spark.table(sink)
 
 
+def _q_streaming_click_purchase(spark: SparkSession, sf: str) -> DataFrame:
+    # stream-stream time-range equi-join inside the correctness gate:
+    # two branches of one file-source stream (clicks / purchases per
+    # user), watermarked, purchase bounded to [click, click + 30 min].
+    # Inner stream-stream joins emit each match exactly once as it
+    # arrives (watermarks bound STATE, not emission), and availableNow
+    # over one file is a single micro-batch — so append-mode output
+    # equals the batch join and the query is fully oracle-checked.
+    from etl_based_real_time_air_quality_monitoring_system_spark.streaming.pipeline import (
+        stream_stream_join,
+    )
+
+    stream = _events_file_stream(spark, sf)
+    clicks = stream.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
+    )
+    purchases = stream.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("purchase_id")
+    )
+    joined = stream_stream_join(
+        clicks,
+        purchases,
+        key="user_id",
+        watermark="10 minutes",
+        max_delay="30 minutes",
+    ).select(
+        F.col("l.user_id").alias("user_id"),
+        F.col("l.click_id").alias("click_id"),
+        F.col("r.purchase_id").alias("purchase_id"),
+    )
+    sink = "streaming_click_purchase_sink"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)
+
+
 def _q_session_window_stats(spark: SparkSession, sf: str) -> DataFrame:
     # native session windows (F.session_window): gap-merged per-user
     # activity bursts in ONE MergingSessions pass — the operator-level
@@ -1654,6 +1696,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "part_type_revenue": _q_part_type_revenue,
         "streaming_hourly_counts": _q_streaming_hourly_counts,
         "streaming_dedup_keys": _q_streaming_dedup_keys,
+        "streaming_click_purchase": _q_streaming_click_purchase,
         "session_window_stats": _q_session_window_stats,
         "streaming_session_stats": _q_streaming_session_stats,
         "above_avg_customers": _q_above_avg_customers,
@@ -2695,6 +2738,16 @@ def _oracle_sql_literal() -> dict[str, str]:
         """,
         "streaming_dedup_keys": """
             SELECT DISTINCT user_id, event_type FROM events
+        """,
+        "streaming_click_purchase": """
+            SELECT c.user_id, c.event_id AS click_id,
+                   p.event_id AS purchase_id
+            FROM events c JOIN events p
+              ON c.user_id = p.user_id
+             AND c.event_type = 'click' AND p.event_type = 'purchase'
+             AND CAST(p.ts AS TIMESTAMP) >= CAST(c.ts AS TIMESTAMP)
+             AND CAST(p.ts AS TIMESTAMP)
+                 <= CAST(c.ts AS TIMESTAMP) + INTERVAL 30 MINUTE
         """,
         "session_window_stats": """
             WITH flagged AS (
