@@ -1314,7 +1314,14 @@ def _q_tpch_q4(spark: SparkSession, sf: str) -> DataFrame:
         (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
     )
-    li = load_table(spark, sf, "lineitem").select("l_orderkey", "l_shipdate")
+    # transitive bound Catalyst can't derive across the non-equi
+    # condition: l_shipdate > o_orderdate >= 1996-01-01 — pushing it
+    # onto the scan prunes row groups before the semi-join shuffle
+    li = (
+        load_table(spark, sf, "lineitem")
+        .filter(F.col("l_shipdate") > F.lit("1996-01-01").cast("timestamp"))
+        .select("l_orderkey", "l_shipdate")
+    )
     shipped = orders.join(
         li,
         (orders.o_orderkey == li.l_orderkey)
@@ -1529,6 +1536,365 @@ def _q_tpch_q22(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_tpch_q13(spark: SparkSession, sf: str) -> DataFrame:
+    # TPC-H Q13 (customer order-count distribution): LEFT OUTER join
+    # with an extra ON-clause predicate (priority filter rides on the
+    # join, NOT on customer), then a two-level aggregation.  The
+    # groupBy(c_custkey) reuses the join's hash partitioning on the
+    # customer key — one real shuffle; the distribution agg is tiny.
+    c = load_table(spark, sf, "customer").select("c_custkey")
+    o = (
+        load_table(spark, sf, "orders")
+        .filter(F.col("o_orderpriority") != "1-URGENT")
+        .select("o_custkey", "o_orderkey")
+    )
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+def _q_tpch_q16(spark: SparkSession, sf: str) -> DataFrame:
+    # TPC-H Q16 (parts/supplier relationship), adapted: the schema has
+    # no partsupp, so the part-supplier pairs come from lineitem; the
+    # "customer complaints" exclusion becomes negative-balance
+    # suppliers.  Both dims broadcast (part filter + NOT-IN as a
+    # broadcast LEFT ANTI); the only shuffle is the count-distinct.
+    p = (
+        load_table(spark, sf, "part")
+        .filter(
+            (F.col("p_brand") != "Brand#45")
+            & F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45)
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    bad_supp = (
+        load_table(spark, sf, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    li = load_table(spark, sf, "lineitem").select("l_partkey", "l_suppkey")
+    pairs = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).join(
+        F.broadcast(bad_supp), li.l_suppkey == bad_supp.s_suppkey, "left_anti"
+    )
+    return (
+        pairs.groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+def _q_tpch_q19(spark: SparkSession, sf: str) -> DataFrame:
+    # TPC-H Q19 (discounted revenue): OR-of-ANDs over part attributes
+    # and lineitem quantity.  Catalyst won't factor the disjunct hull
+    # out of the OR, so the common bounds (brand IN, p_size <= 15,
+    # quantity in [1,30]) are pushed onto both scans by hand — at
+    # 100 TB that's the difference between scanning 3 brands' row
+    # groups and scanning every part.
+    p = (
+        load_table(spark, sf, "part")
+        .filter(
+            F.col("p_brand").isin("Brand#12", "Brand#23", "Brand#34")
+            & (F.col("p_size") >= 1)
+            & (F.col("p_size") <= 15)
+        )
+        .select("p_partkey", "p_brand", "p_size")
+    )
+    li = (
+        load_table(spark, sf, "lineitem")
+        .filter((F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 30))
+        .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+    )
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    branch = lambda brand, size_hi, q_lo, q_hi: (  # noqa: E731
+        (F.col("p_brand") == brand)
+        & (F.col("p_size") <= size_hi)
+        & (F.col("l_quantity") >= q_lo)
+        & (F.col("l_quantity") <= q_hi)
+    )
+    return (
+        j.filter(
+            branch("Brand#12", 5, 1, 11)
+            | branch("Brand#23", 10, 10, 20)
+            | branch("Brand#34", 15, 20, 30)
+        ).agg(
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                    .cast("decimal(20,6)")
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+def _q_tpch_q2(spark: SparkSession, sf: str) -> DataFrame:
+    # TPC-H Q2 (minimum-cost supplier), adapted: no partsupp, so the
+    # candidate part-supplier pairs are the DISTINCT (partkey, suppkey)
+    # pairs observed in lineitem, and "min supplycost" becomes min
+    # supplier balance within the region.  The correlated-min subquery
+    # is decorrelated the Spark way: aggregate min per part, broadcast
+    # it back onto the candidate set.  Only the pair-dedup shuffles.
+    p = (
+        load_table(spark, sf, "part")
+        .filter((F.col("p_type") == "STANDARD") & (F.col("p_size") <= 15))
+        .select("p_partkey", "p_name")
+    )
+    n = load_table(spark, sf, "nation")
+    r = load_table(spark, sf, "region").filter(F.col("r_name") == "EUROPE")
+    nr = n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).select(
+        "n_nationkey", "n_name"
+    )
+    s = load_table(spark, sf, "supplier").join(
+        F.broadcast(nr), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    pairs = (
+        load_table(spark, sf, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .dropDuplicates(["l_partkey", "l_suppkey"])
+    )
+    cand = pairs.join(F.broadcast(p), pairs.l_partkey == p.p_partkey).join(
+        F.broadcast(s), pairs.l_suppkey == s.s_suppkey
+    )
+    min_bal = cand.groupBy(F.col("p_partkey").alias("mk")).agg(
+        F.min("s_acctbal").alias("min_bal")
+    )
+    return (
+        cand.join(
+            F.broadcast(min_bal),
+            (cand.p_partkey == min_bal.mk)
+            & (cand.s_acctbal == min_bal.min_bal),
+        )
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name")
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+def _q_tpch_q9(spark: SparkSession, sf: str) -> DataFrame:
+    # TPC-H Q9 (product-type profit), adapted: profit = revenue minus
+    # a retail-price-based cost proxy (no ps_supplycost).  part is
+    # name-filtered and broadcast, supplier+nation broadcast; the one
+    # big shuffle is lineitem-orders on the order key.  The per-row
+    # amount is computed in double (identically on both engines), then
+    # decimal-summed so group totals are order-insensitive.
+    p = (
+        load_table(spark, sf, "part")
+        .filter(F.col("p_name").contains("bolt"))
+        .select("p_partkey", "p_retailprice")
+    )
+    sn = load_table(spark, sf, "supplier").join(
+        F.broadcast(load_table(spark, sf, "nation")),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey", "n_name")
+    li = load_table(spark, sf, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey",
+        "l_quantity", "l_extendedprice", "l_discount",
+    )
+    o = load_table(spark, sf, "orders").select("o_orderkey", "o_orderdate")
+    amount = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - 0.5 * F.col("p_retailprice") * F.col("l_quantity")
+    ).cast("decimal(20,6)")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(sn), li.l_suppkey == sn.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(F.round(F.sum(amount), 2).cast("double").alias("sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+def _q_tpch_q11(spark: SparkSession, sf: str) -> DataFrame:
+    # TPC-H Q11 (important stock), adapted: "stock value" per part =
+    # sum(l_extendedprice * l_quantity) over lineitems shipped by one
+    # nation's suppliers; keep parts above 2x the average part value
+    # (the original's fixed fraction doesn't scale across SFs).
+    # Scalar-aggregate HAVING via a broadcast cross join; both sides
+    # of the comparison collapse decimal sums to double identically.
+    supp = load_table(spark, sf, "supplier").join(
+        F.broadcast(
+            load_table(spark, sf, "nation").filter(
+                F.col("n_name") == "NATION_3"
+            )
+        ),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey")
+    li = load_table(spark, sf, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"
+    )
+    value = (F.col("l_extendedprice") * F.col("l_quantity")).cast(
+        "decimal(20,6)"
+    )
+    per_part = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .groupBy(F.col("l_partkey").alias("ps_partkey"))
+        .agg(F.sum(value).alias("v"))
+    )
+    threshold = per_part.agg(
+        (
+            2.0 * F.sum("v").cast("double") / F.count("*")
+        ).alias("thr")
+    )
+    return (
+        per_part.join(F.broadcast(threshold))
+        .filter(F.col("v").cast("double") > F.col("thr"))
+        .select(
+            "ps_partkey",
+            F.round("v", 2).cast("double").alias("part_value"),
+        )
+        .orderBy(F.desc("part_value"), "ps_partkey")
+    )
+
+
+def _q_tpch_q12(spark: SparkSession, sf: str) -> DataFrame:
+    # TPC-H Q12 (shipping-mode priority), adapted: l_linestatus stands
+    # in for l_shipmode and the receipt-date window becomes a shipdate
+    # year.  Conditional CASE-sums split urgent vs non-urgent orders;
+    # the single shuffle is the fact-fact join on the order key (the
+    # date filter prunes lineitem to ~1/5 before it).
+    li = (
+        load_table(spark, sf, "lineitem")
+        .filter(
+            (F.col("l_returnflag") == "R")
+            & (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .select("l_orderkey", "l_linestatus")
+    )
+    o = load_table(spark, sf, "orders").select("o_orderkey", "o_orderpriority")
+    urgent = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(urgent, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~urgent, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+def _q_tpch_q20(spark: SparkSession, sf: str) -> DataFrame:
+    # TPC-H Q20 (potential part promotion), adapted: suppliers who
+    # shipped "excess" volume (> 1.2x the per-part average across
+    # suppliers) of any 'red%' part in 1997, from one region.  The
+    # nested-IN chain decorrelates to: per-(supplier,part) shipped
+    # qty -> per-part average broadcast back -> excess pairs -> LEFT
+    # SEMI onto supplier.  Quantities are integral doubles, so sums
+    # and averages are exact in any order on both engines.
+    shipped = (
+        load_table(spark, sf, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    red = (
+        load_table(spark, sf, "part")
+        .filter(F.col("p_name").startswith("red"))
+        .select("p_partkey")
+    )
+    shipped_red = shipped.join(
+        F.broadcast(red), shipped.l_partkey == red.p_partkey
+    )
+    part_avg = shipped_red.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.avg("qty").alias("avg_qty")
+    )
+    excess_supp = (
+        shipped_red.join(F.broadcast(part_avg), F.col("l_partkey") == F.col("pk"))
+        .filter(F.col("qty") > 1.2 * F.col("avg_qty"))
+        .select("l_suppkey")
+    )
+    nr = load_table(spark, sf, "nation").join(
+        F.broadcast(
+            load_table(spark, sf, "region").filter(F.col("r_name") == "EUROPE")
+        ),
+        F.col("n_regionkey") == F.col("r_regionkey"),
+    ).select("n_nationkey")
+    return (
+        load_table(spark, sf, "supplier")
+        .join(F.broadcast(nr), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(
+            excess_supp,
+            F.col("s_suppkey") == excess_supp.l_suppkey,
+            "left_semi",
+        )
+        .select("s_name", F.round("s_acctbal", 2).alias("s_acctbal"))
+        .orderBy("s_name")
+    )
+
+
+def _q_tpch_q21(spark: SparkSession, sf: str) -> DataFrame:
+    # TPC-H Q21 (suppliers who kept orders waiting), adapted: "late" =
+    # shipped more than 60 days after the order date (no receipt or
+    # commit dates in the schema).  The EXISTS + NOT-EXISTS pair
+    # decorrelates into ONE window over the order key: collect the
+    # distinct suppliers and distinct *late* suppliers per order, keep
+    # late rows of multi-supplier orders whose only late supplier is
+    # this one.  One shuffle on the order key replaces two correlated
+    # re-scans of lineitem — the 100 TB-correct plan.
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    o = (
+        load_table(spark, sf, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    j = li.join(o, li.l_orderkey == o.o_orderkey).withColumn(
+        "late",
+        F.col("l_shipdate")
+        > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"),
+    )
+    w = Window.partitionBy("l_orderkey")
+    ann = j.withColumn(
+        "supps", F.size(F.collect_set("l_suppkey").over(w))
+    ).withColumn(
+        "late_supps",
+        F.size(
+            F.collect_set(
+                F.when(F.col("late"), F.col("l_suppkey"))
+            ).over(w)
+        ),
+    )
+    waiting = ann.filter(
+        F.col("late") & (F.col("supps") >= 2) & (F.col("late_supps") == 1)
+    )
+    sn = load_table(spark, sf, "supplier").join(
+        F.broadcast(
+            load_table(spark, sf, "nation").filter(
+                F.col("n_name") == "NATION_8"
+            )
+        ),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey", "s_name")
+    return (
+        waiting.join(F.broadcast(sn), waiting.l_suppkey == sn.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(100)
+    )
+
+
 def _q_sliding_window_counts(spark: SparkSession, sf: str) -> DataFrame:
     # overlapping (sliding) event-time windows: 2 h width, 1 h slide —
     # each event lands in exactly two windows.  Spark expands the
@@ -1684,6 +2050,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q17": _q_tpch_q17,
         "tpch_q18": _q_tpch_q18,
         "tpch_q22": _q_tpch_q22,
+        "tpch_q2": _q_tpch_q2,
+        "tpch_q9": _q_tpch_q9,
+        "tpch_q11": _q_tpch_q11,
+        "tpch_q12": _q_tpch_q12,
+        "tpch_q13": _q_tpch_q13,
+        "tpch_q16": _q_tpch_q16,
+        "tpch_q19": _q_tpch_q19,
+        "tpch_q20": _q_tpch_q20,
+        "tpch_q21": _q_tpch_q21,
         "sliding_window_counts": _q_sliding_window_counts,
         "value_rankings": _q_value_rankings,
         "moving_sum_user_value": _q_moving_sum_user_value,
@@ -2601,6 +2976,159 @@ def _oracle_sql_literal() -> dict[str, str]:
               )
             GROUP BY segment
             ORDER BY segment
+        """,
+        "tpch_q13": """
+            SELECT c_count, count(*) AS custdist
+            FROM (
+                SELECT c_custkey, count(o_orderkey) AS c_count
+                FROM customer LEFT OUTER JOIN orders
+                  ON c_custkey = o_custkey
+                 AND o_orderpriority <> '1-URGENT'
+                GROUP BY c_custkey
+            ) t
+            GROUP BY c_count
+            ORDER BY custdist DESC, c_count DESC
+        """,
+        "tpch_q16": """
+            SELECT p_brand, p_type, p_size,
+                   count(DISTINCT l_suppkey) AS supplier_cnt
+            FROM lineitem JOIN part ON p_partkey = l_partkey
+            WHERE p_brand <> 'Brand#45'
+              AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+              AND l_suppkey NOT IN (
+                  SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+              )
+            GROUP BY p_brand, p_type, p_size
+            ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+        """,
+        "tpch_q19": """
+            SELECT round((sum((l_extendedprice * (1 - l_discount))
+                              ::DECIMAL(20,6)))::DOUBLE, 2) AS revenue
+            FROM lineitem JOIN part ON p_partkey = l_partkey
+            WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+                   AND l_quantity BETWEEN 1 AND 11)
+               OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+                   AND l_quantity BETWEEN 10 AND 20)
+               OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+                   AND l_quantity BETWEEN 20 AND 30)
+        """,
+        "tpch_q2": """
+            WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+            SELECT s_acctbal, s_name, n_name, p_partkey, p_name
+            FROM ps
+            JOIN part ON p_partkey = l_partkey
+            JOIN supplier ON s_suppkey = l_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE p_type = 'STANDARD' AND p_size <= 15
+              AND r_name = 'EUROPE'
+              AND s_acctbal = (
+                  SELECT min(s2.s_acctbal)
+                  FROM ps ps2
+                  JOIN supplier s2 ON s2.s_suppkey = ps2.l_suppkey
+                  JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+                  JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+                  WHERE ps2.l_partkey = ps.l_partkey
+                    AND r2.r_name = 'EUROPE'
+              )
+            ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+            LIMIT 100
+        """,
+        "tpch_q9": """
+            SELECT n_name AS nation, year(o_orderdate)::INT AS o_year,
+                   round((sum((l_extendedprice * (1 - l_discount)
+                               - 0.5 * p_retailprice * l_quantity)
+                              ::DECIMAL(20,6)))::DOUBLE, 2) AS sum_profit
+            FROM lineitem
+            JOIN part ON p_partkey = l_partkey
+            JOIN supplier ON s_suppkey = l_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN orders ON o_orderkey = l_orderkey
+            WHERE p_name LIKE '%bolt%'
+            GROUP BY n_name, o_year
+            ORDER BY nation, o_year DESC
+        """,
+        "tpch_q11": """
+            WITH per_part AS (
+                SELECT l_partkey AS ps_partkey,
+                       sum((l_extendedprice * l_quantity)::DECIMAL(20,6))
+                           AS v
+                FROM lineitem
+                JOIN supplier ON s_suppkey = l_suppkey
+                JOIN nation ON s_nationkey = n_nationkey
+                WHERE n_name = 'NATION_3'
+                GROUP BY l_partkey
+            )
+            SELECT ps_partkey, round(v, 2)::DOUBLE AS part_value
+            FROM per_part
+            WHERE v::DOUBLE > (
+                SELECT 2.0 * (sum(v))::DOUBLE / count(*) FROM per_part
+            )
+            ORDER BY part_value DESC, ps_partkey
+        """,
+        "tpch_q12": """
+            SELECT l_linestatus,
+                   sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 1 ELSE 0 END) AS high_line_count,
+                   sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                            THEN 1 ELSE 0 END) AS low_line_count
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+            WHERE l_returnflag = 'R'
+              AND l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate < TIMESTAMP '1998-01-01'
+            GROUP BY l_linestatus
+            ORDER BY l_linestatus
+        """,
+        "tpch_q20": """
+            WITH shipped AS (
+                SELECT l_suppkey, l_partkey, sum(l_quantity) AS qty
+                FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+                  AND l_shipdate < TIMESTAMP '1998-01-01'
+                GROUP BY l_suppkey, l_partkey
+            )
+            SELECT s_name, round(s_acctbal, 2) AS s_acctbal
+            FROM supplier
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'EUROPE'
+              AND s_suppkey IN (
+                  SELECT l_suppkey
+                  FROM shipped
+                  JOIN part ON p_partkey = l_partkey
+                  WHERE p_name LIKE 'red%'
+                    AND qty > 1.2 * (
+                        SELECT avg(s2.qty) FROM shipped s2
+                        JOIN part p2 ON p2.p_partkey = s2.l_partkey
+                        WHERE s2.l_partkey = shipped.l_partkey
+                          AND p2.p_name LIKE 'red%'
+                    )
+              )
+            ORDER BY s_name
+        """,
+        "tpch_q21": """
+            SELECT s_name, count(*) AS numwait
+            FROM lineitem l1
+            JOIN orders ON o_orderkey = l1.l_orderkey
+            JOIN supplier ON s_suppkey = l1.l_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            WHERE o_orderstatus = 'F'
+              AND n_name = 'NATION_8'
+              AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+              AND EXISTS (
+                  SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey
+              )
+              AND NOT EXISTS (
+                  SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY
+              )
+            GROUP BY s_name
+            ORDER BY numwait DESC, s_name
+            LIMIT 100
         """,
         "tpch_q18": """
             SELECT c_name, c_custkey, o_orderkey, o_orderdate,
