@@ -923,6 +923,71 @@ def _q_train_test_split(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
+    # corpus mixing: deterministic per-stratum downsampling (keep 60%
+    # of src0/src1, 20% of src2/src3, drop the rest) via md5-bucket
+    # thresholds — no RNG, repartition-stable, exactly reproduced by
+    # the oracle.  Aggregated per source so the gate compares the
+    # actual sampling decisions compactly.
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.sampling import stratified_sample
+
+    docs = load_table(spark, sf, "documents")
+    kept = stratified_sample(
+        docs,
+        "source",
+        "doc_id",
+        rates={"src0": 0.6, "src1": 0.6, "src2": 0.2, "src3": 0.2},
+    )
+    return kept.groupBy("source").agg(
+        F.count("*").alias("kept_docs"),
+        F.sum("n_chars").alias("kept_chars"),
+    )
+
+
+def _q_doc_chunks(spark: SparkSession, sf: str) -> DataFrame:
+    # pretraining chunk prep: slice every document's token stream into
+    # 16-token windows every 12 tokens (overlap 4), drop a trailing
+    # window that adds no new tokens.  Pure in-scan expansion —
+    # sequence + posexplode + slice, no shuffle until the gate's
+    # per-source accounting agg; chunk identity checked via md5 of the
+    # joined window.
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.text import chunk_documents
+
+    docs = load_table(spark, sf, "documents")
+    chunks = chunk_documents(docs, "text", "doc_id", 16, 12)
+    return chunks.groupBy("chunk_id").agg(
+        F.count("*").alias("n_chunks"),
+        F.sum("chunk_tokens").alias("total_tokens"),
+        F.count_distinct("chunk_hash").alias("distinct_chunks"),
+    ).orderBy("chunk_id")
+
+
+def _q_tfidf_terms(spark: SparkSession, sf: str) -> DataFrame:
+    # top-3 characteristic terms per document by tf-idf with the
+    # RATIONAL idf (tf * N/df — no ln(), whose last-ulp differs
+    # between libm and the JVM and would break exact comparison).
+    # Corpus rows move once (tokenize->tf), the vocabulary twice.
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.text import tfidf_terms
+
+    docs = load_table(spark, sf, "documents")
+    return tfidf_terms(docs, "text", "doc_id", k=3)
+
+
+def _q_zscore_outliers(spark: SparkSession, sf: str) -> DataFrame:
+    # feature scaling + outlier detection: per-event-type z-score
+    # (decimal sums -> one double collapse -> identical IEEE op chain
+    # on both engines, no rounding), keep |z| > 3.  The per-key stats
+    # broadcast back onto the scan — at 100 TB the stats table is
+    # #keys-sized.
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.aggregates import zscore
+
+    events = load_table(spark, sf, "events")
+    scored = zscore(events, "event_type", "value")
+    return scored.filter(F.abs(F.col("z")) > 3.0).select(
+        "event_id", "event_type", "value", "z"
+    )
+
+
 def _q_top_tokens(spark: SparkSession, sf: str) -> DataFrame:
     # the canonical wordcount shape: explode tokens -> partial+final
     # count -> TakeOrderedAndProject(50).  The generator runs inside
@@ -2083,6 +2148,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": _q_multimodal_features,
         "lang_pred_counts": _q_lang_pred_counts,
         "train_test_split": _q_train_test_split,
+        "stratified_sample": _q_stratified_sample,
+        "doc_chunks": _q_doc_chunks,
+        "tfidf_terms": _q_tfidf_terms,
+        "zscore_outliers": _q_zscore_outliers,
         "top_tokens": _q_top_tokens,
         "corpus_filter": _q_corpus_filter,
         "corpus_pipeline": _q_corpus_pipeline,
@@ -2466,6 +2535,99 @@ def _oracle_sql_literal() -> dict[str, str]:
                    count(*) AS doc_count
             FROM documents
             GROUP BY 1, 2
+        """,
+        "stratified_sample": """
+            SELECT source, count(*) AS kept_docs, sum(n_chars) AS kept_chars
+            FROM documents
+            WHERE ('0x' || substr(
+                       md5('strat:v1' || doc_id::VARCHAR), 1, 7)
+                  )::BIGINT % 1000
+                  < CASE WHEN source IN ('src0', 'src1') THEN 600
+                         WHEN source IN ('src2', 'src3') THEN 200
+                         ELSE 0 END
+            GROUP BY source
+        """,
+        "doc_chunks": r"""
+            WITH toks AS (
+                SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+                FROM documents
+            ),
+            chunks AS (
+                SELECT doc_id,
+                       s // 12 AS chunk_id,
+                       s AS start,
+                       t[s + 1 : s + 16] AS chunk
+                FROM toks,
+                     UNNEST(range(0, greatest(len(t), 1), 12)) AS u(s)
+                WHERE len(t) > 0
+                  AND (s = 0 OR s - 12 + 16 < len(t))
+            )
+            SELECT chunk_id,
+                   count(*) AS n_chunks,
+                   sum(len(chunk)) AS total_tokens,
+                   count(DISTINCT md5(array_to_string(chunk, ' ')))
+                       AS distinct_chunks
+            FROM chunks
+            GROUP BY 1
+            ORDER BY 1
+        """,
+        "tfidf_terms": r"""
+            WITH tf AS (
+                SELECT doc_id, term, count(*) AS tf
+                FROM (
+                    SELECT doc_id,
+                           unnest(string_split_regex(trim(text), '\s+'))
+                               AS term
+                    FROM documents
+                )
+                GROUP BY doc_id, term
+            ),
+            df AS (SELECT term, count(*) AS doc_freq FROM tf GROUP BY term),
+            n AS (SELECT count(DISTINCT doc_id)::DOUBLE AS n_docs
+                  FROM documents)
+            SELECT doc_id, term, tf, doc_freq,
+                   tf::DOUBLE * (n_docs / doc_freq::DOUBLE) AS score, rk
+            FROM (
+                SELECT tf.doc_id, tf.term, tf.tf, df.doc_freq, n.n_docs,
+                       row_number() OVER (
+                           PARTITION BY tf.doc_id
+                           ORDER BY tf::DOUBLE
+                                    * (n_docs / doc_freq::DOUBLE) DESC,
+                                    tf.term ASC
+                       ) AS rk
+                FROM tf JOIN df USING (term) CROSS JOIN n
+            )
+            WHERE rk <= 3
+        """,
+        "zscore_outliers": """
+            WITH stats AS (
+                SELECT event_type,
+                       sum((value::DECIMAL(10,6)
+                            * 1000000::DECIMAL(7,0))::DECIMAL(18,0))
+                           AS s_raw,
+                       sum((value::DECIMAL(10,6)
+                            * 1000000::DECIMAL(7,0))::DECIMAL(18,0)
+                           * (value::DECIMAL(10,6)
+                              * 1000000::DECIMAL(7,0))::DECIMAL(18,0))
+                           AS ss_raw,
+                       count(*) AS n
+                FROM events
+                GROUP BY event_type
+            ),
+            sd AS (
+                SELECT event_type,
+                       (s_raw::DECIMAL(19,0))::DOUBLE / n / 1000000.0
+                           AS mean,
+                       sqrt((n::DECIMAL(7,0) * ss_raw::DECIMAL(24,0)
+                             - s_raw::DECIMAL(19,0) * s_raw::DECIMAL(19,0)
+                            )::DOUBLE
+                            / ((n * (n - 1))::DOUBLE)) / 1000000.0 AS sd
+                FROM stats
+            )
+            SELECT event_id, events.event_type, value,
+                   (value - mean) / sd AS z
+            FROM events JOIN sd ON events.event_type = sd.event_type
+            WHERE abs((value - mean) / sd) > 3.0
         """,
         "top_tokens": r"""
             SELECT token, count(*) AS occurrences

@@ -39,6 +39,15 @@ HEADLINE = [
     "tpch_q17",
     "tpch_q18",
     "tpch_q22",
+    "tpch_q2",
+    "tpch_q9",
+    "tpch_q11",
+    "tpch_q12",
+    "tpch_q13",
+    "tpch_q16",
+    "tpch_q19",
+    "tpch_q20",
+    "tpch_q21",
     "grouped_stats",
     "multikey_summary",
     "hourly_activity",
@@ -66,6 +75,10 @@ HEADLINE = [
     "dq_report",
     "corpus_filter",
     "corpus_pipeline",
+    "doc_chunks",
+    "tfidf_terms",
+    "stratified_sample",
+    "zscore_outliers",
     "doc_fingerprints",
     "levenshtein_near_dup",
     "minhash_pairs",

@@ -147,3 +147,50 @@ def histogram(
         .agg(F.count("*").alias("record_count"))
         .withColumn("bucket_lo", F.lit(lo) + F.col("bucket") * F.lit(width))
     )
+
+
+def zscore(
+    df: DataFrame,
+    key: str,
+    value_col: str,
+    alias: str = "z",
+) -> DataFrame:
+    """Per-key z-score normalization — the feature-scaling primitive:
+    ``z = (x - mean_key) / stddev_key`` with the sample stddev.
+
+    Cross-engine exactness is subtle here and each step is deliberate:
+    (1) the only double->decimal cast is of the raw value at scale 6,
+    which is exact for <= 6-decimal inputs; (2) the square happens IN
+    integer micro-units (casting value*value would hit each engine's
+    different double->decimal rounding; observed diverging at sf0.1);
+    (3) every decimal->double collapse is from SCALE 0 — a scaled
+    decimal collapses via int->double THEN /10^s in some engines
+    (double rounding, observed 1-ulp sd drift at sf0.01), while a
+    scale-0 decimal is one correctly-rounded int conversion
+    everywhere; (4) all later ops (divide, sqrt, subtract) are
+    correctly-rounded IEEE doubles applied in the same order.  Net:
+    bit-identical z in any engine, no round() fudge.  One shuffle for
+    the per-key stats, broadcast back onto the scan (at 100 TB the
+    stats table is #keys-sized; widths below assume <= ~1e7 rows and
+    |value| < 1e4 per key — widen for bigger keys).
+    """
+    v = F.col(value_col)
+    iv = (v.cast("decimal(10,6)") * 1000000).cast("decimal(18,0)")
+    stats = df.groupBy(key).agg(
+        F.sum(iv).alias("_s_raw"),
+        F.sum(iv * iv).alias("_ss_raw"),
+        F.count("*").alias("_n"),
+    )
+    s_i = F.col("_s_raw").cast("decimal(15,0)")
+    ssq_i = F.col("_ss_raw").cast("decimal(24,0)")
+    n_dec = F.col("_n").cast("decimal(7,0)")
+    num = (n_dec * ssq_i - s_i * s_i).cast("double")
+    den = (F.col("_n") * (F.col("_n") - 1)).cast("double")
+    stats = stats.select(
+        key,
+        (s_i.cast("double") / F.col("_n") / F.lit(1000000.0)).alias("_mean"),
+        (F.sqrt(num / den) / F.lit(1000000.0)).alias("_sd"),
+    )
+    return df.join(F.broadcast(stats), key).withColumn(
+        alias, (v - F.col("_mean")) / F.col("_sd")
+    ).drop("_mean", "_sd")

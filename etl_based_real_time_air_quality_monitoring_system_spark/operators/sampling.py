@@ -40,3 +40,32 @@ def train_test_split(
     return df.withColumn(
         alias, F.when(bucket < test_pct, F.lit("test")).otherwise(F.lit("train"))
     )
+
+
+def stratified_sample(
+    df: DataFrame,
+    stratum_col: str,
+    id_col: str,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    n_buckets: int = 1000,
+    salt: str = "strat:v1",
+) -> DataFrame:
+    """Deterministic per-stratum downsampling — the corpus-mixing
+    primitive (keep 50% of web, 10% of forums, ...) done the
+    100 TB-correct way: a content-hash bucket per row compared to the
+    stratum's rate threshold.  No RNG, no ``sampleBy`` (whose
+    per-partition RNG resamples on repartitioning): the same row is
+    kept or dropped forever, on any partitioning, in any engine with
+    md5 — so the sample is exactly reproducible AND
+    oracle-checkable.  Pure narrow projection + filter; rates move by
+    shifting thresholds without touching already-materialized rows.
+    """
+    bucket = hash_bucket(id_col, n_buckets, salt)
+    col = F.col(stratum_col)
+    threshold = F.lit(int(default_rate * n_buckets))
+    for value, rate in sorted(rates.items()):
+        threshold = F.when(
+            col == value, F.lit(int(rate * n_buckets))
+        ).otherwise(threshold)
+    return df.filter(bucket < threshold)

@@ -251,3 +251,105 @@ def with_text_stats(df: DataFrame, text: str = "text") -> DataFrame:
             "lang_pred": lang_id_of(F.col(ltoks)),
         }
     ).drop(toks, ltoks)
+
+
+def chunk_documents(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    chunk_size: int = 16,
+    stride: int = 12,
+) -> DataFrame:
+    """Sliding-window document chunking — the standard pretraining
+    prep step that slices each document's token stream into
+    fixed-size overlapping chunks (``chunk_size`` tokens every
+    ``stride`` tokens).
+
+    All built-ins, zero Python, zero shuffle: tokenize once,
+    ``sequence`` generates the chunk starts, ``posexplode`` fans out
+    one row per chunk, ``slice`` carves the token window.  A final
+    chunk that adds no tokens beyond the previous one (start > 0 and
+    start - stride + chunk_size >= n_tokens) is dropped — integer
+    logic that any engine reproduces exactly.  At 100 TB this is a
+    narrow per-partition expansion (~n_tokens/stride rows per doc)
+    that parallelizes with the scan; there is no state and no skew
+    beyond document length itself.
+    """
+    toks = tokens(text)
+    t = df.withColumn("_toks", toks).withColumn(
+        "_n", F.size(F.col("_toks"))
+    )
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.col("_n") - 1, F.lit(0)), F.lit(stride)
+    )
+    exploded = t.select(
+        F.col(id_col),
+        F.col("_toks"),
+        F.col("_n"),
+        F.posexplode(starts).alias("chunk_id", "start"),
+    ).filter(
+        (F.col("_n") > 0)
+        & (
+            (F.col("start") == 0)
+            | (F.col("start") - stride + chunk_size < F.col("_n"))
+        )
+    )
+    chunk = F.slice(F.col("_toks"), F.col("start") + 1, chunk_size)
+    return exploded.select(
+        id_col,
+        "chunk_id",
+        "start",
+        F.size(chunk).alias("chunk_tokens"),
+        F.md5(F.concat_ws(" ", chunk).cast("binary")).alias("chunk_hash"),
+    )
+
+
+def tfidf_terms(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """Top-k characteristic terms per document by tf-idf.
+
+    idf here is the *rational* variant ``N / doc_freq`` (no
+    logarithm): ``ln`` differs in the last ulp between libm and the
+    JVM, which would break exact cross-engine comparison, while
+    ``tf * (N / df)`` is a product of small exact integers under two
+    correctly-rounded IEEE ops — bit-identical in any engine.
+
+    Plan: tokenize+explode in the scan -> count per (doc, term)
+    [shuffle 1] -> term doc-frequency from that table [shuffle 2,
+    much smaller] -> broadcast N -> score -> row_number window per
+    doc [shuffle 3] -> top-k.  The doc-frequency side aggregates
+    (term, count) pairs, so the broadcast-back join is
+    vocabulary-sized, not corpus-sized — at 100 TB the vocabulary
+    table is the only thing that moves twice.
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col), F.explode(tokens(text)).alias("term")
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    docfreq = tf.groupBy("term").agg(F.count("*").alias("doc_freq"))
+    n_docs = df.select(
+        F.countDistinct(id_col).cast("double").alias("n_docs")
+    )
+    scored = (
+        tf.join(docfreq, "term")
+        .join(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.col("tf").cast("double")
+            * (F.col("n_docs") / F.col("doc_freq").cast("double")),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("score"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(id_col, "term", "tf", "doc_freq", "score", "rk")
+    )

@@ -464,3 +464,95 @@ def test_full_outer_diff_classification(spark):
         4: "added",
         5: "added",
     }
+
+
+def test_chunk_documents_drop_rule_and_overlap(spark):
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.text import chunk_documents
+
+    docs = spark.createDataFrame(
+        [
+            (1, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9"),  # 10 toks
+            (2, "a b c"),                            # 3 toks, one chunk
+            (3, "x"),                                # 1 tok
+        ],
+        ["doc_id", "text"],
+    )
+    # chunk_size=4, stride=3: doc1 starts 0,3,6,9; start 9 kept
+    # (9-3+4=10 not < 10 -> start 9 adds NO new tokens -> dropped)
+    out = chunk_documents(docs, "text", "doc_id", chunk_size=4, stride=3)
+    rows = {
+        (r["doc_id"], r["chunk_id"]): (r["start"], r["chunk_tokens"])
+        for r in out.collect()
+    }
+    assert rows == {
+        (1, 0): (0, 4),
+        (1, 1): (3, 4),
+        (1, 2): (6, 4),   # tokens t6..t9 — covers the tail exactly
+        (2, 0): (0, 3),   # short doc -> single truncated chunk
+        (3, 0): (0, 1),
+    }
+
+
+def test_chunk_documents_no_shuffle(spark):
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.text import chunk_documents
+
+    docs = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+    plan = chunk_documents(docs, "text", "doc_id")._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # pure in-scan expansion
+
+
+def test_tfidf_rational_idf(spark):
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.text import tfidf_terms
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple apple banana common"),
+            (2, "banana cherry common"),
+            (3, "cherry cherry cherry common"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = tfidf_terms(docs, "text", "doc_id", k=1).collect()
+    best = {r["doc_id"]: (r["term"], r["score"]) for r in out}
+    # doc1: apple tf=2 df=1 -> 2*(3/1)=6 beats banana 1*(3/2)=1.5
+    # doc3: cherry tf=3 df=2 -> 3*(3/2)=4.5 beats common 1*(3/3)=1
+    assert best[1] == ("apple", 6.0)
+    assert best[2][0] == "banana"   # 1*(3/2)=1.5 beats common 1.0
+    assert best[3] == ("cherry", 4.5)
+
+
+def test_stratified_sample_deterministic_and_rates(spark):
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.sampling import stratified_sample
+
+    df = spark.range(0, 2000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, "web").otherwise("forum").alias("src"),
+    )
+    kept = stratified_sample(df, "src", "doc_id", {"web": 0.5, "forum": 0.1})
+    counts = {r["src"]: r["n"] for r in kept.groupBy("src").agg(F.count("*").alias("n")).collect()}
+    # md5-bucket thresholds land near the nominal rates
+    assert abs(counts["web"] - 500) < 60
+    assert abs(counts["forum"] - 100) < 40
+    # identical decisions when recomputed on different partitioning
+    again = stratified_sample(df.repartition(13), "src", "doc_id", {"web": 0.5, "forum": 0.1})
+    assert sorted(r["doc_id"] for r in kept.collect()) == sorted(
+        r["doc_id"] for r in again.collect()
+    )
+
+
+def test_zscore_matches_stddev_samp(spark):
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.aggregates import zscore
+    import math
+
+    df = spark.createDataFrame(
+        [("a", float(x)) for x in [1, 2, 3, 4, 10]]
+        + [("b", float(x)) for x in [5, 5, 7]],
+        ["k", "value"],
+    )
+    out = {(r["k"], r["value"]): r["z"] for r in zscore(df, "k", "value").collect()}
+    mean_a, sd_a = 4.0, math.sqrt(sum((x - 4.0) ** 2 for x in [1, 2, 3, 4, 10]) / 4)
+    assert abs(out[("a", 10.0)] - (10.0 - mean_a) / sd_a) < 1e-12
+    mean_b, sd_b = 17.0 / 3.0, math.sqrt(
+        sum((x - 17.0 / 3.0) ** 2 for x in [5.0, 5.0, 7.0]) / 2
+    )
+    assert abs(out[("b", 7.0)] - (7.0 - mean_b) / sd_b) < 1e-9
