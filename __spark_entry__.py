@@ -200,7 +200,7 @@ def _q_latest_event_per_type(spark: SparkSession, sf: str) -> DataFrame:
     )
     return latest.select(
         "event_type",
-        F.unix_micros("ts").alias("event_time_us"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("event_time_us"),
         "value",
         "event_id",
     )
@@ -464,13 +464,15 @@ def _q_asof_purchase_attribution(spark: SparkSession, sf: str) -> DataFrame:
     joined = asof_join(
         purchases, clicks, "user_id", "ts", "click_ts", ["click_id", "click_ts"]
     )
+    t_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    c_us = F.unix_micros(F.col("click_ts").cast("timestamp"))
     return joined.select(
         "purchase_id",
         "user_id",
-        F.unix_micros("ts").alias("purchase_time_us"),
+        t_us.alias("purchase_time_us"),
         "click_id",
-        F.unix_micros("click_ts").alias("click_time_us"),
-        (F.unix_micros("ts") - F.unix_micros("click_ts")).alias("gap_us"),
+        c_us.alias("click_time_us"),
+        (t_us - c_us).alias("gap_us"),
     )
 
 

@@ -14,7 +14,20 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+
+def _ts_micros(ts: str | Column) -> Column:
+    """Microseconds-since-epoch for TIMESTAMP *or* TIMESTAMP_NTZ input.
+
+    ``unix_micros`` rejects NTZ at analysis time; casting first makes
+    the time-based operators type-agnostic.  NTZ→TIMESTAMP interprets
+    the wall clock in the session timezone (the engine pins UTC), so
+    gap/range arithmetic — which only ever subtracts two of these —
+    is identical either way.
+    """
+    col = F.col(ts) if isinstance(ts, str) else ts
+    return F.unix_micros(col.cast("timestamp"))
 
 
 def running_total(
@@ -92,7 +105,7 @@ def sessionize(
     keys = [key] if isinstance(key, str) else list(key)
     order = [F.col(ts)] + ([F.col(order_tie_break)] if order_tie_break else [])
     w = Window.partitionBy(*keys).orderBy(*order)
-    t_us = F.unix_micros(F.col(ts))
+    t_us = _ts_micros(ts)
     prev_us = F.lag(t_us, 1).over(w)
     boundary = F.when(
         prev_us.isNull() | (t_us - prev_us > gap_seconds * 1_000_000), F.lit(1)
@@ -155,7 +168,7 @@ def trailing_range_count(
     keys = [key] if isinstance(key, str) else list(key)
     w = (
         Window.partitionBy(*keys)
-        .orderBy(F.unix_micros(F.col(ts)))
+        .orderBy(_ts_micros(ts))
         .rangeBetween(-seconds * 1_000_000, 0)
     )
     return df.withColumn(alias, F.count(F.lit(1)).over(w))

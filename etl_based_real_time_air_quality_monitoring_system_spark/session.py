@@ -26,6 +26,11 @@ RUNTIME_CONFS: dict[str, str] = {
     # events.parquet carries TIMESTAMP(NANOS) which Spark's vectorized
     # parquet reader rejects; read as long and convert (sources.readers).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # parquet timestamp[us] WITHOUT isAdjustedToUTC otherwise arrives as
+    # TIMESTAMP_NTZ, which unix_micros/to_utc functions reject.  Session
+    # TZ is pinned UTC below, so reading it as TIMESTAMP yields the same
+    # wall-clock values DuckDB (the oracle) sees.
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",

@@ -67,18 +67,28 @@ def read_json_inferred(spark: SparkSession, path: str) -> DataFrame:
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one driver testdata table.
 
-    ``events.ts`` is stored as parquet TIMESTAMP(NANOS,false), which
-    Spark's reader rejects outright ([PARQUET_TYPE_ILLEGAL]); with
-    ``spark.sql.legacy.parquet.nanosAsLong=true`` it arrives as a long
-    that we floor-divide to microseconds — exactly the truncation DuckDB
-    applies when it reads the same file, so event-time semantics match
-    the oracle bit-for-bit.  ``timestamp_micros`` interprets the value
-    as a UTC instant, independent of session timezone.
+    ``events.ts`` is normalized to TimestampType whatever the parquet
+    encoding delivers:
+
+    - TIMESTAMP(NANOS,false): rejected by Spark's reader outright
+      ([PARQUET_TYPE_ILLEGAL]); with
+      ``spark.sql.legacy.parquet.nanosAsLong=true`` it arrives as a
+      long that we floor-divide to microseconds — exactly the
+      truncation DuckDB applies on the same file.
+    - timestamp[us] without isAdjustedToUTC: arrives as TIMESTAMP_NTZ
+      when NTZ inference is on (``unix_micros`` et al. reject NTZ at
+      analysis time); cast to TIMESTAMP under the UTC session TZ —
+      same instant the oracle computes.
+    - plain TIMESTAMP: passes through.
     """
     prepare(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        dt = df.schema["ts"].dataType
+        if isinstance(dt, T.LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(dt, T.TimestampNTZType):
+            df = df.withColumn("ts", F.col("ts").cast(T.TimestampType()))
     return df
 
 
