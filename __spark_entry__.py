@@ -2060,8 +2060,83 @@ def _q_grouping_sets_qty(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
+    """One entry per implemented operator from SURVEY.md §2.
+
+    ORDER MATTERS: the driver's correctness gate checked only the first
+    50 entries in round 1, so the registry is risk-ordered — queries
+    with no green gate row yet (round-1 failures, then the streaming /
+    dedup / similarity / text / LLM families, then ungated TPC-H) come
+    first; round-1-green queries come last.
+    """
     return {
+        # --- round-1 gate failures, fixed this round (NTZ bug) --------
+        "latest_event_per_type": _q_latest_event_per_type,
+        "asof_purchase_attribution": _q_asof_purchase_attribution,
+        "user_sessions": _q_user_sessions,
+        "trailing_hour_count": _q_trailing_hour_count,
+        # --- streaming family (never gated) ---------------------------
+        "streaming_hourly_counts": _q_streaming_hourly_counts,
+        "streaming_dedup_keys": _q_streaming_dedup_keys,
+        "streaming_click_purchase": _q_streaming_click_purchase,
+        "session_window_stats": _q_session_window_stats,
+        "streaming_session_stats": _q_streaming_session_stats,
+        # --- dedup / similarity family (never gated) ------------------
+        "doc_fingerprints": _q_doc_fingerprints,
+        "rolling_fingerprints": _q_rolling_fingerprints,
+        "levenshtein_near_dup": _q_levenshtein_near_dup,
+        "ngram_jaccard": _q_ngram_jaccard,
+        "minhash_pairs": _q_minhash_pairs,
+        "dedup_clusters": _q_dedup_clusters,
+        "fuzzy_dedup_corpus": _q_fuzzy_dedup_corpus,
+        "simhash": _q_simhash,
+        "simhash_near_dup": _q_simhash_near_dup,
+        "embedding_topk": _q_embedding_topk,
+        "knn_join": _q_knn_join,
+        "embedding_near_dup": _q_embedding_near_dup,
+        "embedding_near_dup_gemm": _q_embedding_near_dup_gemm,
+        "ivf_topk": _q_ivf_topk,
+        "ivf_topk_exhaustive": _q_ivf_topk_exhaustive,
+        "lsh_topk": _q_lsh_topk,
+        # --- text / LLM-pipeline family (never gated) -----------------
+        "text_stats": _q_text_stats,
+        "text_quality": _q_text_quality,
+        "multimodal_features": _q_multimodal_features,
+        "lang_pred_counts": _q_lang_pred_counts,
+        "train_test_split": _q_train_test_split,
+        "stratified_sample": _q_stratified_sample,
+        "doc_chunks": _q_doc_chunks,
+        "tfidf_terms": _q_tfidf_terms,
+        "zscore_outliers": _q_zscore_outliers,
+        "top_tokens": _q_top_tokens,
+        "corpus_filter": _q_corpus_filter,
+        "corpus_pipeline": _q_corpus_pipeline,
+        # --- misc never-gated -----------------------------------------
+        "sliding_window_counts": _q_sliding_window_counts,
+        "value_rankings": _q_value_rankings,
+        "moving_sum_user_value": _q_moving_sum_user_value,
+        "grouping_sets_qty": _q_grouping_sets_qty,
+        "part_type_revenue": _q_part_type_revenue,
+        "above_avg_customers": _q_above_avg_customers,
+        "serving_tiles": _q_serving_tiles,
+        # --- TPC-H never gated in round 1 -----------------------------
+        "tpch_q2": _q_tpch_q2,
+        "tpch_q3": _q_tpch_q3,
+        "tpch_q5": _q_tpch_q5,
+        "tpch_q6": _q_tpch_q6,
+        "tpch_q9": _q_tpch_q9,
+        "tpch_q10": _q_tpch_q10,
+        "tpch_q11": _q_tpch_q11,
+        "tpch_q12": _q_tpch_q12,
+        "tpch_q13": _q_tpch_q13,
+        "tpch_q15": _q_tpch_q15,
+        "tpch_q16": _q_tpch_q16,
+        "tpch_q17": _q_tpch_q17,
+        "tpch_q18": _q_tpch_q18,
+        "tpch_q19": _q_tpch_q19,
+        "tpch_q20": _q_tpch_q20,
+        "tpch_q21": _q_tpch_q21,
+        "tpch_q22": _q_tpch_q22,
+        # --- round-1 green (gate-verified in CORRECTNESS_r01) ---------
         "flagship": flagship_pipeline,
         "grouped_stats": _q_grouped_stats,
         "band_distribution": _q_band_distribution,
@@ -2071,7 +2146,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "count_distinct": _q_count_distinct,
         "acctbal_range": _q_acctbal_range,
         "priority_counts": _q_priority_counts,
-        "latest_event_per_type": _q_latest_event_per_type,
         "dq_report": _q_dq_report,
         "latest_value_max_by": _q_latest_value_max_by,
         "value_histogram": _q_value_histogram,
@@ -2102,8 +2176,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_flag_status": _q_rollup_flag_status,
         "cube_flag_status": _q_cube_flag_status,
         "unpivot_means": _q_unpivot_means,
-        "asof_purchase_attribution": _q_asof_purchase_attribution,
-        "user_sessions": _q_user_sessions,
         "value_percentiles": _q_value_percentiles,
         "range_band_join": _q_range_band_join,
         "gapfill_hourly_locf": _q_gapfill_hourly_locf,
@@ -2112,64 +2184,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q4": _q_tpch_q4,
         "tpch_q7": _q_tpch_q7,
         "tpch_q8": _q_tpch_q8,
-        "tpch_q10": _q_tpch_q10,
-        "tpch_q15": _q_tpch_q15,
-        "tpch_q17": _q_tpch_q17,
-        "tpch_q18": _q_tpch_q18,
-        "tpch_q22": _q_tpch_q22,
-        "tpch_q2": _q_tpch_q2,
-        "tpch_q9": _q_tpch_q9,
-        "tpch_q11": _q_tpch_q11,
-        "tpch_q12": _q_tpch_q12,
-        "tpch_q13": _q_tpch_q13,
-        "tpch_q16": _q_tpch_q16,
-        "tpch_q19": _q_tpch_q19,
-        "tpch_q20": _q_tpch_q20,
-        "tpch_q21": _q_tpch_q21,
-        "sliding_window_counts": _q_sliding_window_counts,
-        "value_rankings": _q_value_rankings,
-        "moving_sum_user_value": _q_moving_sum_user_value,
-        "trailing_hour_count": _q_trailing_hour_count,
-        "levenshtein_near_dup": _q_levenshtein_near_dup,
-        "grouping_sets_qty": _q_grouping_sets_qty,
-        "tpch_q3": _q_tpch_q3,
-        "tpch_q5": _q_tpch_q5,
-        "tpch_q6": _q_tpch_q6,
-        "part_type_revenue": _q_part_type_revenue,
-        "streaming_hourly_counts": _q_streaming_hourly_counts,
-        "streaming_dedup_keys": _q_streaming_dedup_keys,
-        "streaming_click_purchase": _q_streaming_click_purchase,
-        "session_window_stats": _q_session_window_stats,
-        "streaming_session_stats": _q_streaming_session_stats,
-        "above_avg_customers": _q_above_avg_customers,
-        "serving_tiles": _q_serving_tiles,
-        "text_stats": _q_text_stats,
-        "text_quality": _q_text_quality,
-        "doc_fingerprints": _q_doc_fingerprints,
-        "rolling_fingerprints": _q_rolling_fingerprints,
-        "multimodal_features": _q_multimodal_features,
-        "lang_pred_counts": _q_lang_pred_counts,
-        "train_test_split": _q_train_test_split,
-        "stratified_sample": _q_stratified_sample,
-        "doc_chunks": _q_doc_chunks,
-        "tfidf_terms": _q_tfidf_terms,
-        "zscore_outliers": _q_zscore_outliers,
-        "top_tokens": _q_top_tokens,
-        "corpus_filter": _q_corpus_filter,
-        "corpus_pipeline": _q_corpus_pipeline,
-        "ngram_jaccard": _q_ngram_jaccard,
-        "minhash_pairs": _q_minhash_pairs,
-        "dedup_clusters": _q_dedup_clusters,
-        "fuzzy_dedup_corpus": _q_fuzzy_dedup_corpus,
-        "simhash": _q_simhash,
-        "simhash_near_dup": _q_simhash_near_dup,
-        "embedding_topk": _q_embedding_topk,
-        "knn_join": _q_knn_join,
-        "embedding_near_dup": _q_embedding_near_dup,
-        "embedding_near_dup_gemm": _q_embedding_near_dup_gemm,
-        "ivf_topk": _q_ivf_topk,
-        "ivf_topk_exhaustive": _q_ivf_topk_exhaustive,
-        "lsh_topk": _q_lsh_topk,
     }
 
 
