@@ -495,6 +495,23 @@ def _q_user_sessions(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_air_quality_summary(spark: SparkSession, sf: str) -> DataFrame:
+    # EP1 headline pipeline (spark_processor.py:231-270): the reference's
+    # batch ETL — dedup -> not-null filter -> band/score derivation ->
+    # persisted summary (spark_processor.py:210-217) — oracle-checked
+    # end-to-end over the deterministic air-quality fixture (the fixture
+    # is pure column arithmetic over range(n), so DuckDB regenerates it
+    # bit-identically; `sf` is unused by design).
+    from etl_based_real_time_air_quality_monitoring_system_spark.plans.air_quality import (
+        clean_and_transform,
+        summary_table,
+        synthesize_air_quality,
+    )
+
+    prepare(spark)
+    return summary_table(clean_and_transform(synthesize_air_quality(spark, 1000)))
+
+
 def _q_value_percentiles(spark: SparkSession, sf: str) -> DataFrame:
     # exact interpolated percentiles per key (quantile_cont semantics)
     events = load_table(spark, sf, "events")
@@ -2074,6 +2091,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_purchase_attribution": _q_asof_purchase_attribution,
         "user_sessions": _q_user_sessions,
         "trailing_hour_count": _q_trailing_hour_count,
+        # --- reference EP1 batch pipeline end-to-end (new) ------------
+        "air_quality_summary": _q_air_quality_summary,
         # --- streaming family (never gated) ---------------------------
         "streaming_hourly_counts": _q_streaming_hourly_counts,
         "streaming_dedup_keys": _q_streaming_dedup_keys,
@@ -3370,6 +3389,70 @@ def _oracle_sql_literal() -> dict[str, str]:
                              AND CURRENT ROW
                    ) AS trailing_count
             FROM events
+        """,
+        # the fixture is deterministic column arithmetic over range(n),
+        # re-derived here term-for-term (same IEEE expression order) so
+        # DuckDB rebuilds the exact rows Spark synthesizes
+        "air_quality_summary": """
+            WITH base AS (
+                SELECT i,
+                    (['London','Paris','Delhi','Lima','Oslo'])[(i % 5 + 1)::int]
+                        AS location,
+                    CASE WHEN i % 11 = 0
+                         THEN ([0.0, 10.0, 20.0, 30.0])[(i % 4 + 1)::int]
+                         ELSE (i % 650) / 10.0 - 20.0 END AS temp_c,
+                    (i % 101)::int AS humidity,
+                    make_timestamp(
+                        (1704067200 + (i % 1000) * 3600 + i % 60) * 1000000
+                    ) AS ts,
+                    CASE WHEN i % 13 = 0 THEN 0.0
+                         ELSE (i % 400) / 1.7 END AS co,
+                    (i % 300) / 2.3 AS no2,
+                    (i % 200) / 1.9 AS o3,
+                    (i % 100) / 3.1 AS so2,
+                    CASE WHEN i % 7 = 0
+                         THEN ([12.0, 35.0, 55.0, 150.0, 250.0])[(i % 5 + 1)::int]
+                         WHEN i % 13 = 0 THEN 0.0
+                         ELSE (i % 4000) / 10.0 END AS pm2_5,
+                    (i % 500) / 1.3 AS pm10
+                FROM range(1000) t(i)
+            ), withnulls AS (
+                SELECT i,
+                    CASE WHEN i % 97 = 0 THEN NULL ELSE location END AS location,
+                    CASE WHEN i % 89 = 0 THEN NULL ELSE temp_c END AS temp_c,
+                    CASE WHEN i % 83 = 0 THEN NULL ELSE ts END AS ts,
+                    humidity, co, no2, o3, so2, pm2_5, pm10
+                FROM base
+            ), unioned AS (
+                SELECT * EXCLUDE (i) FROM withnulls
+                UNION ALL SELECT * EXCLUDE (i) FROM withnulls WHERE i = 1
+                UNION ALL SELECT * EXCLUDE (i) FROM withnulls WHERE i = 1
+            ), cleaned AS (
+                SELECT DISTINCT * FROM unioned
+            ), filtered AS (
+                SELECT * FROM cleaned
+                WHERE location IS NOT NULL AND temp_c IS NOT NULL
+                  AND ts IS NOT NULL
+            ), transformed AS (
+                SELECT *,
+                    CASE WHEN pm2_5 <= 12 THEN 'Good'
+                         WHEN pm2_5 <= 35 THEN 'Moderate'
+                         WHEN pm2_5 <= 55 THEN 'Unhealthy for Sensitive Groups'
+                         WHEN pm2_5 <= 150 THEN 'Unhealthy'
+                         WHEN pm2_5 <= 250 THEN 'Very Unhealthy'
+                         ELSE 'Hazardous' END AS air_quality_index,
+                    round(pm2_5 * 0.3 + pm10 * 0.25 + no2 * 0.2
+                          + o3 * 0.15 + co * 0.05 + so2 * 0.05, 2)
+                        AS pollution_score
+                FROM filtered
+            )
+            SELECT location, air_quality_index,
+                   count(*) AS record_count,
+                   round(avg(temp_c), 2) AS avg_temp_c,
+                   round(avg(humidity), 2) AS avg_humidity,
+                   round(avg(pm2_5), 2) AS avg_pm2_5,
+                   round(avg(pollution_score), 2) AS avg_pollution_score
+            FROM transformed GROUP BY 1, 2
         """,
         "levenshtein_near_dup": r"""
             WITH names AS (

@@ -145,12 +145,20 @@ def cosine_near_dup_pairs(
     return scored.filter(F.col("cosine_sim") >= threshold)
 
 
+#: default cap on the corpus ``cosine_near_dup_gemm`` will collect to
+#: the driver (rows; ~1 GB of float64 at 2M x 64).  Beyond this the
+#: collect-and-broadcast pattern stops being a shortcut and starts
+#: being the bottleneck — use :func:`cosine_near_dup_lsh`.
+GEMM_MAX_ROWS = 2_000_000
+
+
 def cosine_near_dup_gemm(
     df: DataFrame,
     id_col: str,
     emb_col: str,
     threshold: float,
     scale: int = 6,
+    max_rows: int = GEMM_MAX_ROWS,
 ) -> DataFrame:
     """Exact near-dup pairs via blocked matrix multiply: the normalized
     corpus is broadcast once, and each Arrow batch scores its rows
@@ -172,6 +180,15 @@ def cosine_near_dup_gemm(
 
     spark = df.sparkSession
     narrow = df.select(F.col(id_col).alias("_id"), _as_double_array(emb_col).alias("_e"))
+    # the one collect-class operation in the repo: refuse a fact-sized
+    # corpus instead of silently OOMing the driver
+    n = narrow.count()
+    if n > max_rows:
+        raise ValueError(
+            f"cosine_near_dup_gemm: corpus has {n} rows, over the "
+            f"driver-collect bound of {max_rows}; use cosine_near_dup_lsh "
+            "(banded LSH, no driver collect) at this scale"
+        )
     corpus_pdf = narrow.toPandas()
     corpus_ids = corpus_pdf["_id"].to_numpy()
     corpus = np.stack(corpus_pdf["_e"].to_numpy()).astype(np.float64)

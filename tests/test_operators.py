@@ -556,3 +556,63 @@ def test_zscore_matches_stddev_samp(spark):
         sum((x - 17.0 / 3.0) ** 2 for x in [5.0, 5.0, 7.0]) / 2
     )
     assert abs(out[("b", 7.0)] - (7.0 - mean_b) / sd_b) < 1e-9
+
+
+def _events_both_ts_types(spark):
+    """The same tiny event table as TIMESTAMP and as TIMESTAMP_NTZ —
+    the two encodings driver parquet has shipped across rounds."""
+    import pytest
+
+    rows = [
+        (1, 101, "2024-01-01 00:00:00"),
+        (2, 101, "2024-01-01 00:30:00"),
+        (3, 101, "2024-01-01 06:00:00"),
+        (4, 202, "2024-01-01 01:00:00"),
+        (5, 202, "2024-01-01 01:10:00"),
+    ]
+    base = spark.createDataFrame(rows, ["event_id", "user_id", "ts_str"])
+    ltz = base.withColumn("ts", F.col("ts_str").cast("timestamp")).drop("ts_str")
+    ntz = base.withColumn("ts", F.col("ts_str").cast("timestamp_ntz")).drop("ts_str")
+    return pytest.mark.parametrize, ltz, ntz
+
+
+def test_time_operators_accept_both_timestamp_types(spark):
+    """sessionize / trailing_range_count / asof_join are library
+    operators — callers outside load_table can hand them TIMESTAMP_NTZ
+    columns, which unix_micros rejects unless cast internally.  Both
+    encodings must produce identical results (session TZ is UTC)."""
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.joins import asof_join
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.windows import (
+        sessionize,
+        trailing_range_count,
+    )
+
+    _, ltz, ntz = _events_both_ts_types(spark)
+    results = []
+    for df in (ltz, ntz):
+        sessions = sorted(
+            (r["event_id"], r["session_id"])
+            for r in sessionize(df, "user_id", "ts", 3600, "event_id").collect()
+        )
+        trailing = sorted(
+            (r["event_id"], r["trailing_count"])
+            for r in trailing_range_count(df, "user_id", "ts", 3600).collect()
+        )
+        left = df.select("user_id", F.col("ts"))
+        right = df.select(
+            F.col("user_id"),
+            F.col("ts").alias("r_ts"),
+            F.col("event_id").alias("r_id"),
+        )
+        asof = sorted(
+            (r["user_id"], r["ts"], r["r_id"])
+            for r in asof_join(
+                left, right, "user_id", "ts", "r_ts", ["r_id"]
+            ).collect()
+        )
+        results.append((sessions, trailing, asof))
+    assert results[0] == results[1]
+    # sanity on the semantics, not just type-tolerance: user 101's
+    # third event is 5.5h after the second -> a new session
+    sessions = dict(results[0][0])
+    assert sessions[1] == sessions[2] == 1 and sessions[3] == 2

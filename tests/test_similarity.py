@@ -210,3 +210,12 @@ def test_ivf_kmeans_refined_centroids(spark, sf_dir):
         ).collect()
     ]
     assert ivf == exact
+
+
+def test_cosine_near_dup_gemm_guard_trips(emb):
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.similarity import (
+        cosine_near_dup_gemm,
+    )
+
+    with pytest.raises(ValueError, match="cosine_near_dup_lsh"):
+        cosine_near_dup_gemm(emb, "vec_id", "embedding", 0.3, max_rows=10)
