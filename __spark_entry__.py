@@ -1012,11 +1012,15 @@ def _q_top_tokens(spark: SparkSession, sf: str) -> DataFrame:
     # count -> TakeOrderedAndProject(50).  The generator runs inside
     # the scan stage (no pre-shuffle materialization); only (token,
     # partial count) rows shuffle.
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.balance import (
+        spread_small_input,
+    )
     from etl_based_real_time_air_quality_monitoring_system_spark.operators.text import tokens
 
     docs = load_table(spark, sf, "documents")
     return (
-        docs.select(F.explode(tokens(F.lower(F.col("text")))).alias("token"))
+        spread_small_input(docs.select("text"))
+        .select(F.explode(tokens(F.lower(F.col("text")))).alias("token"))
         .groupBy("token")
         .agg(F.count("*").alias("occurrences"))
         .orderBy(F.desc("occurrences"), F.asc("token"))

@@ -28,6 +28,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from .balance import spread_small_input
 from .text import fingerprint, tokens
 
 
@@ -52,8 +53,10 @@ def word_shingles(text: Column | str, n: int = 3) -> Column:
 def exploded_shingles(
     df: DataFrame, id_col: str, text_col: str, n: int = 3
 ) -> DataFrame:
-    """(id, shingle) rows, distinct per doc."""
-    return df.select(
+    """(id, shingle) rows, distinct per doc.  The shingle projection is
+    the compute hot spot (regex tokenize + n zip_with passes per doc),
+    so a small under-partitioned input is first spread across cores."""
+    return spread_small_input(df.select(id_col, text_col)).select(
         F.col(id_col), F.explode(word_shingles(text_col, n)).alias("shingle")
     )
 
@@ -95,7 +98,7 @@ def ngram_jaccard_pairs(
     # Postings length is bounded by ``max_shingle_docs`` (df-cut): a
     # shingle in d docs costs d^2 pair rows in ANY formulation, so at
     # scale the cap is what keeps this tractable, not the join shape.
-    sh = df.select(
+    sh = spread_small_input(df.select(id_col, text_col)).select(
         F.col(id_col), word_shingles(text_col, n).alias("_shingles")
     ).select(
         F.col(id_col).alias("_id"),
@@ -282,7 +285,9 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     One explode + one groupBy(doc) with 60 conditional-sum aggregates
     — all map-side combinable, shuffle carries 60 ints per doc.
     """
-    tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("token"))
+    tok = spread_small_input(df.select(id_col, text_col)).select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("token")
+    )
     h = tok.withColumn("h", _token_hash60())
     bit_sums = h.groupBy(id_col).agg(
         *[

@@ -20,6 +20,8 @@ from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
+from .balance import spread_small_input
+
 
 def broadcast_join(
     fact: DataFrame,
@@ -109,7 +111,10 @@ def range_join(
     tiers); for two large interval sets you'd bucketize both sides on
     ``floor(value / bucket)`` first to recover an equi-join."""
     cond = (F.col(value) >= F.col(lo)) & (F.col(value) < F.col(hi))
-    return fact.join(F.broadcast(intervals), cond, "inner")
+    # BNLJ evaluates its condition per (row, interval) — compute-bound,
+    # so an under-partitioned small fact extract is spread first (no-op
+    # on a real fact table, whose scan is already wide)
+    return spread_small_input(fact).join(F.broadcast(intervals), cond, "inner")
 
 
 def asof_join(

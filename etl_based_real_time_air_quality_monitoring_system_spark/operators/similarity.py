@@ -23,6 +23,8 @@ from collections.abc import Sequence
 import numpy as np
 from pyspark.sql import Column, DataFrame, functions as F
 
+from .balance import spread_small_input
+
 
 def _as_double_array(col: Column | str) -> Column:
     c = F.col(col) if isinstance(col, str) else col
@@ -130,7 +132,7 @@ def cosine_near_dup_pairs(
     # (measured 3x on the O(n^2) pair loop)
     e = _as_double_array(emb_col)
     unit = (
-        df.select(F.col(id_col).alias("_id"), e.alias("_e"))
+        spread_small_input(df.select(F.col(id_col).alias("_id"), e.alias("_e")))
         .withColumn("_nrm", l2_norm(F.col("_e")))
         .select("_id", F.transform("_e", lambda x: x / F.col("_nrm")).alias("_u"))
     )
@@ -209,7 +211,7 @@ def cosine_near_dup_gemm(
                 {"id_a": qids[ii], "id_b": bids[jj], "cosine_sim": sims[ii, jj]}
             )
 
-    return narrow.mapInPandas(
+    return spread_small_input(narrow).mapInPandas(
         score, "id_a long, id_b long, cosine_sim double"
     )
 

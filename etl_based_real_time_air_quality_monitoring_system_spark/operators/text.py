@@ -15,6 +15,8 @@ from collections.abc import Mapping, Sequence
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from .balance import spread_small_input
+
 #: language marker words for the n-gram/stopword language-ID heuristic.
 #: Deliberately tiny and deterministic; real pipelines would plug a
 #: fastText-style model in via a pandas UDF at this exact seam.
@@ -233,6 +235,7 @@ def with_text_stats(df: DataFrame, text: str = "text") -> DataFrame:
     multiply-referenced alias keeps Catalyst from inlining the split
     back into every metric)."""
     toks, ltoks = "_toks", "_ltoks"
+    df = spread_small_input(df)
     tokenized = df.withColumns(
         {
             toks: tokens(text),
@@ -276,7 +279,7 @@ def chunk_documents(
     beyond document length itself.
     """
     toks = tokens(text)
-    t = df.withColumn("_toks", toks).withColumn(
+    t = spread_small_input(df).withColumn("_toks", toks).withColumn(
         "_n", F.size(F.col("_toks"))
     )
     starts = F.sequence(
@@ -328,7 +331,7 @@ def tfidf_terms(
     """
     from pyspark.sql import Window
 
-    toks = df.select(
+    toks = spread_small_input(df.select(id_col, text)).select(
         F.col(id_col), F.explode(tokens(text)).alias("term")
     )
     tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))

@@ -24,6 +24,23 @@ def plan(df) -> str:
     )
 
 
+def n_key_shuffles(p: str) -> int:
+    """Hash/range exchanges — the data-volume-bound shuffles that decide
+    100 TB behavior.  Round-robin exchanges (balance.spread_small_input
+    on provably-small inputs) are deliberately not counted: they are a
+    bounded compute-rebalance, not a fact-table shuffle, and vanish on
+    any input big enough to scan in parallel."""
+    import re
+
+    # formatted mode puts the partitioning on the Exchange block's
+    # "Arguments:" line, e.g. "Arguments: hashpartitioning(k#1, 32), ..."
+    return len(
+        re.findall(
+            r"Arguments: (?:hashpartitioning|rangepartitioning|SinglePartition)", p
+        )
+    )
+
+
 def test_filter_pushdown_reaches_parquet_scan(spark, sf_dir):
     events = load_table(spark, sf_dir, "events")
     q = events.filter(F.col("value") > 200).select("event_id", "value")
@@ -136,8 +153,7 @@ def test_sessionize_single_shuffle(spark, sf_dir):
     p = plan(q)
     # both windows + both aggregations share the user_id partitioning:
     # exactly one exchange in the whole plan
-    import re
-    n_exchanges = len(re.findall(r"\) Exchange", p))
+    n_exchanges = n_key_shuffles(p)
     assert n_exchanges == 1, f"expected 1 shuffle, got {n_exchanges}:\n{p[:2000]}"
 
 
@@ -218,20 +234,16 @@ def test_tpch_q6_is_scan_bound(spark, sf_dir):
 def test_corpus_pipeline_two_shuffles_no_python(spark, sf_dir):
     """The composed dedup->filter->report pipeline: one wide exchange
     (fingerprint hash) + one narrow agg exchange, all JVM expressions."""
-    import re
     q = entrymod.queries()["corpus_pipeline"](spark, sf_dir)
     p = plan(q)
-    n_exchanges = len(re.findall(r"\) Exchange", p))
+    n_exchanges = n_key_shuffles(p)
     assert n_exchanges == 2, f"expected 2 shuffles, got {n_exchanges}"
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
 
 
 def _n_shuffles(p: str) -> int:
-    # detail headers "(6) Exchange" — one per plain shuffle exchange
-    # (BroadcastExchange deliberately not matched)
-    import re
-
-    return len(re.findall(r"\) Exchange", p))
+    # hash/range exchanges only — see n_key_shuffles
+    return n_key_shuffles(p)
 
 
 def test_tpch_q18_single_fact_shuffle(spark, sf_dir):
