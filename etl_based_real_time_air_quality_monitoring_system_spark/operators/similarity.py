@@ -192,6 +192,13 @@ def cosine_near_dup_gemm(
             "(banded LSH, no driver collect) at this scale"
         )
     corpus_pdf = narrow.toPandas()
+    # partition count scales with the corpus: each mapInPandas worker
+    # pays a broadcast unpickle of the whole corpus, so tiny corpora
+    # run as ONE GEMM (worker startup would dominate); big ones fan
+    # out to ~8k query rows per task
+    parts = max(1, min(spark.sparkContext.defaultParallelism, n // 8192))
+    if narrow.rdd.getNumPartitions() != parts:
+        narrow = narrow.repartition(parts)
     corpus_ids = corpus_pdf["_id"].to_numpy()
     corpus = np.stack(corpus_pdf["_e"].to_numpy()).astype(np.float64)
     corpus /= np.linalg.norm(corpus, axis=1, keepdims=True)
@@ -211,7 +218,7 @@ def cosine_near_dup_gemm(
                 {"id_a": qids[ii], "id_b": bids[jj], "cosine_sim": sims[ii, jj]}
             )
 
-    return spread_small_input(narrow).mapInPandas(
+    return narrow.mapInPandas(
         score, "id_a long, id_b long, cosine_sim double"
     )
 

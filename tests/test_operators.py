@@ -616,3 +616,19 @@ def test_time_operators_accept_both_timestamp_types(spark):
     # third event is 5.5h after the second -> a new session
     sessions = dict(results[0][0])
     assert sessions[1] == sessions[2] == 1 and sessions[3] == 2
+
+
+def test_spread_small_input_rebalances_only_small(spark, sf_dir):
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.balance import spread_small_input
+    from etl_based_real_time_air_quality_monitoring_system_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    target = spark.sparkContext.defaultParallelism
+    assert docs.rdd.getNumPartitions() < target  # single-row-group file
+    spread = spread_small_input(docs)
+    assert spread.rdd.getNumPartitions() == target
+    # over-the-size-bound input is left untouched (no shuffle added)
+    assert spread_small_input(docs, max_bytes=0) is docs
+    # already-parallel input is left untouched
+    wide = docs.repartition(target)
+    assert spread_small_input(wide) is wide
