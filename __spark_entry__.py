@@ -495,6 +495,53 @@ def _q_user_sessions(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_pii_redaction(spark: SparkSession, sf: str) -> DataFrame:
+    # pre-training PII scrub: deterministic synthetic PII (email per
+    # doc, phone every 3rd, IPv4 every 5th) is injected into the real
+    # corpus text, then masked by the regex chain — the oracle rebuilds
+    # the same injection and redaction in SQL, so the output text is
+    # compared byte-for-byte
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.text import redact_pii
+
+    docs = load_table(spark, sf, "documents")
+    sid = F.col("doc_id").cast("string")
+    injected = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), sid, F.lit("@mail.example.com"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(F.lit(" call 555-010-"), F.lpad(sid, 4, "0")),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(F.lit(" from 192.168."), (F.col("doc_id") % 256).cast("string"), F.lit(".1")),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return redact_pii(injected, "text").select("doc_id", "redacted")
+
+
+def _q_repetition_stats(spark: SparkSession, sf: str) -> DataFrame:
+    # Gopher-style quality rule: fraction of a doc's bigrams taken by
+    # its most common bigram
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.text import repetition_stats
+
+    return repetition_stats(load_table(spark, sf, "documents"), "doc_id", "text", n=2)
+
+
+def _q_sequence_packing(spark: SparkSession, sf: str) -> DataFrame:
+    # concat-then-chunk packing of the corpus into 512-token training
+    # sequences, per language shard
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.text import pack_sequences
+
+    return pack_sequences(
+        load_table(spark, sf, "documents"), "doc_id", "text", capacity=512,
+        partition_cols=("lang",),
+    )
+
+
 def _q_air_quality_summary(spark: SparkSession, sf: str) -> DataFrame:
     # EP1 headline pipeline (spark_processor.py:231-270): the reference's
     # batch ETL — dedup -> not-null filter -> band/score derivation ->
@@ -2097,6 +2144,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trailing_hour_count": _q_trailing_hour_count,
         # --- reference EP1 batch pipeline end-to-end (new) ------------
         "air_quality_summary": _q_air_quality_summary,
+        # --- training-data pipeline ops added round 2 -----------------
+        "pii_redaction": _q_pii_redaction,
+        "repetition_stats": _q_repetition_stats,
+        "sequence_packing": _q_sequence_packing,
         # --- streaming family (never gated) ---------------------------
         "streaming_hourly_counts": _q_streaming_hourly_counts,
         "streaming_dedup_keys": _q_streaming_dedup_keys,
@@ -3393,6 +3444,66 @@ def _oracle_sql_literal() -> dict[str, str]:
                              AND CURRENT ROW
                    ) AS trailing_count
             FROM events
+        """,
+        "pii_redaction": r"""
+            WITH injected AS (
+                SELECT doc_id,
+                       text || ' contact user' || doc_id::VARCHAR
+                            || '@mail.example.com'
+                            || CASE WHEN doc_id % 3 = 0
+                                    THEN ' call 555-010-' || lpad(doc_id::VARCHAR, 4, '0')
+                                    ELSE '' END
+                            || CASE WHEN doc_id % 5 = 0
+                                    THEN ' from 192.168.' || (doc_id % 256)::VARCHAR || '.1'
+                                    ELSE '' END AS text
+                FROM documents
+            )
+            SELECT doc_id,
+                   regexp_replace(
+                       regexp_replace(
+                           regexp_replace(
+                               text,
+                               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                               '<EMAIL>', 'g'),
+                           '\+?[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'),
+                       '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b',
+                       '<IP>', 'g') AS redacted
+            FROM injected
+        """,
+        "repetition_stats": r"""
+            WITH toks AS (
+                SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+                FROM documents
+            ), grams AS (
+                SELECT doc_id, t[i] || ' ' || t[i+1] AS g
+                FROM toks, UNNEST(range(1, greatest(len(t), 1))) AS u(i)
+            ), per_gram AS (
+                SELECT doc_id, g, count(*) AS c FROM grams GROUP BY 1, 2
+            )
+            SELECT doc_id,
+                   sum(c) AS total_ngrams,
+                   max(c) AS top_ngram_count,
+                   round(max(c) / sum(c), 4) AS repetition_ratio
+            FROM per_gram GROUP BY doc_id
+        """,
+        "sequence_packing": r"""
+            WITH toks AS (
+                SELECT lang, doc_id,
+                       len(string_split_regex(trim(text), '\s+')) AS n_tok
+                FROM documents
+            ), c AS (
+                SELECT *, sum(n_tok) OVER (
+                    PARTITION BY lang ORDER BY doc_id
+                    ROWS UNBOUNDED PRECEDING
+                ) AS cum FROM toks
+            ), s AS (
+                SELECT lang, doc_id, n_tok,
+                       floor((cum - 1) / 512)::BIGINT AS seq_id
+                FROM c
+            )
+            SELECT lang, seq_id, count(*) AS n_docs, sum(n_tok) AS n_tokens,
+                   min(doc_id) AS first_doc, max(doc_id) AS last_doc
+            FROM s GROUP BY 1, 2
         """,
         # the fixture is deterministic column arithmetic over range(n),
         # re-derived here term-for-term (same IEEE expression order) so

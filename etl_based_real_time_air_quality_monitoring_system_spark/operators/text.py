@@ -356,3 +356,120 @@ def tfidf_terms(
         .filter(F.col("rk") <= k)
         .select(id_col, "term", "tf", "doc_freq", "score", "rk")
     )
+
+
+# --------------------------------------------------------- PII redaction
+
+#: (label, regex, replacement) — patterns kept to character classes and
+#: bounded quantifiers so Java regex (Spark) and RE2-style (DuckDB /
+#: other engines) agree token-for-token.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", r"\+?[0-9]{3}-[0-9]{3}-[0-9]{4}", "<PHONE>"),
+    ("ipv4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+)
+
+
+def redact_pii(
+    df: DataFrame,
+    text: str = "text",
+    patterns: Sequence[tuple[str, str, str]] = PII_PATTERNS,
+    out_col: str = "redacted",
+) -> DataFrame:
+    """Mask PII spans in ``text`` — the standard pre-training scrub
+    pass.  A chain of ``regexp_replace`` column expressions (one per
+    pattern, applied in order), entirely JVM-side: at 100 TB this is a
+    narrow per-row projection fused into the scan, no shuffle, no
+    Python.  Swap/extend ``patterns`` for locale-specific formats.
+    """
+    expr = F.col(text)
+    for _, pat, rep in patterns:
+        expr = F.regexp_replace(expr, pat, rep)
+    return df.withColumn(out_col, expr)
+
+
+# ------------------------------------------- repetition (Gopher rules)
+
+def repetition_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text: str = "text",
+    n: int = 2,
+    scale: int = 4,
+) -> DataFrame:
+    """Per-document n-gram repetition profile — the Gopher-style
+    "fraction of tokens in the most common n-gram" quality rule used
+    to drop boilerplate/spam before pretraining.
+
+    Plan: shingle (with multiplicity) in the scan -> count per
+    (doc, gram) [shuffle 1 on doc+gram] -> per-doc max/total [shuffle
+    2 on doc, carrying one row per distinct gram].  Both aggregations
+    combine map-side; nothing is quadratic in document length.
+    """
+    from .dedup import word_shingles
+
+    grams = spread_small_input(df.select(id_col, text)).select(
+        F.col(id_col), F.explode(_multiset_shingles(text, n)).alias("_g")
+    )
+    per_gram = grams.groupBy(id_col, "_g").agg(F.count("*").alias("_c"))
+    return per_gram.groupBy(id_col).agg(
+        F.sum("_c").alias("total_ngrams"),
+        F.max("_c").alias("top_ngram_count"),
+        F.round(F.max("_c") / F.sum("_c"), scale).alias("repetition_ratio"),
+    )
+
+
+def _multiset_shingles(text: Column | str, n: int) -> Column:
+    """Word n-grams WITH multiplicity (repetition analysis needs the
+    duplicates that ``dedup.word_shingles`` deliberately drops)."""
+    toks = tokens(text)
+    m = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    parts = [F.slice(toks, 1 + j, m) for j in range(n)]
+    acc = parts[0]
+    for part in parts[1:]:
+        acc = F.zip_with(acc, part, lambda a, b: F.concat_ws(" ", a, b))
+    return acc
+
+
+# ------------------------------------------------------ sequence packing
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text: str = "text",
+    capacity: int = 512,
+    partition_cols: Sequence[str] = ("lang",),
+) -> DataFrame:
+    """Concat-then-chunk sequence packing: documents are laid out in
+    ``id_col`` order within each partition group and split into
+    training sequences of ``capacity`` tokens by cumulative token
+    count (a document starts a new sequence when the running total
+    crosses a capacity boundary).  Returns one row per (group,
+    seq_id): how many documents and tokens it packs.
+
+    The running sum is a window per ``partition_cols`` group — at
+    100 TB you pack per shard (language, source bucket, ...) exactly
+    so this window is key-partitioned instead of a single global sort.
+    Deterministic integer logic end-to-end, so any engine agrees.
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(*partition_cols)
+        .orderBy(F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    toks = df.select(
+        *[F.col(c) for c in partition_cols],
+        F.col(id_col),
+        token_count(text).alias("_n_tok"),
+    )
+    packed = toks.withColumn("_cum", F.sum("_n_tok").over(w)).withColumn(
+        "seq_id", F.floor((F.col("_cum") - 1) / F.lit(capacity))
+    )
+    return packed.groupBy(*partition_cols, "seq_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("_n_tok").alias("n_tokens"),
+        F.min(id_col).alias("first_doc"),
+        F.max(id_col).alias("last_doc"),
+    )

@@ -632,3 +632,41 @@ def test_spread_small_input_rebalances_only_small(spark, sf_dir):
     # already-parallel input is left untouched
     wide = docs.repartition(target)
     assert spread_small_input(wide) is wide
+
+
+def test_redact_pii_masks_all_pattern_types(spark):
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.text import redact_pii
+
+    df = spark.createDataFrame(
+        [(1, "mail me at bob.smith+x@corp.example.org or call 555-123-4567 from 10.0.0.1 ok")],
+        ["id", "text"],
+    )
+    out = redact_pii(df, "text").collect()[0]["redacted"]
+    assert out == "mail me at <EMAIL> or call <PHONE> from <IP> ok"
+
+
+def test_repetition_stats_known_ratio(spark):
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.text import repetition_stats
+
+    df = spark.createDataFrame([(1, "a b a b a"), (2, "x y z")], ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in repetition_stats(df, "doc_id", "text", n=2).collect()}
+    # "a b a b a" -> bigrams [a b, b a, a b, b a]: top 2 of 4
+    assert out[1]["total_ngrams"] == 4 and out[1]["top_ngram_count"] == 2
+    assert out[1]["repetition_ratio"] == 0.5
+    # "x y z" -> [x y, y z]: all distinct
+    assert out[2]["total_ngrams"] == 2 and out[2]["top_ngram_count"] == 1
+
+
+def test_pack_sequences_boundaries(spark):
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.text import pack_sequences
+
+    df = spark.createDataFrame(
+        [("en", 1, "t1 t2 t3"), ("en", 2, "t1 t2 t3"), ("en", 3, "t1 t2 t3")],
+        ["lang", "doc_id", "text"],
+    )
+    out = {
+        r["seq_id"]: (r["n_docs"], r["n_tokens"])
+        for r in pack_sequences(df, "doc_id", "text", capacity=5).collect()
+    }
+    # cumsums 3, 6, 9 at capacity 5 -> seq floor((cum-1)/5) = 0, 1, 1
+    assert out == {0: (1, 3), 1: (2, 6)}
