@@ -91,6 +91,10 @@ HEADLINE = [
     "ivf_topk",
     "embedding_near_dup_gemm",
     "simhash_near_dup",
+    "air_quality_summary",
+    "pii_redaction",
+    "repetition_stats",
+    "sequence_packing",
 ]
 
 
