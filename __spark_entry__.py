@@ -698,9 +698,18 @@ def _q_part_type_revenue(spark: SparkSession, sf: str) -> DataFrame:
             F.count("*").alias("line_count"),
         )
     )
-    total = F.sum("revenue").over(Window.partitionBy())
-    return agged.withColumn(
-        "revenue_share_pct", F.round(100 * F.col("revenue") / total, 4)
+    # denominator as a one-row broadcast (never a global window, which
+    # would single-partition the whole table at scale); the 2-decimal
+    # revenues sum exactly as decimals, so the total is order-free
+    total = agged.agg(
+        F.sum(F.col("revenue").cast("decimal(20,2)")).cast("double").alias("_tot")
+    )
+    return (
+        agged.join(F.broadcast(total))
+        .withColumn(
+            "revenue_share_pct", F.round(100 * F.col("revenue") / F.col("_tot"), 4)
+        )
+        .drop("_tot")
     )
 
 
@@ -1589,9 +1598,16 @@ def _q_tpch_q15(spark: SparkSession, sf: str) -> DataFrame:
     from pyspark.sql import Window
 
     per_supp = li.groupBy("l_suppkey").agg(F.sum(rev).alias("total_rev"))
-    top = per_supp.withColumn(
-        "max_rev", F.max("total_rev").over(Window.partitionBy())
-    ).filter(F.col("total_rev") == F.col("max_rev")).drop("max_rev")
+    # the max is a one-row broadcast back onto the per-supplier table —
+    # a global window here would funnel every supplier through one task
+    # at scale; decimal sums make the max exact, so semantics match the
+    # oracle's scalar subquery bit-for-bit
+    mx = per_supp.agg(F.max("total_rev").alias("_max_rev"))
+    top = (
+        per_supp.join(F.broadcast(mx))
+        .filter(F.col("total_rev") == F.col("_max_rev"))
+        .drop("_max_rev")
+    )
     s = load_table(spark, sf, "supplier")
     return (
         s.join(F.broadcast(top), s.s_suppkey == top.l_suppkey)
@@ -3636,7 +3652,8 @@ def _oracle_sql_literal() -> dict[str, str]:
                 GROUP BY p_type
             )
             SELECT p_type, revenue, line_count,
-                   round(100 * revenue / sum(revenue) OVER (), 4)
+                   round(100 * revenue /
+                         (SELECT sum(revenue::DECIMAL(20,2))::DOUBLE FROM t), 4)
                        AS revenue_share_pct
             FROM t
         """,
