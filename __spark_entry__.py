@@ -542,6 +542,53 @@ def _q_sequence_packing(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_cdc_merge_upsert(spark: SparkSession, sf: str) -> DataFrame:
+    # CDC MERGE: a deterministic update batch derived from orders —
+    # every 7th key updated (price +1000, status 'U', every 13th of
+    # those a tombstone), every 17th key re-inserted under a new key —
+    # applied onto the snapshot, then rolled up per status so any
+    # merge mistake (lost update, surviving tombstone, dropped insert)
+    # shifts the counts/sums
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.cdc import merge_upsert
+
+    orders = load_table(spark, sf, "orders")
+    base = orders.select("o_orderkey", "o_orderstatus", "o_totalprice")
+    upd = orders.filter(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderkey",
+        F.lit("U").alias("o_orderstatus"),
+        (F.col("o_totalprice") + 1000).alias("o_totalprice"),
+        (F.col("o_orderkey") % 13 == 0).alias("_deleted"),
+    )
+    ins = orders.filter(F.col("o_orderkey") % 17 == 0).select(
+        (F.col("o_orderkey") + 100_000_000).alias("o_orderkey"),
+        F.lit("N").alias("o_orderstatus"),
+        F.lit(42.0).alias("o_totalprice"),
+        F.lit(False).alias("_deleted"),
+    )
+    merged = merge_upsert(
+        base, upd.unionByName(ins), "o_orderkey", delete_col="_deleted",
+        broadcast_updates=True,
+    )
+    return merged.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(20,6)")), 2)
+        .cast("double")
+        .alias("total_price"),
+    )
+
+
+def _q_scd2_user_history(spark: SparkSession, sf: str) -> DataFrame:
+    # SCD type-2: each (user, event_type) version becomes a validity
+    # interval [ts, next ts), open-ended + current on the last version
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.cdc import scd2_history
+
+    ev = load_table(spark, sf, "events").filter(F.col("user_id") < 50)
+    hist = scd2_history(ev, ["user_id", "event_type"], "ts", tie_break="event_id")
+    return hist.select(
+        "user_id", "event_type", "event_id", "valid_from", "valid_to", "is_current"
+    )
+
+
 def _q_air_quality_summary(spark: SparkSession, sf: str) -> DataFrame:
     # EP1 headline pipeline (spark_processor.py:231-270): the reference's
     # batch ETL — dedup -> not-null filter -> band/score derivation ->
@@ -2164,6 +2211,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redaction": _q_pii_redaction,
         "repetition_stats": _q_repetition_stats,
         "sequence_packing": _q_sequence_packing,
+        "cdc_merge_upsert": _q_cdc_merge_upsert,
+        "scd2_user_history": _q_scd2_user_history,
         # --- streaming family (never gated) ---------------------------
         "streaming_hourly_counts": _q_streaming_hourly_counts,
         "streaming_dedup_keys": _q_streaming_dedup_keys,
@@ -3460,6 +3509,42 @@ def _oracle_sql_literal() -> dict[str, str]:
                              AND CURRENT ROW
                    ) AS trailing_count
             FROM events
+        """,
+        "cdc_merge_upsert": """
+            WITH base AS (
+                SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+            ), upd AS (
+                SELECT o_orderkey, 'U' AS o_orderstatus,
+                       o_totalprice + 1000 AS o_totalprice,
+                       (o_orderkey % 13 = 0) AS _deleted
+                FROM orders WHERE o_orderkey % 7 = 0
+                UNION ALL
+                SELECT o_orderkey + 100000000, 'N', 42.0, FALSE
+                FROM orders WHERE o_orderkey % 17 = 0
+            ), merged AS (
+                SELECT b.* FROM base b
+                ANTI JOIN upd u ON b.o_orderkey = u.o_orderkey
+                UNION ALL
+                SELECT o_orderkey, o_orderstatus, o_totalprice
+                FROM upd WHERE NOT _deleted
+            )
+            SELECT o_orderstatus, count(*) AS n_orders,
+                   round(sum(o_totalprice::DECIMAL(20,6)), 2)::DOUBLE
+                       AS total_price
+            FROM merged GROUP BY o_orderstatus
+        """,
+        "scd2_user_history": """
+            SELECT user_id, event_type, event_id,
+                   ts AS valid_from,
+                   lead(ts) OVER (
+                       PARTITION BY user_id, event_type
+                       ORDER BY ts, event_id
+                   ) AS valid_to,
+                   lead(ts) OVER (
+                       PARTITION BY user_id, event_type
+                       ORDER BY ts, event_id
+                   ) IS NULL AS is_current
+            FROM events WHERE user_id < 50
         """,
         "pii_redaction": r"""
             WITH injected AS (

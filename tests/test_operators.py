@@ -670,3 +670,48 @@ def test_pack_sequences_boundaries(spark):
     }
     # cumsums 3, 6, 9 at capacity 5 -> seq floor((cum-1)/5) = 0, 1, 1
     assert out == {0: (1, 3), 1: (2, 6)}
+
+
+def test_merge_upsert_semantics(spark):
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.cdc import merge_upsert
+
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], ["k", "v"]
+    )
+    updates = spark.createDataFrame(
+        [(2, "B", False), (3, None, True), (4, "d", False)],
+        "k long, v string, _deleted boolean",
+    )
+    out = {r["k"]: r["v"] for r in merge_upsert(base, updates, "k", "_deleted").collect()}
+    # 1 untouched, 2 updated, 3 tombstoned away, 4 inserted
+    assert out == {1: "a", 2: "B", 4: "d"}
+
+
+def test_merge_upsert_broadcast_plan(spark, sf_dir):
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.cdc import merge_upsert
+    from etl_based_real_time_air_quality_monitoring_system_spark.sources.readers import load_table
+    from tests.test_plan_shapes import plan
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    upd = orders.limit(10)
+    merged = merge_upsert(orders, upd, "o_orderkey", broadcast_updates=True)
+    p = plan(merged)
+    # the snapshot side must not shuffle: anti join is broadcast
+    assert "BroadcastHashJoin" in p and "LeftAnti" in p
+
+
+def test_scd2_history_intervals(spark):
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.cdc import scd2_history
+
+    df = spark.createDataFrame(
+        [(1, 10, "v1"), (1, 20, "v2"), (1, 30, "v3"), (2, 5, "x")],
+        ["k", "t", "v"],
+    )
+    rows = {
+        (r["k"], r["v"]): (r["valid_from"], r["valid_to"], r["is_current"])
+        for r in scd2_history(df, "k", "t").collect()
+    }
+    assert rows[(1, "v1")] == (10, 20, False)
+    assert rows[(1, "v2")] == (20, 30, False)
+    assert rows[(1, "v3")] == (30, None, True)
+    assert rows[(2, "x")] == (5, None, True)
