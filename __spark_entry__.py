@@ -825,6 +825,43 @@ def _q_streaming_hourly_counts(spark: SparkSession, sf: str) -> DataFrame:
     return spark.table(sink)
 
 
+def _q_streaming_stateful_stats(spark: SparkSession, sf: str) -> DataFrame:
+    # a CUSTOM stateful streaming operator (applyInPandasWithState)
+    # inside the correctness gate: per-key running (count, sum) kept in
+    # the state store.  The value is pre-quantized to integer micros in
+    # the JVM (double->long cast truncates toward zero — same IEEE op
+    # as DuckDB's trunc()), so the state totals are exact integers and
+    # the final emission per key equals the batch aggregate in ANY
+    # micro-batch split — this is what lets an arbitrary-state Python
+    # operator be value-checked against a SQL oracle, not just counted.
+    from etl_based_real_time_air_quality_monitoring_system_spark.streaming.pipeline import (
+        stateful_running_sum_exact,
+    )
+
+    stream = _events_file_stream(spark, sf).withColumn(
+        "value_micros", (F.col("value") * 1_000_000).cast("long")
+    )
+    stats = stateful_running_sum_exact(stream, key="event_type")
+    sink = "streaming_stateful_stats_sink"
+    q = (
+        stats.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # running emissions are monotone per key; the final state is the max
+    return (
+        spark.table(sink)
+        .groupBy("key")
+        .agg(
+            F.max("record_count").alias("record_count"),
+            F.max("value_sum_micros").alias("value_sum_micros"),
+        )
+    )
+
+
 def _q_streaming_dedup_keys(spark: SparkSession, sf: str) -> DataFrame:
     # streaming stateful dedup (T7) inside the correctness gate: the
     # keys-only projection makes the surviving-row nondeterminism
@@ -2219,6 +2256,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_click_purchase": _q_streaming_click_purchase,
         "session_window_stats": _q_session_window_stats,
         "streaming_session_stats": _q_streaming_session_stats,
+        "streaming_stateful_stats": _q_streaming_stateful_stats,
         # --- dedup / similarity family (never gated) ------------------
         "doc_fingerprints": _q_doc_fingerprints,
         "rolling_fingerprints": _q_rolling_fingerprints,
@@ -3509,6 +3547,11 @@ def _oracle_sql_literal() -> dict[str, str]:
                              AND CURRENT ROW
                    ) AS trailing_count
             FROM events
+        """,
+        "streaming_stateful_stats": """
+            SELECT event_type AS key, count(*) AS record_count,
+                   sum(trunc(value * 1000000)::BIGINT) AS value_sum_micros
+            FROM events GROUP BY event_type
         """,
         "cdc_merge_upsert": """
             WITH base AS (

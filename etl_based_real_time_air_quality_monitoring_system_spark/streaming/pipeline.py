@@ -304,3 +304,50 @@ def run_to_partitioned_parquet(
     else:
         stream = stream.trigger(processingTime=trigger)
     return stream.start()
+
+
+def stateful_running_sum_exact(
+    df: DataFrame,
+    key: str = "event_type",
+    value_long: str = "value_micros",
+) -> DataFrame:
+    """Exactness-friendly twin of :func:`stateful_running_stats` for the
+    differential gate: per-key (count, sum) state over an INTEGER
+    value column.  Integer sums are associative, so the emitted totals
+    are independent of micro-batch split, Arrow batch order and engine
+    — lettting a custom ``applyInPandasWithState`` operator be
+    oracle-checked exactly, not just smoke-tested.
+
+    Same scale shape as the float variant: two scalars of state per
+    key, one key-shuffle per micro-batch.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = T.StructType(
+        [
+            T.StructField("key", T.StringType(), True),
+            T.StructField("record_count", T.LongType(), True),
+            T.StructField("value_sum_micros", T.LongType(), True),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("record_count", T.LongType(), True),
+            T.StructField("value_sum_micros", T.LongType(), True),
+        ]
+    )
+
+    def update(key_tuple, pdfs, state: GroupState):
+        count, total = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            count += len(pdf)
+            total += int(pdf[value_long].fillna(0).sum())
+        state.update((count, total))
+        yield pd.DataFrame(
+            [{"key": key_tuple[0], "record_count": count, "value_sum_micros": total}]
+        )
+
+    return df.groupBy(key).applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
