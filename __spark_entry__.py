@@ -589,6 +589,33 @@ def _q_scd2_user_history(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_point_in_time_features(spark: SparkSession, sf: str) -> DataFrame:
+    # feature-store discipline: each purchase joined to the click
+    # VERSION that was valid at purchase time (SCD2 intervals from the
+    # click stream + key-equality hash join with a residual range
+    # predicate — never an interval nested loop).  Semantically the
+    # interval-join formulation of as-of attribution, so it
+    # cross-validates asof_purchase_attribution through a different
+    # plan shape.
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.cdc import (
+        point_in_time_join,
+        scd2_history,
+    )
+
+    events = load_table(spark, sf, "events")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), "ts"
+    )
+    hist = scd2_history(clicks, "user_id", "ts", tie_break="click_id").select(
+        "user_id", "click_id", "valid_from", "valid_to"
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), "ts"
+    )
+    joined = point_in_time_join(purchases, hist, "user_id", "ts")
+    return joined.select("purchase_id", "user_id", "click_id")
+
+
 def _q_air_quality_summary(spark: SparkSession, sf: str) -> DataFrame:
     # EP1 headline pipeline (spark_processor.py:231-270): the reference's
     # batch ETL — dedup -> not-null filter -> band/score derivation ->
@@ -2250,6 +2277,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sequence_packing": _q_sequence_packing,
         "cdc_merge_upsert": _q_cdc_merge_upsert,
         "scd2_user_history": _q_scd2_user_history,
+        "point_in_time_features": _q_point_in_time_features,
         # --- streaming family (never gated) ---------------------------
         "streaming_hourly_counts": _q_streaming_hourly_counts,
         "streaming_dedup_keys": _q_streaming_dedup_keys,
@@ -3588,6 +3616,23 @@ def _oracle_sql_literal() -> dict[str, str]:
                        ORDER BY ts, event_id
                    ) IS NULL AS is_current
             FROM events WHERE user_id < 50
+        """,
+        "point_in_time_features": """
+            WITH hist AS (
+                SELECT user_id, event_id AS click_id, ts AS valid_from,
+                       lead(ts) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                       ) AS valid_to
+                FROM events WHERE event_type = 'click'
+            ), p AS (
+                SELECT user_id, event_id AS purchase_id, ts
+                FROM events WHERE event_type = 'purchase'
+            )
+            SELECT p.purchase_id, p.user_id, h.click_id
+            FROM p JOIN hist h
+              ON p.user_id = h.user_id
+             AND p.ts >= h.valid_from
+             AND (h.valid_to IS NULL OR p.ts < h.valid_to)
         """,
         "pii_redaction": r"""
             WITH injected AS (

@@ -83,3 +83,39 @@ def scd2_history(
         .withColumn(valid_to, F.lead(ts, 1).over(w))
         .withColumn(current_flag, F.col(valid_to).isNull())
     )
+
+
+def point_in_time_join(
+    facts: DataFrame,
+    history: DataFrame,
+    key: str | Sequence[str],
+    fact_ts: str,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+    how: str = "inner",
+) -> DataFrame:
+    """Join each fact row to the dimension version that was valid at
+    the fact's timestamp: ``key`` equality plus ``valid_from <=
+    fact_ts < valid_to`` (open-ended current rows match everything
+    after ``valid_from``).
+
+    Because the interval predicate rides ON TOP of a key equality,
+    this plans as an ordinary hash join on the key with a residual
+    range filter — one shuffle each side (or broadcast for a
+    dimension-sized history), never a nested-loop over intervals.
+    The standard feature-store / training-data discipline against
+    label leakage: a fact may only see dimension state from its past.
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    cond = None
+    for k in keys:
+        c = facts[k] == history[k]
+        cond = c if cond is None else cond & c
+    in_range = (facts[fact_ts] >= history[valid_from]) & (
+        history[valid_to].isNull() | (facts[fact_ts] < history[valid_to])
+    )
+    joined = facts.join(history, cond & in_range, how)
+    # the history's key copies are redundant after the equi-match
+    for k in keys:
+        joined = joined.drop(history[k])
+    return joined

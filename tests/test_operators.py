@@ -715,3 +715,44 @@ def test_scd2_history_intervals(spark):
     assert rows[(1, "v2")] == (20, 30, False)
     assert rows[(1, "v3")] == (30, None, True)
     assert rows[(2, "x")] == (5, None, True)
+
+
+def test_point_in_time_join_versions(spark):
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.cdc import (
+        point_in_time_join,
+        scd2_history,
+    )
+
+    versions = spark.createDataFrame(
+        [(1, 10, "v1"), (1, 20, "v2")], ["k", "t", "v"]
+    )
+    hist = scd2_history(versions, "k", "t")
+    facts = spark.createDataFrame(
+        [(1, 5, "early"), (1, 15, "mid"), (1, 20, "boundary"), (1, 99, "late")],
+        ["k", "ft", "tag"],
+    )
+    out = {r["tag"]: r["v"] for r in point_in_time_join(facts, hist, "k", "ft").collect()}
+    # before the first version -> no match; [10,20) -> v1; 20 and after -> v2
+    assert out == {"mid": "v1", "boundary": "v2", "late": "v2"}
+    left = point_in_time_join(facts, hist, "k", "ft", how="left")
+    assert left.count() == 4  # 'early' survives with NULL version
+
+
+def test_point_in_time_join_is_hash_join(spark, sf_dir):
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.cdc import (
+        point_in_time_join,
+        scd2_history,
+    )
+    from etl_based_real_time_air_quality_monitoring_system_spark.sources.readers import load_table
+    from tests.test_plan_shapes import plan
+
+    ev = load_table(spark, sf_dir, "events")
+    hist = scd2_history(
+        ev.filter(F.col("event_type") == "click").select("user_id", "event_id", "ts"),
+        "user_id", "ts", tie_break="event_id",
+    )
+    facts = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts")
+    p = plan(point_in_time_join(facts, hist, "user_id", "ts"))
+    # key equality must drive the join; the interval predicate is a
+    # residual, never a nested loop over intervals
+    assert "NestedLoop" not in p and "CartesianProduct" not in p
