@@ -95,6 +95,9 @@ HEADLINE = [
     "pii_redaction",
     "repetition_stats",
     "sequence_packing",
+    "cdc_merge_upsert",
+    "scd2_user_history",
+    "point_in_time_features",
 ]
 
 
