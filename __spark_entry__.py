@@ -1156,7 +1156,7 @@ def _q_tfidf_terms(spark: SparkSession, sf: str) -> DataFrame:
     from etl_based_real_time_air_quality_monitoring_system_spark.operators.text import tfidf_terms
 
     docs = load_table(spark, sf, "documents")
-    return tfidf_terms(docs, "text", "doc_id", k=3)
+    return tfidf_terms(docs, "text", "doc_id", k=3, ids_unique=True)
 
 
 def _q_zscore_outliers(spark: SparkSession, sf: str) -> DataFrame:

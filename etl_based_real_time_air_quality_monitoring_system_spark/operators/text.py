@@ -312,6 +312,7 @@ def tfidf_terms(
     text: str = "text",
     id_col: str = "doc_id",
     k: int = 3,
+    ids_unique: bool = False,
 ) -> DataFrame:
     """Top-k characteristic terms per document by tf-idf.
 
@@ -336,8 +337,13 @@ def tfidf_terms(
     )
     tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
     docfreq = tf.groupBy("term").agg(F.count("*").alias("doc_freq"))
+    # ``ids_unique=True`` (one row per document — the normal corpus
+    # shape) downgrades N from a count-distinct (full id shuffle) to a
+    # partial-aggregated scalar count
     n_docs = df.select(
-        F.countDistinct(id_col).cast("double").alias("n_docs")
+        (
+            F.count(id_col) if ids_unique else F.countDistinct(id_col)
+        ).cast("double").alias("n_docs")
     )
     scored = (
         tf.join(docfreq, "term")
