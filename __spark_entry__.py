@@ -889,6 +889,45 @@ def _q_streaming_stateful_stats(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_streaming_enriched_counts(spark: SparkSession, sf: str) -> DataFrame:
+    # stream-STATIC dimension enrichment (the reference consumer's
+    # per-record enrichment, consumer.py:86-115, done right): the
+    # static dim broadcasts to every micro-batch task, so the stream
+    # never shuffles for the join; complete-mode aggregation over the
+    # enriched category is split-invariant (counts + exact integer
+    # micros), hence batch-oracle-checkable
+    dim = spark.createDataFrame(
+        [
+            ("click", "engagement"),
+            ("view", "engagement"),
+            ("purchase", "conversion"),
+            ("signup", "conversion"),
+            ("error", "ops"),
+        ],
+        "event_type string, category string",
+    )
+    stream = _events_file_stream(spark, sf).withColumn(
+        "value_micros", (F.col("value") * 1_000_000).cast("long")
+    )
+    enriched = stream.join(F.broadcast(dim), "event_type", "left").fillna(
+        {"category": "other"}
+    )
+    agg = enriched.groupBy("category").agg(
+        F.count("*").alias("record_count"),
+        F.sum("value_micros").alias("value_sum_micros"),
+    )
+    sink = "streaming_enriched_counts_sink"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)
+
+
 def _q_streaming_dedup_keys(spark: SparkSession, sf: str) -> DataFrame:
     # streaming stateful dedup (T7) inside the correctness gate: the
     # keys-only projection makes the surviving-row nondeterminism
@@ -2285,6 +2324,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_window_stats": _q_session_window_stats,
         "streaming_session_stats": _q_streaming_session_stats,
         "streaming_stateful_stats": _q_streaming_stateful_stats,
+        "streaming_enriched_counts": _q_streaming_enriched_counts,
         # --- dedup / similarity family (never gated) ------------------
         "doc_fingerprints": _q_doc_fingerprints,
         "rolling_fingerprints": _q_rolling_fingerprints,
@@ -3580,6 +3620,18 @@ def _oracle_sql_literal() -> dict[str, str]:
             SELECT event_type AS key, count(*) AS record_count,
                    sum(trunc(value * 1000000)::BIGINT) AS value_sum_micros
             FROM events GROUP BY event_type
+        """,
+        "streaming_enriched_counts": """
+            WITH dim(event_type, category) AS (
+                VALUES ('click', 'engagement'), ('view', 'engagement'),
+                       ('purchase', 'conversion'), ('signup', 'conversion'),
+                       ('error', 'ops')
+            )
+            SELECT coalesce(d.category, 'other') AS category,
+                   count(*) AS record_count,
+                   sum(trunc(e.value * 1000000)::BIGINT) AS value_sum_micros
+            FROM events e LEFT JOIN dim d USING (event_type)
+            GROUP BY 1
         """,
         "cdc_merge_upsert": """
             WITH base AS (
