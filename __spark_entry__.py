@@ -616,6 +616,19 @@ def _q_point_in_time_features(spark: SparkSession, sf: str) -> DataFrame:
     return joined.select("purchase_id", "user_id", "click_id")
 
 
+def _q_benchmark_contamination(spark: SparkSession, sf: str) -> DataFrame:
+    # decontamination pass: which training docs share word-3-grams with
+    # the (deterministic) held-out eval slice — the n-gram-overlap test
+    # every corpus runs before shipping.  Eval shingles broadcast; the
+    # train side never shuffles for the probe.
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.dedup import contamination_check
+
+    docs = load_table(spark, sf, "documents")
+    eval_df = docs.filter(F.col("doc_id") % 97 == 0)
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+    return contamination_check(train, eval_df, "doc_id", "text", n=3)
+
+
 def _q_air_quality_summary(spark: SparkSession, sf: str) -> DataFrame:
     # EP1 headline pipeline (spark_processor.py:231-270): the reference's
     # batch ETL — dedup -> not-null filter -> band/score derivation ->
@@ -2317,6 +2330,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_merge_upsert": _q_cdc_merge_upsert,
         "scd2_user_history": _q_scd2_user_history,
         "point_in_time_features": _q_point_in_time_features,
+        "benchmark_contamination": _q_benchmark_contamination,
         # --- streaming family (never gated) ---------------------------
         "streaming_hourly_counts": _q_streaming_hourly_counts,
         "streaming_dedup_keys": _q_streaming_dedup_keys,
@@ -3668,6 +3682,29 @@ def _oracle_sql_literal() -> dict[str, str]:
                        ORDER BY ts, event_id
                    ) IS NULL AS is_current
             FROM events WHERE user_id < 50
+        """,
+        "benchmark_contamination": r"""
+            WITH toks AS (
+                SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+                FROM documents
+            ), sh AS (
+                SELECT DISTINCT doc_id,
+                       t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+                FROM toks, UNNEST(range(1, greatest(len(t) - 1, 1))) AS u(i)
+            ), eval_sh AS (
+                SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0
+            ), train_sh AS (
+                SELECT doc_id, shingle FROM sh WHERE doc_id % 97 != 0
+            ), per_doc AS (
+                SELECT t.doc_id, count(*) AS n_shingles,
+                       sum(CASE WHEN e.shingle IS NOT NULL THEN 1 ELSE 0 END)
+                           AS n_overlap
+                FROM train_sh t LEFT JOIN eval_sh e USING (shingle)
+                GROUP BY t.doc_id
+            )
+            SELECT doc_id, n_shingles, n_overlap,
+                   round(n_overlap / n_shingles, 4) AS overlap_ratio
+            FROM per_doc WHERE n_overlap > 0
         """,
         "point_in_time_features": """
             WITH hist AS (

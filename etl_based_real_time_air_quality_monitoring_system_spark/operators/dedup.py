@@ -403,3 +403,40 @@ def levenshtein_near_pairs(
         )
         .filter(F.col("distance") <= max_dist)
     )
+
+
+def contamination_check(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    scale: int = 4,
+) -> DataFrame:
+    """Benchmark decontamination: per training document, how many of
+    its distinct word n-grams also occur anywhere in the eval set —
+    the GPT-3-style n-gram-overlap test run before any corpus ships.
+
+    The eval side reduces to a DISTINCT shingle set (benchmarks are
+    tiny next to a 100 TB corpus) and BROADCASTS; the train side
+    explodes shingles in the scan and left-joins the broadcast — no
+    fact shuffle for the probe, one (id)-shuffle for the per-doc
+    rollup.  Returns (id, n_shingles, n_overlap, overlap_ratio) for
+    every training doc with at least one overlapping n-gram.
+    """
+    train_sh = exploded_shingles(train, id_col, text_col, n)
+    eval_sh = (
+        exploded_shingles(eval_df, id_col, text_col, n)
+        .select("shingle")
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    joined = train_sh.join(F.broadcast(eval_sh), "shingle", "left")
+    per_doc = joined.groupBy(id_col).agg(
+        F.count("*").alias("n_shingles"),
+        F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("n_overlap"),
+    )
+    return per_doc.filter(F.col("n_overlap") > 0).withColumn(
+        "overlap_ratio",
+        F.round(F.col("n_overlap") / F.col("n_shingles"), scale),
+    )

@@ -122,3 +122,23 @@ def test_connected_components_chain_and_islands(spark):
     assert {v for v in got if got[v] == 100} == {100, 101, 102}
     assert {v for v in got if got[v] == 200} == {200, 201}
     assert len(got) == 17
+
+
+def test_contamination_check_overlap(spark):
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.dedup import contamination_check
+
+    train = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over"),   # shares "the quick brown"/"quick brown fox"
+            (2, "completely different words entirely here now"),
+            (3, "quick brown fox stuff and things"),
+        ],
+        ["doc_id", "text"],
+    )
+    ev = spark.createDataFrame([(99, "the quick brown fox runs")], ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in contamination_check(train, ev, "doc_id", "text", n=3).collect()}
+    assert 2 not in out                       # clean doc filtered away
+    assert out[1]["n_overlap"] == 2           # "the quick brown", "quick brown fox"
+    assert out[3]["n_overlap"] == 1           # "quick brown fox"
+    assert out[1]["n_shingles"] == 4
+    assert abs(out[1]["overlap_ratio"] - 0.5) < 1e-12
