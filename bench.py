@@ -98,6 +98,7 @@ HEADLINE = [
     "cdc_merge_upsert",
     "scd2_user_history",
     "point_in_time_features",
+    "benchmark_contamination",
 ]
 
 

@@ -310,3 +310,58 @@ def test_stream_stream_join_matches_batch(spark, tmp_path):
     # 10:55); u1's 10:30 click has no later buy, u2's buy at 10:45 is
     # beyond 10:05+30m, u4 never clicked
     assert len(got) == 2
+
+
+def test_streaming_upsert_foreachbatch(spark, tmp_path):
+    """Streaming CDC compaction: a keyed update stream applied to a
+    versioned parquet snapshot via foreachBatch + cdc.merge_upsert —
+    the plain-parquet equivalent of MERGE INTO in a table format.
+    Each micro-batch writes snapshot v(n+1) from v(n), so readers
+    never observe a half-written table."""
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.cdc import merge_upsert
+
+    spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, v string"
+    ).write.parquet(str(tmp_path / "snap_v0"))
+
+    src = tmp_path / "updates"
+    src.mkdir()
+    _write_jsonl(
+        src / "batch0.json",
+        [
+            {"k": 2, "v": "B", "_deleted": False},
+            {"k": 3, "v": None, "_deleted": True},
+            {"k": 4, "v": "d", "_deleted": False},
+        ],
+    )
+    upd_schema = T.StructType(
+        [
+            T.StructField("k", T.LongType(), True),
+            T.StructField("v", T.StringType(), True),
+            T.StructField("_deleted", T.BooleanType(), True),
+        ]
+    )
+    stream = spark.readStream.schema(upd_schema).json(str(src))
+    state = {"version": 0}
+
+    def apply_batch(batch, epoch_id):
+        cur = str(tmp_path / f"snap_v{state['version']}")
+        nxt = str(tmp_path / f"snap_v{state['version'] + 1}")
+        merged = merge_upsert(
+            batch.sparkSession.read.parquet(cur), batch, "k", delete_col="_deleted"
+        )
+        merged.write.mode("overwrite").parquet(nxt)
+        state["version"] += 1
+
+    q = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+
+    final = spark.read.parquet(str(tmp_path / f"snap_v{state['version']}"))
+    rows = {(r["k"], r["v"]) for r in final.collect()}
+    assert rows == {(1, "a"), (2, "B"), (4, "d")}
