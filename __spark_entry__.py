@@ -616,6 +616,26 @@ def _q_point_in_time_features(spark: SparkSession, sf: str) -> DataFrame:
     return joined.select("purchase_id", "user_id", "click_id")
 
 
+def _q_funnel_conversion(spark: SparkSession, sf: str) -> DataFrame:
+    # ordered conversion funnel signup -> click -> purchase: a stage
+    # counts only if its event happens at-or-after the user's entry
+    # into the previous stage (chained conditional window minimums,
+    # ONE user-shuffle for the whole funnel)
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.funnel import funnel_stages
+
+    events = load_table(spark, sf, "events")
+    return funnel_stages(
+        events, "user_id", "ts", "event_type", ["signup", "click", "purchase"]
+    )
+
+
+def _q_retention_cohorts(spark: SparkSession, sf: str) -> DataFrame:
+    # first-seen epoch-week cohort x week-offset activity matrix
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.funnel import retention_cohorts
+
+    return retention_cohorts(load_table(spark, sf, "events"), "user_id", "ts")
+
+
 def _q_benchmark_contamination(spark: SparkSession, sf: str) -> DataFrame:
     # decontamination pass: which training docs share word-3-grams with
     # the (deterministic) held-out eval slice — the n-gram-overlap test
@@ -2331,6 +2351,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_user_history": _q_scd2_user_history,
         "point_in_time_features": _q_point_in_time_features,
         "benchmark_contamination": _q_benchmark_contamination,
+        "funnel_conversion": _q_funnel_conversion,
+        "retention_cohorts": _q_retention_cohorts,
         # --- streaming family (never gated) ---------------------------
         "streaming_hourly_counts": _q_streaming_hourly_counts,
         "streaming_dedup_keys": _q_streaming_dedup_keys,
@@ -3682,6 +3704,47 @@ def _oracle_sql_literal() -> dict[str, str]:
                        ORDER BY ts, event_id
                    ) IS NULL AS is_current
             FROM events WHERE user_id < 50
+        """,
+        "funnel_conversion": """
+            WITH m0 AS (
+                SELECT user_id,
+                       min(CASE WHEN event_type = 'signup' THEN ts END) AS t0
+                FROM events GROUP BY user_id
+            ), m1 AS (
+                SELECT e.user_id, m0.t0,
+                       min(CASE WHEN e.event_type = 'click'
+                                 AND e.ts >= m0.t0 THEN e.ts END) AS t1
+                FROM events e JOIN m0 USING (user_id)
+                GROUP BY e.user_id, m0.t0
+            ), m2 AS (
+                SELECT e.user_id, m1.t0, m1.t1,
+                       min(CASE WHEN e.event_type = 'purchase'
+                                 AND e.ts >= m1.t1 THEN e.ts END) AS t2
+                FROM events e JOIN m1 USING (user_id)
+                GROUP BY e.user_id, m1.t0, m1.t1
+            )
+            SELECT 'stage0_signup' AS stage, count(t0) AS users FROM m2
+            UNION ALL
+            SELECT 'stage1_click', count(t1) FROM m2
+            UNION ALL
+            SELECT 'stage2_purchase', count(t2) FROM m2
+        """,
+        "retention_cohorts": """
+            WITH f AS (
+                SELECT user_id, ts,
+                       min(ts) OVER (PARTITION BY user_id) AS first_ts
+                FROM events
+            ), m AS (
+                SELECT user_id,
+                       floor(epoch(first_ts))::BIGINT // 604800 AS cohort_week,
+                       (floor(epoch(ts))::BIGINT
+                        - floor(epoch(first_ts))::BIGINT) // 604800
+                           AS week_offset
+                FROM f
+            )
+            SELECT cohort_week, week_offset,
+                   count(DISTINCT user_id) AS active_users
+            FROM m GROUP BY 1, 2
         """,
         "benchmark_contamination": r"""
             WITH toks AS (

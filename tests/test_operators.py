@@ -756,3 +756,54 @@ def test_point_in_time_join_is_hash_join(spark, sf_dir):
     # key equality must drive the join; the interval predicate is a
     # residual, never a nested loop over intervals
     assert "NestedLoop" not in p and "CartesianProduct" not in p
+
+
+def test_funnel_stages_order_matters(spark):
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.funnel import funnel_stages
+
+    rows = [
+        # user 1 completes in order
+        (1, 10, "signup"), (1, 20, "click"), (1, 30, "purchase"),
+        # user 2 purchases BEFORE clicking -> stops at click
+        (2, 10, "signup"), (2, 30, "click"), (2, 20, "purchase"),
+        # user 3 never signs up -> counts nowhere
+        (3, 10, "click"), (3, 20, "purchase"),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_type"])
+    out = {
+        r["stage"]: r["users"]
+        for r in funnel_stages(df, "user_id", "ts", "event_type",
+                               ["signup", "click", "purchase"]).collect()
+    }
+    assert out == {"stage0_signup": 2, "stage1_click": 2, "stage2_purchase": 1}
+
+
+def test_funnel_single_shuffle_plan(spark, sf_dir):
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.funnel import funnel_stages
+    from etl_based_real_time_air_quality_monitoring_system_spark.sources.readers import load_table
+    from tests.test_plan_shapes import n_key_shuffles, plan
+
+    ev = load_table(spark, sf_dir, "events")
+    q = funnel_stages(ev, "user_id", "ts", "event_type",
+                      ["signup", "click", "purchase"])
+    # all three chained stage-minimum windows + the per-user rollup
+    # share the user_id partitioning; only the final global count adds
+    # a scalar single-partition exchange
+    assert n_key_shuffles(plan(q)) <= 2
+
+
+def test_retention_cohorts_offsets(spark):
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.funnel import retention_cohorts
+    from pyspark.sql import functions as F
+
+    week = 7 * 24 * 3600
+    rows = [(1, 0), (1, week // 2), (1, week + 5), (2, 3 * week)]
+    df = spark.createDataFrame(rows, ["user_id", "secs"]).select(
+        "user_id", F.timestamp_seconds("secs").alias("ts")
+    )
+    out = {
+        (r["cohort_week"], r["week_offset"]): r["active_users"]
+        for r in retention_cohorts(df, "user_id", "ts").collect()
+    }
+    # user 1: cohort week 0, active offsets 0 and 1; user 2: cohort 3
+    assert out == {(0, 0): 1, (0, 1): 1, (3, 0): 1}
