@@ -616,6 +616,13 @@ def _q_point_in_time_features(spark: SparkSession, sf: str) -> DataFrame:
     return joined.select("purchase_id", "user_id", "click_id")
 
 
+def _q_mad_outliers(spark: SparkSession, sf: str) -> DataFrame:
+    # robust per-type outlier counts: |x - median| > 3 * MAD
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.aggregates import mad_outliers
+
+    return mad_outliers(load_table(spark, sf, "events"), "event_type", "value")
+
+
 def _q_funnel_conversion(spark: SparkSession, sf: str) -> DataFrame:
     # ordered conversion funnel signup -> click -> purchase: a stage
     # counts only if its event happens at-or-after the user's entry
@@ -2353,6 +2360,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "benchmark_contamination": _q_benchmark_contamination,
         "funnel_conversion": _q_funnel_conversion,
         "retention_cohorts": _q_retention_cohorts,
+        "mad_outliers": _q_mad_outliers,
         # --- streaming family (never gated) ---------------------------
         "streaming_hourly_counts": _q_streaming_hourly_counts,
         "streaming_dedup_keys": _q_streaming_dedup_keys,
@@ -3704,6 +3712,25 @@ def _oracle_sql_literal() -> dict[str, str]:
                        ORDER BY ts, event_id
                    ) IS NULL AS is_current
             FROM events WHERE user_id < 50
+        """,
+        "mad_outliers": """
+            WITH med AS (
+                SELECT event_type, quantile_cont(value, 0.5) AS med
+                FROM events GROUP BY 1
+            ), d AS (
+                SELECT e.event_type, abs(e.value - m.med) AS adev, m.med
+                FROM events e JOIN med m USING (event_type)
+            ), mad AS (
+                SELECT event_type, quantile_cont(adev, 0.5) AS mad
+                FROM d GROUP BY 1
+            )
+            SELECT d.event_type,
+                   count(*) AS record_count,
+                   sum(CASE WHEN d.adev > 3.0 * mad.mad THEN 1 ELSE 0 END)
+                       AS n_outliers,
+                   round(max(d.med), 4) AS median_value,
+                   round(max(mad.mad), 4) AS mad_value
+            FROM d JOIN mad USING (event_type) GROUP BY d.event_type
         """,
         "funnel_conversion": """
             WITH m0 AS (

@@ -99,6 +99,9 @@ HEADLINE = [
     "scd2_user_history",
     "point_in_time_features",
     "benchmark_contamination",
+    "funnel_conversion",
+    "retention_cohorts",
+    "mad_outliers",
 ]
 
 

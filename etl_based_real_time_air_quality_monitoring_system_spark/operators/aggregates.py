@@ -194,3 +194,41 @@ def zscore(
     return df.join(F.broadcast(stats), key).withColumn(
         alias, (v - F.col("_mean")) / F.col("_sd")
     ).drop("_mean", "_sd")
+
+
+def mad_outliers(
+    df: DataFrame,
+    key: str,
+    value: str,
+    k: float = 3.0,
+    scale: int = 4,
+) -> DataFrame:
+    """Robust per-key outlier profile via median absolute deviation:
+    a row is an outlier when ``|x - median| > k * MAD``.  The robust
+    counterpart to :func:`zscore` — medians shrug off the very
+    outliers a mean/stddev gate is skewed by.
+
+    Two grouped exact-percentile aggregations (median, then MAD of the
+    absolute deviations) broadcast back onto the rows — per-key medians
+    are dimension-sized however big the fact table is, so both joins
+    replicate tiny tables and the rows shuffle only for the final
+    per-key count.  Exact interpolated percentiles (``percentile``)
+    match ANSI ``quantile_cont`` bit-for-bit, keeping the whole
+    pipeline oracle-checkable.
+    """
+    med = df.groupBy(key).agg(F.percentile(value, F.lit(0.5)).alias("_med"))
+    with_dev = df.join(F.broadcast(med), key).withColumn(
+        "_adev", F.abs(F.col(value) - F.col("_med"))
+    )
+    mad = with_dev.groupBy(key).agg(
+        F.percentile("_adev", F.lit(0.5)).alias("_mad")
+    )
+    flagged = with_dev.join(F.broadcast(mad), key)
+    return flagged.groupBy(key).agg(
+        F.count("*").alias("record_count"),
+        F.sum(
+            (F.col("_adev") > F.lit(k) * F.col("_mad")).cast("long")
+        ).alias("n_outliers"),
+        F.round(F.max("_med"), scale).alias("median_value"),
+        F.round(F.max("_mad"), scale).alias("mad_value"),
+    )

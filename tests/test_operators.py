@@ -807,3 +807,16 @@ def test_retention_cohorts_offsets(spark):
     }
     # user 1: cohort week 0, active offsets 0 and 1; user 2: cohort 3
     assert out == {(0, 0): 1, (0, 1): 1, (3, 0): 1}
+
+
+def test_mad_outliers_flags_extremes(spark):
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.aggregates import mad_outliers
+
+    # 9 points near 10 (median 10, MAD 1) + one wild point at 1000
+    vals = [8.0, 9.0, 9.0, 10.0, 10.0, 10.0, 11.0, 11.0, 12.0, 1000.0]
+    df = spark.createDataFrame([("a", v) for v in vals], ["k", "v"])
+    out = mad_outliers(df, "k", "v", k=3.0).collect()[0]
+    assert out["record_count"] == 10
+    assert out["n_outliers"] == 1
+    assert out["median_value"] == 10.0
+    assert out["mad_value"] == 1.0
