@@ -616,6 +616,43 @@ def _q_point_in_time_features(spark: SparkSession, sf: str) -> DataFrame:
     return joined.select("purchase_id", "user_id", "click_id")
 
 
+def _q_corpus_datacard(spark: SparkSession, sf: str) -> DataFrame:
+    # the per-source "data card" a corpus release ships: volume, token
+    # mass, language spread, quality profile — one aggregation over the
+    # tokenize-once projection
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.balance import (
+        spread_small_input,
+    )
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.text import (
+        quality_score,
+        token_count,
+    )
+
+    docs = load_table(spark, sf, "documents")
+    prof = spread_small_input(docs.select("source", "lang", "text")).select(
+        "source",
+        "lang",
+        token_count("text").alias("_nt"),
+        quality_score("text").alias("_q"),
+    )
+    n = F.count("*")
+    return prof.groupBy("source").agg(
+        n.alias("n_docs"),
+        F.sum("_nt").alias("total_tokens"),
+        F.countDistinct("lang").alias("n_langs"),
+        (
+            F.floor(
+                (F.sum(F.col("_q").cast("decimal(18,4)")).cast("double") / n)
+                * F.lit(10000.0)
+                + F.lit(0.5)
+            )
+            / F.lit(10000.0)
+        ).alias("avg_quality"),
+        F.min("_nt").alias("min_tokens"),
+        F.max("_nt").alias("max_tokens"),
+    )
+
+
 def _q_mad_outliers(spark: SparkSession, sf: str) -> DataFrame:
     # robust per-type outlier counts: |x - median| > 3 * MAD
     from etl_based_real_time_air_quality_monitoring_system_spark.operators.aggregates import mad_outliers
@@ -2361,6 +2398,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_conversion": _q_funnel_conversion,
         "retention_cohorts": _q_retention_cohorts,
         "mad_outliers": _q_mad_outliers,
+        "corpus_datacard": _q_corpus_datacard,
         # --- streaming family (never gated) ---------------------------
         "streaming_hourly_counts": _q_streaming_hourly_counts,
         "streaming_dedup_keys": _q_streaming_dedup_keys,
@@ -3712,6 +3750,31 @@ def _oracle_sql_literal() -> dict[str, str]:
                        ORDER BY ts, event_id
                    ) IS NULL AS is_current
             FROM events WHERE user_id < 50
+        """,
+        "corpus_datacard": rf"""
+            WITH t AS (
+                SELECT source, lang, {_TOKS} AS toks FROM documents
+            ), prof AS (
+                SELECT source, lang,
+                       len(toks)::BIGINT AS nt,
+                       floor((
+                           0.4::DOUBLE * least(len(toks)::DOUBLE / 100.0::DOUBLE, 1.0::DOUBLE)
+                         + 0.3::DOUBLE * (len(list_distinct(toks))::DOUBLE / len(toks)::DOUBLE)
+                         + 0.3::DOUBLE * (1.0::DOUBLE
+                               - len(list_filter(toks, x -> x IN {_STOP_SQL}))::DOUBLE
+                                 / len(toks)::DOUBLE)
+                           ) * 10000.0 + 0.5) / 10000.0 AS q
+                FROM t
+            )
+            SELECT source,
+                   count(*) AS n_docs,
+                   sum(nt) AS total_tokens,
+                   count(DISTINCT lang) AS n_langs,
+                   floor(sum(q::DECIMAL(18,4))::DOUBLE / count(*)
+                         * 10000.0 + 0.5) / 10000.0 AS avg_quality,
+                   min(nt) AS min_tokens,
+                   max(nt) AS max_tokens
+            FROM prof GROUP BY source
         """,
         "mad_outliers": """
             WITH med AS (

@@ -102,6 +102,7 @@ HEADLINE = [
     "funnel_conversion",
     "retention_cohorts",
     "mad_outliers",
+    "corpus_datacard",
 ]
 
 
