@@ -3994,10 +3994,14 @@ def _oracle_sql_literal() -> dict[str, str]:
             )
             SELECT location, air_quality_index,
                    count(*) AS record_count,
-                   round(avg(temp_c), 2) AS avg_temp_c,
-                   round(avg(humidity), 2) AS avg_humidity,
-                   round(avg(pm2_5), 2) AS avg_pm2_5,
-                   round(avg(pollution_score), 2) AS avg_pollution_score
+                   floor(sum(temp_c::DECIMAL(20,10))::DOUBLE / count(*)
+                         * 100.0 + 0.5) / 100.0 AS avg_temp_c,
+                   floor(sum(humidity::DECIMAL(20,10))::DOUBLE / count(*)
+                         * 100.0 + 0.5) / 100.0 AS avg_humidity,
+                   floor(sum(pm2_5::DECIMAL(20,10))::DOUBLE / count(*)
+                         * 100.0 + 0.5) / 100.0 AS avg_pm2_5,
+                   floor(sum(pollution_score::DECIMAL(20,10))::DOUBLE / count(*)
+                         * 100.0 + 0.5) / 100.0 AS avg_pollution_score
             FROM transformed GROUP BY 1, 2
         """,
         "levenshtein_near_dup": r"""

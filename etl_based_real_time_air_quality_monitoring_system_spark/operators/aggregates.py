@@ -81,13 +81,39 @@ def multikey_summary(
     keys: Sequence[str],
     values: Sequence[str],
     scale: int = 2,
+    decimal_exact: bool = False,
 ) -> DataFrame:
     """A5 — the persisted summary table: count + rounded means per key
-    pair (spark_processor.py:210-217)."""
-    return df.groupBy(*keys).agg(
-        F.count("*").alias("record_count"),
-        *[F.round(F.avg(v), scale).alias(f"avg_{v}") for v in values],
-    )
+    pair (spark_processor.py:210-217).
+
+    ``decimal_exact=True`` computes each mean as
+    ``round(sum(cast(v as decimal(20,10)))::double / count, scale)``:
+    the decimal sum is associative, so the reported value is
+    independent of partial-aggregation merge order — required when the
+    result must be bit-stable across runs/engines (a float ``avg``
+    near a rounding boundary can flip with shuffle merge order).
+    """
+    if decimal_exact:
+        n = F.count("*")
+        pow10 = float(10**scale)
+        # floor(x*10^s + 0.5), not round(): an exact decimal sum makes
+        # the quotient land EXACTLY on .xx5 halves, where Spark
+        # (HALF_UP) and ANSI engines (HALF_EVEN) disagree; the floor
+        # form is identical IEEE arithmetic everywhere
+        means = [
+            (
+                F.floor(
+                    (F.sum(F.col(v).cast("decimal(20,10)")).cast("double") / n)
+                    * F.lit(pow10)
+                    + F.lit(0.5)
+                )
+                / F.lit(pow10)
+            ).alias(f"avg_{v}")
+            for v in values
+        ]
+    else:
+        means = [F.round(F.avg(v), scale).alias(f"avg_{v}") for v in values]
+    return df.groupBy(*keys).agg(F.count("*").alias("record_count"), *means)
 
 
 def count_distinct(df: DataFrame, column: str) -> DataFrame:

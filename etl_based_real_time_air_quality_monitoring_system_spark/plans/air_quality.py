@@ -70,11 +70,15 @@ def analyze(df: DataFrame) -> dict[str, DataFrame]:
 
 
 def summary_table(df: DataFrame) -> DataFrame:
-    """The persisted summary (spark_processor.py:210-217)."""
+    """The persisted summary (spark_processor.py:210-217).
+    ``decimal_exact`` so the rounded means are merge-order-stable
+    (a float avg landing on a .xx5 boundary flipped once between
+    runs under shuffle-order nondeterminism)."""
     return multikey_summary(
         df,
         ["location", "air_quality_index"],
         ["temp_c", "humidity", "pm2_5", "pollution_score"],
+        decimal_exact=True,
     )
 
 
