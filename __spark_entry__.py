@@ -616,6 +616,23 @@ def _q_point_in_time_features(spark: SparkSession, sf: str) -> DataFrame:
     return joined.select("purchase_id", "user_id", "click_id")
 
 
+def _q_event_transitions(spark: SparkSession, sf: str) -> DataFrame:
+    # first-order behavior graph: counts of (previous event -> event)
+    # transitions within each user's time-ordered stream — one lag
+    # window on the same (user_id) partitioning every per-user query
+    # uses, then a tiny pair rollup
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        events.withColumn("prev_type", F.lag("event_type", 1).over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count("*").alias("transition_count"))
+    )
+
+
 def _q_corpus_datacard(spark: SparkSession, sf: str) -> DataFrame:
     # the per-source "data card" a corpus release ships: volume, token
     # mass, language spread, quality profile — one aggregation over the
@@ -2399,6 +2416,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retention_cohorts": _q_retention_cohorts,
         "mad_outliers": _q_mad_outliers,
         "corpus_datacard": _q_corpus_datacard,
+        "event_transitions": _q_event_transitions,
         # --- streaming family (never gated) ---------------------------
         "streaming_hourly_counts": _q_streaming_hourly_counts,
         "streaming_dedup_keys": _q_streaming_dedup_keys,
@@ -3750,6 +3768,19 @@ def _oracle_sql_literal() -> dict[str, str]:
                        ORDER BY ts, event_id
                    ) IS NULL AS is_current
             FROM events WHERE user_id < 50
+        """,
+        "event_transitions": """
+            WITH seq AS (
+                SELECT user_id, event_type,
+                       lag(event_type) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                       ) AS prev_type
+                FROM events
+            )
+            SELECT prev_type, event_type AS next_type,
+                   count(*) AS transition_count
+            FROM seq WHERE prev_type IS NOT NULL
+            GROUP BY 1, 2
         """,
         "corpus_datacard": rf"""
             WITH t AS (

@@ -103,6 +103,7 @@ HEADLINE = [
     "retention_cohorts",
     "mad_outliers",
     "corpus_datacard",
+    "event_transitions",
 ]
 
 
