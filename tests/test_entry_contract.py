@@ -15,8 +15,12 @@ def test_queries_oracle_alignment():
     o = entrymod.oracle_sql()
     assert q, "queries() must not be empty"
     # every oracle key must have a query; queries without oracle are
-    # allowed (rows-only check) but should be rare
+    # allowed (rows-only check) but must be EXPLICITLY allowlisted so
+    # a forgotten oracle fails loudly instead of silently degrading
+    # the gate to a rows-only check
     assert set(o) <= set(q)
+    rows_only_allowed = {"ivf_topk", "lsh_topk"}
+    assert set(q) - set(o) == rows_only_allowed
 
 
 def test_all_queries_run_smoke(spark, sf_dir):
