@@ -44,6 +44,7 @@ HEADLINE = [
     "tpch_q11",
     "tpch_q12",
     "tpch_q13",
+    "tpch_q14",
     "tpch_q16",
     "tpch_q19",
     "tpch_q20",

@@ -92,6 +92,16 @@ def multikey_summary(
     independent of partial-aggregation merge order — required when the
     result must be bit-stable across runs/engines (a float ``avg``
     near a rounding boundary can flip with shuffle merge order).
+
+    Rounding-direction caveat: the ``floor(x*10^s + 0.5)`` form rounds
+    exact halves toward +infinity for NEGATIVE means too (-1.005 ->
+    -1.00), whereas the reference's ``round(avg, 2)`` (Spark HALF_UP)
+    rounds away from zero (-1.005 -> -1.01).  Spark and the oracle
+    agree with each other by construction; only reference parity on a
+    negative exact-half mean deviates, by one ulp of the last rounded
+    digit.  Sign-aware half-up
+    (``sign(x) * floor(abs(x)*10^s + 0.5) / 10^s``) restores it if
+    ever required.
     """
     if decimal_exact:
         n = F.count("*")

@@ -18,12 +18,15 @@ Scale design:
 
 from __future__ import annotations
 
+import logging
 from collections.abc import Sequence
 
 import numpy as np
 from pyspark.sql import Column, DataFrame, functions as F
 
 from .balance import spread_small_input
+
+logger = logging.getLogger(__name__)
 
 
 def _as_double_array(col: Column | str) -> Column:
@@ -161,6 +164,7 @@ def cosine_near_dup_gemm(
     threshold: float,
     scale: int = 6,
     max_rows: int = GEMM_MAX_ROWS,
+    strict: bool = False,
 ) -> DataFrame:
     """Exact near-dup pairs via blocked matrix multiply: the normalized
     corpus is broadcast once, and each Arrow batch scores its rows
@@ -182,15 +186,28 @@ def cosine_near_dup_gemm(
 
     spark = df.sparkSession
     narrow = df.select(F.col(id_col).alias("_id"), _as_double_array(emb_col).alias("_e"))
-    # the one collect-class operation in the repo: refuse a fact-sized
-    # corpus instead of silently OOMing the driver
+    # the one collect-class operation in the repo: never let a
+    # fact-sized corpus silently OOM the driver.  Default behavior is a
+    # PLAN SWITCH, not an abort: over the bound, delegate to the banded
+    # LSH path (no driver collect) and log the switch; strict=True
+    # restores raise-on-overflow for callers that need the exact path
+    # or an error.
     n = narrow.count()
     if n > max_rows:
-        raise ValueError(
-            f"cosine_near_dup_gemm: corpus has {n} rows, over the "
-            f"driver-collect bound of {max_rows}; use cosine_near_dup_lsh "
-            "(banded LSH, no driver collect) at this scale"
+        if strict:
+            raise ValueError(
+                f"cosine_near_dup_gemm: corpus has {n} rows, over the "
+                f"driver-collect bound of {max_rows}; use cosine_near_dup_lsh "
+                "(banded LSH, no driver collect) at this scale"
+            )
+        logger.warning(
+            "cosine_near_dup_gemm: corpus has %d rows, over the "
+            "driver-collect bound of %d; falling back to "
+            "cosine_near_dup_lsh (banded, approximate recall)",
+            n,
+            max_rows,
         )
+        return cosine_near_dup_lsh(df, id_col, emb_col, threshold, scale=scale)
     corpus_pdf = narrow.toPandas()
     # partition count scales with the corpus: each mapInPandas worker
     # pays a broadcast unpickle of the whole corpus, so tiny corpora

@@ -412,8 +412,6 @@ def repetition_stats(
     2 on doc, carrying one row per distinct gram].  Both aggregations
     combine map-side; nothing is quadratic in document length.
     """
-    from .dedup import word_shingles
-
     grams = spread_small_input(df.select(id_col, text)).select(
         F.col(id_col), F.explode(_multiset_shingles(text, n)).alias("_g")
     )

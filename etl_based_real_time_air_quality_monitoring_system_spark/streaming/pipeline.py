@@ -320,6 +320,13 @@ def stateful_running_sum_exact(
 
     Same scale shape as the float variant: two scalars of state per
     key, one key-shuffle per micro-batch.
+
+    Recovering the FINAL state from update-mode emissions: use
+    ``max_by(value_sum_micros, record_count)`` — ``record_count`` is
+    monotone unconditionally, while the running sum is only monotone
+    when values are non-negative, so ``max(value_sum_micros)`` would
+    silently pick an intermediate emission on mixed-sign input split
+    across micro-batches.
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout

@@ -20,8 +20,13 @@ def test_fixture_has_required_properties(spark):
     assert df.filter(F.col("location").isNull()).count() > 0
     assert df.filter(F.col("temp_c").isNull()).count() > 0
     assert df.filter(F.col("timestamp").isNull()).count() > 0
-    assert df.filter(F.col("pm2_5") == 12.0).count() > 0  # exact F1 boundary
-    assert df.filter(F.col("temp_c") == 0.0).count() > 0  # exact F2 boundary
+    # EVERY F1 band edge (reference spark_processor.py:91-95 <= bounds)
+    # and every F2 temp edge must appear exactly, so the CASE boundary
+    # semantics stay regression-proof
+    for edge in (12.0, 35.0, 55.0, 150.0, 250.0):
+        assert df.filter(F.col("pm2_5") == edge).count() > 0, f"pm2_5 edge {edge}"
+    for edge in (0.0, 10.0, 20.0, 30.0):
+        assert df.filter(F.col("temp_c") == edge).count() > 0, f"temp edge {edge}"
     assert df.count() > df.dropDuplicates().count()  # planted dup rows
     df.unpersist()
 

@@ -1,16 +1,20 @@
-"""Multimodal plumbing: schema, Arrow batch shape, determinism —
-decode itself is stubbed (no codecs in this container)."""
+"""Multimodal plumbing: schema, Arrow batch shape, determinism — plus
+the REAL header-only decode (BMP / PCM-WAV via struct.unpack; no codec
+library needed, compressed formats are out of scope in this
+container)."""
 
 from __future__ import annotations
 
-import pytest
-
 from etl_based_real_time_air_quality_monitoring_system_spark.operators.multimodal import (
     FEATURE_DIM,
-    decode_real,
+    decode_assets,
+    decode_header,
+    encode_bmp,
+    encode_wav,
     extract_features,
     frame_sample,
     synthesize_assets,
+    synthesize_media_assets,
 )
 
 
@@ -47,9 +51,53 @@ def test_frame_sample(spark):
         assert all(len(r["frame_payload"]) == 64 for r in rows)
 
 
-def test_decode_real_is_stub():
-    with pytest.raises(NotImplementedError):
-        decode_real(b"bytes", "image")
+def test_decode_header_bmp_round_trip():
+    for w, h in [(1, 1), (16, 9), (640, 480), (33, 7)]:
+        meta = decode_header(encode_bmp(w, h))
+        assert (meta["format"], meta["width"], meta["height"]) == ("bmp", w, h)
+        assert meta["bits"] == 8
+
+
+def test_decode_header_bmp_top_down_height_is_abs():
+    # negative biHeight means top-down row order; dimensions stay positive
+    import struct
+
+    buf = bytearray(encode_bmp(10, 4))
+    buf[22:26] = struct.pack("<i", -4)
+    meta = decode_header(bytes(buf))
+    assert meta["height"] == 4
+
+
+def test_decode_header_wav_round_trip():
+    for rate, ch, bits, frames in [(8000, 1, 8, 100), (44100, 2, 16, 4410)]:
+        meta = decode_header(encode_wav(rate, ch, bits, frames))
+        assert meta["format"] == "wav"
+        assert meta["sample_rate"] == rate
+        assert meta["channels"] == ch
+        assert meta["bits"] == bits
+        assert meta["n_frames"] == frames
+
+
+def test_decode_header_garbage_is_unknown_not_error():
+    for junk in (None, b"", b"\x00" * 100, b"BM", b"RIFFxxxxJUNK", b"\x89PNG\r\n"):
+        assert decode_header(junk)["format"] == "unknown"
+
+
+def test_decode_assets_distributed_round_trip(spark):
+    assets = synthesize_media_assets(spark, 12, 6)
+    rows = {(r["modality"], r["asset_id"]): r for r in decode_assets(assets).collect()}
+    assert len(rows) == 18
+    for i in range(12):
+        r = rows[("image", i)]
+        assert (r["format"], r["width"], r["height"]) == ("bmp", 16 + i % 17, 8 + i % 11)
+    for i in range(6):
+        r = rows[("audio", i)]
+        assert (r["format"], r["sample_rate"], r["channels"], r["n_frames"]) == (
+            "wav",
+            8000 + 1000 * (i % 5),
+            1 + i % 2,
+            100 + i * 7,
+        )
 
 
 def test_resize_images_shape_contract(spark):

@@ -634,6 +634,17 @@ def test_spread_small_input_rebalances_only_small(spark, sf_dir):
     assert spread_small_input(wide) is wide
 
 
+def test_spread_small_input_skips_streaming(spark, tmp_path):
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.balance import spread_small_input
+
+    stream = (
+        spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+    )
+    # streaming plans have no partition/size stats pre-execution: the
+    # helper must be an identity no-op, not an exception swallow
+    assert spread_small_input(stream) is stream
+
+
 def test_redact_pii_masks_all_pattern_types(spark):
     from etl_based_real_time_air_quality_monitoring_system_spark.operators.text import redact_pii
 

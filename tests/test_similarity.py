@@ -212,10 +212,26 @@ def test_ivf_kmeans_refined_centroids(spark, sf_dir):
     assert ivf == exact
 
 
-def test_cosine_near_dup_gemm_guard_trips(emb):
+def test_cosine_near_dup_gemm_guard_strict_raises(emb):
     from etl_based_real_time_air_quality_monitoring_system_spark.operators.similarity import (
         cosine_near_dup_gemm,
     )
 
     with pytest.raises(ValueError, match="cosine_near_dup_lsh"):
-        cosine_near_dup_gemm(emb, "vec_id", "embedding", 0.3, max_rows=10)
+        cosine_near_dup_gemm(emb, "vec_id", "embedding", 0.3, max_rows=10, strict=True)
+
+
+def test_cosine_near_dup_gemm_auto_falls_back_to_lsh(emb):
+    # over the driver-collect bound the default is a PLAN SWITCH to the
+    # banded LSH path, not an abort — at 100 TB an oversized corpus
+    # must degrade to the scale path, never kill the pipeline
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.similarity import (
+        cosine_near_dup_gemm,
+        cosine_near_dup_lsh,
+    )
+
+    fallback = cosine_near_dup_gemm(emb, "vec_id", "embedding", 0.3, max_rows=10)
+    expected = cosine_near_dup_lsh(emb, "vec_id", "embedding", 0.3)
+    got = sorted(map(tuple, fallback.collect()))
+    want = sorted(map(tuple, expected.collect()))
+    assert got == want

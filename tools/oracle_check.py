@@ -56,7 +56,21 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[
     s, d = canon(spark_pdf), canon(duck_pdf)
     for c in s.columns:
         sv, dv = s[c], d[c]
-        if pd.api.types.is_float_dtype(sv) or pd.api.types.is_float_dtype(dv):
+        # The driver's hash is DTYPE-sensitive: DuckDB SUM(<int>) returns
+        # HUGEINT -> pandas float64 while Spark emits int64, and 6.0 != 6
+        # under the hash even though values match (broke 11/50 r2 gate
+        # queries while the float-coercing comparator here stayed green).
+        # Be strict on the int-vs-float axis so the sweep predicts the gate.
+        s_float = pd.api.types.is_float_dtype(sv)
+        d_float = pd.api.types.is_float_dtype(dv)
+        if s_float != d_float:
+            problems.append(
+                f"col {c}: dtype mismatch spark={sv.dtype} duck={dv.dtype} "
+                f"(int-vs-float breaks the driver's dtype-sensitive hash; "
+                f"CAST the oracle aggregate, e.g. SUM(...)::BIGINT)"
+            )
+            continue
+        if s_float or d_float:
             svf = pd.to_numeric(sv, errors="coerce").astype(float)
             dvf = pd.to_numeric(dv, errors="coerce").astype(float)
             both_nan = svf.isna() & dvf.isna()
