@@ -86,6 +86,7 @@ from etl_based_real_time_air_quality_monitoring_system_spark.operators.similarit
     ivf_topk,
     knn_join,
     lsh_topk,
+    nn_label_confusion,
 )
 from etl_based_real_time_air_quality_monitoring_system_spark.operators.text import (
     STOPWORDS,
@@ -1504,6 +1505,14 @@ def _q_knn_join(spark: SparkSession, sf: str) -> DataFrame:
     return knn_join(emb, qs, "vec_id", "embedding", "vec_id", "embedding", k=5)
 
 
+def _q_nn_label_confusion(spark: SparkSession, sf: str) -> DataFrame:
+    # embedding-space dataset diagnostic: 1-NN label confusion (label-
+    # noise audit) — exact all-pairs baseline; the 100 TB path swaps in
+    # ANN candidates and reuses the same confusion aggregate
+    emb = load_table(spark, sf, "embeddings")
+    return nn_label_confusion(emb, "vec_id", "embedding", "label")
+
+
 def _q_embedding_near_dup(spark: SparkSession, sf: str) -> DataFrame:
     # embedding-cosine near-dup pairs, exact baseline (the scale path,
     # cosine_near_dup_lsh, is recall-tested against this in tests)
@@ -2471,6 +2480,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "air_quality_summary": _q_air_quality_summary,
         "cdc_merge_upsert": _q_cdc_merge_upsert,
         "embedding_near_dup_gemm": _q_embedding_near_dup_gemm,
+        "nn_label_confusion": _q_nn_label_confusion,
+        "tpch_q14": _q_tpch_q14,
         # --- never gated in rounds 1-2 --------------------------------
         "corpus_filter": _q_corpus_filter,
         "corpus_pipeline": _q_corpus_pipeline,
@@ -2490,7 +2501,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q11": _q_tpch_q11,
         "tpch_q12": _q_tpch_q12,
         "tpch_q13": _q_tpch_q13,
-        "tpch_q14": _q_tpch_q14,
         "tpch_q15": _q_tpch_q15,
         "tpch_q16": _q_tpch_q16,
         "tpch_q17": _q_tpch_q17,
@@ -4356,6 +4366,25 @@ def _oracle_sql_literal() -> dict[str, str]:
                        (a, b) -> (a * 31 + b) % 1000000007
                    ) AS rolling_fp
             FROM documents
+        """,
+        "nn_label_confusion": """
+            WITH scored AS (
+                SELECT a.vec_id AS qid, a.label AS label,
+                       b.vec_id AS cid, b.label AS nn_label,
+                       round(list_cosine_similarity(
+                           a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6)
+                           AS sim
+                FROM embeddings a JOIN embeddings b
+                  ON a.vec_id != b.vec_id
+            ),
+            nn AS (
+                SELECT label, nn_label, row_number() OVER (
+                    PARTITION BY qid ORDER BY sim DESC, cid ASC
+                ) AS rn
+                FROM scored
+            )
+            SELECT label, nn_label, count(*) AS pair_count
+            FROM nn WHERE rn = 1 GROUP BY label, nn_label
         """,
         "embedding_near_dup": """
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,

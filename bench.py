@@ -91,6 +91,8 @@ HEADLINE = [
     "knn_join",
     "ivf_topk",
     "embedding_near_dup_gemm",
+    "nn_label_confusion",
+    "multimodal_decode",
     "simhash_near_dup",
     "air_quality_summary",
     "pii_redaction",

@@ -111,6 +111,69 @@ def knn_join(
     )
 
 
+def nn_label_confusion(
+    df: DataFrame,
+    id_col: str,
+    emb_col: str,
+    label_col: str,
+    scale: int = 6,
+) -> DataFrame:
+    """1-NN label confusion over an embedding column: for every vector
+    find its nearest neighbor (cosine; self excluded; ties broken by
+    the lower neighbor id) and count ``(label, nn_label)`` pairs — the
+    label-noise / class-overlap diagnostic run over a classification
+    corpus before training (off-diagonal mass = candidate mislabels).
+
+    Exact all-pairs baseline: vectors are unit-normalized ONCE, pairs
+    are scored with a single dot fold, and the per-query argmax is one
+    window shuffle on the query id.  At 100 TB the identical aggregate
+    runs over ANN candidate lists instead (``ivf_topk`` /
+    ``lsh_topk`` candidates cut the pair blowup from n^2 to n*k); only
+    the candidate generator changes, the confusion aggregation below
+    is reused as-is.
+
+    Ranking compares the ROUNDED similarity so engine-level float
+    drift can't flip the argmax between two near-tied neighbors
+    (ties then resolve on the neighbor id in any engine).
+    """
+    from pyspark.sql import Window
+
+    e = _as_double_array(emb_col)
+    unit = (
+        spread_small_input(
+            df.select(
+                F.col(id_col).alias("_id"),
+                F.col(label_col).alias("_lbl"),
+                e.alias("_e"),
+            )
+        )
+        .withColumn("_nrm", l2_norm(F.col("_e")))
+        .select(
+            "_id", "_lbl", F.transform("_e", lambda x: x / F.col("_nrm")).alias("_u")
+        )
+    )
+    a = unit.select(
+        F.col("_id").alias("_qid"),
+        F.col("_lbl").alias("label"),
+        F.col("_u").alias("_ua"),
+    )
+    b = unit.select(
+        F.col("_id").alias("_cid"),
+        F.col("_lbl").alias("nn_label"),
+        F.col("_u").alias("_ub"),
+    )
+    scored = a.join(b, F.col("_qid") != F.col("_cid")).select(
+        "_qid",
+        "label",
+        "_cid",
+        "nn_label",
+        F.round(dot(F.col("_ua"), F.col("_ub")), scale).alias("_sim"),
+    )
+    w = Window.partitionBy("_qid").orderBy(F.desc("_sim"), F.col("_cid"))
+    nn = scored.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1)
+    return nn.groupBy("label", "nn_label").agg(F.count("*").alias("pair_count"))
+
+
 def cosine_near_dup_pairs(
     df: DataFrame,
     id_col: str,

@@ -106,6 +106,32 @@ def test_cosine_near_dup_exact_vs_numpy(emb):
     assert got == _numpy_pairs(emb, 0.3)
 
 
+def test_nn_label_confusion_vs_numpy(emb):
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.similarity import (
+        nn_label_confusion,
+    )
+
+    rows = emb.select("vec_id", "embedding", "label").collect()
+    ids = [r["vec_id"] for r in rows]
+    labels = {r["vec_id"]: r["label"] for r in rows}
+    m = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+    sims = np.round(m @ m.T, 6)
+    expected: dict[tuple[int, int], int] = {}
+    for i, qid in enumerate(ids):
+        best = min(
+            ((-sims[i, j], ids[j]) for j in range(len(ids)) if ids[j] != qid)
+        )[1]
+        key = (labels[qid], labels[best])
+        expected[key] = expected.get(key, 0) + 1
+    got = {
+        (r["label"], r["nn_label"]): r["pair_count"]
+        for r in nn_label_confusion(emb, "vec_id", "embedding", "label").collect()
+    }
+    assert got == expected
+    assert sum(got.values()) == len(ids)  # every vector has exactly one NN
+
+
 def test_cosine_near_dup_lsh_subset_and_recall(emb):
     from etl_based_real_time_air_quality_monitoring_system_spark.operators.similarity import (
         cosine_near_dup_lsh,
