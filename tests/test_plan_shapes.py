@@ -246,6 +246,43 @@ def _n_shuffles(p: str) -> int:
     return n_key_shuffles(p)
 
 
+def test_nn_label_confusion_windowgrouplimit_and_two_shuffles(spark, sf_dir):
+    """1-NN confusion: the per-query argmax must compile with a
+    map-side WindowGroupLimit (only rank-1 candidates per partition
+    reach the exchange — at n^2 candidate volume that pre-shuffle cut
+    is the difference between shuffling n rows and n^2 rows), the
+    corpus side broadcasts, and the only key shuffles are the argmax
+    window + the tiny confusion rollup."""
+    q = entrymod.queries()["nn_label_confusion"](spark, sf_dir)
+    p = plan(q)
+    assert "WindowGroupLimit" in p
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    assert n_key_shuffles(p) == 2, f"expected 2 key shuffles: {n_key_shuffles(p)}"
+    assert "BatchEvalPython" not in p  # all-JVM: fold dot, no Python
+
+
+def test_multimodal_decode_no_shuffle(spark, sf_dir):
+    """Header decode is embarrassingly parallel: the mapInPandas seam
+    must follow the input partitioning — no exchange anywhere."""
+    q = entrymod.queries()["multimodal_decode"](spark, sf_dir)
+    p = plan(q)
+    assert "MapInPandas" in p
+    assert n_key_shuffles(p) == 0, f"decode plan shuffles: {p}"
+
+
+def test_tpch_q14_single_agg_pass_broadcast_part(spark, sf_dir):
+    """Q14: month predicate pushes to the lineitem scan, part
+    broadcasts, and BOTH conditional sums ride one partial+final
+    aggregation (a single 1-row gather, no key shuffle)."""
+    q = entrymod.queries()["tpch_q14"](spark, sf_dir)
+    p = plan(q)
+    assert "GreaterThanOrEqual(l_shipdate" in p
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert p.count("HashAggregate") >= 2
+    assert "hashpartitioning" not in p  # only the SinglePartition gather
+
+
 def test_tpch_q18_single_fact_shuffle(spark, sf_dir):
     # the HAVING-filtered self-agg shuffles lineitem ONCE; both join
     # sides broadcast — no sort-merge join materializes anywhere
