@@ -125,8 +125,22 @@ def synthesize_media_assets(
             )
 
     schema = "asset_id long, modality string, payload binary"
-    images = spark.range(n_images).mapInPandas(make_image, schema)
-    audio = spark.range(n_audio).mapInPandas(make_audio, schema)
+    # partition count scales with the corpus instead of defaulting to
+    # the session parallelism: a fixture-sized range would otherwise
+    # fan 64 rows across 32 partitions and pay ~1 Python-worker spinup
+    # per 2 rows in each mapInPandas stage; at real corpus sizes this
+    # converges to the session default
+    par = spark.sparkContext.defaultParallelism
+
+    def parts(n: int) -> int:
+        return max(1, min(par, n // 16))
+
+    images = spark.range(n_images, numPartitions=parts(n_images)).mapInPandas(
+        make_image, schema
+    )
+    audio = spark.range(n_audio, numPartitions=parts(n_audio)).mapInPandas(
+        make_audio, schema
+    )
     return images.unionByName(audio)
 
 
