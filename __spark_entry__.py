@@ -13,6 +13,7 @@ the library to the driver contract.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -1231,6 +1232,245 @@ def _q_multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
         F.sum((F.element_at("features", 1) * F.lit(2.0**32)).cast("long")).alias(
             "f0_checksum"
         ),
+    )
+
+
+_GATE_SINK_ROOT = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "spark-warehouse", "gate_sinks"
+)
+
+
+def _q_sink_partitioned_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    # S10 in the gate as a REAL write->read round trip: partitioned
+    # parquet sink, then a read-back whose partition filter prunes
+    # directories (plan-pinned in test_plan_shapes), aggregated and
+    # compared against an oracle over the ORIGINAL table — proving the
+    # sink loses nothing and the partition layout answers predicates
+    from etl_based_real_time_air_quality_monitoring_system_spark.sources.writers import (
+        write_partitioned_parquet,
+    )
+
+    events = load_table(spark, sf, "events").select("event_id", "event_type", "value")
+    path = os.path.join(_GATE_SINK_ROOT, "events_by_type")
+    write_partitioned_parquet(events, path, partition_cols=("event_type",))
+    back = spark.read.parquet(path).filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("record_count"),
+        F.sum(F.col("value").cast("decimal(20,6)"))
+        .cast("double")
+        .alias("value_sum"),
+    )
+
+
+def _q_sink_bucketed_join(spark: SparkSession, sf: str) -> DataFrame:
+    # the bucketed-table lifecycle in the gate: pay the shuffle once at
+    # write time (bucketBy on the join key), then join the two bucketed
+    # tables and aggregate — results must equal a plain join over the
+    # source tables.  The exchange-free join plan itself is pinned in
+    # test_plan_shapes.py::test_bucketed_join_has_no_exchange.
+    from etl_based_real_time_air_quality_monitoring_system_spark.sources.writers import (
+        write_bucketed_table,
+    )
+
+    orders = load_table(spark, sf, "orders").select("o_custkey", "o_totalprice")
+    customer = load_table(spark, sf, "customer").select("c_custkey", "c_mktsegment")
+    write_bucketed_table(
+        orders,
+        "gate_orders_bucketed",
+        ("o_custkey",),
+        num_buckets=8,
+        path=os.path.join(_GATE_SINK_ROOT, "orders_bucketed"),
+    )
+    write_bucketed_table(
+        customer,
+        "gate_customer_bucketed",
+        ("c_custkey",),
+        num_buckets=8,
+        path=os.path.join(_GATE_SINK_ROOT, "customer_bucketed"),
+    )
+    o = spark.table("gate_orders_bucketed")
+    c = spark.table("gate_customer_bucketed")
+    joined = o.join(c, o.o_custkey == c.c_custkey)
+    total = F.sum(F.col("o_totalprice").cast("decimal(20,6)")).cast("double")
+    return joined.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_orders"),
+        (F.floor(total * F.lit(100.0) + F.lit(0.5)) / F.lit(100.0)).alias(
+            "total_price"
+        ),
+    )
+
+
+def _q_sink_csv_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    # S11 single-file CSV summary sink round trip: coalesce(1) write
+    # with header, schema-enforced read-back.  Integer/string columns
+    # only, so the text round trip is exact by construction.
+    from etl_based_real_time_air_quality_monitoring_system_spark.sources.writers import (
+        write_single_csv,
+    )
+
+    summary = (
+        load_table(spark, sf, "orders")
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n_orders"))
+    )
+    path = os.path.join(_GATE_SINK_ROOT, "status_summary_csv")
+    write_single_csv(summary, path)
+    return spark.read.option("header", "true").schema(
+        "o_orderstatus string, n_orders long"
+    ).csv(path)
+
+
+def _q_json_scan_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    # S7 + S9 in the gate: orders summary written as JSON lines, then
+    # read back BOTH ways — schema-enforced (the production path) and
+    # inference-fallback (the secondary path) — each branch aggregated
+    # and union-stacked, so the two scan modes are proven equivalent
+    # to each other AND to the source-table oracle
+    from etl_based_real_time_air_quality_monitoring_system_spark.sources.readers import (
+        read_json_enforced,
+        read_json_inferred,
+    )
+
+    rows = load_table(spark, sf, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority"
+    )
+    path = os.path.join(_GATE_SINK_ROOT, "orders_json")
+    rows.write.mode("overwrite").json(path)
+    schema = T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType(), True),
+            T.StructField("o_orderstatus", T.StringType(), True),
+            T.StructField("o_orderpriority", T.StringType(), True),
+        ]
+    )
+
+    def agg(df: DataFrame, branch: str) -> DataFrame:
+        return df.groupBy("o_orderstatus").agg(
+            F.count("*").alias("n_orders"),
+            F.sum("o_orderkey").alias("key_sum"),
+        ).withColumn("branch", F.lit(branch))
+
+    return agg(
+        read_json_enforced(spark, path, schema, multiline=False), "enforced"
+    ).unionByName(agg(read_json_inferred(spark, path), "inferred"))
+
+
+def _q_cache_fanout(spark: SparkSession, sf: str) -> DataFrame:
+    # C1 in the gate: one cleaned intermediate cached, N downstream
+    # aggregates fan out from it (the reference caches its transformed
+    # frame before writing summary + partitioned output,
+    # spark_processor.py:160+); both fan-out branches are value-checked
+    # via a stacked union
+    events = (
+        load_table(spark, sf, "events")
+        .filter(F.col("value").isNotNull())
+        .cache()
+    )
+    vsum = F.sum(F.col("value").cast("decimal(20,6)")).cast("double")
+    by_type = events.groupBy(F.col("event_type").alias("key")).agg(
+        F.count("*").alias("record_count"), vsum.alias("value_sum")
+    )
+    by_hour = events.groupBy(
+        F.hour(F.col("ts").cast("timestamp")).cast("string").alias("key")
+    ).agg(F.count("*").alias("record_count"), vsum.alias("value_sum"))
+    return by_type.withColumn("branch", F.lit("type")).unionByName(
+        by_hour.withColumn("branch", F.lit("hour"))
+    )
+
+
+def _q_dead_letter_split(spark: SparkSession, sf: str) -> DataFrame:
+    # T9 in the gate: permissive-parse dead-letter routing over a
+    # deterministic payload corpus built with JVM expressions (every
+    # 11th payload is corrupt JSON).  Good rows flatten and aggregate
+    # per kind; the dead-letter branch contributes an accounting row —
+    # so BOTH sides of the split are value-checked, mirroring the
+    # reference consumer's try/except routing (consumer.py:149-166).
+    from etl_based_real_time_air_quality_monitoring_system_spark.streaming.pipeline import (
+        dead_letter_split,
+    )
+
+    i = F.col("id")
+    payloads = spark.range(300).select(
+        F.when(i % 11 == 0, F.lit('{"broken'))
+        .otherwise(
+            F.concat(
+                F.lit('{"event_id": '),
+                i.cast("string"),
+                F.lit(', "kind": "k'),
+                (i % 3).cast("string"),
+                F.lit('"}'),
+            )
+        )
+        .alias("payload")
+    )
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType(), True),
+            T.StructField("kind", T.StringType(), True),
+        ]
+    )
+    good, bad = dead_letter_split(payloads, "payload", schema)
+    good_agg = good.groupBy("kind").agg(
+        F.count("*").alias("record_count"),
+        F.sum("event_id").alias("id_sum"),
+    )
+    bad_agg = bad.agg(
+        F.lit("dead_letter").alias("kind"),
+        F.count("*").alias("record_count"),
+        F.lit(None).cast("long").alias("id_sum"),
+    )
+    return good_agg.unionByName(bad_agg)
+
+
+def _q_streaming_to_table_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    # T8 in the gate: a REAL checkpointed foreachBatch parquet sink —
+    # availableNow stream over the events file source, partitioned
+    # append, then a batch read-back aggregated against the batch
+    # oracle.  The checkpoint makes re-runs no-ops (idempotent
+    # restart), so the read-back equals exactly one copy of the table.
+    from etl_based_real_time_air_quality_monitoring_system_spark.streaming.pipeline import (
+        run_to_partitioned_parquet,
+    )
+
+    tag = sf.strip("/").replace("/", "_")
+    out = os.path.join(_GATE_SINK_ROOT, f"stream_events_{tag}")
+    ck = out + "_ck"
+    stream = _events_file_stream(spark, sf).select("event_id", "event_type", "value")
+    q = run_to_partitioned_parquet(
+        stream, out, ck, partition_cols=("event_type",), available_now=True
+    )
+    q.awaitTermination()
+    back = spark.read.parquet(out)
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("record_count"),
+        F.sum(F.col("value").cast("decimal(20,6)")).cast("double").alias("value_sum"),
+    )
+
+
+def _q_http_ingest_simulated(spark: SparkSession, sf: str) -> DataFrame:
+    # the S1->P5->P6->P7 ingest path in the gate: deterministic
+    # WeatherAPI payload simulation (md5-derived fields — DuckDB
+    # re-derives every value term-for-term), engine-side from_json
+    # flatten, error-envelope drop, missing-pollutant zero-defaulting.
+    # This is the reference producer's whole parse pipeline
+    # (producer.py:35-89) value-checked, not just smoke-tested.
+    from etl_based_real_time_air_quality_monitoring_system_spark.sources.http import (
+        ingest_payloads,
+        simulate_weather_docs,
+    )
+
+    flat = ingest_payloads(spark, simulate_weather_docs(210))
+    n = F.count("*")
+    temp_sum = F.sum(F.col("temp_c").cast("decimal(20,10)")).cast("double")
+    return flat.groupBy("location").agg(
+        n.alias("record_count"),
+        F.sum("humidity").cast("long").alias("humidity_sum"),
+        (F.floor(temp_sum / n * F.lit(100.0) + F.lit(0.5)) / F.lit(100.0)).alias(
+            "avg_temp_c"
+        ),
+        F.sum((F.col("pm2_5") == 0.0).cast("long")).alias("zero_pm_docs"),
     )
 
 
@@ -2477,11 +2717,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunks": _q_doc_chunks,
         # --- new or changed this round --------------------------------
         "multimodal_decode": _q_multimodal_decode,
-        "air_quality_summary": _q_air_quality_summary,
         "cdc_merge_upsert": _q_cdc_merge_upsert,
-        "embedding_near_dup_gemm": _q_embedding_near_dup_gemm,
         "nn_label_confusion": _q_nn_label_confusion,
         "tpch_q14": _q_tpch_q14,
+        "http_ingest_simulated": _q_http_ingest_simulated,
+        "json_scan_roundtrip": _q_json_scan_roundtrip,
+        "cache_fanout": _q_cache_fanout,
+        "dead_letter_split": _q_dead_letter_split,
+        "streaming_to_table_roundtrip": _q_streaming_to_table_roundtrip,
+        "sink_partitioned_roundtrip": _q_sink_partitioned_roundtrip,
+        "sink_bucketed_join": _q_sink_bucketed_join,
+        "sink_csv_roundtrip": _q_sink_csv_roundtrip,
         # --- never gated in rounds 1-2 --------------------------------
         "corpus_filter": _q_corpus_filter,
         "corpus_pipeline": _q_corpus_pipeline,
@@ -2510,6 +2756,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q21": _q_tpch_q21,
         "tpch_q22": _q_tpch_q22,
         # --- riskiest prior greens (fill the ~50-query window) --------
+        "air_quality_summary": _q_air_quality_summary,
+        "embedding_near_dup_gemm": _q_embedding_near_dup_gemm,
         "streaming_hourly_counts": _q_streaming_hourly_counts,
         "streaming_dedup_keys": _q_streaming_dedup_keys,
         "streaming_click_purchase": _q_streaming_click_purchase,
@@ -4268,6 +4516,76 @@ def _oracle_sql_literal() -> dict[str, str]:
                    round(avg(payload_bytes), 2) AS avg_payload_bytes,
                    CAST(sum(f0_u4) AS BIGINT) AS f0_checksum
             FROM f GROUP BY modality
+        """,
+        "json_scan_roundtrip": """
+            WITH agg AS (
+                SELECT o_orderstatus, count(*) AS n_orders,
+                       CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+                FROM orders GROUP BY o_orderstatus
+            )
+            SELECT *, 'enforced' AS branch FROM agg
+            UNION ALL
+            SELECT *, 'inferred' FROM agg
+        """,
+        "cache_fanout": f"""
+            WITH clean AS (SELECT * FROM events WHERE value IS NOT NULL)
+            SELECT event_type AS key, count(*) AS record_count,
+                   (sum(value::DECIMAL(20,6)))::DOUBLE AS value_sum,
+                   'type' AS branch
+            FROM clean GROUP BY event_type
+            UNION ALL
+            SELECT hour({_TS})::VARCHAR, count(*),
+                   (sum(value::DECIMAL(20,6)))::DOUBLE, 'hour'
+            FROM clean GROUP BY 1
+        """,
+        "dead_letter_split": """
+            WITH r AS (SELECT range AS i FROM range(300))
+            SELECT 'k' || (i % 3)::VARCHAR AS kind,
+                   count(*) AS record_count,
+                   CAST(sum(i) AS BIGINT) AS id_sum
+            FROM r WHERE i % 11 != 0 GROUP BY 1
+            UNION ALL
+            SELECT 'dead_letter', count(*), NULL
+            FROM r WHERE i % 11 = 0
+        """,
+        "streaming_to_table_roundtrip": """
+            SELECT event_type, count(*) AS record_count,
+                   (sum(value::DECIMAL(20,6)))::DOUBLE AS value_sum
+            FROM events GROUP BY event_type
+        """,
+        "http_ingest_simulated": """
+            WITH r AS (
+                SELECT range AS i,
+                       ('0x' || substr(md5(range::VARCHAR), 1, 6))::BIGINT AS h
+                FROM range(210) WHERE range % 7 != 0
+            )
+            SELECT 'City' || (i % 5)::VARCHAR AS location,
+                   count(*) AS record_count,
+                   CAST(sum(h % 101) AS BIGINT) AS humidity_sum,
+                   floor(sum(((h % 650) / 10.0 - 20.0)::DECIMAL(20,10))::DOUBLE
+                         / count(*) * 100.0 + 0.5) / 100.0 AS avg_temp_c,
+                   CAST(sum(CASE WHEN i % 5 = 0 THEN 1
+                                 WHEN h % 4000 = 0 THEN 1
+                                 ELSE 0 END) AS BIGINT) AS zero_pm_docs
+            FROM r GROUP BY 1
+        """,
+        "sink_partitioned_roundtrip": """
+            SELECT event_type, count(*) AS record_count,
+                   (sum(value::DECIMAL(20,6)))::DOUBLE AS value_sum
+            FROM events
+            WHERE event_type IN ('click', 'purchase')
+            GROUP BY event_type
+        """,
+        "sink_bucketed_join": """
+            SELECT c_mktsegment, count(*) AS n_orders,
+                   floor((sum(o_totalprice::DECIMAL(20,6)))::DOUBLE
+                         * 100.0 + 0.5) / 100.0 AS total_price
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment
+        """,
+        "sink_csv_roundtrip": """
+            SELECT o_orderstatus, count(*) AS n_orders
+            FROM orders GROUP BY o_orderstatus
         """,
         "multimodal_decode": """
             SELECT range AS asset_id, 'image' AS modality, 'bmp' AS format,

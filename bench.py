@@ -95,6 +95,14 @@ HEADLINE = [
     "multimodal_decode",
     "simhash_near_dup",
     "air_quality_summary",
+    "sink_partitioned_roundtrip",
+    "sink_bucketed_join",
+    "sink_csv_roundtrip",
+    "http_ingest_simulated",
+    "json_scan_roundtrip",
+    "cache_fanout",
+    "dead_letter_split",
+    "streaming_to_table_roundtrip",
     "pii_redaction",
     "repetition_stats",
     "sequence_packing",

@@ -43,16 +43,24 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
-def read_json_enforced(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
-    """S7 — JSON directory scan under an explicit schema, multiline,
-    permissive mode (malformed rows -> nulls, T9 error isolation).
+def read_json_enforced(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    multiline: bool = True,
+) -> DataFrame:
+    """S7 — JSON directory scan under an explicit schema, permissive
+    mode (malformed rows -> nulls, T9 error isolation).
 
     Mirrors ``spark_processor.py:59-62``; permissive parse replaces the
     reference's per-message try/except (``consumer.py:149-166``).
+    ``multiline=True`` matches the reference's one-document-per-file
+    layout; pass ``False`` for standard JSON-lines directories (one
+    record per line — the splittable layout any sane sink produces).
     """
     return (
         spark.read.schema(schema)
-        .option("multiline", "true")
+        .option("multiline", "true" if multiline else "false")
         .option("mode", "PERMISSIVE")
         .json(path)
     )
