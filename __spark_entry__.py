@@ -1322,6 +1322,24 @@ def _q_sink_csv_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     ).csv(path)
 
 
+def _q_ingest_metrics_passthrough(spark: SparkSession, sf: str) -> DataFrame:
+    # A12 in the gate: the observe() instrumentation must be a pure
+    # passthrough — metrics ride the query, rows are untouched — so
+    # the aggregate over the instrumented frame equals the plain
+    # source-table oracle exactly
+    from etl_based_real_time_air_quality_monitoring_system_spark.streaming.pipeline import (
+        with_ingest_metrics,
+    )
+
+    events = with_ingest_metrics(
+        load_table(spark, sf, "events"), name="gate_ingest"
+    )
+    return events.groupBy("event_type").agg(
+        F.count("*").alias("record_count"),
+        F.count("value").alias("value_present"),
+    )
+
+
 def _q_json_scan_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     # S7 + S9 in the gate: orders summary written as JSON lines, then
     # read back BOTH ways — schema-enforced (the production path) and
@@ -2727,7 +2745,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_to_table_roundtrip": _q_streaming_to_table_roundtrip,
         "sink_partitioned_roundtrip": _q_sink_partitioned_roundtrip,
         "sink_bucketed_join": _q_sink_bucketed_join,
-        "sink_csv_roundtrip": _q_sink_csv_roundtrip,
         # --- never gated in rounds 1-2 --------------------------------
         "corpus_filter": _q_corpus_filter,
         "corpus_pipeline": _q_corpus_pipeline,
@@ -2755,7 +2772,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q20": _q_tpch_q20,
         "tpch_q21": _q_tpch_q21,
         "tpch_q22": _q_tpch_q22,
-        # --- riskiest prior greens (fill the ~50-query window) --------
+        # --- overflow of the window: new-but-lowest-risk, then riskiest
+        # prior greens ------------------------------------------------
+        "ingest_metrics_passthrough": _q_ingest_metrics_passthrough,
+        "sink_csv_roundtrip": _q_sink_csv_roundtrip,
         "air_quality_summary": _q_air_quality_summary,
         "embedding_near_dup_gemm": _q_embedding_near_dup_gemm,
         "streaming_hourly_counts": _q_streaming_hourly_counts,
@@ -4516,6 +4536,11 @@ def _oracle_sql_literal() -> dict[str, str]:
                    round(avg(payload_bytes), 2) AS avg_payload_bytes,
                    CAST(sum(f0_u4) AS BIGINT) AS f0_checksum
             FROM f GROUP BY modality
+        """,
+        "ingest_metrics_passthrough": """
+            SELECT event_type, count(*) AS record_count,
+                   count(value) AS value_present
+            FROM events GROUP BY event_type
         """,
         "json_scan_roundtrip": """
             WITH agg AS (

@@ -100,6 +100,7 @@ HEADLINE = [
     "sink_csv_roundtrip",
     "http_ingest_simulated",
     "json_scan_roundtrip",
+    "ingest_metrics_passthrough",
     "cache_fanout",
     "dead_letter_split",
     "streaming_to_table_roundtrip",

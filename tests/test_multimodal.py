@@ -78,6 +78,36 @@ def test_decode_header_wav_round_trip():
         assert meta["n_frames"] == frames
 
 
+def test_decode_header_property_round_trip():
+    # property check: ANY dimensions the encoder accepts must decode
+    # back exactly (the encode/decode pair is the oracle seam for the
+    # multimodal_decode gate query — drift here breaks the gate)
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=200, deadline=None)
+    @given(w=st.integers(1, 4096), h=st.integers(1, 4096))
+    def bmp_case(w, h):
+        m = decode_header(encode_bmp(w, h))
+        assert (m["format"], m["width"], m["height"]) == ("bmp", w, h)
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        rate=st.integers(1, 384_000),
+        ch=st.integers(1, 8),
+        bits=st.sampled_from([8, 16, 24, 32]),
+        frames=st.integers(0, 10_000),
+    )
+    def wav_case(rate, ch, bits, frames):
+        m = decode_header(encode_wav(rate, ch, bits, frames))
+        assert (m["format"], m["sample_rate"], m["channels"], m["bits"], m["n_frames"]) == (
+            "wav", rate, ch, bits, frames,
+        )
+
+    bmp_case()
+    wav_case()
+
+
 def test_decode_header_garbage_is_unknown_not_error():
     for junk in (None, b"", b"\x00" * 100, b"BM", b"RIFFxxxxJUNK", b"\x89PNG\r\n"):
         assert decode_header(junk)["format"] == "unknown"
