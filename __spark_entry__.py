@@ -1452,7 +1452,13 @@ def _q_streaming_to_table_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
         run_to_partitioned_parquet,
     )
 
-    tag = sf.strip("/").replace("/", "_")
+    # key the sink + checkpoint by the SOURCE FILE's identity, not just
+    # the sf path: the file-stream source tracks processed files by
+    # name, so a regenerated events.parquet under the same path would
+    # otherwise be skipped and the read-back would serve stale rows.
+    # Same file -> same dir -> idempotent re-run; new file -> fresh dir.
+    st = os.stat(os.path.join(sf, "events.parquet"))
+    tag = f"{sf.strip('/').replace('/', '_')}_{st.st_size}_{st.st_mtime_ns}"
     out = os.path.join(_GATE_SINK_ROOT, f"stream_events_{tag}")
     ck = out + "_ck"
     stream = _events_file_stream(spark, sf).select("event_id", "event_type", "value")

@@ -136,9 +136,16 @@ def main() -> None:
     ]
     # warmup: flagship at the bench SF primes file listing + codegen
     run_once(qs[names[0]](spark, sf_dir))
+    # BENCH_WARM=1: time each query twice and report the min — removes
+    # per-query codegen/JIT noise (±20% run-to-run on cold timings) for
+    # regression comparisons; the driver's default protocol stays cold
+    warm = bool(os.environ.get("BENCH_WARM"))
     timings: dict[str, float] = {}
     for name in names:
-        timings[name] = round(run_once(qs[name](spark, sf_dir)), 3)
+        t = run_once(qs[name](spark, sf_dir))
+        if warm:
+            t = min(t, run_once(qs[name](spark, sf_dir)))
+        timings[name] = round(t, 3)
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
