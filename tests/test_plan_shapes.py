@@ -247,18 +247,34 @@ def _n_shuffles(p: str) -> int:
 
 
 def test_nn_label_confusion_windowgrouplimit_and_two_shuffles(spark, sf_dir):
-    """1-NN confusion: the per-query argmax must compile with a
-    map-side WindowGroupLimit (only rank-1 candidates per partition
-    reach the exchange — at n^2 candidate volume that pre-shuffle cut
-    is the difference between shuffling n rows and n^2 rows), the
-    corpus side broadcasts, and the only key shuffles are the argmax
-    window + the tiny confusion rollup."""
-    q = entrymod.queries()["nn_label_confusion"](spark, sf_dir)
+    """1-NN confusion, distributed window formulation (the over-bound
+    fallback): the per-query argmax must compile with a map-side
+    WindowGroupLimit (only rank-1 candidates per partition reach the
+    exchange — at n^2 candidate volume that pre-shuffle cut is the
+    difference between shuffling n rows and n^2 rows), the corpus side
+    broadcasts, and the only key shuffles are the argmax window + the
+    tiny confusion rollup."""
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.similarity import (
+        nn_label_confusion,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = nn_label_confusion(emb, "vec_id", "embedding", "label", gemm=False)
     p = plan(q)
     assert "WindowGroupLimit" in p
     assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
     assert n_key_shuffles(p) == 2, f"expected 2 key shuffles: {n_key_shuffles(p)}"
     assert "BatchEvalPython" not in p  # all-JVM: fold dot, no Python
+
+
+def test_nn_label_confusion_gemm_one_shuffle(spark, sf_dir):
+    """1-NN confusion GEMM fast path (the gate query's plan): Arrow
+    seam + the single confusion-rollup shuffle — no n^2 pair volume
+    ever leaves a task."""
+    q = entrymod.queries()["nn_label_confusion"](spark, sf_dir)
+    p = plan(q)
+    assert "MapInPandas" in p
+    assert n_key_shuffles(p) == 1, f"expected 1 key shuffle: {n_key_shuffles(p)}"
 
 
 def test_multimodal_decode_no_shuffle(spark, sf_dir):

@@ -130,6 +130,14 @@ def test_nn_label_confusion_vs_numpy(emb):
     }
     assert got == expected
     assert sum(got.values()) == len(ids)  # every vector has exactly one NN
+    # the distributed window fallback must agree with the GEMM path
+    windowed = {
+        (r["label"], r["nn_label"]): r["pair_count"]
+        for r in nn_label_confusion(
+            emb, "vec_id", "embedding", "label", gemm=False
+        ).collect()
+    }
+    assert windowed == expected
 
 
 def test_cosine_near_dup_lsh_subset_and_recall(emb):
