@@ -1557,6 +1557,38 @@ def _q_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_group_split(spark: SparkSession, sf: str) -> DataFrame:
+    # leakage-safe split: bucket on the GROUP key (source), so every
+    # row of a group lands on one side; the per-(source, split) matrix
+    # makes any leak a row-count mismatch
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.sampling import group_split
+
+    docs = load_table(spark, sf, "documents")
+    tagged = group_split(docs, "source", test_pct=25)
+    return tagged.groupBy("source", "split").agg(
+        F.count("*").alias("doc_count"),
+        F.sum("n_chars").alias("char_count"),
+    )
+
+
+def _q_stratified_quota_sample(spark: SparkSession, sf: str) -> DataFrame:
+    # EXACT per-stratum quotas (budgeted corpus mixing): membership is
+    # a deterministic hash ranking, so sum(doc_id) pins the exact kept
+    # set, not just its size
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.sampling import (
+        stratified_quota_sample,
+    )
+
+    docs = load_table(spark, sf, "documents")
+    kept = stratified_quota_sample(
+        docs, "source", "doc_id", {"src0": 40, "src1": 15}, default_quota=5
+    )
+    return kept.groupBy("source").agg(
+        F.count("*").alias("kept_docs"),
+        F.sum("doc_id").alias("id_sum"),
+    )
+
+
 def _q_doc_chunks(spark: SparkSession, sf: str) -> DataFrame:
     # pretraining chunk prep: slice every document's token stream into
     # 16-token windows every 12 tokens (overlap 4), drop a trailing
@@ -2746,6 +2778,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q14": _q_tpch_q14,
         "http_ingest_simulated": _q_http_ingest_simulated,
         "json_scan_roundtrip": _q_json_scan_roundtrip,
+        "group_split": _q_group_split,
+        "stratified_quota_sample": _q_stratified_quota_sample,
         "cache_fanout": _q_cache_fanout,
         "dead_letter_split": _q_dead_letter_split,
         "streaming_to_table_roundtrip": _q_streaming_to_table_roundtrip,
@@ -3247,6 +3281,34 @@ def _oracle_sql_literal() -> dict[str, str]:
                   < CASE WHEN source IN ('src0', 'src1') THEN 600
                          WHEN source IN ('src2', 'src3') THEN 200
                          ELSE 0 END
+            GROUP BY source
+        """,
+        "group_split": """
+            SELECT source,
+                   CASE WHEN ('0x' || substr(
+                            md5('gsplit:v1' || source), 1, 7)
+                        )::BIGINT % 100 < 25
+                        THEN 'test' ELSE 'train' END AS split,
+                   count(*) AS doc_count,
+                   CAST(sum(n_chars) AS BIGINT) AS char_count
+            FROM documents
+            GROUP BY 1, 2
+        """,
+        "stratified_quota_sample": """
+            WITH ranked AS (
+                SELECT source, doc_id,
+                       row_number() OVER (
+                           PARTITION BY source
+                           ORDER BY md5('quota:v1' || doc_id::VARCHAR), doc_id
+                       ) AS rn
+                FROM documents
+            )
+            SELECT source, count(*) AS kept_docs,
+                   CAST(sum(doc_id) AS BIGINT) AS id_sum
+            FROM ranked
+            WHERE rn <= CASE WHEN source = 'src0' THEN 40
+                             WHEN source = 'src1' THEN 15
+                             ELSE 5 END
             GROUP BY source
         """,
         "doc_chunks": r"""

@@ -79,6 +79,8 @@ HEADLINE = [
     "doc_chunks",
     "tfidf_terms",
     "stratified_sample",
+    "group_split",
+    "stratified_quota_sample",
     "zscore_outliers",
     "doc_fingerprints",
     "levenshtein_near_dup",

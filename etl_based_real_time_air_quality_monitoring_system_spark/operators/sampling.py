@@ -69,3 +69,60 @@ def stratified_sample(
             col == value, F.lit(int(rate * n_buckets))
         ).otherwise(threshold)
     return df.filter(bucket < threshold)
+
+
+def group_split(
+    df: DataFrame,
+    group_col: str,
+    test_pct: int = 10,
+    salt: str = "gsplit:v1",
+    alias: str = "split",
+) -> DataFrame:
+    """Leakage-safe split: the hash bucket is computed on the GROUP key
+    (user, domain, source document...), so every row of a group lands
+    on the same side — the split you actually want for ML evaluation,
+    where row-level splitting leaks near-duplicate rows of one entity
+    across train/test.  Same narrow no-RNG projection as
+    :func:`train_test_split`; only the hashed column differs.
+    """
+    bucket = hash_bucket(group_col, 100, salt)
+    return df.withColumn(
+        alias, F.when(bucket < test_pct, F.lit("test")).otherwise(F.lit("train"))
+    )
+
+
+def stratified_quota_sample(
+    df: DataFrame,
+    stratum_col: str,
+    id_col: str,
+    quotas: dict[str, int],
+    default_quota: int = 0,
+    salt: str = "quota:v1",
+) -> DataFrame:
+    """EXACT per-stratum quotas (keep exactly min(quota, n) rows per
+    stratum) — the budgeted corpus-mixing primitive when the recipe
+    says "2M documents of web, 500k of code", where rate-based
+    sampling only hits the target in expectation.
+
+    Rows within a stratum are ranked by content hash (md5 of the id —
+    deterministic, uniform, engine-portable) with the id as tie-break,
+    and the first ``quota`` kept.  One shuffle on the stratum; the
+    rank compiles with a map-side WindowGroupLimit when quotas are
+    small, so only ~quota rows per stratum per partition reach the
+    exchange.
+    """
+    from pyspark.sql import Window
+
+    c = F.col(stratum_col)
+    quota = F.lit(default_quota)
+    for value, q in sorted(quotas.items()):
+        quota = F.when(c == value, F.lit(q)).otherwise(quota)
+    rank_key = F.md5(
+        F.concat(F.lit(salt), F.col(id_col).cast("string")).cast("binary")
+    )
+    w = Window.partitionBy(stratum_col).orderBy(rank_key, F.col(id_col))
+    return (
+        df.withColumn("_qrank", F.row_number().over(w))
+        .filter(F.col("_qrank") <= quota)
+        .drop("_qrank")
+    )

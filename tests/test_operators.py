@@ -414,6 +414,53 @@ def test_hash_split_stable_under_repartitioning(spark, sf_dir):
     assert a != c
 
 
+def test_group_split_no_leakage(spark, sf_dir):
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.sampling import group_split
+    from etl_based_real_time_air_quality_monitoring_system_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    tagged = group_split(docs, "source", test_pct=25)
+    # the leakage property: every group is entirely on one side
+    sides = tagged.groupBy("source").agg(
+        F.countDistinct("split").alias("n_sides")
+    )
+    assert all(r["n_sides"] == 1 for r in sides.collect())
+    # stable under repartitioning (content-addressed, no RNG)
+    a = {r["source"]: r["split"] for r in tagged.select("source", "split").distinct().collect()}
+    b = {
+        r["source"]: r["split"]
+        for r in group_split(docs.repartition(7), "source", test_pct=25)
+        .select("source", "split")
+        .distinct()
+        .collect()
+    }
+    assert a == b
+
+
+def test_stratified_quota_sample_exact_quotas(spark, sf_dir):
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.sampling import (
+        stratified_quota_sample,
+    )
+    from etl_based_real_time_air_quality_monitoring_system_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = stratified_quota_sample(
+        docs, "source", "doc_id", {"src0": 7, "src1": 3}, default_quota=2
+    )
+    counts = {r["source"]: r["n"] for r in kept.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert counts["src0"] == 7 and counts["src1"] == 3
+    assert all(v == 2 for k, v in counts.items() if k not in ("src0", "src1"))
+    # deterministic membership, not just counts
+    ids1 = sorted(r["doc_id"] for r in kept.collect())
+    ids2 = sorted(
+        r["doc_id"]
+        for r in stratified_quota_sample(
+            docs.repartition(11), "source", "doc_id", {"src0": 7, "src1": 3}, default_quota=2
+        ).collect()
+    )
+    assert ids1 == ids2
+
+
 def test_gap_fill_locf_semantics(spark):
     from etl_based_real_time_air_quality_monitoring_system_spark.operators.timeseries import gap_fill_locf
 
