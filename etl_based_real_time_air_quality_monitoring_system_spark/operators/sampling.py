@@ -121,8 +121,15 @@ def stratified_quota_sample(
         F.concat(F.lit(salt), F.col(id_col).cast("string")).cast("binary")
     )
     w = Window.partitionBy(stratum_col).orderBy(rank_key, F.col(id_col))
+    # two-stage filter on purpose: InferWindowGroupLimit only fires on
+    # a LITERAL rank bound, so the literal max-quota filter compiles
+    # the map-side WindowGroupLimit (only ~max_quota rows per stratum
+    # per partition reach the exchange); the CASE filter then applies
+    # the exact per-stratum quota on the survivors
+    max_quota = max([default_quota, *quotas.values()])
     return (
         df.withColumn("_qrank", F.row_number().over(w))
+        .filter(F.col("_qrank") <= F.lit(max_quota))
         .filter(F.col("_qrank") <= quota)
         .drop("_qrank")
     )

@@ -277,6 +277,17 @@ def test_nn_label_confusion_gemm_one_shuffle(spark, sf_dir):
     assert n_key_shuffles(p) == 1, f"expected 1 key shuffle: {n_key_shuffles(p)}"
 
 
+def test_stratified_quota_sample_windowgrouplimit(spark, sf_dir):
+    """Exact-quota sampling: the per-stratum hash rank must compile
+    with a map-side WindowGroupLimit so only ~quota rows per stratum
+    per partition reach the exchange — at 100 TB the shuffle carries
+    O(strata x quota), not the corpus."""
+    q = entrymod.queries()["stratified_quota_sample"](spark, sf_dir)
+    p = plan(q)
+    assert "WindowGroupLimit" in p
+    assert "BatchEvalPython" not in p
+
+
 def test_multimodal_decode_no_shuffle(spark, sf_dir):
     """Header decode is embarrassingly parallel: the mapInPandas seam
     must follow the input partitioning — no exchange anywhere."""
