@@ -2569,11 +2569,17 @@ def _q_tpch_q20(spark: SparkSession, sf: str) -> DataFrame:
     shipped_red = shipped.join(
         F.broadcast(red), shipped.l_partkey == red.p_partkey
     )
-    part_avg = shipped_red.groupBy(F.col("l_partkey").alias("pk")).agg(
-        F.avg("qty").alias("avg_qty")
-    )
+    # per-part average via a KEYED window, not agg + broadcast-back:
+    # one partkey shuffle replaces the regroup + a broadcast whose size
+    # scales with the part dimension (not broadcastable at 100 TB).
+    # avg of integral-double sums is exact, so the window and a regroup
+    # agree bit-for-bit.
+    from pyspark.sql import Window as _W
+
     excess_supp = (
-        shipped_red.join(F.broadcast(part_avg), F.col("l_partkey") == F.col("pk"))
+        shipped_red.withColumn(
+            "avg_qty", F.avg("qty").over(_W.partitionBy("l_partkey"))
+        )
         .filter(F.col("qty") > 1.2 * F.col("avg_qty"))
         .select("l_suppkey")
     )
