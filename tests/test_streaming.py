@@ -365,3 +365,52 @@ def test_streaming_upsert_foreachbatch(spark, tmp_path):
     final = spark.read.parquet(str(tmp_path / f"snap_v{state['version']}"))
     rows = {(r["k"], r["v"]) for r in final.collect()}
     assert rows == {(1, "a"), (2, "B"), (4, "d")}
+
+
+def test_stateful_distinct_users_gated_or_correct(spark, sf_dir):
+    """transformWithStateInPandas operator: correct where protobuf (its
+    state-protocol dependency) exists, a CLEAR NotImplementedError —
+    not a mid-stream worker crash — where it doesn't."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from etl_based_real_time_air_quality_monitoring_system_spark.sources.readers import load_table
+    from etl_based_real_time_air_quality_monitoring_system_spark.streaming.pipeline import (
+        stateful_distinct_users_exact,
+    )
+    import __spark_entry__ as entrymod
+
+    stream = entrymod._events_file_stream(spark, sf_dir)
+    try:
+        import google.protobuf  # noqa: F401
+        _has_protobuf = True
+    except ImportError:
+        _has_protobuf = False
+    if not _has_protobuf:
+        with _pytest.raises(NotImplementedError, match="applyInPandasWithState"):
+            stateful_distinct_users_exact(stream)
+        return
+    stats = stateful_distinct_users_exact(stream)
+    q = (
+        stats.writeStream.format("memory")
+        .queryName("tws_distinct_sink")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["key"]: r["distinct_users"]
+        for r in spark.table("tws_distinct_sink")
+        .groupBy("key")
+        .agg(F.max("distinct_users").alias("distinct_users"))
+        .collect()
+    }
+    exp = {
+        r["event_type"]: r["n"]
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert got == exp
