@@ -1,11 +1,17 @@
 """Multimodal column plumbing: image/audio/video as opaque ``binary``
 payloads with typed metadata (BASELINE.json north star).
 
-The container has no image/audio codecs, so the *decode* step is
-stubbed two ways — a clearly-marked ``NotImplementedError`` for the
-real path and a deterministic fake (md5-derived features) that keeps
-the Spark-side plumbing fully real and testable: schema, Arrow batch
-shapes, ``mapInPandas`` signatures, partitioning.
+Decode is REAL for uncompressed container formats: ``decode_header``
+parses BMP (BITMAPINFOHEADER) and PCM-WAV (RIFF chunk walk) with
+stdlib ``struct`` only — no codec library — and ``encode_bmp`` /
+``encode_wav`` are its synthesis twins, so the encode→decode round
+trip is oracle-checked in the driver gate (``multimodal_decode``).
+Compressed formats (JPEG/PNG/MP3/H.264) genuinely require codec
+libraries this container lacks; their dispatch extends
+``decode_header``, everything around it (schema, Arrow batch shapes,
+``mapInPandas`` signatures, partitioning) is unchanged.  Feature
+extraction uses a deterministic md5-derived stand-in (integer-exact,
+hence gate-checkable).
 
 This is the ONE module where pandas UDFs are correct: per-payload
 decode is inherently Python/native-library work, and ``mapInPandas``
