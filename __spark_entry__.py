@@ -2754,6 +2754,85 @@ def _q_grouping_sets_qty(spark: SparkSession, sf: str) -> DataFrame:
     return out.withColumn("value_sum", F.col("value_sum").cast("double"))
 
 
+def _q_gopher_quality(spark: SparkSession, sf: str) -> DataFrame:
+    # Gopher-rule heuristic quality filter (Rae et al. 2021 §A1.1):
+    # word-count / mean-word-length / alpha-fraction / required-stopword
+    # rules as one narrow JVM projection, 0/1 keep decision per doc
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.text import gopher_quality_flags
+
+    docs = load_table(spark, sf, "documents")
+    return gopher_quality_flags(docs)
+
+
+def _q_token_cooccurrence(spark: SparkSession, sf: str) -> DataFrame:
+    # document-level token co-occurrence: df-cut vocabulary -> postings
+    # self-join on doc -> pair counts -> exact top-50 (count desc, pair
+    # asc total order)
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.text import token_cooccurrence
+
+    docs = load_table(spark, sf, "documents")
+    return token_cooccurrence(docs, min_df=5, top_n=50)
+
+
+def _q_passage_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    # inter-document passage duplication (RefinedWeb line-dedup analog):
+    # non-overlapping 8-token passages, md5-hashed, shared-with-another-
+    # doc counted per document
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.dedup import passage_dup_stats
+
+    docs = load_table(spark, sf, "documents")
+    return passage_dup_stats(docs, k=8)
+
+
+def _q_dedup_keep_best(spark: SparkSession, sf: str) -> DataFrame:
+    # canonicalization after fuzzy dedup: LSH pairs -> connected
+    # components -> keep the highest-quality doc per cluster (ties ->
+    # smallest doc_id); the "which survivor do we train on" step
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.dedup import keep_best_per_cluster
+
+    docs = load_table(spark, sf, "documents")
+    pairs = minhash_lsh_candidates(docs, "doc_id", "text", n=3, k=16, bands=4)
+    cc = connected_components(pairs, "doc_a", "doc_b").select(
+        F.col("vertex").alias("doc_id"), F.col("component").alias("cluster_id")
+    )
+    scored = docs.select("doc_id", quality_score("text").alias("quality"))
+    return keep_best_per_cluster(cc, scored)
+
+
+def _q_drift_report(spark: SparkSession, sf: str) -> DataFrame:
+    # PSI-style distribution drift: time-midpoint split into ref/cur
+    # halves, fixed-width value bins, per-bin counts + rounded rate
+    # deltas — two scan passes, no wide shuffle
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.aggregates import drift_bin_report
+
+    ev = load_table(spark, sf, "events")
+    return drift_bin_report(ev, "ts", "value", bin_width=50.0, n_bins=10)
+
+
+def _q_equi_depth_bins(spark: SparkSession, sf: str) -> DataFrame:
+    # exact equi-depth deciles via ntile over a (value, event_id) total
+    # order; integer-micros sums keep the summary engine-exact
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.aggregates import equi_depth_bins
+
+    ev = load_table(spark, sf, "events")
+    return equi_depth_bins(ev, "value", "event_id", n_bins=10)
+
+
+def _q_sketch_profile(spark: SparkSession, sf: str) -> DataFrame:
+    # sketch-based profiling: HLL distinct + approx percentiles per
+    # event_type — THE 100 TB substitute for exact count_distinct /
+    # ntile paths (count_distinct and equi_depth_bins are this query's
+    # exact oracle twins).  Approximate by construction -> rows-only
+    # gate entry; tests bound the error vs the exact twins.
+    ev = load_table(spark, sf, "events")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n_rows"),
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.percentile_approx("value", 0.5, 10000).alias("p50_approx"),
+        F.percentile_approx("value", 0.95, 10000).alias("p95_approx"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
@@ -2791,6 +2870,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_to_table_roundtrip": _q_streaming_to_table_roundtrip,
         "sink_partitioned_roundtrip": _q_sink_partitioned_roundtrip,
         "sink_bucketed_join": _q_sink_bucketed_join,
+        # --- new this round (round 3 session 2) -----------------------
+        "gopher_quality": _q_gopher_quality,
+        "token_cooccurrence": _q_token_cooccurrence,
+        "passage_dedup": _q_passage_dedup,
+        "dedup_keep_best": _q_dedup_keep_best,
+        "drift_report": _q_drift_report,
+        "equi_depth_bins": _q_equi_depth_bins,
+        "sketch_profile": _q_sketch_profile,
         # --- never gated in rounds 1-2 --------------------------------
         "corpus_filter": _q_corpus_filter,
         "corpus_pipeline": _q_corpus_pipeline,
@@ -2916,6 +3003,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 _TOKS = r"string_split_regex(trim(text), '\s+')"
 _STOP_SQL = "(" + ", ".join(f"'{w}'" for w in STOPWORDS) + ")"
+#: Gopher required-stopword list as a DuckDB list literal (mirrors
+#: operators.text.GOPHER_STOPWORDS)
+_GOPHER_SQL = "['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with']"
 
 _SHINGLE_CTES = rf"""
     toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
@@ -2973,6 +3063,172 @@ def oracle_sql() -> dict[str, str]:
 
 def _oracle_sql_literal() -> dict[str, str]:
     return {
+        "gopher_quality": rf"""
+            WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+            m AS (
+                SELECT doc_id,
+                       len(toks) AS n_words,
+                       floor(list_aggregate(list_transform(toks, x -> length(x)), 'sum')::DOUBLE
+                             / len(toks)::DOUBLE * 10000.0 + 0.5) / 10000.0 AS mean_word_len,
+                       floor(len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))::DOUBLE
+                             / len(toks)::DOUBLE * 10000.0 + 0.5) / 10000.0 AS alpha_frac,
+                       len(list_filter({_GOPHER_SQL}, s -> list_contains(toks, s))) AS stop_hits
+                FROM t
+            )
+            SELECT doc_id,
+                   CAST(n_words AS INTEGER) AS n_words,
+                   mean_word_len,
+                   alpha_frac,
+                   CAST(stop_hits AS INTEGER) AS stop_hits,
+                   CAST(CASE WHEN n_words BETWEEN 5 AND 100000
+                              AND mean_word_len BETWEEN 3.0 AND 10.0
+                              AND alpha_frac >= 0.8
+                              AND stop_hits >= 2
+                        THEN 1 ELSE 0 END AS INTEGER) AS keep
+            FROM m
+        """,
+        "token_cooccurrence": rf"""
+            WITH e AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
+            td AS (SELECT DISTINCT doc_id, tok FROM e),
+            vocab AS (SELECT tok FROM td GROUP BY tok HAVING count(*) >= 5),
+            p AS (
+                SELECT a.tok AS tok_a, b.tok AS tok_b, count(*) AS n_docs
+                FROM td a JOIN td b ON a.doc_id = b.doc_id AND a.tok < b.tok
+                WHERE a.tok IN (SELECT tok FROM vocab)
+                  AND b.tok IN (SELECT tok FROM vocab)
+                GROUP BY 1, 2
+            )
+            SELECT tok_a, tok_b, n_docs
+            FROM p ORDER BY n_docs DESC, tok_a, tok_b LIMIT 50
+        """,
+        "passage_dedup": rf"""
+            WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+            base AS (
+                SELECT doc_id, toks,
+                       CAST(len(toks) // 8 AS INTEGER) AS n_passages
+                FROM t
+            ),
+            p AS (
+                SELECT doc_id,
+                       md5(array_to_string(toks[(i*8+1):(i*8+8)], ' ')) AS ph
+                FROM base, UNNEST(range(0, n_passages)) AS u(i)
+            ),
+            shared AS (
+                SELECT ph FROM p GROUP BY ph HAVING count(DISTINCT doc_id) >= 2
+            ),
+            d AS (
+                SELECT doc_id, count(*) AS n_dup FROM p
+                WHERE ph IN (SELECT ph FROM shared) GROUP BY doc_id
+            )
+            SELECT b.doc_id, b.n_passages,
+                   CAST(coalesce(d.n_dup, 0) AS BIGINT) AS n_dup_passages,
+                   CASE WHEN b.n_passages > 0
+                        THEN floor(coalesce(d.n_dup, 0)::DOUBLE
+                                   / b.n_passages::DOUBLE * 10000.0 + 0.5) / 10000.0
+                        ELSE 0.0 END AS dup_frac
+            FROM base b LEFT JOIN d ON b.doc_id = d.doc_id
+        """,
+        "dedup_keep_best": rf"""
+            WITH RECURSIVE {_SHINGLE_CTES},
+            sig AS (
+                SELECT doc_id,
+                   {_MINHASH_AGGS}
+                FROM sh GROUP BY doc_id
+            ),
+            bands AS (
+            {_BAND_SELECTS}
+            ),
+            pairs AS (
+                SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                FROM bands a JOIN bands b
+                  ON a.band = b.band AND a.bucket = b.bucket
+                 AND a.doc_id < b.doc_id
+            ),
+            sym AS (
+                SELECT doc_a AS a, doc_b AS b FROM pairs
+                UNION
+                SELECT doc_b, doc_a FROM pairs
+            ),
+            reach(v, r) AS (
+                SELECT a, b FROM sym
+                UNION
+                SELECT reach.v, sym.b FROM reach JOIN sym ON reach.r = sym.a
+            ),
+            cc AS (
+                SELECT v AS doc_id, least(v, min(r)) AS cluster_id
+                FROM reach GROUP BY v
+            ),
+            q AS (
+                SELECT doc_id, floor((
+                    0.4::DOUBLE * least(len(t)::DOUBLE / 100.0::DOUBLE, 1.0::DOUBLE)
+                  + 0.3::DOUBLE * (len(list_distinct(t))::DOUBLE / len(t)::DOUBLE)
+                  + 0.3::DOUBLE * (1.0::DOUBLE
+                        - len(list_filter(t, x -> x IN {_STOP_SQL}))::DOUBLE
+                          / len(t)::DOUBLE)
+                  ) * 10000.0 + 0.5) / 10000.0 AS quality
+                FROM toks
+            ),
+            j AS (
+                SELECT cc.cluster_id, cc.doc_id, q.quality
+                FROM cc JOIN q ON cc.doc_id = q.doc_id
+            ),
+            r AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY cluster_id ORDER BY quality DESC, doc_id
+                ) AS rn FROM j
+            ),
+            s AS (SELECT cluster_id, count(*) AS n_members FROM j GROUP BY cluster_id)
+            SELECT r.cluster_id, r.doc_id AS keep_id, r.quality AS keep_score,
+                   s.n_members, s.n_members - 1 AS n_dropped
+            FROM r JOIN s ON r.cluster_id = s.cluster_id
+            WHERE r.rn = 1
+        """,
+        "drift_report": rf"""
+            WITH b AS (
+                SELECT CAST((epoch_us(min({_TS})) + epoch_us(max({_TS}))) // 2 AS BIGINT) AS mid
+                FROM events
+            ),
+            binned AS (
+                SELECT least(CAST(floor(value / 50.0) AS INTEGER), 9) AS bin,
+                       epoch_us({_TS}) < (SELECT mid FROM b) AS is_ref
+                FROM events
+            ),
+            c AS (
+                SELECT bin,
+                       CAST(sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+                       CAST(sum(CASE WHEN NOT is_ref THEN 1 ELSE 0 END) AS BIGINT) AS n_cur
+                FROM binned GROUP BY bin
+            ),
+            tot AS (
+                SELECT CAST(sum(n_ref) AS BIGINT) AS tr,
+                       CAST(sum(n_cur) AS BIGINT) AS tc FROM c
+            ),
+            m AS (
+                SELECT bin, n_ref, n_cur,
+                       CAST(floor(n_ref::DOUBLE / tr::DOUBLE * 1000000.0 + 0.5) AS BIGINT) AS rm,
+                       CAST(floor(n_cur::DOUBLE / tc::DOUBLE * 1000000.0 + 0.5) AS BIGINT) AS cm
+                FROM c, tot
+            )
+            SELECT bin, n_ref, n_cur,
+                   rm / 1000000.0 AS rate_ref,
+                   cm / 1000000.0 AS rate_cur,
+                   abs(rm - cm) / 1000000.0 AS rate_abs_diff
+            FROM m
+        """,
+        "equi_depth_bins": rf"""
+            WITH t AS (
+                SELECT value, event_id,
+                       ntile(10) OVER (ORDER BY value, event_id) AS bin
+                FROM events
+            )
+            SELECT CAST(bin AS INTEGER) AS bin,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   min(value) AS min_value,
+                   max(value) AS max_value,
+                   CAST(sum(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT)
+                       AS value_sum_micros
+            FROM t GROUP BY bin
+        """,
         "flagship": f"""
             WITH deduped AS (SELECT DISTINCT * FROM events),
             clean AS (

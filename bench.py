@@ -118,6 +118,14 @@ HEADLINE = [
     "mad_outliers",
     "corpus_datacard",
     "event_transitions",
+    # round-3 session-2 additions
+    "gopher_quality",
+    "token_cooccurrence",
+    "passage_dedup",
+    "dedup_keep_best",
+    "drift_report",
+    "equi_depth_bins",
+    "sketch_profile",
 ]
 
 

@@ -268,3 +268,158 @@ def mad_outliers(
         F.round(F.max("_med"), scale).alias("median_value"),
         F.round(F.max("_mad"), scale).alias("mad_value"),
     )
+
+
+def drift_bin_report(
+    df: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    bin_width: float = 50.0,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Distribution-drift monitor (PSI-style): split the table into a
+    reference half and a current half at the midpoint of its time
+    range, bin ``value_col`` into fixed-width bins, and report per-bin
+    counts and rate deltas between the halves.
+
+    Everything is integer/rounded arithmetic: the midpoint is the mean
+    of min/max epoch-micros (integers), rates are floor-half-up
+    rounded to 6 places — engine-exact against the SQL oracle.
+
+    Scale shape: ONE global min/max aggregation broadcast back (a
+    one-row BroadcastNestedLoop, the repo's global-total rule), then
+    ONE hash aggregation on ≤``n_bins`` keys with partial map-side
+    combine — two passes over the scan, no wide shuffle at all.
+    """
+    from .windows import _ts_micros
+
+    micros = _ts_micros(ts_col)
+    # floor((lo+hi)/2): the sum stays below 2^53 so the double halving
+    # is exact and floor == integer division — identical in any engine
+    bounds = df.agg(
+        F.min(micros).alias("_lo"), F.max(micros).alias("_hi")
+    ).select(
+        F.floor((F.col("_lo") + F.col("_hi")) / F.lit(2)).cast("long").alias("_mid")
+    )
+    binned = (
+        df.crossJoin(F.broadcast(bounds))
+        .select(
+            F.least(
+                F.floor(F.col(value_col) / F.lit(bin_width)).cast("int"),
+                F.lit(n_bins - 1),
+            ).alias("bin"),
+            (micros < F.col("_mid")).alias("_is_ref"),
+        )
+    )
+    counts = binned.groupBy("bin").agg(
+        F.sum(F.col("_is_ref").cast("long")).alias("n_ref"),
+        F.sum((~F.col("_is_ref")).cast("long")).alias("n_cur"),
+    )
+    pow10 = F.lit(1_000_000.0)
+
+    def _rate_micros(cnt: Column, total: Column) -> Column:
+        # rate in integer millionths (floor half-up) — all downstream
+        # arithmetic stays integer so the rounded deltas are exact
+        return F.floor(
+            cnt.cast("double") / total.cast("double") * pow10 + F.lit(0.5)
+        ).cast("long")
+
+    totals = counts.agg(
+        F.sum("n_ref").alias("_tr"), F.sum("n_cur").alias("_tc")
+    )
+    rated = counts.crossJoin(F.broadcast(totals)).select(
+        "bin",
+        "n_ref",
+        "n_cur",
+        _rate_micros(F.col("n_ref"), F.col("_tr")).alias("_rm"),
+        _rate_micros(F.col("n_cur"), F.col("_tc")).alias("_cm"),
+    )
+    return rated.select(
+        "bin",
+        "n_ref",
+        "n_cur",
+        (F.col("_rm") / pow10).alias("rate_ref"),
+        (F.col("_cm") / pow10).alias("rate_cur"),
+        (F.abs(F.col("_rm") - F.col("_cm")) / pow10).alias("rate_abs_diff"),
+    )
+
+
+def equi_depth_bins(
+    df: DataFrame,
+    value_col: str = "value",
+    tiebreak_col: str = "event_id",
+    n_bins: int = 10,
+    coarse: Column | None = None,
+) -> DataFrame:
+    """Exact equi-depth (quantile) binning — SQL-ntile semantics over
+    the (value, tiebreak) total order — WITHOUT the single-partition
+    global window a naive ``ntile() OVER (ORDER BY ...)`` plans
+    (Exchange SinglePartition: every row through one task, the
+    canonical 100 TB anti-pattern).
+
+    Distributed global rank, all deterministic DataFrame ops:
+
+    1. bucket rows by a low-cardinality ``coarse`` prefix of the sort
+       key (default ``floor(value)``) and count each bucket;
+    2. prefix-sum those counts into per-bucket rank offsets — a
+       global window over ONLY the coarse histogram (≤ thousands of
+       rows, the aggregate-then-broadcast pattern, not a data-sized
+       sort);
+    3. broadcast-join offsets back, take a partition-LOCAL
+       row_number within each coarse bucket, global rank = offset +
+       local rank;
+    4. assign buckets with the closed-form ntile inverse (first
+       ``n % k`` buckets hold ``n//k + 1`` rows) computed from the
+       histogram total as column arithmetic (integer DIV only).
+
+    Exactly matches SQL ntile because coarse is a function of the
+    leading sort key, so (coarse, value, tiebreak) ordering == global
+    ordering.  At 100 TB pick ``coarse`` so each bucket fits an
+    executor (it bounds the per-window partition size) — anything
+    monotone in the value works.  ``sketch_profile`` is the
+    approximate 100 TB shortcut when cut points need not be exact.
+    """
+    from pyspark.sql import Window
+
+    ck = (coarse if coarse is not None
+          else F.floor(F.col(value_col)).cast("long")).alias("_ck")
+    d = df.select(F.col(value_col), F.col(tiebreak_col), ck)
+    counts = d.groupBy("_ck").agg(F.count("*").alias("_cnt"))
+    # global window over the coarse HISTOGRAM only (tiny by design)
+    woff = (
+        Window.orderBy("_ck")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        "_ck",
+        F.coalesce(F.sum("_cnt").over(woff), F.lit(0)).alias("_off"),
+    )
+    totals = counts.agg(F.sum("_cnt").alias("_n"))
+    w = Window.partitionBy("_ck").orderBy(F.col(value_col), F.col(tiebreak_col))
+    ranked = (
+        d.join(F.broadcast(offsets), "_ck")
+        .withColumn("_lrn", F.row_number().over(w).cast("long"))
+        .withColumn("_rank", F.col("_off") + F.col("_lrn"))
+        .crossJoin(F.broadcast(totals))
+    )
+    # closed-form SQL-ntile bucket for 1-based global rank i over n
+    # rows: q = n DIV k, r = n % k; first r buckets hold q+1 rows
+    k = int(n_bins)
+    bucket = F.expr(
+        f"CASE WHEN _rank <= (_n DIV {k} + 1) * (_n % {k}) "
+        f"THEN (_rank - 1) DIV (_n DIV {k} + 1) + 1 "
+        f"ELSE (_n % {k}) + (_rank - (_n DIV {k} + 1) * (_n % {k}) - 1) "
+        f"     DIV greatest(_n DIV {k}, 1) + 1 END"
+    )
+    tiled = ranked.select(
+        F.col(value_col), bucket.cast("int").alias("bin")
+    )
+    return tiled.groupBy("bin").agg(
+        F.count("*").alias("n_rows"),
+        F.min(value_col).alias("min_value"),
+        F.max(value_col).alias("max_value"),
+        F.sum(
+            F.floor(F.col(value_col) * F.lit(1_000_000.0) + F.lit(0.5))
+            .cast("long")
+        ).alias("value_sum_micros"),
+    )

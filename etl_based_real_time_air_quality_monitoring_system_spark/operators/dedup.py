@@ -440,3 +440,117 @@ def contamination_check(
         "overlap_ratio",
         F.round(F.col("n_overlap") / F.col("n_shingles"), scale),
     )
+
+
+def passage_dup_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+) -> DataFrame:
+    """Inter-document passage-level duplication (the RefinedWeb /
+    CCNet line-dedup analog for single-line corpora): split each
+    document into non-overlapping ``k``-token passages, hash them,
+    and for each document report how many of its passages also occur
+    in at least one OTHER document.
+
+    Returns (id, n_passages, n_dup_passages, dup_frac) — dup_frac
+    floor-half-up rounded to 4 so the oracle comparison is exact.
+
+    Scale shape: one tokenize + slice projection (no Python), explode
+    to (doc, passage-hash), ONE shuffle on the 16-byte hash to count
+    distinct docs per passage, one shuffle back on doc.  Hash
+    cardinality is ~corpus_tokens/k — the same order as the corpus
+    itself, with partial aggregation collapsing repeats map-side.
+    """
+    toks = tokens(text_col)
+    d = spread_small_input(df.select(id_col, text_col)).select(
+        F.col(id_col), toks.alias("_toks")
+    )
+    n_pass = F.floor(F.size("_toks") / F.lit(k)).cast("int")
+    passages = d.select(
+        F.col(id_col),
+        n_pass.alias("n_passages"),
+        F.transform(
+            F.sequence(F.lit(0), n_pass - F.lit(1)),
+            lambda i: F.md5(
+                F.concat_ws(" ", F.slice("_toks", i * F.lit(k) + F.lit(1), k))
+                .cast("binary")
+            ),
+        ).alias("_ph"),
+    )
+    exploded = passages.select(
+        F.col(id_col), F.explode("_ph").alias("ph")
+    )
+    shared = (
+        exploded.groupBy("ph")
+        .agg(F.count_distinct(id_col).alias("_ndocs"))
+        .filter(F.col("_ndocs") >= 2)
+        .select("ph")
+    )
+    dup_per_doc = (
+        exploded.join(shared, "ph", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_dup_passages"))
+    )
+    pow10 = F.lit(10000.0)
+    return (
+        passages.select(id_col, "n_passages")
+        .join(dup_per_doc, id_col, "left")
+        .select(
+            id_col,
+            "n_passages",
+            F.coalesce("n_dup_passages", F.lit(0)).alias("n_dup_passages"),
+            F.when(F.col("n_passages") > 0,
+                   F.floor(
+                       F.coalesce("n_dup_passages", F.lit(0)).cast("double")
+                       / F.col("n_passages").cast("double") * pow10
+                       + F.lit(0.5)
+                   ) / pow10)
+            .otherwise(F.lit(0.0))
+            .alias("dup_frac"),
+        )
+    )
+
+
+def keep_best_per_cluster(
+    clusters: DataFrame,
+    scored: DataFrame,
+    id_col: str = "doc_id",
+    cluster_col: str = "cluster_id",
+    score_col: str = "quality",
+) -> DataFrame:
+    """Canonicalization step after fuzzy dedup: given (id, cluster)
+    assignments and per-document scores, pick ONE survivor per
+    cluster — highest score, ties broken by smallest id (a total
+    order, so the survivor is engine-exact).
+
+    Returns (cluster_id, keep_id, keep_score, n_members, n_dropped).
+    One join on the id key + one windowed argmax per cluster; at
+    100 TB both shuffles are on keys whose cardinality the LSH/CC
+    stage already reduced far below the corpus size.
+    """
+    from pyspark.sql import Window
+
+    j = clusters.join(scored, id_col)
+    w = Window.partitionBy(cluster_col).orderBy(
+        F.col(score_col).desc(), F.col(id_col)
+    )
+    ranked = j.withColumn("_rn", F.row_number().over(w))
+    stats = j.groupBy(cluster_col).agg(F.count("*").alias("n_members"))
+    return (
+        ranked.filter(F.col("_rn") == 1)
+        .select(
+            cluster_col,
+            F.col(id_col).alias("keep_id"),
+            F.col(score_col).alias("keep_score"),
+        )
+        .join(stats, cluster_col)
+        .select(
+            cluster_col,
+            "keep_id",
+            "keep_score",
+            "n_members",
+            (F.col("n_members") - F.lit(1)).alias("n_dropped"),
+        )
+    )

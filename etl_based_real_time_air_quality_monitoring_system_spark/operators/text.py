@@ -477,3 +477,116 @@ def pack_sequences(
         F.min(id_col).alias("first_doc"),
         F.max(id_col).alias("last_doc"),
     )
+
+
+#: Gopher-rule stopwords (Rae et al. 2021 §A1.1): a document must
+#: contain at least two of these to pass the "required words" rule.
+GOPHER_STOPWORDS: tuple[str, ...] = (
+    "the", "be", "to", "of", "and", "that", "have", "with",
+)
+
+
+def gopher_quality_flags(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text: str = "text",
+    min_words: int = 5,
+    max_words: int = 100_000,
+    min_mean_len: float = 3.0,
+    max_mean_len: float = 10.0,
+    min_alpha_frac: float = 0.8,
+    min_stop_hits: int = 2,
+) -> DataFrame:
+    """Gopher-style heuristic quality rules (public, Rae et al. 2021):
+    word-count bounds, mean-word-length bounds, fraction of words with
+    an alphabetic character, and required-stopword hits.  Returns one
+    row per document with each measured statistic plus a 0/1 ``keep``
+    decision.
+
+    All higher-order array functions over a single tokenization — one
+    narrow JVM-side projection, no shuffle, no Python.  Ratios are
+    floor-half-up rounded to 4 places so the decision thresholds are
+    engine-exact (same IEEE arithmetic in the DuckDB oracle).
+    """
+    pow10 = F.lit(10000.0)
+    d = df.select(F.col(id_col), tokens(text).alias("_toks"))
+    n = F.size("_toks")
+    sum_len = F.aggregate(
+        F.transform("_toks", lambda t: F.length(t)),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    mean_len = F.floor(
+        sum_len.cast("double") / n.cast("double") * pow10 + F.lit(0.5)
+    ) / pow10
+    n_alpha = F.size(F.filter("_toks", lambda t: t.rlike("[a-z]")))
+    alpha_frac = F.floor(
+        n_alpha.cast("double") / n.cast("double") * pow10 + F.lit(0.5)
+    ) / pow10
+    stop_hits = F.size(
+        F.filter(
+            F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]),
+            lambda s: F.array_contains("_toks", s),
+        )
+    )
+    keep = (
+        (n >= F.lit(min_words))
+        & (n <= F.lit(max_words))
+        & (mean_len >= F.lit(min_mean_len))
+        & (mean_len <= F.lit(max_mean_len))
+        & (alpha_frac >= F.lit(min_alpha_frac))
+        & (stop_hits >= F.lit(min_stop_hits))
+    )
+    return d.select(
+        id_col,
+        n.alias("n_words"),
+        mean_len.alias("mean_word_len"),
+        alpha_frac.alias("alpha_frac"),
+        stop_hits.alias("stop_hits"),
+        keep.cast("int").alias("keep"),
+    )
+
+
+def token_cooccurrence(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text: str = "text",
+    min_df: int = 2,
+    max_df: int | None = None,
+    top_n: int = 100,
+) -> DataFrame:
+    """Document-level token co-occurrence: for every token pair (a <
+    b) count the documents containing both, and return the ``top_n``
+    pairs (count desc, then pair asc — a total order, so top-N is
+    exact).
+
+    Shape: tokenize once -> explode DISTINCT tokens (presence, not
+    frequency) -> df-filter the vocabulary (``min_df`` floors it,
+    ``max_df`` cuts stopword-ish heads so the per-document self-join
+    fan-out is bounded) -> self-join on the document key -> pair
+    count -> TakeOrdered.  At 100 TB the pair blow-up is
+    C(v_doc, 2) per document where v_doc is capped by the df cut —
+    the same inverted-index bound as ngram_jaccard_pairs
+    (dedup.py:78); the heavy shuffle keys are (token, token) pairs
+    with partial map-side aggregation.
+    """
+    tok_docs = (
+        df.select(F.col(id_col).alias("_id"), tokens(text).alias("_toks"))
+        .select("_id", F.explode(F.array_distinct("_toks")).alias("tok"))
+    )
+    dfc = tok_docs.groupBy("tok").agg(F.count("*").alias("_df"))
+    vocab = dfc.filter(F.col("_df") >= F.lit(min_df))
+    if max_df is not None:
+        vocab = vocab.filter(F.col("_df") <= F.lit(max_df))
+    pruned = tok_docs.join(F.broadcast(vocab.select("tok")), "tok", "left_semi")
+    a = pruned.select(F.col("_id"), F.col("tok").alias("tok_a"))
+    b = pruned.select(F.col("_id"), F.col("tok").alias("tok_b"))
+    pairs = (
+        a.join(b, "_id")
+        .filter(F.col("tok_a") < F.col("tok_b"))
+        .groupBy("tok_a", "tok_b")
+        .agg(F.count("*").alias("n_docs"))
+    )
+    return pairs.orderBy(
+        F.col("n_docs").desc(), F.col("tok_a"), F.col("tok_b")
+    ).limit(top_n)

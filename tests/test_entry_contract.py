@@ -19,7 +19,7 @@ def test_queries_oracle_alignment():
     # a forgotten oracle fails loudly instead of silently degrading
     # the gate to a rows-only check
     assert set(o) <= set(q)
-    rows_only_allowed = {"ivf_topk", "lsh_topk"}
+    rows_only_allowed = {"ivf_topk", "lsh_topk", "sketch_profile"}
     assert set(q) - set(o) == rows_only_allowed
 
 

@@ -1,0 +1,188 @@
+"""Round-3 session-2 operators: Gopher quality rules, passage-level
+dedup, cluster canonicalization, co-occurrence, drift bins, exact
+distributed equi-depth bins, and the sketch-profile error bounds.
+
+Each test plants inputs with a known answer and asserts the
+*semantics*; engine/SQL agreement is covered by the oracle gate.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_based_real_time_air_quality_monitoring_system_spark.operators.aggregates import (
+    drift_bin_report,
+    equi_depth_bins,
+)
+from etl_based_real_time_air_quality_monitoring_system_spark.operators.dedup import (
+    keep_best_per_cluster,
+    passage_dup_stats,
+)
+from etl_based_real_time_air_quality_monitoring_system_spark.operators.text import (
+    gopher_quality_flags,
+    token_cooccurrence,
+)
+
+
+def test_gopher_rules(spark):
+    rows = [
+        # passes every rule: long enough, mean len in range, alpha,
+        # >=2 required stopwords
+        ("d1", "the cat and the dog sat with all of their friends today"),
+        # too short (n_words < 5)
+        ("d2", "the and of"),
+        # no required stopwords at all
+        ("d3", "zebra yak xylophone wombat vulture unicorn tiger snake"),
+        # mean word length too long (>10)
+        ("d4", "antidisestablishmentarianism incomprehensibilities "
+               "internationalization uncharacteristically hospitalization"),
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in gopher_quality_flags(
+            spark.createDataFrame(rows, ["doc_id", "text"])
+        ).collect()
+    }
+    assert out["d1"]["keep"] == 1
+    assert out["d2"]["keep"] == 0 and out["d2"]["n_words"] == 3
+    assert out["d3"]["keep"] == 0 and out["d3"]["stop_hits"] == 0
+    assert out["d4"]["keep"] == 0 and out["d4"]["mean_word_len"] > 10
+    assert out["d1"]["stop_hits"] >= 2
+
+
+def test_passage_dup_stats_marks_shared_passages(spark):
+    shared = "one two three four five six seven eight"  # exactly k=8 tokens
+    rows = [
+        ("a", shared + " alpha beta gamma delta epsilon zeta eta theta"),
+        ("b", shared + " iota kappa lambda mu nu xi omicron pi"),
+        ("c", "unrelated words that never repeat anywhere else at all"),
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in passage_dup_stats(
+            spark.createDataFrame(rows, ["doc_id", "text"]), k=8
+        ).collect()
+    }
+    # docs a and b share passage #1; their tails differ
+    assert out["a"]["n_passages"] == 2 and out["a"]["n_dup_passages"] == 1
+    assert out["b"]["n_dup_passages"] == 1
+    assert out["a"]["dup_frac"] == 0.5
+    assert out["c"]["n_dup_passages"] == 0
+    # doc with < k tokens -> zero passages, dup_frac 0.0
+    tiny = passage_dup_stats(
+        spark.createDataFrame([("t", "too short")], ["doc_id", "text"]), k=8
+    ).collect()[0]
+    assert tiny["n_passages"] == 0 and tiny["dup_frac"] == 0.0
+
+
+def test_keep_best_per_cluster_tiebreak(spark):
+    clusters = spark.createDataFrame(
+        [("d1", "c1"), ("d2", "c1"), ("d3", "c1"), ("d9", "c2")],
+        ["doc_id", "cluster_id"],
+    )
+    scored = spark.createDataFrame(
+        [("d1", 0.5), ("d2", 0.9), ("d3", 0.9), ("d9", 0.1)],
+        ["doc_id", "quality"],
+    )
+    out = {
+        r["cluster_id"]: r
+        for r in keep_best_per_cluster(clusters, scored).collect()
+    }
+    # highest quality wins; tie (d2 vs d3) -> smallest doc_id
+    assert out["c1"]["keep_id"] == "d2"
+    assert out["c1"]["n_members"] == 3 and out["c1"]["n_dropped"] == 2
+    assert out["c2"]["keep_id"] == "d9" and out["c2"]["n_dropped"] == 0
+
+
+def test_token_cooccurrence_counts(spark):
+    rows = [
+        ("d1", "apple banana cherry"),
+        ("d2", "apple banana"),
+        ("d3", "apple cherry"),
+        ("d4", "banana banana apple"),  # repeats count once (presence)
+    ]
+    out = token_cooccurrence(
+        spark.createDataFrame(rows, ["doc_id", "text"]), min_df=2, top_n=10
+    ).collect()
+    pairs = {(r["tok_a"], r["tok_b"]): r["n_docs"] for r in out}
+    assert pairs[("apple", "banana")] == 3
+    assert pairs[("apple", "cherry")] == 2
+    assert pairs[("banana", "cherry")] == 1
+    # top-1 is the most frequent pair
+    assert out[0]["tok_a"] == "apple" and out[0]["tok_b"] == "banana"
+
+
+def test_drift_bin_report_split_and_rates(spark):
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        # first half: values in bin 0; second half: values in bin 1
+        *[(base + dt.timedelta(hours=h), 10.0) for h in range(4)],
+        *[(base + dt.timedelta(hours=h), 60.0) for h in range(4, 8)],
+    ]
+    df = spark.createDataFrame(rows, ["ts", "value"])
+    out = {r["bin"]: r for r in drift_bin_report(df, "ts", "value").collect()}
+    # ref half (ts < midpoint) is all bin 0, cur half all bin 1
+    assert out[0]["n_ref"] == 4 and out[0]["n_cur"] == 0
+    assert out[1]["n_ref"] == 0 and out[1]["n_cur"] == 4
+    assert out[0]["rate_ref"] == 1.0 and out[1]["rate_cur"] == 1.0
+    assert out[0]["rate_abs_diff"] == 1.0
+
+
+def test_equi_depth_bins_matches_sql_ntile(spark):
+    # 23 rows into 4 bins -> sizes 6,6,6,5 and identical assignment to
+    # the engine's own ntile (single-partition window is fine on 23
+    # rows in a test)
+    rows = [(float(v % 7), f"id{v:03d}") for v in range(23)]
+    df = spark.createDataFrame(rows, ["value", "event_id"])
+    got = {
+        r["bin"]: r
+        for r in equi_depth_bins(df, "value", "event_id", n_bins=4).collect()
+    }
+    assert [got[b]["n_rows"] for b in (1, 2, 3, 4)] == [6, 6, 6, 5]
+    from pyspark.sql import Window
+
+    w = Window.orderBy("value", "event_id")
+    want = (
+        df.select(F.ntile(4).over(w).alias("bin"), "value")
+        .groupBy("bin")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+        .collect()
+    )
+    for r in want:
+        g = got[r["bin"]]
+        assert g["n_rows"] == r["n_rows"]
+        assert g["min_value"] == r["min_value"]
+        assert g["max_value"] == r["max_value"]
+
+
+def test_sketch_profile_error_bounds(spark):
+    import __spark_entry__ as entrymod
+
+    sf = "/root/testdata/sf0.01"
+    approx = {
+        r["event_type"]: r
+        for r in entrymod.queries()["sketch_profile"](spark, sf).collect()
+    }
+    exact = {
+        r["event_type"]: r
+        for r in spark.read.parquet(f"{sf}/events.parquet")
+        .groupBy("event_type")
+        .agg(
+            F.count_distinct("user_id").alias("users"),
+            F.expr("percentile(value, 0.5)").alias("p50"),
+        )
+        .collect()
+    }
+    for et, row in approx.items():
+        # HLL default rsd is 5%; allow 3x slack
+        assert abs(row["approx_users"] - exact[et]["users"]) <= max(
+            3, 0.15 * exact[et]["users"]
+        )
+        assert abs(row["p50_approx"] - exact[et]["p50"]) <= 5.0
