@@ -2818,6 +2818,48 @@ def _q_equi_depth_bins(spark: SparkSession, sf: str) -> DataFrame:
     return equi_depth_bins(ev, "value", "event_id", n_bins=10)
 
 
+def _q_ngram_containment(spark: SparkSession, sf: str) -> DataFrame:
+    # asymmetric near-subset detection: |A∩B|/|A| (and /|B|) over the
+    # same one-pass inverted index as ngram_jaccard — catches fragment/
+    # superset dups whose symmetric Jaccard tends to zero
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.dedup import (
+        ngram_containment_pairs,
+    )
+
+    docs = load_table(spark, sf, "documents")
+    return ngram_containment_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+
+
+def _q_key_skew_report(spark: SparkSession, sf: str) -> DataFrame:
+    # shuffle-key skew diagnostic over the event stream's user key —
+    # the measurement that drives salting / AQE skew thresholds
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.aggregates import key_skew_report
+
+    ev = load_table(spark, sf, "events")
+    return key_skew_report(ev, "user_id", top_n=10)
+
+
+def _q_sink_orc_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    # ORC sink lifecycle in the gate: write the event fact table as
+    # ORC, read it back, aggregate — must equal the same aggregate
+    # over the source parquet (sink loses nothing; both columnar
+    # formats share the pushdown/row-group-stats contract)
+    from etl_based_real_time_air_quality_monitoring_system_spark.sources.writers import write_orc
+
+    events = load_table(spark, sf, "events").select(
+        "event_id", "event_type", "value"
+    )
+    path = os.path.join(_GATE_SINK_ROOT, "events_orc")
+    write_orc(events, path)
+    back = spark.read.orc(path)
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("record_count"),
+        F.sum(F.col("value").cast("decimal(20,6)"))
+        .cast("double")
+        .alias("value_sum"),
+    )
+
+
 def _q_sketch_profile(spark: SparkSession, sf: str) -> DataFrame:
     # sketch-based profiling: HLL distinct + approx percentiles per
     # event_type — THE 100 TB substitute for exact count_distinct /
@@ -2878,6 +2920,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drift_report": _q_drift_report,
         "equi_depth_bins": _q_equi_depth_bins,
         "sketch_profile": _q_sketch_profile,
+        "ngram_containment": _q_ngram_containment,
+        "key_skew_report": _q_key_skew_report,
+        "sink_orc_roundtrip": _q_sink_orc_roundtrip,
         # --- never gated in rounds 1-2 --------------------------------
         "corpus_filter": _q_corpus_filter,
         "corpus_pipeline": _q_corpus_pipeline,
@@ -4923,6 +4968,51 @@ def _oracle_sql_literal() -> dict[str, str]:
                                  WHEN h % 4000 = 0 THEN 1
                                  ELSE 0 END) AS BIGINT) AS zero_pm_docs
             FROM r GROUP BY 1
+        """,
+        "ngram_containment": rf"""
+            WITH {_SHINGLE_CTES},
+            sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            pairs AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+                FROM sh a JOIN sh b
+                  ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            ),
+            scored AS (
+                SELECT doc_a, doc_b, common,
+                       floor(common::DOUBLE / sa.n::DOUBLE * 10000.0 + 0.5)
+                           / 10000.0 AS containment_a,
+                       floor(common::DOUBLE / sb.n::DOUBLE * 10000.0 + 0.5)
+                           / 10000.0 AS containment_b
+                FROM pairs
+                JOIN sizes sa ON doc_a = sa.doc_id
+                JOIN sizes sb ON doc_b = sb.doc_id
+            )
+            SELECT * FROM scored
+            WHERE containment_a >= 0.5 OR containment_b >= 0.5
+        """,
+        "key_skew_report": """
+            WITH counts AS (
+                SELECT user_id AS key, count(*) AS cnt
+                FROM events GROUP BY user_id
+            ),
+            tot AS (
+                SELECT CAST(sum(cnt) AS BIGINT) AS t,
+                       CAST(count(*) AS BIGINT) AS nk FROM counts
+            )
+            SELECT key, cnt,
+                   CAST(floor(cnt::DOUBLE / t::DOUBLE * 1000000.0 + 0.5)
+                        AS BIGINT) AS share_micros,
+                   CAST(floor(cnt::DOUBLE * nk::DOUBLE / t::DOUBLE
+                              * 1000000.0 + 0.5) AS BIGINT)
+                       AS skew_ratio_micros
+            FROM counts, tot
+            ORDER BY cnt DESC, key LIMIT 10
+        """,
+        "sink_orc_roundtrip": """
+            SELECT event_type, count(*) AS record_count,
+                   (sum(value::DECIMAL(20,6)))::DOUBLE AS value_sum
+            FROM events GROUP BY event_type
         """,
         "sink_partitioned_roundtrip": """
             SELECT event_type, count(*) AS record_count,

@@ -126,6 +126,9 @@ HEADLINE = [
     "drift_report",
     "equi_depth_bins",
     "sketch_profile",
+    "ngram_containment",
+    "key_skew_report",
+    "sink_orc_roundtrip",
 ]
 
 

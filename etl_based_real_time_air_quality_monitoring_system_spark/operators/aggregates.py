@@ -423,3 +423,48 @@ def equi_depth_bins(
             .cast("long")
         ).alias("value_sum_micros"),
     )
+
+
+def key_skew_report(
+    df: DataFrame,
+    key_col: str,
+    top_n: int = 10,
+) -> DataFrame:
+    """Shuffle-key skew diagnostic — the measurement you run BEFORE
+    choosing salting / AQE skew-join thresholds: per-key row counts
+    for the ``top_n`` heaviest keys plus each key's share and its
+    ratio to the mean key load.
+
+    Returns (key, cnt, share_micros, skew_ratio_micros): both ratios
+    as floor-half-up integer millionths, so the report is engine-exact.
+    ``skew_ratio_micros`` = cnt / (total/n_keys) — 1 000 000 means a
+    perfectly balanced key; the salting threshold in
+    ``joins.salted_join`` is driven by exactly this number.
+
+    One hash aggregation (partial map-side) + a one-row broadcast of
+    the totals + TakeOrdered — the scan's row count never reaches the
+    driver.  Ordered by (cnt desc, key asc): a total order, so top-N
+    is exact.
+    """
+    counts = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count("*").alias("cnt")
+    )
+    totals = counts.agg(
+        F.sum("cnt").alias("_tot"),
+        F.count("*").alias("_nkeys"),
+    )
+    pow10 = F.lit(1_000_000.0)
+    j = counts.crossJoin(F.broadcast(totals)).select(
+        "key",
+        "cnt",
+        F.floor(
+            F.col("cnt").cast("double") / F.col("_tot").cast("double") * pow10
+            + F.lit(0.5)
+        ).cast("long").alias("share_micros"),
+        F.floor(
+            F.col("cnt").cast("double") * F.col("_nkeys").cast("double")
+            / F.col("_tot").cast("double") * pow10
+            + F.lit(0.5)
+        ).cast("long").alias("skew_ratio_micros"),
+    )
+    return j.orderBy(F.col("cnt").desc(), F.col("key")).limit(top_n)

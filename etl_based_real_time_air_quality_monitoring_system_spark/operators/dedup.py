@@ -75,21 +75,16 @@ def exact_text_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def ngram_jaccard_pairs(
+def _pair_intersections(
     df: DataFrame,
     id_col: str,
     text_col: str,
     n: int = 3,
-    threshold: float = 0.1,
     max_shingle_docs: int | None = None,
-    scale: int = 4,
 ) -> DataFrame:
-    """Near-dup pairs by n-gram Jaccard: |A∩B| / (|A|+|B|-|A∩B|).
-
-    ``max_shingle_docs`` drops shingles shared by more than that many
-    docs before the pair join (df-cut) — REQUIRED at scale; affects
-    recall only for extremely common shingles.
-    """
+    """(doc_a, doc_b, na, nb, common) for every document pair sharing
+    at least one n-gram shingle — the shared inverted-index core of
+    Jaccard AND containment scoring."""
     # Inverted-index formulation: ONE shingle pass (a naive self-join
     # evaluates the tokenize/shingle pipeline once per side — measured
     # 2x the runtime), postings per shingle, ordered pairs expanded
@@ -159,11 +154,69 @@ def ngram_jaccard_pairs(
             .join(sizes.select(F.col("_sid").alias("doc_a"), F.col("_sn").alias("na")), "doc_a")
             .join(sizes.select(F.col("_sid").alias("doc_b"), F.col("_sn").alias("nb")), "doc_b")
         )
+    return pairs.select("doc_a", "doc_b", "na", "nb", "common")
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.1,
+    max_shingle_docs: int | None = None,
+    scale: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by n-gram Jaccard: |A∩B| / (|A|+|B|-|A∩B|).
+
+    ``max_shingle_docs`` drops shingles shared by more than that many
+    docs before the pair join (df-cut) — REQUIRED at scale; affects
+    recall only for extremely common shingles.
+    """
+    pairs = _pair_intersections(df, id_col, text_col, n, max_shingle_docs)
     jac = F.col("common") / (F.col("na") + F.col("nb") - F.col("common"))
     return (
         pairs.withColumn("jaccard", F.round(jac, scale))
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "common", "jaccard")
+    )
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_shingle_docs: int | None = None,
+) -> DataFrame:
+    """Near-SUBSET pairs by asymmetric n-gram containment:
+    ``|A∩B| / |A|`` (and ``/ |B|``) — catches a document that is a
+    fragment or superset of another, which symmetric Jaccard
+    dilutes toward zero as the size gap grows (a 50-shingle doc
+    inside a 5000-shingle doc has Jaccard 0.01 but containment 1.0).
+
+    Emits pairs where EITHER direction's containment (floor-half-up
+    rounded to 4, house rounding rule) reaches ``threshold``.  Shares
+    the one-pass inverted-index core with ``ngram_jaccard_pairs`` —
+    identical scale bound (df-cut caps the postings-list pair
+    blow-up).
+    """
+    pairs = _pair_intersections(df, id_col, text_col, n, max_shingle_docs)
+    pow10 = F.lit(10000.0)
+
+    def _r(x):
+        return F.floor(x * pow10 + F.lit(0.5)) / pow10
+
+    scored = pairs.select(
+        "doc_a",
+        "doc_b",
+        "common",
+        _r(F.col("common") / F.col("na")).alias("containment_a"),
+        _r(F.col("common") / F.col("nb")).alias("containment_b"),
+    )
+    return scored.filter(
+        (F.col("containment_a") >= F.lit(threshold))
+        | (F.col("containment_b") >= F.lit(threshold))
     )
 
 

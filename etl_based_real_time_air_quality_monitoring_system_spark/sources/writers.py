@@ -114,3 +114,19 @@ def compact_small_files(
     n = max(1, -(-total_bytes // target_file_bytes))  # ceil
     df.repartition(int(n)).write.mode(mode).parquet(dst_path)
     return len(spark.read.parquet(dst_path).inputFiles())
+
+
+def write_orc(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_cols: tuple[str, ...] = (),
+) -> None:
+    """ORC sink — the second columnar format Spark ships natively
+    (zlib by default, same predicate-pushdown/row-group-skipping
+    contract as parquet).  Interop escape hatch for Hive-era
+    consumers; parquet stays the primary lake format."""
+    w = df.write.mode(mode)
+    if partition_cols:
+        w = w.partitionBy(*partition_cols)
+    w.orc(path)

@@ -186,3 +186,58 @@ def test_sketch_profile_error_bounds(spark):
             3, 0.15 * exact[et]["users"]
         )
         assert abs(row["p50_approx"] - exact[et]["p50"]) <= 5.0
+
+
+def test_ngram_containment_finds_subset(spark):
+    long_doc = " ".join(f"w{i}" for i in range(40))
+    fragment = " ".join(f"w{i}" for i in range(10))  # strict prefix
+    rows = [
+        ("big", long_doc),
+        ("frag", fragment),
+        ("other", "totally different tokens here nothing shared at all today"),
+    ]
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.dedup import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = ngram_containment_pairs(df, "doc_id", "text", threshold=0.9).collect()
+    assert len(got) == 1
+    row = got[0]
+    assert {row["doc_a"], row["doc_b"]} == {"big", "frag"}
+    # the fragment is fully contained: its containment is exactly 1.0
+    assert max(row["containment_a"], row["containment_b"]) == 1.0
+    # ...while symmetric Jaccard dilutes below 0.25 for the same pair
+    jac = ngram_jaccard_pairs(df, "doc_id", "text", threshold=0.01).collect()
+    pair = [r for r in jac if {r["doc_a"], r["doc_b"]} == {"big", "frag"}][0]
+    assert pair["jaccard"] < 0.25
+
+
+def test_key_skew_report_flags_heavy_key(spark):
+    rows = [("hot",)] * 30 + [(f"u{i}",) for i in range(10)]
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.aggregates import key_skew_report
+
+    out = key_skew_report(
+        spark.createDataFrame(rows, ["user_id"]), "user_id", top_n=3
+    ).collect()
+    assert out[0]["key"] == "hot" and out[0]["cnt"] == 30
+    # hot key holds 30/40 = 75% of rows; mean key load is 40/11
+    assert out[0]["share_micros"] == 750000
+    # skew ratio = 30 / (40/11) = 8.25x the mean key
+    assert out[0]["skew_ratio_micros"] == 8250000
+    # remaining slots are count-1 keys in key order
+    assert [r["cnt"] for r in out[1:]] == [1, 1]
+
+
+def test_orc_roundtrip_preserves_rows(spark, tmp_path):
+    from etl_based_real_time_air_quality_monitoring_system_spark.sources.writers import write_orc
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", 2.5)], ["id", "k", "v"]
+    )
+    path = str(tmp_path / "orc_out")
+    write_orc(df, path)
+    back = spark.read.orc(path)
+    assert sorted(r["id"] for r in back.collect()) == [1, 2]
+    assert back.schema == df.schema
