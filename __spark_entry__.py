@@ -2860,6 +2860,26 @@ def _q_sink_orc_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_lsh_rescore_tfidf(spark: SparkSession, sf: str) -> DataFrame:
+    # the standard two-stage similarity shape: LSH candidate pairs
+    # (cheap, banded) -> EXACT integer-micros TF-IDF dot rescoring
+    # (never quadratic: bounded by the candidate count)
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.text import rescore_pairs_tfidf
+
+    docs = load_table(spark, sf, "documents")
+    pairs = minhash_lsh_candidates(docs, "doc_id", "text", n=3, k=16, bands=4)
+    return rescore_pairs_tfidf(pairs, docs)
+
+
+def _q_table_profile(spark: SparkSession, sf: str) -> DataFrame:
+    # Deequ-style column profile of the event stream: rows / nulls /
+    # exact distincts per column in one aggregation pass
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.dq import table_profile
+
+    ev = load_table(spark, sf, "events")
+    return table_profile(ev, ["event_id", "user_id", "event_type", "value"])
+
+
 def _q_sketch_profile(spark: SparkSession, sf: str) -> DataFrame:
     # sketch-based profiling: HLL distinct + approx percentiles per
     # event_type — THE 100 TB substitute for exact count_distinct /
@@ -2923,6 +2943,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_containment": _q_ngram_containment,
         "key_skew_report": _q_key_skew_report,
         "sink_orc_roundtrip": _q_sink_orc_roundtrip,
+        "lsh_rescore_tfidf": _q_lsh_rescore_tfidf,
+        "table_profile": _q_table_profile,
         # --- never gated in rounds 1-2 --------------------------------
         "corpus_filter": _q_corpus_filter,
         "corpus_pipeline": _q_corpus_pipeline,
@@ -3051,6 +3073,18 @@ _STOP_SQL = "(" + ", ".join(f"'{w}'" for w in STOPWORDS) + ")"
 #: Gopher required-stopword list as a DuckDB list literal (mirrors
 #: operators.text.GOPHER_STOPWORDS)
 _GOPHER_SQL = "['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with']"
+
+#: per-column profile rows for the table_profile oracle (mirrors
+#: operators.dq.table_profile over the events columns in the query)
+_PROFILE_SQL = "\nUNION ALL\n".join(
+    f"""SELECT '{c}' AS column_name,
+               count(*) AS n_rows,
+               CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_nulls,
+               count(DISTINCT {c}) AS n_distinct
+        FROM events"""
+    for c in ("event_id", "user_id", "event_type", "value")
+)
 
 _SHINGLE_CTES = rf"""
     toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
@@ -4990,6 +5024,41 @@ def _oracle_sql_literal() -> dict[str, str]:
             )
             SELECT * FROM scored
             WHERE containment_a >= 0.5 OR containment_b >= 0.5
+        """,
+        "lsh_rescore_tfidf": rf"""
+            WITH {_SHINGLE_CTES},
+            sig AS (
+                SELECT doc_id,
+                   {_MINHASH_AGGS}
+                FROM sh GROUP BY doc_id
+            ),
+            bands AS (
+            {_BAND_SELECTS}
+            ),
+            cand AS (
+                SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                FROM bands a JOIN bands b
+                  ON a.band = b.band AND a.bucket = b.bucket
+                 AND a.doc_id < b.doc_id
+            ),
+            tk AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+            tf AS (SELECT doc_id, term, count(*) AS tf FROM tk GROUP BY 1, 2),
+            dfq AS (SELECT term, count(*) AS doc_freq FROM tf GROUP BY term),
+            nd AS (SELECT count(doc_id) AS n_docs FROM documents)
+            SELECT c.doc_a, c.doc_b,
+                   CAST(sum((a.tf * b.tf * n_docs * n_docs * 1000000)
+                            // (doc_freq * doc_freq)) AS BIGINT)
+                       AS score_micros,
+                   count(*) AS shared_terms
+            FROM cand c
+            JOIN tf a ON a.doc_id = c.doc_a
+            JOIN tf b ON b.doc_id = c.doc_b AND b.term = a.term
+            JOIN dfq ON dfq.term = a.term
+            CROSS JOIN nd
+            GROUP BY 1, 2
+        """,
+        "table_profile": rf"""
+            {_PROFILE_SQL}
         """,
         "key_skew_report": """
             WITH counts AS (

@@ -129,6 +129,8 @@ HEADLINE = [
     "ngram_containment",
     "key_skew_report",
     "sink_orc_roundtrip",
+    "lsh_rescore_tfidf",
+    "table_profile",
 ]
 
 

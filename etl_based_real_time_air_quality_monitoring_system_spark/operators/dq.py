@@ -67,3 +67,48 @@ def dq_report(
         variableColumnName="check_name",
         valueColumnName="violations",
     ).select("check_name", "violations", F.col("_total").alias("total_rows"))
+
+
+def table_profile(
+    df: DataFrame,
+    columns: Sequence[str] | None = None,
+) -> DataFrame:
+    """Deequ-style per-column profile — the first thing a lake
+    pipeline computes about an unfamiliar table: row count, null
+    count, and exact distinct count per column.
+
+    One aggregation pass over the scan; the multiple exact
+    count-distincts compile to Spark's Expand-based plan (one input
+    row fans out per distinct aggregate), which is the exact-answer
+    cost — at 100 TB swap in approx_count_distinct (see the
+    ``sketch_profile`` pattern) and the Expand disappears.  The wide
+    one-row result is unpivoted driver-side-free via ``unpivot``.
+    """
+    cols = list(columns) if columns is not None else list(df.columns)
+    aggs = [F.count(F.lit(1)).alias("_total")]
+    for c in cols:
+        aggs.append(
+            F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls")
+        )
+        aggs.append(F.countDistinct(c).alias(f"{c}__distinct"))
+    wide = df.agg(*aggs)
+    nulls = wide.unpivot(
+        ids=["_total"],
+        values=[f"{c}__nulls" for c in cols],
+        variableColumnName="column_name",
+        valueColumnName="n_nulls",
+    ).select(
+        F.regexp_replace("column_name", "__nulls$", "").alias("column_name"),
+        F.col("_total").alias("n_rows"),
+        "n_nulls",
+    )
+    distincts = wide.unpivot(
+        ids=[],
+        values=[f"{c}__distinct" for c in cols],
+        variableColumnName="column_name",
+        valueColumnName="n_distinct",
+    ).select(
+        F.regexp_replace("column_name", "__distinct$", "").alias("column_name"),
+        "n_distinct",
+    )
+    return nulls.join(distincts, "column_name")

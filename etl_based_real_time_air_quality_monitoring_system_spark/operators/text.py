@@ -590,3 +590,64 @@ def token_cooccurrence(
     return pairs.orderBy(
         F.col("n_docs").desc(), F.col("tok_a"), F.col("tok_b")
     ).limit(top_n)
+
+
+def rescore_pairs_tfidf(
+    pairs: DataFrame,
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text: str = "text",
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+) -> DataFrame:
+    """Retrieve-then-rescore: exact TF-IDF dot-product similarity for
+    an already-generated candidate pair set (MinHash/LSH, SimHash,
+    …).  The candidate generator bounds the pair count, so the exact
+    rescoring never goes quadratic — the standard two-stage shape for
+    similarity at scale.
+
+    The score is the integer-micros TF-IDF dot product:
+    ``Σ_term tf_a·tf_b·N²·10⁶ DIV df²`` — all int64 arithmetic
+    (rational idf N/df as in ``tfidf_terms``; integer DIV instead of
+    float sums, so the result is engine-exact AND order-independent).
+    Overflow bound: tf_a·tf_b·N²·10⁶ must stay < 2⁶³ — fine to ~10⁵
+    docs with tf ≤ 10²; beyond that drop the 10⁶ scale or bucket N.
+
+    Plan: per-(doc, term) counts [one shuffle], term doc-frequency
+    [vocabulary-sized shuffle], broadcast N, then two id-keyed joins
+    from the pair list into the tf table and a per-pair sum.
+    """
+    toks = spread_small_input(df.select(id_col, text)).select(
+        F.col(id_col), F.explode(tokens(text)).alias("term")
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    docfreq = tf.groupBy("term").agg(F.count("*").alias("doc_freq"))
+    n_docs = df.select(F.count(id_col).cast("long").alias("n_docs"))
+    tf_a = tf.select(
+        F.col(id_col).alias(a_col),
+        F.col("term"),
+        F.col("tf").alias("_tfa"),
+    )
+    tf_b = tf.select(
+        F.col(id_col).alias(b_col),
+        F.col("term"),
+        F.col("tf").alias("_tfb"),
+    )
+    joined = (
+        pairs.select(a_col, b_col)
+        .join(tf_a, a_col)
+        .join(tf_b, [b_col, "term"])
+        .join(F.broadcast(docfreq), "term")
+        .crossJoin(F.broadcast(n_docs))
+    )
+    contrib = F.expr(
+        "_tfa * _tfb * n_docs * n_docs * 1000000L DIV (doc_freq * doc_freq)"
+    )
+    return (
+        joined.withColumn("_c", contrib)
+        .groupBy(a_col, b_col)
+        .agg(
+            F.sum("_c").alias("score_micros"),
+            F.count("*").alias("shared_terms"),
+        )
+    )

@@ -241,3 +241,42 @@ def test_orc_roundtrip_preserves_rows(spark, tmp_path):
     back = spark.read.orc(path)
     assert sorted(r["id"] for r in back.collect()) == [1, 2]
     assert back.schema == df.schema
+
+
+def test_rescore_pairs_tfidf_exact_scores(spark):
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.text import rescore_pairs_tfidf
+
+    docs = spark.createDataFrame(
+        [
+            ("a", "x x y"),      # tf: x=2, y=1
+            ("b", "x z"),        # tf: x=1, z=1
+            ("c", "y y z"),      # tf: y=2, z=1
+        ],
+        ["doc_id", "text"],
+    )
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("a", "c")], ["doc_a", "doc_b"]
+    )
+    out = {
+        (r["doc_a"], r["doc_b"]): r
+        for r in rescore_pairs_tfidf(pairs, docs).collect()
+    }
+    # N=3; df: x=2, y=2, z=2 -> idf² term factor N²/df² = 9/4
+    # (a,b): shared x -> 2*1*9*1e6 DIV 4 = 4_500_000
+    assert out[("a", "b")]["score_micros"] == 4_500_000
+    assert out[("a", "b")]["shared_terms"] == 1
+    # (a,c): shared y -> 1*2*9*1e6 DIV 4 = 4_500_000
+    assert out[("a", "c")]["score_micros"] == 4_500_000
+
+
+def test_table_profile_counts(spark):
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.dq import table_profile
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "a"), (None, "b")],
+        "id long, k string",
+    )
+    out = {r["column_name"]: r for r in table_profile(df).collect()}
+    assert out["id"]["n_rows"] == 4
+    assert out["id"]["n_nulls"] == 1 and out["id"]["n_distinct"] == 3
+    assert out["k"]["n_nulls"] == 1 and out["k"]["n_distinct"] == 2
