@@ -2860,6 +2860,53 @@ def _q_sink_orc_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_path_trigrams(spark: SparkSession, sf: str) -> DataFrame:
+    # journey mining: top 3-step event-type sequences per user stream
+    # (one user shuffle for both lead windows, then a trigram wordcount)
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.funnel import path_trigrams
+
+    ev = load_table(spark, sf, "events")
+    return path_trigrams(ev, top_n=20)
+
+
+def _q_streaming_sliding_counts(spark: SparkSession, sf: str) -> DataFrame:
+    # SLIDING-window streaming aggregation in the gate: 2 h window
+    # advancing every 1 h, so each event lands in exactly two windows
+    # (state x2 vs tumbling — the cost the docstring warns about).
+    # Complete mode => split/lateness-independent => batch-oracle-able:
+    # DuckDB reproduces the two aligned windows per row via an
+    # unnest([0,1]) hour-offset cross join.
+    from etl_based_real_time_air_quality_monitoring_system_spark.streaming.pipeline import (
+        windowed_aggregate,
+    )
+
+    stream = _events_file_stream(spark, sf)
+    agg = windowed_aggregate(
+        stream,
+        key="event_type",
+        value="value",
+        ts_col="ts",
+        window="2 hours",
+        slide="1 hour",
+        aggs=[
+            F.count("*").alias("record_count"),
+            F.round(F.sum(F.col("value").cast("decimal(20,6)")), 2)
+            .cast("double")
+            .alias("value_sum"),
+        ],
+    )
+    sink = "streaming_sliding_counts_sink"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)
+
+
 def _q_lsh_rescore_tfidf(spark: SparkSession, sf: str) -> DataFrame:
     # the standard two-stage similarity shape: LSH candidate pairs
     # (cheap, banded) -> EXACT integer-micros TF-IDF dot rescoring
@@ -2945,6 +2992,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sink_orc_roundtrip": _q_sink_orc_roundtrip,
         "lsh_rescore_tfidf": _q_lsh_rescore_tfidf,
         "table_profile": _q_table_profile,
+        "streaming_sliding_counts": _q_streaming_sliding_counts,
+        "path_trigrams": _q_path_trigrams,
         # --- never gated in rounds 1-2 --------------------------------
         "corpus_filter": _q_corpus_filter,
         "corpus_pipeline": _q_corpus_pipeline,
@@ -4915,6 +4964,33 @@ def _oracle_sql_literal() -> dict[str, str]:
                 SELECT avg(c2.c_acctbal) FROM customer c2
                 WHERE c2.c_nationkey = c.c_nationkey
             )
+        """,
+        "path_trigrams": """
+            WITH t AS (
+                SELECT event_type AS e1,
+                       lead(event_type, 1) OVER w AS e2,
+                       lead(event_type, 2) OVER w AS e3
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            )
+            SELECT e1, e2, e3, count(*) AS n_paths
+            FROM t WHERE e3 IS NOT NULL
+            GROUP BY 1, 2, 3
+            ORDER BY n_paths DESC, e1, e2, e3 LIMIT 20
+        """,
+        "streaming_sliding_counts": """
+            WITH w AS (
+                SELECT event_type, value,
+                       date_trunc('hour', ts) - o * INTERVAL 1 HOUR
+                           AS window_start
+                FROM events, UNNEST([0, 1]) AS u(o)
+            )
+            SELECT window_start,
+                   window_start + INTERVAL 2 HOUR AS window_end,
+                   event_type,
+                   count(*) AS record_count,
+                   round(sum(value::DECIMAL(20,6)), 2)::DOUBLE AS value_sum
+            FROM w GROUP BY 1, 2, 3
         """,
         "streaming_hourly_counts": """
             SELECT date_trunc('hour', ts) AS window_start,

@@ -131,6 +131,8 @@ HEADLINE = [
     "sink_orc_roundtrip",
     "lsh_rescore_tfidf",
     "table_profile",
+    "path_trigrams",
+    "streaming_sliding_counts",
 ]
 
 

@@ -103,3 +103,39 @@ def retention_cohorts(
     return marked.groupBy("cohort_week", "week_offset").agg(
         F.countDistinct(key).alias("active_users")
     )
+
+
+def path_trigrams(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    event_col: str = "event_type",
+    tiebreak_col: str = "event_id",
+    top_n: int = 20,
+) -> DataFrame:
+    """Journey mining: the ``top_n`` most common 3-step event-type
+    sequences across all per-user streams (consecutive triples under
+    the (ts, tiebreak) total order — deterministic even with tied
+    timestamps).
+
+    One user-keyed shuffle for BOTH lead windows (same partitioning —
+    Catalyst plans a single Exchange), then a tiny (e1,e2,e3)
+    aggregation with map-side combine and an exact TakeOrdered
+    (count desc, then lexicographic — a total order).  The per-user
+    state never leaves its partition; at 100 TB this is a wordcount
+    over trigram keys.
+    """
+    w = Window.partitionBy(user_col).orderBy(
+        F.col(ts_col), F.col(tiebreak_col)
+    )
+    tri = df.select(
+        F.col(event_col).alias("e1"),
+        F.lead(event_col, 1).over(w).alias("e2"),
+        F.lead(event_col, 2).over(w).alias("e3"),
+    ).filter(F.col("e3").isNotNull())
+    return (
+        tri.groupBy("e1", "e2", "e3")
+        .agg(F.count("*").alias("n_paths"))
+        .orderBy(F.col("n_paths").desc(), "e1", "e2", "e3")
+        .limit(top_n)
+    )

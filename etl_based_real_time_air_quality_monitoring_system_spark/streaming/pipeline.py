@@ -144,6 +144,7 @@ def windowed_aggregate(
     window: str = "1 hour",
     watermark: str = "10 minutes",
     aggs: list | None = None,
+    slide: str | None = None,
 ) -> DataFrame:
     """T6 — tumbling-window count/avg per key (the streaming analog of
     the reference's hourly groupBy, spark_processor.py:184-189).
@@ -153,15 +154,24 @@ def windowed_aggregate(
     list (pre-aliased Columns) — e.g. decimal sums when the result must
     be bit-identical across engines (float sums are order-sensitive,
     and tiny per-window groups make the rounding boundary visible).
+
+    ``slide`` turns the window SLIDING (each row contributes to
+    window/slide overlapping windows — state grows by that factor,
+    which is why the tumbling default stays the hot path).
     """
     if aggs is None:
         aggs = [
             F.count("*").alias("record_count"),
             F.round(F.avg(value), 2).alias(f"avg_{value}"),
         ]
+    win = (
+        F.window(F.col(ts_col), window, slide)
+        if slide
+        else F.window(F.col(ts_col), window)
+    )
     agged = (
         df.withWatermark(ts_col, watermark)
-        .groupBy(F.window(F.col(ts_col), window).alias("win"), F.col(key))
+        .groupBy(win.alias("win"), F.col(key))
         .agg(*aggs)
     )
     out_cols = [c for c in agged.columns if c not in ("win", key)]

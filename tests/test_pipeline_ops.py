@@ -280,3 +280,24 @@ def test_table_profile_counts(spark):
     assert out["id"]["n_rows"] == 4
     assert out["id"]["n_nulls"] == 1 and out["id"]["n_distinct"] == 3
     assert out["k"]["n_nulls"] == 1 and out["k"]["n_distinct"] == 2
+
+
+def test_path_trigrams_orders_and_counts(spark):
+    import datetime as dt
+
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.funnel import path_trigrams
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    # user 1: view -> click -> purchase -> view  (trigrams: v,c,p / c,p,v)
+    for i, et in enumerate(["view", "click", "purchase", "view"]):
+        rows.append((i, base + dt.timedelta(minutes=i), 1, et))
+    # user 2: view -> click -> purchase  (trigram: v,c,p)
+    for i, et in enumerate(["view", "click", "purchase"]):
+        rows.append((10 + i, base + dt.timedelta(minutes=i), 2, et))
+    df = spark.createDataFrame(rows, ["event_id", "ts", "user_id", "event_type"])
+    out = path_trigrams(df, top_n=5).collect()
+    assert (out[0]["e1"], out[0]["e2"], out[0]["e3"]) == ("view", "click", "purchase")
+    assert out[0]["n_paths"] == 2
+    # trigrams never cross users: total paths = 2 + 1
+    assert sum(r["n_paths"] for r in out) == 3
