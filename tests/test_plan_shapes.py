@@ -424,3 +424,61 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+# ----------------------------------------------- round-3 session-2 ops
+
+def test_equi_depth_bins_data_window_is_partitioned(spark, sf_dir):
+    # the exact-ntile path must NOT put the DATA through a
+    # single-partition global window (what a naive ntile() OVER
+    # (ORDER BY ...) plans): the row-level window is keyed on the
+    # coarse bucket.  SinglePartition exchanges are allowed ONLY for
+    # the histogram-sized side (prefix-sum window + totals agg over
+    # ≤ #coarse-keys rows) — exactly two of them.
+    q = entrymod.queries()["equi_depth_bins"](spark, sf_dir)
+    p = plan(q)
+    assert "hashpartitioning(_ck" in p, "row-level window lost its key"
+    assert p.count("Arguments: SinglePartition") <= 2
+    assert "rangepartitioning" not in p
+
+
+def test_key_skew_report_take_ordered(spark, sf_dir):
+    q = entrymod.queries()["key_skew_report"](spark, sf_dir)
+    p = plan(q)
+    assert "TakeOrderedAndProject" in p
+    # the totals broadcast back as a one-row BNLJ/broadcast, never a
+    # second full shuffle of the counts
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+
+
+def test_gopher_quality_is_narrow(spark, sf_dir):
+    # pure per-row projection: no shuffle at all, no Python
+    q = entrymod.queries()["gopher_quality"](spark, sf_dir)
+    p = plan(q)
+    assert n_key_shuffles(p) == 0
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_token_cooccurrence_broadcasts_vocab(spark, sf_dir):
+    # the df-cut vocabulary prunes via a broadcast semi join; pair
+    # ranking compiles to TakeOrdered (no global sort)
+    q = entrymod.queries()["token_cooccurrence"](spark, sf_dir)
+    p = plan(q)
+    assert "BroadcastHashJoin" in p and "LeftSemi" in p
+    assert "TakeOrderedAndProject" in p
+
+
+def test_path_trigrams_single_user_shuffle_plus_agg(spark, sf_dir):
+    # both lead windows share ONE user-keyed exchange; the trigram
+    # wordcount adds one more; top-N is TakeOrdered, not a sort
+    q = entrymod.queries()["path_trigrams"](spark, sf_dir)
+    p = plan(q)
+    assert p.count("Arguments: hashpartitioning(user_id") == 1
+    assert "TakeOrderedAndProject" in p
+    assert "rangepartitioning" not in p
+
+
+def test_passage_dedup_no_python(spark, sf_dir):
+    q = entrymod.queries()["passage_dedup"](spark, sf_dir)
+    p = plan(q)
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
