@@ -2947,10 +2947,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     ORDER MATTERS: the driver's correctness gate samples the first ~50
     entries, so the registry is risk-ordered for round 3 — (1) the 11
-    r2 hash-fails refixed this round (oracle dtype casts), (2) queries
-    whose Spark code or oracle changed this round, (3) the 26 entries
-    never gated in rounds 1–2 (17 TPC-H + corpus/window/serving), then
-    (4) the riskiest prior greens; stable multi-round greens last.
+    r2 hash-fails refixed this round (oracle dtype casts), (2) the 26
+    entries never gated in rounds 1–2 (17 TPC-H + corpus/window/
+    serving), (3) queries added or changed in round-3 session 1 —
+    exactly filling the 50-slot window.  Session-2 additions sit at
+    51+ (locally swept green at 3 SFs; they rotate into the window
+    next round), then prior greens, most-stable last.
     """
     return {
         # --- r2 hash-fails, oracles dtype-fixed this round ------------
@@ -2965,6 +2967,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": _q_stratified_sample,
         "multimodal_features": _q_multimodal_features,
         "doc_chunks": _q_doc_chunks,
+        # --- never gated in rounds 1-2 --------------------------------
+        "corpus_filter": _q_corpus_filter,
+        "corpus_pipeline": _q_corpus_pipeline,
+        "serving_tiles": _q_serving_tiles,
+        "value_rankings": _q_value_rankings,
+        "moving_sum_user_value": _q_moving_sum_user_value,
+        "sliding_window_counts": _q_sliding_window_counts,
+        "grouping_sets_qty": _q_grouping_sets_qty,
+        "above_avg_customers": _q_above_avg_customers,
+        "part_type_revenue": _q_part_type_revenue,
+        "tpch_q2": _q_tpch_q2,
+        "tpch_q3": _q_tpch_q3,
+        "tpch_q5": _q_tpch_q5,
+        "tpch_q6": _q_tpch_q6,
+        "tpch_q9": _q_tpch_q9,
+        "tpch_q10": _q_tpch_q10,
+        "tpch_q11": _q_tpch_q11,
+        "tpch_q12": _q_tpch_q12,
+        "tpch_q13": _q_tpch_q13,
+        "tpch_q15": _q_tpch_q15,
+        "tpch_q16": _q_tpch_q16,
+        "tpch_q17": _q_tpch_q17,
+        "tpch_q18": _q_tpch_q18,
+        "tpch_q19": _q_tpch_q19,
+        "tpch_q20": _q_tpch_q20,
+        "tpch_q21": _q_tpch_q21,
+        "tpch_q22": _q_tpch_q22,
         # --- new or changed this round --------------------------------
         "multimodal_decode": _q_multimodal_decode,
         "cdc_merge_upsert": _q_cdc_merge_upsert,
@@ -2994,33 +3023,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_profile": _q_table_profile,
         "streaming_sliding_counts": _q_streaming_sliding_counts,
         "path_trigrams": _q_path_trigrams,
-        # --- never gated in rounds 1-2 --------------------------------
-        "corpus_filter": _q_corpus_filter,
-        "corpus_pipeline": _q_corpus_pipeline,
-        "serving_tiles": _q_serving_tiles,
-        "value_rankings": _q_value_rankings,
-        "moving_sum_user_value": _q_moving_sum_user_value,
-        "sliding_window_counts": _q_sliding_window_counts,
-        "grouping_sets_qty": _q_grouping_sets_qty,
-        "above_avg_customers": _q_above_avg_customers,
-        "part_type_revenue": _q_part_type_revenue,
-        "tpch_q2": _q_tpch_q2,
-        "tpch_q3": _q_tpch_q3,
-        "tpch_q5": _q_tpch_q5,
-        "tpch_q6": _q_tpch_q6,
-        "tpch_q9": _q_tpch_q9,
-        "tpch_q10": _q_tpch_q10,
-        "tpch_q11": _q_tpch_q11,
-        "tpch_q12": _q_tpch_q12,
-        "tpch_q13": _q_tpch_q13,
-        "tpch_q15": _q_tpch_q15,
-        "tpch_q16": _q_tpch_q16,
-        "tpch_q17": _q_tpch_q17,
-        "tpch_q18": _q_tpch_q18,
-        "tpch_q19": _q_tpch_q19,
-        "tpch_q20": _q_tpch_q20,
-        "tpch_q21": _q_tpch_q21,
-        "tpch_q22": _q_tpch_q22,
         # --- overflow of the window: new-but-lowest-risk, then riskiest
         # prior greens ------------------------------------------------
         "ingest_metrics_passthrough": _q_ingest_metrics_passthrough,
