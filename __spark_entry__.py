@@ -2860,6 +2860,46 @@ def _q_sink_orc_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_asof_time_to_convert(spark: SparkSession, sf: str) -> DataFrame:
+    # FORWARD as-of join: each click matched to the user's NEXT
+    # purchase at-or-after it (time-to-convert), the mirror of the
+    # backward attribution query — same single-shuffle union-window
+    # plan, window direction flipped.  DuckDB ASOF JOIN with <= is
+    # the oracle.
+    events = load_table(spark, sf, "events")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", "ts"
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+    )
+    # unique per (user, time) so the as-of winner is engine-independent
+    purchases = latest_per_key(
+        purchases, ["user_id", "purchase_ts"], "purchase_id"
+    )
+    joined = asof_join(
+        clicks,
+        purchases,
+        "user_id",
+        "ts",
+        "purchase_ts",
+        ["purchase_id", "purchase_ts"],
+        direction="forward",
+    )
+    t_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    p_us = F.unix_micros(F.col("purchase_ts").cast("timestamp"))
+    return joined.select(
+        "click_id",
+        "user_id",
+        t_us.alias("click_time_us"),
+        "purchase_id",
+        p_us.alias("purchase_time_us"),
+        (p_us - t_us).alias("wait_us"),
+    )
+
+
 def _q_path_trigrams(spark: SparkSession, sf: str) -> DataFrame:
     # journey mining: top 3-step event-type sequences per user stream
     # (one user shuffle for both lead windows, then a trigram wordcount)
@@ -3023,6 +3063,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_profile": _q_table_profile,
         "streaming_sliding_counts": _q_streaming_sliding_counts,
         "path_trigrams": _q_path_trigrams,
+        "asof_time_to_convert": _q_asof_time_to_convert,
         # --- overflow of the window: new-but-lowest-risk, then riskiest
         # prior greens ------------------------------------------------
         "ingest_metrics_passthrough": _q_ingest_metrics_passthrough,
@@ -4966,6 +5007,26 @@ def _oracle_sql_literal() -> dict[str, str]:
                 SELECT avg(c2.c_acctbal) FROM customer c2
                 WHERE c2.c_nationkey = c.c_nationkey
             )
+        """,
+        "asof_time_to_convert": f"""
+            WITH c AS (
+                SELECT event_id AS click_id, user_id, {_TS} AS cts
+                FROM events WHERE event_type = 'click'
+            ),
+            p AS (
+                SELECT event_id AS purchase_id, user_id, {_TS} AS pts
+                FROM events WHERE event_type = 'purchase'
+                QUALIFY row_number() OVER (
+                    PARTITION BY user_id, ts ORDER BY event_id DESC
+                ) = 1
+            )
+            SELECT click_id, c.user_id,
+                   epoch_us(cts) AS click_time_us,
+                   purchase_id,
+                   epoch_us(pts) AS purchase_time_us,
+                   epoch_us(pts) - epoch_us(cts) AS wait_us
+            FROM c ASOF JOIN p
+              ON c.user_id = p.user_id AND c.cts <= p.pts
         """,
         "path_trigrams": """
             WITH t AS (

@@ -133,6 +133,7 @@ HEADLINE = [
     "table_profile",
     "path_trigrams",
     "streaming_sliding_counts",
+    "asof_time_to_convert",
 ]
 
 

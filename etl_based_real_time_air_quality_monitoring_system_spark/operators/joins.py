@@ -125,10 +125,14 @@ def asof_join(
     right_time: str,
     right_values: Sequence[str],
     how: str = "inner",
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of join: for each left row, the single most recent
-    right row with the same ``key`` and ``right_time <= left_time``
-    (exact time matches count).
+    """As-of join: for each left row, the single closest right row with
+    the same ``key`` — ``direction="backward"`` (default) takes the
+    most recent right row with ``right_time <= left_time``;
+    ``direction="forward"`` takes the earliest right row with
+    ``right_time >= left_time`` (time-to-next-event analyses).  Exact
+    time matches count in both directions.
 
     Spark has no ASOF JOIN operator, and the naive encoding
     (theta-join on ``r.t <= l.t`` + max_by) explodes to O(|L|x|R|)
@@ -148,13 +152,18 @@ def asof_join(
     ``topk.latest_per_key`` first; ties would make the winner
     engine-dependent.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward/forward, got {direction!r}")
     payload = F.struct(*[F.col(c) for c in right_values]).alias("_rp")
     payload_type = right.select(payload).schema["_rp"].dataType
 
+    # tag ordering makes equal-time right rows visible to the window:
+    # backward scans the past (right sorts BEFORE left at equal t),
+    # forward scans the future (right sorts AFTER left at equal t)
     r = right.select(
         F.col(key).alias("_k"),
         F.col(right_time).alias("_t"),
-        F.lit(0).alias("_tag"),
+        F.lit(0 if direction == "backward" else 2).alias("_tag"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left.columns],
         payload,
     )
@@ -166,14 +175,23 @@ def asof_join(
         F.lit(None).cast(payload_type).alias("_rp"),
     )
 
-    w = (
-        Window.partitionBy("_k")
-        .orderBy("_t", "_tag")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
+    if direction == "backward":
+        w = (
+            Window.partitionBy("_k")
+            .orderBy("_t", "_tag")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        pick = F.last("_rp", ignorenulls=True)
+    else:
+        w = (
+            Window.partitionBy("_k")
+            .orderBy("_t", "_tag")
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        pick = F.first("_rp", ignorenulls=True)
     matched = (
         r.unionByName(l)
-        .withColumn("_m", F.last("_rp", ignorenulls=True).over(w))
+        .withColumn("_m", pick.over(w))
         .filter(F.col("_tag") == 1)
     )
     if how == "inner":

@@ -301,3 +301,41 @@ def test_path_trigrams_orders_and_counts(spark):
     assert out[0]["n_paths"] == 2
     # trigrams never cross users: total paths = 2 + 1
     assert sum(r["n_paths"] for r in out) == 3
+
+
+def test_asof_join_forward_direction(spark):
+    import datetime as dt
+
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.joins import asof_join
+
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)
+    left = spark.createDataFrame(
+        [("u1", t(10), "l1"), ("u1", t(30), "l2"), ("u2", t(5), "l3")],
+        ["user_id", "lt", "left_id"],
+    )
+    right = spark.createDataFrame(
+        [("u1", t(10), "r_eq"), ("u1", t(20), "r_mid"), ("u2", t(1), "r_old")],
+        ["user_id", "rt", "right_id"],
+    )
+    out = {
+        r["left_id"]: r
+        for r in asof_join(
+            left, right, "user_id", "lt", "rt", ["right_id", "rt"],
+            direction="forward",
+        ).collect()
+    }
+    # equal time counts in forward direction
+    assert out["l1"]["right_id"] == "r_eq"
+    # l2 at :30 has no future right row -> dropped under inner
+    assert "l2" not in out
+    # u2's only right row is in the past -> dropped
+    assert "l3" not in out
+    # left join keeps unmatched rows with NULL payload
+    left_out = {
+        r["left_id"]: r
+        for r in asof_join(
+            left, right, "user_id", "lt", "rt", ["right_id", "rt"],
+            how="left", direction="forward",
+        ).collect()
+    }
+    assert left_out["l2"]["right_id"] is None
