@@ -2860,6 +2860,65 @@ def _q_sink_orc_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_corpus_pipeline_fuzzy(spark: SparkSession, sf: str) -> DataFrame:
+    # the full pretraining-corpus pipeline in ONE query: MinHash/LSH
+    # candidates -> connected components -> keep the highest-quality
+    # survivor per duplicate cluster -> Gopher quality filter -> per-
+    # source data card (docs kept/dropped by stage + kept token mass).
+    # Every stage is the already-gated operator; this pins their
+    # COMPOSITION (the pipeline a 100 TB corpus actually runs).
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.dedup import (
+        keep_best_per_cluster,
+    )
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.text import gopher_quality_flags
+
+    docs = load_table(spark, sf, "documents")
+    pairs = minhash_lsh_candidates(docs, "doc_id", "text", n=3, k=16, bands=4)
+    cc = connected_components(pairs, "doc_a", "doc_b").select(
+        F.col("vertex").alias("doc_id"), F.col("component").alias("cluster_id")
+    )
+    scored = docs.select("doc_id", quality_score("text").alias("quality"))
+    winners = keep_best_per_cluster(cc, scored).select(
+        F.col("keep_id").alias("doc_id")
+    )
+    # survivors: cluster winners + every doc outside any cluster
+    survivors = docs.join(cc.select("doc_id"), "doc_id", "left_anti").select(
+        "doc_id", "source", "text"
+    ).unionByName(
+        docs.join(winners, "doc_id", "left_semi").select(
+            "doc_id", "source", "text"
+        )
+    )
+    flags = gopher_quality_flags(survivors).select("doc_id", "n_words", "keep")
+    tagged = survivors.select("doc_id", "source").join(flags, "doc_id")
+    per_source = tagged.groupBy("source").agg(
+        F.count("*").alias("n_survivors"),
+        F.sum((F.col("keep") == 0).cast("long")).alias("n_quality_dropped"),
+        F.sum(F.col("keep").cast("long")).alias("n_kept"),
+        F.sum(
+            F.when(F.col("keep") == 1, F.col("n_words").cast("long"))
+            .otherwise(F.lit(0))
+        ).alias("tokens_kept"),
+    )
+    dup_dropped = (
+        docs.join(cc.select("doc_id"), "doc_id", "left_semi")
+        .join(winners, "doc_id", "left_anti")
+        .groupBy("source")
+        .agg(F.count("*").alias("n_dup_dropped"))
+    )
+    return (
+        per_source.join(dup_dropped, "source", "left")
+        .select(
+            "source",
+            "n_survivors",
+            F.coalesce("n_dup_dropped", F.lit(0)).alias("n_dup_dropped"),
+            "n_quality_dropped",
+            "n_kept",
+            "tokens_kept",
+        )
+    )
+
+
 def _q_asof_time_to_convert(spark: SparkSession, sf: str) -> DataFrame:
     # FORWARD as-of join: each click matched to the user's NEXT
     # purchase at-or-after it (time-to-convert), the mirror of the
@@ -3064,6 +3123,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_sliding_counts": _q_streaming_sliding_counts,
         "path_trigrams": _q_path_trigrams,
         "asof_time_to_convert": _q_asof_time_to_convert,
+        "corpus_pipeline_fuzzy": _q_corpus_pipeline_fuzzy,
         # --- overflow of the window: new-but-lowest-risk, then riskiest
         # prior greens ------------------------------------------------
         "ingest_metrics_passthrough": _q_ingest_metrics_passthrough,
@@ -5007,6 +5067,107 @@ def _oracle_sql_literal() -> dict[str, str]:
                 SELECT avg(c2.c_acctbal) FROM customer c2
                 WHERE c2.c_nationkey = c.c_nationkey
             )
+        """,
+        "corpus_pipeline_fuzzy": rf"""
+            WITH RECURSIVE {_SHINGLE_CTES},
+            sig AS (
+                SELECT doc_id,
+                   {_MINHASH_AGGS}
+                FROM sh GROUP BY doc_id
+            ),
+            bands AS (
+            {_BAND_SELECTS}
+            ),
+            pairs AS (
+                SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                FROM bands a JOIN bands b
+                  ON a.band = b.band AND a.bucket = b.bucket
+                 AND a.doc_id < b.doc_id
+            ),
+            sym AS (
+                SELECT doc_a AS a, doc_b AS b FROM pairs
+                UNION
+                SELECT doc_b, doc_a FROM pairs
+            ),
+            reach(v, r) AS (
+                SELECT a, b FROM sym
+                UNION
+                SELECT reach.v, sym.b FROM reach JOIN sym ON reach.r = sym.a
+            ),
+            cc AS (
+                SELECT v AS doc_id, least(v, min(r)) AS cluster_id
+                FROM reach GROUP BY v
+            ),
+            q AS (
+                SELECT doc_id, floor((
+                    0.4::DOUBLE * least(len(t)::DOUBLE / 100.0::DOUBLE, 1.0::DOUBLE)
+                  + 0.3::DOUBLE * (len(list_distinct(t))::DOUBLE / len(t)::DOUBLE)
+                  + 0.3::DOUBLE * (1.0::DOUBLE
+                        - len(list_filter(t, x -> x IN {_STOP_SQL}))::DOUBLE
+                          / len(t)::DOUBLE)
+                  ) * 10000.0 + 0.5) / 10000.0 AS quality
+                FROM toks
+            ),
+            j AS (
+                SELECT cc.cluster_id, cc.doc_id, q.quality
+                FROM cc JOIN q ON cc.doc_id = q.doc_id
+            ),
+            winners AS (
+                SELECT doc_id FROM (
+                    SELECT doc_id, row_number() OVER (
+                        PARTITION BY cluster_id ORDER BY quality DESC, doc_id
+                    ) AS rn FROM j
+                ) WHERE rn = 1
+            ),
+            surv AS (
+                SELECT d.doc_id, d.source FROM documents d
+                WHERE d.doc_id NOT IN (SELECT doc_id FROM cc)
+                   OR d.doc_id IN (SELECT doc_id FROM winners)
+            ),
+            g AS (
+                SELECT doc_id,
+                       len(t) AS n_words,
+                       floor(list_aggregate(list_transform(t, x -> length(x)), 'sum')::DOUBLE
+                             / len(t)::DOUBLE * 10000.0 + 0.5) / 10000.0 AS mean_word_len,
+                       floor(len(list_filter(t, x -> regexp_matches(x, '[a-z]')))::DOUBLE
+                             / len(t)::DOUBLE * 10000.0 + 0.5) / 10000.0 AS alpha_frac,
+                       len(list_filter({_GOPHER_SQL}, s -> list_contains(t, s))) AS stop_hits
+                FROM toks
+            ),
+            gg AS (
+                SELECT doc_id, n_words,
+                       CASE WHEN n_words BETWEEN 5 AND 100000
+                             AND mean_word_len BETWEEN 3.0 AND 10.0
+                             AND alpha_frac >= 0.8
+                             AND stop_hits >= 2
+                       THEN 1 ELSE 0 END AS keep
+                FROM g
+            ),
+            tagged AS (
+                SELECT s.source, gg.n_words, gg.keep
+                FROM surv s JOIN gg ON s.doc_id = gg.doc_id
+            ),
+            per_source AS (
+                SELECT source,
+                       count(*) AS n_survivors,
+                       CAST(sum(CASE WHEN keep = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                           AS n_quality_dropped,
+                       CAST(sum(keep) AS BIGINT) AS n_kept,
+                       CAST(sum(CASE WHEN keep = 1 THEN n_words ELSE 0 END) AS BIGINT)
+                           AS tokens_kept
+                FROM tagged GROUP BY source
+            ),
+            dd AS (
+                SELECT d.source, count(*) AS n_dup_dropped
+                FROM documents d
+                WHERE d.doc_id IN (SELECT doc_id FROM cc)
+                  AND d.doc_id NOT IN (SELECT doc_id FROM winners)
+                GROUP BY d.source
+            )
+            SELECT p.source, p.n_survivors,
+                   CAST(coalesce(dd.n_dup_dropped, 0) AS BIGINT) AS n_dup_dropped,
+                   p.n_quality_dropped, p.n_kept, p.tokens_kept
+            FROM per_source p LEFT JOIN dd ON p.source = dd.source
         """,
         "asof_time_to_convert": f"""
             WITH c AS (

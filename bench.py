@@ -134,6 +134,7 @@ HEADLINE = [
     "path_trigrams",
     "streaming_sliding_counts",
     "asof_time_to_convert",
+    "corpus_pipeline_fuzzy",
 ]
 
 

@@ -339,3 +339,18 @@ def test_asof_join_forward_direction(spark):
         ).collect()
     }
     assert left_out["l2"]["right_id"] is None
+
+
+def test_corpus_pipeline_fuzzy_accounting(spark):
+    import __spark_entry__ as entrymod
+
+    sf = "/root/testdata/sf0.001"
+    out = entrymod.queries()["corpus_pipeline_fuzzy"](spark, sf).collect()
+    docs_total = spark.read.parquet(f"{sf}/documents.parquet").count()
+    # survivors + dup-dropped partition the corpus exactly
+    assert sum(r["n_survivors"] + r["n_dup_dropped"] for r in out) == docs_total
+    for r in out:
+        assert r["n_kept"] + r["n_quality_dropped"] == r["n_survivors"]
+        assert r["tokens_kept"] >= 0
+    # fuzzy dedup must actually drop something on this corpus
+    assert sum(r["n_dup_dropped"] for r in out) > 0
