@@ -2860,6 +2860,17 @@ def _q_sink_orc_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_label_centroids(spark: SparkSession, sf: str) -> DataFrame:
+    # the k-means E-step as an exact distributed vector aggregate:
+    # per-(label, dim) integer-micros component sums + member counts
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.similarity import (
+        label_centroids_exact,
+    )
+
+    emb = load_table(spark, sf, "embeddings")
+    return label_centroids_exact(emb)
+
+
 def _q_corpus_pipeline_fuzzy(spark: SparkSession, sf: str) -> DataFrame:
     # the full pretraining-corpus pipeline in ONE query: MinHash/LSH
     # candidates -> connected components -> keep the highest-quality
@@ -3124,6 +3135,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "path_trigrams": _q_path_trigrams,
         "asof_time_to_convert": _q_asof_time_to_convert,
         "corpus_pipeline_fuzzy": _q_corpus_pipeline_fuzzy,
+        "label_centroids": _q_label_centroids,
         # --- overflow of the window: new-but-lowest-risk, then riskiest
         # prior greens ------------------------------------------------
         "ingest_metrics_passthrough": _q_ingest_metrics_passthrough,
@@ -5067,6 +5079,17 @@ def _oracle_sql_literal() -> dict[str, str]:
                 SELECT avg(c2.c_acctbal) FROM customer c2
                 WHERE c2.c_nationkey = c.c_nationkey
             )
+        """,
+        "label_centroids": """
+            SELECT label,
+                   CAST(i - 1 AS INTEGER) AS dim,
+                   count(*) AS n_vectors,
+                   CAST(sum(CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000.0)
+                                 AS BIGINT))
+                        AS BIGINT) AS component_sum_micros
+            FROM embeddings,
+                 UNNEST(range(1, len(embedding) + 1)) AS u(i)
+            GROUP BY 1, 2
         """,
         "corpus_pipeline_fuzzy": rf"""
             WITH RECURSIVE {_SHINGLE_CTES},

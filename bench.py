@@ -135,6 +135,7 @@ HEADLINE = [
     "streaming_sliding_counts",
     "asof_time_to_convert",
     "corpus_pipeline_fuzzy",
+    "label_centroids",
 ]
 
 

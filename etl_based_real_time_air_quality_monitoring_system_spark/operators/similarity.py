@@ -614,3 +614,33 @@ def ivf_centroids_kmeans(
             nxt[cid] = vec
         centroids = nxt
     return centroids
+
+
+def label_centroids_exact(
+    df: DataFrame,
+    emb_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Per-label centroid sums — the k-means E-step (and the class-
+    prototype computation for prototype classifiers) as an EXACT
+    distributed vector aggregate: posexplode the embedding to
+    (label, dim, component), sum per (label, dim) in integer
+    millionths (floor(x·10⁶) — associative, order-independent,
+    engine-exact, unlike float sums), and carry the member count so
+    the caller can divide into means at whatever precision it wants.
+
+    One hash shuffle on (label, dim) — cardinality |labels|·d, tiny —
+    with full map-side partial aggregation; the embedding array never
+    moves whole.  ``ivf_centroids_kmeans`` is the float/production
+    twin; this is its oracle-checkable face.
+    """
+    exploded = df.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(_as_double_array(emb_col)).alias("dim", "component"),
+    )
+    return exploded.groupBy("label", "dim").agg(
+        F.count("*").alias("n_vectors"),
+        F.sum(
+            F.floor(F.col("component") * F.lit(1_000_000.0)).cast("long")
+        ).alias("component_sum_micros"),
+    )

@@ -354,3 +354,22 @@ def test_corpus_pipeline_fuzzy_accounting(spark):
         assert r["tokens_kept"] >= 0
     # fuzzy dedup must actually drop something on this corpus
     assert sum(r["n_dup_dropped"] for r in out) > 0
+
+
+def test_label_centroids_exact_sums(spark):
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.similarity import (
+        label_centroids_exact,
+    )
+
+    df = spark.createDataFrame(
+        [(0, [1.5, -0.25]), (0, [0.5, 0.75]), (1, [2.0, 0.0])],
+        "label int, embedding array<double>",
+    )
+    out = {
+        (r["label"], r["dim"]): r for r in label_centroids_exact(df).collect()
+    }
+    assert out[(0, 0)]["component_sum_micros"] == 2_000_000
+    assert out[(0, 1)]["component_sum_micros"] == 500_000
+    assert out[(0, 0)]["n_vectors"] == 2
+    assert out[(1, 0)]["component_sum_micros"] == 2_000_000
+    assert out[(1, 1)]["n_vectors"] == 1
