@@ -2860,6 +2860,77 @@ def _q_sink_orc_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_grouped_deciles(spark: SparkSession, sf: str) -> DataFrame:
+    # per-event-type equi-depth deciles: ntile over a KEYED window (no
+    # offset machinery, no single-partition risk — the keyed variant
+    # of equi_depth_bins)
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.aggregates import (
+        grouped_equi_depth_bins,
+    )
+
+    ev = load_table(spark, sf, "events")
+    return grouped_equi_depth_bins(ev, "event_type", "value", "event_id")
+
+
+def _q_running_distinct_types(spark: SparkSession, sf: str) -> DataFrame:
+    # cumulative distinct event types per user stream via first-seen
+    # flags + running sum (both windows key-partitioned, one bit of
+    # state per row — never a carried set)
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.windows import (
+        running_distinct_count,
+    )
+
+    ev = load_table(spark, sf, "events")
+    out = running_distinct_count(ev, "user_id", "ts", "event_type", "event_id")
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        "distinct_so_far",
+    )
+
+
+def _q_multimodal_frames(spark: SparkSession, sf: str) -> DataFrame:
+    # JVM-side frame sampling over binary payloads (substr + posexplode,
+    # zero Python): the oracle re-derives every frame length from the
+    # asset id (container sizes are pure arithmetic — BMP row padding,
+    # WAV data-chunk size), so the slicing plumbing is value-checked
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.multimodal import (
+        frame_sample,
+        synthesize_media_assets,
+    )
+
+    assets = synthesize_media_assets(spark, 48, 16)
+    frames = frame_sample(assets, n_frames=4)
+    return frames.select(
+        "asset_id",
+        "modality",
+        "frame_index",
+        F.length("frame_payload").alias("frame_len"),
+    )
+
+
+def _q_multimodal_resized(spark: SparkSession, sf: str) -> DataFrame:
+    # the mapInPandas resize seam's SHAPE CONTRACT in the gate: output
+    # payload is exactly width*height bytes per asset with rewritten
+    # dimensions (content equality is pinned in tests; no codec ships
+    # in this container)
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.multimodal import (
+        resize_images,
+        synthesize_media_assets,
+    )
+
+    images = synthesize_media_assets(spark, 48, 0)
+    out = resize_images(images, width=8, height=4)
+    return out.select(
+        "asset_id",
+        "modality",
+        F.length("payload").alias("payload_len"),
+        "width",
+        "height",
+    )
+
+
 def _q_label_centroids(spark: SparkSession, sf: str) -> DataFrame:
     # the k-means E-step as an exact distributed vector aggregate:
     # per-(label, dim) integer-micros component sums + member counts
@@ -3136,6 +3207,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_time_to_convert": _q_asof_time_to_convert,
         "corpus_pipeline_fuzzy": _q_corpus_pipeline_fuzzy,
         "label_centroids": _q_label_centroids,
+        "multimodal_frames": _q_multimodal_frames,
+        "multimodal_resized": _q_multimodal_resized,
+        "grouped_deciles": _q_grouped_deciles,
+        "running_distinct_types": _q_running_distinct_types,
         # --- overflow of the window: new-but-lowest-risk, then riskiest
         # prior greens ------------------------------------------------
         "ingest_metrics_passthrough": _q_ingest_metrics_passthrough,
@@ -5079,6 +5154,70 @@ def _oracle_sql_literal() -> dict[str, str]:
                 SELECT avg(c2.c_acctbal) FROM customer c2
                 WHERE c2.c_nationkey = c.c_nationkey
             )
+        """,
+        "grouped_deciles": """
+            WITH t AS (
+                SELECT event_type, value,
+                       ntile(10) OVER (
+                           PARTITION BY event_type ORDER BY value, event_id
+                       ) AS bin
+                FROM events
+            )
+            SELECT event_type, CAST(bin AS INTEGER) AS bin,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   min(value) AS min_value,
+                   max(value) AS max_value,
+                   CAST(sum(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT))
+                        AS BIGINT) AS value_sum_micros
+            FROM t GROUP BY 1, 2
+        """,
+        "running_distinct_types": f"""
+            WITH f AS (
+                SELECT event_id, user_id, {_TS} AS tsx,
+                       CASE WHEN row_number() OVER (
+                           PARTITION BY user_id, event_type
+                           ORDER BY ts, event_id
+                       ) = 1 THEN 1 ELSE 0 END AS first_seen
+                FROM events
+            )
+            SELECT event_id, user_id,
+                   epoch_us(tsx) AS ts_us,
+                   CAST(sum(first_seen) OVER (
+                       PARTITION BY user_id ORDER BY tsx, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS BIGINT) AS distinct_so_far
+            FROM f
+        """,
+        "multimodal_frames": """
+            WITH ids AS (
+                SELECT range AS asset_id, 'image' AS modality,
+                       54 + ((16 + range % 17 + 3) // 4 * 4)
+                            * (8 + range % 11) AS total
+                FROM range(48)
+                UNION ALL
+                SELECT range, 'audio',
+                       44 + (100 + range * 7)
+                            * (CASE WHEN range % 2 = 0 THEN 1 ELSE 4 END)
+                FROM range(16)
+            ),
+            f AS (
+                SELECT asset_id, modality, i AS frame_index,
+                       least(greatest(total // 4, 1),
+                             greatest(total - i * greatest(total // 4, 1), 0))
+                           AS frame_len
+                FROM ids, UNNEST([0, 1, 2, 3]) AS u(i)
+            )
+            SELECT asset_id, modality,
+                   CAST(frame_index AS INTEGER) AS frame_index,
+                   CAST(frame_len AS INTEGER) AS frame_len
+            FROM f WHERE frame_len > 0
+        """,
+        "multimodal_resized": """
+            SELECT range AS asset_id, 'image' AS modality,
+                   CAST(32 AS INTEGER) AS payload_len,
+                   CAST(8 AS INTEGER) AS width,
+                   CAST(4 AS INTEGER) AS height
+            FROM range(48)
         """,
         "label_centroids": """
             SELECT label,

@@ -136,6 +136,10 @@ HEADLINE = [
     "asof_time_to_convert",
     "corpus_pipeline_fuzzy",
     "label_centroids",
+    "multimodal_frames",
+    "multimodal_resized",
+    "grouped_deciles",
+    "running_distinct_types",
 ]
 
 

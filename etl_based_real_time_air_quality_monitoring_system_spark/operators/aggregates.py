@@ -468,3 +468,37 @@ def key_skew_report(
         ).cast("long").alias("skew_ratio_micros"),
     )
     return j.orderBy(F.col("cnt").desc(), F.col("key")).limit(top_n)
+
+
+def grouped_equi_depth_bins(
+    df: DataFrame,
+    key_col: str,
+    value_col: str = "value",
+    tiebreak_col: str = "event_id",
+    n_bins: int = 10,
+) -> DataFrame:
+    """Per-key equi-depth bins: ``ntile`` over a KEYED window — unlike
+    the global variant (``equi_depth_bins``) this needs no offset
+    machinery because the window partitions on the key, so Spark
+    plans a plain hashpartitioning exchange; per-key sorts happen
+    inside each partition.  Exactly the SQL-ntile bucket sizes per
+    key; summaries in integer micros.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col).orderBy(
+        F.col(value_col), F.col(tiebreak_col)
+    )
+    tiled = df.select(
+        F.col(key_col), F.col(value_col),
+        F.ntile(n_bins).over(w).alias("bin"),
+    )
+    return tiled.groupBy(key_col, "bin").agg(
+        F.count("*").alias("n_rows"),
+        F.min(value_col).alias("min_value"),
+        F.max(value_col).alias("max_value"),
+        F.sum(
+            F.floor(F.col(value_col) * F.lit(1_000_000.0) + F.lit(0.5))
+            .cast("long")
+        ).alias("value_sum_micros"),
+    )

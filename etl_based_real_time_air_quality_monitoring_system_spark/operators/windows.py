@@ -186,3 +186,34 @@ def lag_delta(
     keys = [key] if isinstance(key, str) else list(key)
     w = Window.partitionBy(*keys).orderBy(order)
     return df.withColumn(alias, F.col(value) - F.lag(value, 1).over(w))
+
+
+def running_distinct_count(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    item_col: str,
+    tiebreak_col: str,
+) -> DataFrame:
+    """Cumulative distinct-count per key stream ("how many distinct
+    event types has this user produced so far") WITHOUT carrying a
+    set: mark each row as first-seen via a row_number over
+    (key, item) [shuffle 1], then running-sum the 0/1 flags over the
+    (key)-ordered stream [shuffle 2].  Both windows are key-
+    partitioned — no global sort, state per row is one bit, and the
+    result is exact under the (ts, tiebreak) total order.
+    """
+    w_first = Window.partitionBy(key_col, item_col).orderBy(
+        _ts_micros(ts_col), F.col(tiebreak_col)
+    )
+    w_run = (
+        Window.partitionBy(key_col)
+        .orderBy(_ts_micros(ts_col), F.col(tiebreak_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    flagged = df.withColumn(
+        "_first", (F.row_number().over(w_first) == 1).cast("long")
+    )
+    return flagged.withColumn(
+        "distinct_so_far", F.sum("_first").over(w_run)
+    ).drop("_first")

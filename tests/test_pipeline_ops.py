@@ -373,3 +373,68 @@ def test_label_centroids_exact_sums(spark):
     assert out[(0, 0)]["n_vectors"] == 2
     assert out[(1, 0)]["component_sum_micros"] == 2_000_000
     assert out[(1, 1)]["n_vectors"] == 1
+
+
+def test_running_distinct_count_semantics(spark):
+    import datetime as dt
+
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.windows import (
+        running_distinct_count,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, base + dt.timedelta(minutes=i), 7, et)
+        for i, et in enumerate(["a", "a", "b", "a", "c", "b"])
+    ]
+    rows = [(i, ts, u, et) for i, (_, ts, u, et) in enumerate(rows)]
+    df = spark.createDataFrame(rows, ["event_id", "ts", "user_id", "event_type"])
+    got = [
+        r["distinct_so_far"]
+        for r in running_distinct_count(df, "user_id", "ts", "event_type", "event_id")
+        .orderBy("event_id")
+        .collect()
+    ]
+    assert got == [1, 1, 2, 2, 3, 3]
+
+
+def test_grouped_equi_depth_bins_sizes(spark):
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.aggregates import (
+        grouped_equi_depth_bins,
+    )
+
+    # key 'a': 7 rows into 3 bins -> 3,2,2; key 'b': 3 rows -> 1,1,1
+    rows = [("a", float(i), f"e{i}") for i in range(7)]
+    rows += [("b", float(i), f"f{i}") for i in range(3)]
+    df = spark.createDataFrame(rows, ["event_type", "value", "event_id"])
+    out = {
+        (r["event_type"], r["bin"]): r["n_rows"]
+        for r in grouped_equi_depth_bins(df, "event_type", "value", "event_id", 3).collect()
+    }
+    assert [out[("a", b)] for b in (1, 2, 3)] == [3, 2, 2]
+    assert [out[("b", b)] for b in (1, 2, 3)] == [1, 1, 1]
+
+
+def test_multimodal_frames_cover_payload(spark):
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.multimodal import (
+        frame_sample,
+        synthesize_media_assets,
+    )
+    from pyspark.sql import functions as F2
+
+    assets = synthesize_media_assets(spark, 8, 4)
+    frames = frame_sample(assets, n_frames=4)
+    got = (
+        frames.groupBy("asset_id", "modality")
+        .agg(F2.sum(F2.length("frame_payload")).alias("covered"))
+        .join(
+            assets.select(
+                "asset_id", "modality", F2.length("payload").alias("total")
+            ),
+            ["asset_id", "modality"],
+        )
+        .collect()
+    )
+    for r in got:
+        # 4 equal frames of floor(total/4) cover all but total%4 bytes
+        assert r["total"] - r["covered"] == r["total"] % 4
