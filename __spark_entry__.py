@@ -2860,6 +2860,17 @@ def _q_sink_orc_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_dedup_graph_stats(spark: SparkSession, sf: str) -> DataFrame:
+    # structural health check of the LSH candidate graph before CC:
+    # vertex/edge counts, max degree, exact triangle count (ordered-
+    # edge join, each triangle once)
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.graph import graph_stats
+
+    docs = load_table(spark, sf, "documents")
+    pairs = minhash_lsh_candidates(docs, "doc_id", "text", n=3, k=16, bands=4)
+    return graph_stats(pairs, "doc_a", "doc_b")
+
+
 def _q_grouped_deciles(spark: SparkSession, sf: str) -> DataFrame:
     # per-event-type equi-depth deciles: ntile over a KEYED window (no
     # offset machinery, no single-partition risk — the keyed variant
@@ -3211,6 +3222,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_resized": _q_multimodal_resized,
         "grouped_deciles": _q_grouped_deciles,
         "running_distinct_types": _q_running_distinct_types,
+        "dedup_graph_stats": _q_dedup_graph_stats,
         # --- overflow of the window: new-but-lowest-risk, then riskiest
         # prior greens ------------------------------------------------
         "ingest_metrics_passthrough": _q_ingest_metrics_passthrough,
@@ -5154,6 +5166,39 @@ def _oracle_sql_literal() -> dict[str, str]:
                 SELECT avg(c2.c_acctbal) FROM customer c2
                 WHERE c2.c_nationkey = c.c_nationkey
             )
+        """,
+        "dedup_graph_stats": rf"""
+            WITH {_SHINGLE_CTES},
+            sig AS (
+                SELECT doc_id,
+                   {_MINHASH_AGGS}
+                FROM sh GROUP BY doc_id
+            ),
+            bands AS (
+            {_BAND_SELECTS}
+            ),
+            e AS (
+                SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+                FROM bands a JOIN bands b
+                  ON a.band = b.band AND a.bucket = b.bucket
+                 AND a.doc_id < b.doc_id
+            ),
+            deg AS (
+                SELECT v, count(*) AS deg FROM (
+                    SELECT a AS v FROM e UNION ALL SELECT b FROM e
+                ) GROUP BY v
+            ),
+            tri AS (
+                SELECT count(*) AS n_triangles
+                FROM e ab
+                JOIN e bc ON ab.b = bc.a
+                JOIN e ac ON ac.a = ab.a AND ac.b = bc.b
+            )
+            SELECT (SELECT count(*) FROM deg) AS n_vertices,
+                   (SELECT count(*) FROM e) AS n_edges,
+                   (SELECT max(deg) FROM deg) AS max_degree,
+                   n_triangles
+            FROM tri
         """,
         "grouped_deciles": """
             WITH t AS (

@@ -140,6 +140,7 @@ HEADLINE = [
     "multimodal_resized",
     "grouped_deciles",
     "running_distinct_types",
+    "dedup_graph_stats",
 ]
 
 

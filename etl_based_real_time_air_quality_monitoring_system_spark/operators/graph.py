@@ -97,3 +97,55 @@ def connected_components(
         )
     finally:
         sym.unpersist()
+
+
+def graph_stats(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """One-row structural summary of an undirected graph — vertex /
+    edge counts, max degree, and EXACT triangle count — the shape
+    check you run on a dedup candidate graph before connected
+    components (a triangle-dense blow-up means the LSH bands are too
+    permissive).
+
+    Triangles via the canonical ordered-edge join: orient every edge
+    low→high, then count paths a<b<c where (a,b), (b,c), (a,c) all
+    exist — each triangle counted exactly once, two hash joins on
+    vertex keys.  At 100 TB degree-skew is the hazard: the join
+    fan-out is Σ deg(v)², so df-cut the candidate generator (it
+    already caps postings) before counting.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    degrees = (
+        e.select(F.col("a").alias("v"))
+        .unionAll(e.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").alias("deg"))
+    )
+    vstats = degrees.agg(
+        F.count("*").alias("n_vertices"), F.max("deg").alias("max_degree")
+    )
+    estats = e.agg(F.count("*").alias("n_edges"))
+    # paths a->b->c with a<b<c, closed by the (a,c) edge
+    ab = e.select(F.col("a"), F.col("b"))
+    bc = e.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    ac = e.select(F.col("a").alias("ta"), F.col("b").alias("tc"))
+    tri = (
+        ab.join(bc, "b")
+        .join(ac, (F.col("a") == F.col("ta")) & (F.col("c") == F.col("tc")))
+        .agg(F.count("*").alias("n_triangles"))
+    )
+    return (
+        vstats.crossJoin(F.broadcast(estats))
+        .crossJoin(F.broadcast(tri))
+        .select("n_vertices", "n_edges", "max_degree", "n_triangles")
+    )

@@ -438,3 +438,18 @@ def test_multimodal_frames_cover_payload(spark):
     for r in got:
         # 4 equal frames of floor(total/4) cover all but total%4 bytes
         assert r["total"] - r["covered"] == r["total"] % 4
+
+
+def test_graph_stats_triangles(spark):
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.graph import graph_stats
+
+    # a triangle (1,2,3) plus a pendant edge (3,4); one duplicate and
+    # one reversed edge to prove canonicalization
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (2, 1), (3, 4)], ["src", "dst"]
+    )
+    row = graph_stats(edges).collect()[0]
+    assert row["n_vertices"] == 4
+    assert row["n_edges"] == 4
+    assert row["n_triangles"] == 1
+    assert row["max_degree"] == 3  # vertex 3 touches 1, 2, 4
