@@ -2860,6 +2860,16 @@ def _q_sink_orc_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_oov_rate(spark: SparkSession, sf: str) -> DataFrame:
+    # out-of-vocabulary rate vs the corpus's own top-20 tokens — the
+    # exact, log-free unigram-LM screen (vocab deterministic under a
+    # total order, membership broadcast, corpus never shuffles)
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.text import oov_rate
+
+    docs = load_table(spark, sf, "documents")
+    return oov_rate(docs, vocab_size=20)
+
+
 def _q_dedup_graph_stats(spark: SparkSession, sf: str) -> DataFrame:
     # structural health check of the LSH candidate graph before CC:
     # vertex/edge counts, max degree, exact triangle count (ordered-
@@ -3223,6 +3233,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouped_deciles": _q_grouped_deciles,
         "running_distinct_types": _q_running_distinct_types,
         "dedup_graph_stats": _q_dedup_graph_stats,
+        "oov_rate": _q_oov_rate,
         # --- overflow of the window: new-but-lowest-risk, then riskiest
         # prior greens ------------------------------------------------
         "ingest_metrics_passthrough": _q_ingest_metrics_passthrough,
@@ -5166,6 +5177,27 @@ def _oracle_sql_literal() -> dict[str, str]:
                 SELECT avg(c2.c_acctbal) FROM customer c2
                 WHERE c2.c_nationkey = c.c_nationkey
             )
+        """,
+        "oov_rate": rf"""
+            WITH wc AS (
+                SELECT tok, count(*) AS cnt
+                FROM (SELECT unnest({_TOKS}) AS tok FROM documents)
+                GROUP BY tok
+            ),
+            v AS (
+                SELECT list(tok) AS vl FROM (
+                    SELECT tok FROM wc ORDER BY cnt DESC, tok LIMIT 20
+                )
+            ),
+            t AS (SELECT doc_id, {_TOKS} AS toks FROM documents)
+            SELECT doc_id,
+                   CAST(len(toks) AS INTEGER) AS n_tokens,
+                   CAST(len(list_filter(toks, x -> NOT list_contains(vl, x)))
+                        AS INTEGER) AS n_oov,
+                   floor(len(list_filter(toks, x -> NOT list_contains(vl, x)))::DOUBLE
+                         / len(toks)::DOUBLE * 10000.0 + 0.5) / 10000.0
+                       AS oov_frac
+            FROM t, v
         """,
         "dedup_graph_stats": rf"""
             WITH {_SHINGLE_CTES},

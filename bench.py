@@ -141,6 +141,7 @@ HEADLINE = [
     "grouped_deciles",
     "running_distinct_types",
     "dedup_graph_stats",
+    "oov_rate",
 ]
 
 

@@ -651,3 +651,51 @@ def rescore_pairs_tfidf(
             F.count("*").alias("shared_terms"),
         )
     )
+
+
+def oov_rate(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text: str = "text",
+    vocab_size: int = 1000,
+) -> DataFrame:
+    """Out-of-vocabulary rate per document against the corpus's own
+    top-``vocab_size`` token vocabulary — the exact, log-free cousin
+    of a unigram-LM perplexity screen (high OOV ⇒ the doc doesn't
+    look like the corpus: wrong language, boilerplate, binary spill).
+
+    The vocabulary is the top-K tokens by corpus frequency under a
+    TOTAL order (count desc, token asc), so membership is
+    deterministic; per-doc OOV fraction is floor-half-up rounded to 4.
+
+    Plan: one tokenize+explode wordcount [shuffle 1, map-side
+    combined] -> exact TakeOrdered top-K (vocab rows, tiny) ->
+    broadcast membership -> one second tokenize pass with a
+    higher-order filter.  The corpus never shuffles for the
+    membership test.
+    """
+    tok_counts = (
+        spread_small_input(df.select(text))
+        .select(F.explode(tokens(text)).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("cnt"))
+    )
+    vocab = tok_counts.orderBy(
+        F.col("cnt").desc(), F.col("tok")
+    ).limit(vocab_size).select("tok")
+    d = df.select(F.col(id_col), tokens(text).alias("_toks"))
+    joined = d.crossJoin(
+        F.broadcast(vocab.agg(F.collect_list("tok").alias("_vocab")))
+    )
+    n = F.size("_toks")
+    oov = F.size(
+        F.filter("_toks", lambda t: ~F.array_contains(F.col("_vocab"), t))
+    )
+    pow10 = F.lit(10000.0)
+    return joined.select(
+        id_col,
+        n.alias("n_tokens"),
+        oov.alias("n_oov"),
+        (F.floor(oov.cast("double") / n.cast("double") * pow10 + F.lit(0.5))
+         / pow10).alias("oov_frac"),
+    )

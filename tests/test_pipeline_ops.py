@@ -453,3 +453,18 @@ def test_graph_stats_triangles(spark):
     assert row["n_edges"] == 4
     assert row["n_triangles"] == 1
     assert row["max_degree"] == 3  # vertex 3 touches 1, 2, 4
+
+
+def test_oov_rate_against_planted_vocab(spark):
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.text import oov_rate
+
+    rows = [
+        ("d1", "cat dog cat dog"),        # all in-vocab
+        ("d2", "cat zebra qux"),          # 2 of 3 OOV with vocab_size=2
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in oov_rate(df, vocab_size=2).collect()}
+    # top-2 vocab by frequency = {cat, dog}
+    assert out["d1"]["n_oov"] == 0 and out["d1"]["oov_frac"] == 0.0
+    assert out["d2"]["n_oov"] == 2
+    assert abs(out["d2"]["oov_frac"] - 0.6667) < 1e-9
