@@ -2860,6 +2860,27 @@ def _q_sink_orc_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_range_band_join_bucketed(spark: SparkSession, sf: str) -> DataFrame:
+    # the SCALE formulation of the interval join (for interval sets too
+    # big to broadcast): explode intervals to grid buckets, hash
+    # equi-join on the bucket, residual-filter the exact predicate.
+    # Shares range_band_join's oracle — the two plans must agree
+    # row-for-row.
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.joins import (
+        range_join_bucketed,
+    )
+
+    events = load_table(spark, sf, "events")
+    bands = spark.createDataFrame(
+        list(_VALUE_BANDS), "band string, lo double, hi double"
+    )
+    joined = range_join_bucketed(events, bands, "value", bucket_width=50.0)
+    return joined.groupBy("band").agg(
+        F.count("*").alias("record_count"),
+        F.round(F.avg("value"), 2).alias("avg_value"),
+    )
+
+
 def _q_oov_rate(spark: SparkSession, sf: str) -> DataFrame:
     # out-of-vocabulary rate vs the corpus's own top-20 tokens — the
     # exact, log-free unigram-LM screen (vocab deterministic under a
@@ -3234,6 +3255,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "running_distinct_types": _q_running_distinct_types,
         "dedup_graph_stats": _q_dedup_graph_stats,
         "oov_rate": _q_oov_rate,
+        "range_band_join_bucketed": _q_range_band_join_bucketed,
         # --- overflow of the window: new-but-lowest-risk, then riskiest
         # prior greens ------------------------------------------------
         "ingest_metrics_passthrough": _q_ingest_metrics_passthrough,
@@ -3399,6 +3421,9 @@ def oracle_sql() -> dict[str, str]:
     # the streaming session-window run is batch-equivalent in complete
     # mode, so it shares the batch island-SQL oracle verbatim
     out["streaming_session_stats"] = out["session_window_stats"]
+    # the bucketized interval join must agree with the BNLJ plan
+    # row-for-row, so it shares the same oracle verbatim
+    out["range_band_join_bucketed"] = out["range_band_join"]
     return out
 
 

@@ -248,3 +248,55 @@ def full_outer_diff(
         *[F.col(f"new_{v}") for v in values],
         status.alias(status_col),
     )
+
+
+def range_join_bucketed(
+    fact: DataFrame,
+    intervals: DataFrame,
+    value: str,
+    lo: str = "lo",
+    hi: str = "hi",
+    bucket_width: float = 50.0,
+    clamp_lo: float = 0.0,
+    clamp_hi: float = 1000.0,
+) -> DataFrame:
+    """Equi-join scale path for interval joins — the formulation for
+    when the interval side is TOO BIG to broadcast (``range_join``'s
+    BNLJ is the right plan only for dimension-sized interval sets):
+
+    1. explode each interval to the grid buckets it touches
+       (``floor(lo/w) .. floor(hi/w)``, bounds clamped to
+       [clamp_lo, clamp_hi] so open-ended sentinel intervals explode
+       to a bounded bucket range — values outside the clamp range
+       land on the boundary bucket on BOTH sides, so no match is
+       lost);
+    2. equi-join fact rows on their value's bucket — a plain hash
+       shuffle join Catalyst can plan, AQE-skew-split, and scale;
+    3. re-apply the exact ``lo <= value < hi`` predicate as a
+       residual filter (bucket coverage is a superset, so this is
+       correctness, not optimization).
+
+    Same result set as ``range_join`` row-for-row; fan-out cost is
+    interval_span/bucket_width rows per interval — pick the width
+    near the median interval length.
+    """
+    w = F.lit(bucket_width)
+    clo = F.greatest(F.col(lo), F.lit(clamp_lo))
+    chi = F.least(F.col(hi), F.lit(clamp_hi))
+    ivx = intervals.withColumn(
+        "_bkt",
+        F.explode(
+            F.sequence(
+                F.floor(clo / w).cast("long"), F.floor(chi / w).cast("long")
+            )
+        ),
+    )
+    fx = fact.withColumn(
+        "_bkt",
+        F.floor(
+            F.greatest(F.least(F.col(value), F.lit(clamp_hi)), F.lit(clamp_lo))
+            / w
+        ).cast("long"),
+    )
+    cond = (F.col(value) >= F.col(lo)) & (F.col(value) < F.col(hi))
+    return fx.join(ivx, "_bkt").filter(cond).drop("_bkt")

@@ -468,3 +468,28 @@ def test_oov_rate_against_planted_vocab(spark):
     assert out["d1"]["n_oov"] == 0 and out["d1"]["oov_frac"] == 0.0
     assert out["d2"]["n_oov"] == 2
     assert abs(out["d2"]["oov_frac"] - 0.6667) < 1e-9
+
+
+def test_range_join_bucketed_equals_bnlj(spark):
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.joins import (
+        range_join,
+        range_join_bucketed,
+    )
+
+    fact = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate([0.0, 49.9, 50.0, 149.0, 500.0, 1500.0])],
+        ["id", "value"],
+    )
+    bands = spark.createDataFrame(
+        [("low", -1e12, 50.0), ("mid", 50.0, 150.0), ("open", 150.0, 1e12)],
+        ["band", "lo", "hi"],
+    )
+    a = {(r["id"], r["band"]) for r in range_join(fact, bands, "value").collect()}
+    b = {
+        (r["id"], r["band"])
+        for r in range_join_bucketed(fact, bands, "value", bucket_width=50.0).collect()
+    }
+    # identical row set, including values outside the clamp range
+    # (1500.0 > clamp_hi) and on open-ended sentinel intervals
+    assert a == b
+    assert (5, "open") in b

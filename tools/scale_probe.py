@@ -83,12 +83,30 @@ def probes(spark, sf_dir: str, factor: int) -> dict[str, tuple[DataFrame, int]]:
         .orderBy(F.desc("n"), "tok")
         .limit(50)
     )
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.aggregates import (
+        drift_bin_report,
+        equi_depth_bins,
+    )
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.dedup import passage_dup_stats
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.funnel import path_trigrams
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.text import gopher_quality_flags
+
+    gopher = gopher_quality_flags(docs)
+    passages = passage_dup_stats(docs, k=8)
+    deciles = equi_depth_bins(events, "value", "event_id", n_bins=10)
+    trigrams = path_trigrams(events, top_n=20)
+    drift = drift_bin_report(events, "ts", "value", bin_width=50.0, n_bins=10)
     return {
         "hash_aggregate(events)": (agg, n_events),
         "session_window(events)": (win, n_events),
         "shuffle_join+agg(orders x customer)": (join, n_orders),
         "exact_text_dedup(documents)": (dedup, n_docs),
         "wordcount_topk(documents)": (tokens, n_docs),
+        "gopher_quality_flags(documents)": (gopher, n_docs),
+        "passage_dup_stats(documents)": (passages, n_docs),
+        "equi_depth_bins(events)": (deciles, n_events),
+        "path_trigrams(events)": (trigrams, n_events),
+        "drift_bin_report(events)": (drift, n_events),
     }
 
 
