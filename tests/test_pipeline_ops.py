@@ -493,3 +493,87 @@ def test_range_join_bucketed_equals_bnlj(spark):
     # (1500.0 > clamp_hi) and on open-ended sentinel intervals
     assert a == b
     assert (5, "open") in b
+
+
+def test_equi_depth_bins_property_vs_global_ntile(spark):
+    """Property: for random multisets (dup-heavy values included), the
+    distributed offset formulation reproduces the engine's own global
+    ntile bucket sizes and per-bucket min/max exactly."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    from pyspark.sql import Window
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        vals=st.lists(st.integers(0, 9), min_size=1, max_size=60),
+        k=st.integers(2, 7),
+    )
+    def check(vals, k):
+        rows = [(float(v), f"id{i:04d}") for i, v in enumerate(vals)]
+        df = spark.createDataFrame(rows, ["value", "event_id"])
+        got = {
+            r["bin"]: (r["n_rows"], r["min_value"], r["max_value"])
+            for r in equi_depth_bins(df, "value", "event_id", n_bins=k).collect()
+        }
+        w = Window.orderBy("value", "event_id")
+        want = {
+            r["bin"]: (r["n"], r["mn"], r["mx"])
+            for r in df.select(F.ntile(k).over(w).alias("bin"), "value")
+            .groupBy("bin")
+            .agg(
+                F.count("*").alias("n"),
+                F.min("value").alias("mn"),
+                F.max("value").alias("mx"),
+            )
+            .collect()
+        }
+        assert got == want
+
+    check()
+
+
+def test_running_distinct_property_vs_bruteforce(spark):
+    """Property: running distinct equals a per-prefix set-size count
+    for random event streams (ties on ts allowed — tiebreak orders)."""
+    import datetime as dt
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.windows import (
+        running_distinct_count,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        stream=st.lists(
+            st.tuples(st.integers(0, 2), st.integers(0, 3), st.integers(0, 5)),
+            min_size=1,
+            max_size=40,
+        )
+    )
+    def check(stream):
+        rows = [
+            (i, base + dt.timedelta(minutes=m), u, f"t{e}")
+            for i, (u, e, m) in enumerate(stream)
+        ]
+        df = spark.createDataFrame(
+            rows, ["event_id", "ts", "user_id", "event_type"]
+        )
+        got = {
+            r["event_id"]: r["distinct_so_far"]
+            for r in running_distinct_count(
+                df, "user_id", "ts", "event_type", "event_id"
+            ).collect()
+        }
+        # brute force: order each user's rows by (ts, event_id), count
+        # prefix distinct
+        per_user: dict = {}
+        for eid, ts, u, et in sorted(rows, key=lambda r: (r[2], r[1], r[0])):
+            seen = per_user.setdefault(u, set())
+            seen.add(et)
+            assert got[eid] == len(seen)
+
+    check()
