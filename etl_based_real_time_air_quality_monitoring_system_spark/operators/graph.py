@@ -117,6 +117,11 @@ def graph_stats(
     fan-out is Σ deg(v)², so df-cut the candidate generator (it
     already caps postings) before counting.
     """
+    # the edge set feeds degrees + edge count + THREE triangle-join
+    # branches; without materialization each branch re-evaluates the
+    # upstream candidate generator (measured 6x the LSH pipeline).
+    # Same persist discipline as connected_components: cache the
+    # (a, b) pairs — two ids per edge, tiny relative to the corpus.
     e = (
         edges.select(
             F.least(F.col(src), F.col(dst)).alias("a"),
@@ -124,6 +129,8 @@ def graph_stats(
         )
         .filter(F.col("a") != F.col("b"))
         .distinct()
+        .localCheckpoint(eager=False)
+        .persist()
     )
     degrees = (
         e.select(F.col("a").alias("v"))
