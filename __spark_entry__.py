@@ -2860,6 +2860,42 @@ def _q_sink_orc_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_cluster_safe_split(spark: SparkSession, sf: str) -> DataFrame:
+    # near-dup-aware split: LSH+CC clusters are the split unit, so a
+    # near-duplicate pair never straddles train/test (the leakage an
+    # entity-key group split can't see).  Summary per (source, split).
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.sampling import (
+        cluster_safe_split,
+    )
+
+    docs = load_table(spark, sf, "documents")
+    pairs = minhash_lsh_candidates(docs, "doc_id", "text", n=3, k=16, bands=4)
+    cc = connected_components(pairs, "doc_a", "doc_b").select(
+        F.col("vertex").alias("doc_id"), F.col("component").alias("cluster_id")
+    )
+    tagged = cluster_safe_split(docs, cc)
+    return tagged.groupBy("source", "split").agg(
+        F.count("*").alias("n_docs"),
+        F.count_distinct("_unit").alias("n_units"),
+    )
+
+
+def _q_incremental_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    # nightly-ingest dedup: hash-split the corpus into "historical"
+    # (80%) and "incoming" (20%), dedupe incoming within-batch, then
+    # anti-join against historical fingerprints — only novel docs land
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.dedup import (
+        incremental_dedup,
+    )
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.sampling import hash_bucket
+
+    docs = load_table(spark, sf, "documents")
+    bucket = hash_bucket("doc_id", 100, "ingest:v1")
+    corpus = docs.filter(bucket >= 20)
+    incoming = docs.filter(bucket < 20)
+    return incremental_dedup(corpus, incoming)
+
+
 def _q_range_band_join_bucketed(spark: SparkSession, sf: str) -> DataFrame:
     # the SCALE formulation of the interval join (for interval sets too
     # big to broadcast): explode intervals to grid buckets, hash
@@ -3256,6 +3292,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_graph_stats": _q_dedup_graph_stats,
         "oov_rate": _q_oov_rate,
         "range_band_join_bucketed": _q_range_band_join_bucketed,
+        "incremental_dedup": _q_incremental_dedup,
+        "cluster_safe_split": _q_cluster_safe_split,
         # --- overflow of the window: new-but-lowest-risk, then riskiest
         # prior greens ------------------------------------------------
         "ingest_metrics_passthrough": _q_ingest_metrics_passthrough,
@@ -5201,6 +5239,69 @@ def _oracle_sql_literal() -> dict[str, str]:
             WHERE c.c_acctbal > (
                 SELECT avg(c2.c_acctbal) FROM customer c2
                 WHERE c2.c_nationkey = c.c_nationkey
+            )
+        """,
+        "cluster_safe_split": rf"""
+            WITH RECURSIVE {_SHINGLE_CTES},
+            sig AS (
+                SELECT doc_id,
+                   {_MINHASH_AGGS}
+                FROM sh GROUP BY doc_id
+            ),
+            bands AS (
+            {_BAND_SELECTS}
+            ),
+            pairs AS (
+                SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                FROM bands a JOIN bands b
+                  ON a.band = b.band AND a.bucket = b.bucket
+                 AND a.doc_id < b.doc_id
+            ),
+            sym AS (
+                SELECT doc_a AS a, doc_b AS b FROM pairs
+                UNION
+                SELECT doc_b, doc_a FROM pairs
+            ),
+            reach(v, r) AS (
+                SELECT a, b FROM sym
+                UNION
+                SELECT reach.v, sym.b FROM reach JOIN sym ON reach.r = sym.a
+            ),
+            cc AS (
+                SELECT v AS doc_id, least(v, min(r)) AS cluster_id
+                FROM reach GROUP BY v
+            ),
+            tagged AS (
+                SELECT d.source,
+                       coalesce(cc.cluster_id, d.doc_id) AS unit
+                FROM documents d LEFT JOIN cc ON d.doc_id = cc.doc_id
+            )
+            SELECT source,
+                   CASE WHEN ('0x' || substr(
+                            md5('cluster-split:v1' || unit::VARCHAR), 1, 7)
+                        )::BIGINT % 100 < 10
+                        THEN 'test' ELSE 'train' END AS split,
+                   count(*) AS n_docs,
+                   count(DISTINCT unit) AS n_units
+            FROM tagged GROUP BY 1, 2
+        """,
+        "incremental_dedup": r"""
+            WITH tagged AS (
+                SELECT doc_id,
+                       md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+                           AS fp,
+                       ('0x' || substr(
+                            md5('ingest:v1' || doc_id::VARCHAR), 1, 7)
+                       )::BIGINT % 100 AS bkt
+                FROM documents
+            ),
+            survivors AS (
+                SELECT fp AS fingerprint, min(doc_id) AS doc_id
+                FROM tagged WHERE bkt < 20 GROUP BY fp
+            )
+            SELECT doc_id, fingerprint FROM survivors
+            WHERE fingerprint NOT IN (
+                SELECT fp FROM tagged WHERE bkt >= 20
             )
         """,
         "oov_rate": rf"""

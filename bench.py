@@ -142,6 +142,9 @@ HEADLINE = [
     "running_distinct_types",
     "dedup_graph_stats",
     "oov_rate",
+    "range_band_join_bucketed",
+    "incremental_dedup",
+    "cluster_safe_split",
 ]
 
 

@@ -607,3 +607,35 @@ def keep_best_per_cluster(
             (F.col("n_members") - F.lit(1)).alias("n_dropped"),
         )
     )
+
+
+def incremental_dedup(
+    corpus: DataFrame,
+    incoming: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Incremental ingestion dedup — the shape every continuously-fed
+    corpus runs nightly: dedupe the INCOMING batch within itself
+    (keep min id per fingerprint), then drop anything whose
+    fingerprint already exists in the historical corpus (anti-join
+    against the stored fingerprint set).
+
+    Returns the novel incoming rows (id, fingerprint).  Scale shape:
+    the corpus side reduces to DISTINCT 16-byte fingerprints before
+    the anti-join — at 100 TB that set lives as its own compact
+    table updated per batch, and the anti-join shuffles hashes, not
+    documents.
+    """
+    inc = incoming.select(
+        F.col(id_col), fingerprint(text_col).alias("fingerprint")
+    )
+    batch_survivors = (
+        inc.groupBy("fingerprint").agg(F.min(id_col).alias(id_col))
+    )
+    known = corpus.select(
+        fingerprint(text_col).alias("fingerprint")
+    ).distinct()
+    return batch_survivors.join(known, "fingerprint", "left_anti").select(
+        id_col, "fingerprint"
+    )

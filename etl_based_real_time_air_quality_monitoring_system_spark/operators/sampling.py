@@ -133,3 +133,38 @@ def stratified_quota_sample(
         .filter(F.col("_qrank") <= quota)
         .drop("_qrank")
     )
+
+
+def cluster_safe_split(
+    docs: DataFrame,
+    clusters: DataFrame,
+    id_col: str = "doc_id",
+    cluster_col: str = "cluster_id",
+    test_pct: int = 10,
+    salt: str = "cluster-split:v1",
+    alias: str = "split",
+) -> DataFrame:
+    """Near-dup-aware train/test split: the split unit is the DUP
+    CLUSTER, not the document — hash the cluster representative
+    (cluster id for clustered docs, own id for singletons) so a
+    near-duplicate pair can never straddle the split boundary.  The
+    leakage ``group_split`` can't see: two documents that are
+    near-copies but share no entity key.
+
+    One left join onto the (id, cluster) assignment — already reduced
+    far below corpus size by LSH+CC — then the same pure-projection
+    hash rule as ``train_test_split``.
+    """
+    j = docs.join(
+        clusters.select(
+            F.col(id_col), F.col(cluster_col)
+        ),
+        id_col,
+        "left",
+    )
+    unit = F.coalesce(F.col(cluster_col), F.col(id_col))
+    bucket = hash_bucket(unit, 100, salt)
+    return j.withColumn("_unit", unit).withColumn(
+        alias,
+        F.when(bucket < test_pct, F.lit("test")).otherwise(F.lit("train")),
+    )

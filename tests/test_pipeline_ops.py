@@ -577,3 +577,46 @@ def test_running_distinct_property_vs_bruteforce(spark):
             assert got[eid] == len(seen)
 
     check()
+
+
+def test_incremental_dedup_filters_known_and_batch_dups(spark):
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.dedup import incremental_dedup
+
+    corpus = spark.createDataFrame(
+        [("c1", "already stored text"), ("c2", "another old doc")],
+        ["doc_id", "text"],
+    )
+    incoming = spark.createDataFrame(
+        [
+            ("n1", "brand new content"),
+            ("n2", "brand new content"),      # within-batch dup of n1
+            ("n3", "Already   Stored text"),  # normalizes to c1's fp
+            ("n4", "second novel doc"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"] for r in incremental_dedup(corpus, incoming).collect()}
+    assert got == {"n1", "n4"}
+
+
+def test_cluster_safe_split_never_splits_a_cluster(spark):
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.sampling import (
+        cluster_safe_split,
+    )
+
+    docs = spark.createDataFrame(
+        [(f"d{i}", f"text {i}") for i in range(30)], ["doc_id", "text"]
+    )
+    clusters = spark.createDataFrame(
+        [(f"d{i}", f"d{i - i % 3}") for i in range(30)],  # triples
+        ["doc_id", "cluster_id"],
+    )
+    tagged = cluster_safe_split(docs, clusters, test_pct=30)
+    per_cluster = (
+        tagged.groupBy("_unit")
+        .agg(F.count_distinct("split").alias("n_splits"))
+        .collect()
+    )
+    assert all(r["n_splits"] == 1 for r in per_cluster)
+    splits = {r["split"] for r in tagged.collect()}
+    assert splits == {"train", "test"}
