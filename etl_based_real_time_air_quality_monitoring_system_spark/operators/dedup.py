@@ -521,16 +521,23 @@ def passage_dup_stats(
         F.col(id_col), toks.alias("_toks")
     )
     n_pass = F.floor(F.size("_toks") / F.lit(k)).cast("int")
+    # sequence(0, n-1) DESCENDS when n == 0 (Spark default step is
+    # -1 for start > stop), fabricating phantom passages on sub-k
+    # documents — guard to an empty list instead
     passages = d.select(
         F.col(id_col),
         n_pass.alias("n_passages"),
-        F.transform(
-            F.sequence(F.lit(0), n_pass - F.lit(1)),
-            lambda i: F.md5(
-                F.concat_ws(" ", F.slice("_toks", i * F.lit(k) + F.lit(1), k))
-                .cast("binary")
+        F.when(
+            n_pass > 0,
+            F.transform(
+                F.sequence(F.lit(0), n_pass - F.lit(1)),
+                lambda i: F.md5(
+                    F.concat_ws(
+                        " ", F.slice("_toks", i * F.lit(k) + F.lit(1), k)
+                    ).cast("binary")
+                ),
             ),
-        ).alias("_ph"),
+        ).otherwise(F.array().cast("array<string>")).alias("_ph"),
     )
     exploded = passages.select(
         F.col(id_col), F.explode("_ph").alias("ph")

@@ -283,13 +283,14 @@ def range_join_bucketed(
     w = F.lit(bucket_width)
     clo = F.greatest(F.col(lo), F.lit(clamp_lo))
     chi = F.least(F.col(hi), F.lit(clamp_hi))
+    blo = F.floor(clo / w).cast("long")
+    bhi = F.floor(chi / w).cast("long")
+    # an interval entirely outside the clamp range inverts the bucket
+    # bounds (Spark sequence would silently DESCEND); order them so the
+    # explode always ascends over the boundary bucket it clamps to
     ivx = intervals.withColumn(
         "_bkt",
-        F.explode(
-            F.sequence(
-                F.floor(clo / w).cast("long"), F.floor(chi / w).cast("long")
-            )
-        ),
+        F.explode(F.sequence(F.least(blo, bhi), F.greatest(blo, bhi))),
     )
     fx = fact.withColumn(
         "_bkt",

@@ -620,3 +620,21 @@ def test_cluster_safe_split_never_splits_a_cluster(spark):
     assert all(r["n_splits"] == 1 for r in per_cluster)
     splits = {r["split"] for r in tagged.collect()}
     assert splits == {"train", "test"}
+
+
+def test_passage_dup_stats_empty_docs_no_phantom_passages(spark):
+    # regression: Spark sequence(0, -1) DESCENDS, which used to
+    # fabricate two phantom passages per sub-k document and mark
+    # empty docs as mutual duplicates
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.dedup import passage_dup_stats
+
+    df = spark.createDataFrame(
+        [("e", ""), ("w", "   "), ("x", "one two three")],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in passage_dup_stats(df, k=2).collect()}
+    for d in ("e", "w"):
+        assert out[d]["n_passages"] == 0
+        assert out[d]["n_dup_passages"] == 0
+        assert out[d]["dup_frac"] == 0.0
+    assert out["x"]["n_passages"] == 1 and out["x"]["n_dup_passages"] == 0
