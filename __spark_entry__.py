@@ -2860,6 +2860,31 @@ def _q_sink_orc_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_schema_evolution_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    # lake-schema evolution: two parquet batches with DIFFERENT schemas
+    # (a column added later), read back under mergeSchema — early rows
+    # surface the new column as NULL; aggregation must equal a direct
+    # oracle over the source with the same parity split
+    events = load_table(spark, sf, "events").select(
+        "event_id", "event_type", "value", "user_id"
+    )
+    root = os.path.join(_GATE_SINK_ROOT, "events_evolved")
+    old_batch = events.filter(F.col("event_id") % 2 == 0).drop("user_id")
+    new_batch = events.filter(F.col("event_id") % 2 == 1)
+    old_batch.write.mode("overwrite").parquet(os.path.join(root, "b1"))
+    new_batch.write.mode("overwrite").parquet(os.path.join(root, "b2"))
+    back = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(root, "b1"), os.path.join(root, "b2")
+    )
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("record_count"),
+        F.count("user_id").alias("rows_with_user"),
+        F.sum(F.col("value").cast("decimal(20,6)"))
+        .cast("double")
+        .alias("value_sum"),
+    )
+
+
 def _q_cluster_safe_split(spark: SparkSession, sf: str) -> DataFrame:
     # near-dup-aware split: LSH+CC clusters are the split unit, so a
     # near-duplicate pair never straddles train/test (the leakage an
@@ -3294,6 +3319,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_band_join_bucketed": _q_range_band_join_bucketed,
         "incremental_dedup": _q_incremental_dedup,
         "cluster_safe_split": _q_cluster_safe_split,
+        "schema_evolution_roundtrip": _q_schema_evolution_roundtrip,
         # --- overflow of the window: new-but-lowest-risk, then riskiest
         # prior greens ------------------------------------------------
         "ingest_metrics_passthrough": _q_ingest_metrics_passthrough,
@@ -5240,6 +5266,14 @@ def _oracle_sql_literal() -> dict[str, str]:
                 SELECT avg(c2.c_acctbal) FROM customer c2
                 WHERE c2.c_nationkey = c.c_nationkey
             )
+        """,
+        "schema_evolution_roundtrip": """
+            SELECT event_type,
+                   count(*) AS record_count,
+                   CAST(sum(CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS rows_with_user,
+                   (sum(value::DECIMAL(20,6)))::DOUBLE AS value_sum
+            FROM events GROUP BY event_type
         """,
         "cluster_safe_split": rf"""
             WITH RECURSIVE {_SHINGLE_CTES},

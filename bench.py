@@ -145,6 +145,7 @@ HEADLINE = [
     "range_band_join_bucketed",
     "incremental_dedup",
     "cluster_safe_split",
+    "schema_evolution_roundtrip",
 ]
 
 

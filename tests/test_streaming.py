@@ -414,3 +414,65 @@ def test_stateful_distinct_users_gated_or_correct(spark, sf_dir):
         .collect()
     }
     assert got == exp
+
+
+def test_streaming_incremental_dedup_foreachbatch(spark, tmp_path):
+    """Nightly-ingest dedup in its streaming home: each micro-batch of
+    documents is deduped within itself AND against the corpus built by
+    all prior batches (dedup.incremental_dedup inside foreachBatch),
+    so re-delivered or duplicated docs never land twice."""
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.dedup import (
+        incremental_dedup,
+    )
+
+    corpus_dir = tmp_path / "corpus"
+    spark.createDataFrame(
+        [("seed1", "the original document")], "doc_id string, text string"
+    ).write.parquet(str(corpus_dir / "batch_seed"))
+
+    src = tmp_path / "incoming"
+    src.mkdir()
+    _write_jsonl(
+        src / "b0.json",
+        [
+            {"doc_id": "n1", "text": "fresh content one"},
+            {"doc_id": "n2", "text": "fresh content one"},      # batch dup
+            {"doc_id": "n3", "text": "THE  original document"},  # known dup
+            {"doc_id": "n4", "text": "fresh content two"},
+        ],
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType(), True),
+            T.StructField("text", T.StringType(), True),
+        ]
+    )
+    stream = spark.readStream.schema(schema).json(str(src))
+    state = {"n": 0}
+
+    def apply_batch(batch, epoch_id):
+        corpus = batch.sparkSession.read.parquet(str(corpus_dir / "*"))
+        novel_ids = incremental_dedup(corpus, batch).select("doc_id")
+        novel = batch.join(novel_ids, "doc_id", "left_semi")
+        novel.write.mode("overwrite").parquet(
+            str(corpus_dir / f"batch_{state['n']}")
+        )
+        state["n"] += 1
+
+    q = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+
+    final = spark.read.parquet(str(corpus_dir / "*"))
+    ids = {r["doc_id"] for r in final.collect()}
+    assert "seed1" in ids
+    # exactly one of the batch-dup pair survives, the known dup never lands
+    assert "n3" not in ids
+    assert ("n1" in ids) != ("n2" in ids) or ("n1" in ids and "n2" not in ids)
+    assert "n4" in ids
+    assert len(ids) == 3
