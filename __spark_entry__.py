@@ -2935,7 +2935,9 @@ def _q_range_band_join_bucketed(spark: SparkSession, sf: str) -> DataFrame:
     bands = spark.createDataFrame(
         list(_VALUE_BANDS), "band string, lo double, hi double"
     )
-    joined = range_join_bucketed(events, bands, "value", bucket_width=50.0)
+    joined = range_join_bucketed(
+        events, bands, "value", bucket_width=50.0, clamp_lo=0.0, clamp_hi=1000.0
+    )
     return joined.groupBy("band").agg(
         F.count("*").alias("record_count"),
         F.round(F.avg("value"), 2).alias("avg_value"),
@@ -3500,7 +3502,7 @@ def _oracle_sql_literal() -> dict[str, str]:
                        len(toks) AS n_words,
                        floor(list_aggregate(list_transform(toks, x -> length(x)), 'sum')::DOUBLE
                              / len(toks)::DOUBLE * 10000.0 + 0.5) / 10000.0 AS mean_word_len,
-                       floor(len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))::DOUBLE
+                       floor(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]')))::DOUBLE
                              / len(toks)::DOUBLE * 10000.0 + 0.5) / 10000.0 AS alpha_frac,
                        len(list_filter({_GOPHER_SQL}, s -> list_contains(toks, s))) AS stop_hits
                 FROM t
@@ -3619,7 +3621,7 @@ def _oracle_sql_literal() -> dict[str, str]:
                 FROM events
             ),
             binned AS (
-                SELECT least(CAST(floor(value / 50.0) AS INTEGER), 9) AS bin,
+                SELECT greatest(least(CAST(floor(value / 50.0) AS INTEGER), 9), 0) AS bin,
                        epoch_us({_TS}) < (SELECT mid FROM b) AS is_ref
                 FROM events
             ),
@@ -3635,8 +3637,10 @@ def _oracle_sql_literal() -> dict[str, str]:
             ),
             m AS (
                 SELECT bin, n_ref, n_cur,
-                       CAST(floor(n_ref::DOUBLE / tr::DOUBLE * 1000000.0 + 0.5) AS BIGINT) AS rm,
-                       CAST(floor(n_cur::DOUBLE / tc::DOUBLE * 1000000.0 + 0.5) AS BIGINT) AS cm
+                       CAST(floor(n_ref::DOUBLE / greatest(tr, 1)::DOUBLE
+                                  * 1000000.0 + 0.5) AS BIGINT) AS rm,
+                       CAST(floor(n_cur::DOUBLE / greatest(tc, 1)::DOUBLE
+                                  * 1000000.0 + 0.5) AS BIGINT) AS cm
                 FROM c, tot
             )
             SELECT bin, n_ref, n_cur,
@@ -5270,7 +5274,9 @@ def _oracle_sql_literal() -> dict[str, str]:
         "schema_evolution_roundtrip": """
             SELECT event_type,
                    count(*) AS record_count,
-                   CAST(sum(CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END)
+                   CAST(sum(CASE WHEN event_id % 2 = 1
+                                   AND user_id IS NOT NULL
+                              THEN 1 ELSE 0 END)
                         AS BIGINT) AS rows_with_user,
                    (sum(value::DECIMAL(20,6)))::DOUBLE AS value_sum
             FROM events GROUP BY event_type
@@ -5327,7 +5333,7 @@ def _oracle_sql_literal() -> dict[str, str]:
                        ('0x' || substr(
                             md5('ingest:v1' || doc_id::VARCHAR), 1, 7)
                        )::BIGINT % 100 AS bkt
-                FROM documents
+                FROM documents WHERE text IS NOT NULL
             ),
             survivors AS (
                 SELECT fp AS fingerprint, min(doc_id) AS doc_id
@@ -5528,7 +5534,7 @@ def _oracle_sql_literal() -> dict[str, str]:
                        len(t) AS n_words,
                        floor(list_aggregate(list_transform(t, x -> length(x)), 'sum')::DOUBLE
                              / len(t)::DOUBLE * 10000.0 + 0.5) / 10000.0 AS mean_word_len,
-                       floor(len(list_filter(t, x -> regexp_matches(x, '[a-z]')))::DOUBLE
+                       floor(len(list_filter(t, x -> regexp_matches(x, '[A-Za-z]')))::DOUBLE
                              / len(t)::DOUBLE * 10000.0 + 0.5) / 10000.0 AS alpha_frac,
                        len(list_filter({_GOPHER_SQL}, s -> list_contains(t, s))) AS stop_hits
                 FROM toks

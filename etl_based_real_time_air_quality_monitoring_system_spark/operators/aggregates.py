@@ -304,9 +304,12 @@ def drift_bin_report(
     binned = (
         df.crossJoin(F.broadcast(bounds))
         .select(
-            F.least(
-                F.floor(F.col(value_col) / F.lit(bin_width)).cast("int"),
-                F.lit(n_bins - 1),
+            F.greatest(
+                F.least(
+                    F.floor(F.col(value_col) / F.lit(bin_width)).cast("int"),
+                    F.lit(n_bins - 1),
+                ),
+                F.lit(0),
             ).alias("bin"),
             (micros < F.col("_mid")).alias("_is_ref"),
         )
@@ -319,9 +322,12 @@ def drift_bin_report(
 
     def _rate_micros(cnt: Column, total: Column) -> Column:
         # rate in integer millionths (floor half-up) — all downstream
-        # arithmetic stays integer so the rounded deltas are exact
+        # arithmetic stays integer so the rounded deltas are exact.
+        # greatest(total, 1): an empty half (all rows on one side of
+        # the midpoint) reports zero rates, not NULLs
         return F.floor(
-            cnt.cast("double") / total.cast("double") * pow10 + F.lit(0.5)
+            cnt.cast("double") / F.greatest(total, F.lit(1)).cast("double")
+            * pow10 + F.lit(0.5)
         ).cast("long")
 
     totals = counts.agg(

@@ -634,15 +634,21 @@ def incremental_dedup(
     table updated per batch, and the anti-join shuffles hashes, not
     documents.
     """
-    inc = incoming.select(
+    # NULL text would produce a NULL fingerprint: the anti-join never
+    # matches NULL==NULL (the doc re-lands every batch) and a NULL in
+    # the corpus side poisons a SQL NOT-IN twin — unparseable docs are
+    # not ingestible, so both sides drop them up front
+    inc = incoming.filter(F.col(text_col).isNotNull()).select(
         F.col(id_col), fingerprint(text_col).alias("fingerprint")
     )
     batch_survivors = (
         inc.groupBy("fingerprint").agg(F.min(id_col).alias(id_col))
     )
-    known = corpus.select(
-        fingerprint(text_col).alias("fingerprint")
-    ).distinct()
+    known = (
+        corpus.filter(F.col(text_col).isNotNull())
+        .select(fingerprint(text_col).alias("fingerprint"))
+        .distinct()
+    )
     return batch_survivors.join(known, "fingerprint", "left_anti").select(
         id_col, "fingerprint"
     )

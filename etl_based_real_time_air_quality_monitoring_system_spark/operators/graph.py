@@ -151,8 +151,17 @@ def graph_stats(
         .join(ac, (F.col("a") == F.col("ta")) & (F.col("c") == F.col("tc")))
         .agg(F.count("*").alias("n_triangles"))
     )
-    return (
+    out = (
         vstats.crossJoin(F.broadcast(estats))
         .crossJoin(F.broadcast(tri))
         .select("n_vertices", "n_edges", "max_degree", "n_triangles")
     )
+    # the summary is ONE row: materialize it eagerly so the cached
+    # edge set can be released (connected_components' finally-block
+    # discipline — a lazy return would leak one cached dataset per
+    # call for the application lifetime)
+    try:
+        spark = edges.sparkSession
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        e.unpersist()

@@ -256,9 +256,10 @@ def range_join_bucketed(
     value: str,
     lo: str = "lo",
     hi: str = "hi",
-    bucket_width: float = 50.0,
-    clamp_lo: float = 0.0,
-    clamp_hi: float = 1000.0,
+    *,
+    bucket_width: float,
+    clamp_lo: float,
+    clamp_hi: float,
 ) -> DataFrame:
     """Equi-join scale path for interval joins — the formulation for
     when the interval side is TOO BIG to broadcast (``range_join``'s
@@ -269,7 +270,10 @@ def range_join_bucketed(
        [clamp_lo, clamp_hi] so open-ended sentinel intervals explode
        to a bounded bucket range — values outside the clamp range
        land on the boundary bucket on BOTH sides, so no match is
-       lost);
+       lost).  The clamps are REQUIRED and domain-specific: set them
+       to (at least) the fact value range, or everything outside
+       collapses onto one boundary bucket — the skewed mega-key this
+       formulation exists to avoid;
     2. equi-join fact rows on their value's bucket — a plain hash
        shuffle join Catalyst can plan, AQE-skew-split, and scale;
     3. re-apply the exact ``lo <= value < hi`` predicate as a

@@ -519,7 +519,7 @@ def gopher_quality_flags(
     mean_len = F.floor(
         sum_len.cast("double") / n.cast("double") * pow10 + F.lit(0.5)
     ) / pow10
-    n_alpha = F.size(F.filter("_toks", lambda t: t.rlike("[a-z]")))
+    n_alpha = F.size(F.filter("_toks", lambda t: t.rlike("[A-Za-z]")))
     alpha_frac = F.floor(
         n_alpha.cast("double") / n.cast("double") * pow10 + F.lit(0.5)
     ) / pow10
@@ -570,15 +570,24 @@ def token_cooccurrence(
     (dedup.py:78); the heavy shuffle keys are (token, token) pairs
     with partial map-side aggregation.
     """
+    from pyspark.sql import Window
+
     tok_docs = (
         df.select(F.col(id_col).alias("_id"), tokens(text).alias("_toks"))
         .select("_id", F.explode(F.array_distinct("_toks")).alias("tok"))
     )
-    dfc = tok_docs.groupBy("tok").agg(F.count("*").alias("_df"))
-    vocab = dfc.filter(F.col("_df") >= F.lit(min_df))
+    # df-filter via a token-keyed count window instead of a separate
+    # aggregate branch, so the tokenize pipeline has ONE consumer; the
+    # pruned postings are then materialized once — the self-join's two
+    # sides and the window would otherwise re-run tokenize+explode 3x
+    # (the same re-evaluation hazard graph_stats measured at 6x)
+    wdf = Window.partitionBy("tok")
+    pruned = tok_docs.withColumn("_df", F.count("*").over(wdf)).filter(
+        F.col("_df") >= F.lit(min_df)
+    )
     if max_df is not None:
-        vocab = vocab.filter(F.col("_df") <= F.lit(max_df))
-    pruned = tok_docs.join(F.broadcast(vocab.select("tok")), "tok", "left_semi")
+        pruned = pruned.filter(F.col("_df") <= F.lit(max_df))
+    pruned = pruned.select("_id", "tok").localCheckpoint(eager=False).persist()
     a = pruned.select(F.col("_id"), F.col("tok").alias("tok_a"))
     b = pruned.select(F.col("_id"), F.col("tok").alias("tok_b"))
     pairs = (
@@ -587,9 +596,14 @@ def token_cooccurrence(
         .groupBy("tok_a", "tok_b")
         .agg(F.count("*").alias("n_docs"))
     )
-    return pairs.orderBy(
+    out = pairs.orderBy(
         F.col("n_docs").desc(), F.col("tok_a"), F.col("tok_b")
     ).limit(top_n)
+    # ≤ top_n rows: materialize eagerly so the cached postings release
+    try:
+        return df.sparkSession.createDataFrame(out.collect(), out.schema)
+    finally:
+        pruned.unpersist()
 
 
 def rescore_pairs_tfidf(

@@ -487,7 +487,9 @@ def test_range_join_bucketed_equals_bnlj(spark):
     a = {(r["id"], r["band"]) for r in range_join(fact, bands, "value").collect()}
     b = {
         (r["id"], r["band"])
-        for r in range_join_bucketed(fact, bands, "value", bucket_width=50.0).collect()
+        for r in range_join_bucketed(
+            fact, bands, "value", bucket_width=50.0, clamp_lo=0.0, clamp_hi=1000.0
+        ).collect()
     }
     # identical row set, including values outside the clamp range
     # (1500.0 > clamp_hi) and on open-ended sentinel intervals
@@ -638,3 +640,49 @@ def test_passage_dup_stats_empty_docs_no_phantom_passages(spark):
         assert out[d]["n_dup_passages"] == 0
         assert out[d]["dup_frac"] == 0.0
     assert out["x"]["n_passages"] == 1 and out["x"]["n_dup_passages"] == 0
+
+
+def test_gopher_alpha_counts_uppercase(spark):
+    # review regression: [a-z] missed uppercase; all-caps words are
+    # alphabetic under the Gopher rule
+    out = gopher_quality_flags(
+        spark.createDataFrame(
+            [("caps", "NASA AND ESA SIGNED THE ACCORD WITH THE UN TODAY")],
+            ["doc_id", "text"],
+        )
+    ).collect()[0]
+    assert out["alpha_frac"] == 1.0
+
+
+def test_incremental_dedup_null_text_never_lands(spark):
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.dedup import incremental_dedup
+
+    corpus = spark.createDataFrame(
+        [("c1", "stored"), ("c2", None)], "doc_id string, text string"
+    )
+    incoming = spark.createDataFrame(
+        [("n1", None), ("n2", "novel")], "doc_id string, text string"
+    )
+    got = {r["doc_id"] for r in incremental_dedup(corpus, incoming).collect()}
+    # NULL-text docs are not ingestible: dropped, never 'novel forever'
+    assert got == {"n2"}
+
+
+def test_drift_bin_report_negative_values_and_one_sided_split(spark):
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    # negative values must clamp into bin 0, not bin -1
+    df = spark.createDataFrame(
+        [(base, -12.0), (base + dt.timedelta(hours=1), -1e6),
+         (base + dt.timedelta(hours=2), 60.0)],
+        ["ts", "value"],
+    )
+    out = {r["bin"]: r for r in drift_bin_report(df, "ts", "value").collect()}
+    assert set(out) <= set(range(10))
+    assert out[0]["n_ref"] + out[0]["n_cur"] == 2
+    # all rows on one timestamp -> empty reference half must yield
+    # zero rates, not NULLs
+    one = spark.createDataFrame([(base, 10.0), (base, 20.0)], ["ts", "value"])
+    rows = drift_bin_report(one, "ts", "value").collect()
+    assert all(r["rate_ref"] == 0.0 and r["rate_abs_diff"] is not None for r in rows)
