@@ -560,15 +560,17 @@ def token_cooccurrence(
     pairs (count desc, then pair asc — a total order, so top-N is
     exact).
 
-    Shape: tokenize once -> explode DISTINCT tokens (presence, not
-    frequency) -> df-filter the vocabulary (``min_df`` floors it,
-    ``max_df`` cuts stopword-ish heads so the per-document self-join
-    fan-out is bounded) -> self-join on the document key -> pair
-    count -> TakeOrdered.  At 100 TB the pair blow-up is
-    C(v_doc, 2) per document where v_doc is capped by the df cut —
-    the same inverted-index bound as ngram_jaccard_pairs
-    (dedup.py:78); the heavy shuffle keys are (token, token) pairs
-    with partial map-side aggregation.
+    Single-evaluation shape (the same doc-grouped postings expansion
+    as ``dedup._pair_intersections`` — a postings self-join would
+    re-run the tokenize pipeline once per side): tokenize -> explode
+    DISTINCT tokens (presence, not frequency) -> df-filter the
+    vocabulary with a token-keyed count window (``min_df`` floors it,
+    ``max_df`` cuts stopword-ish heads so the per-document pair
+    fan-out is bounded) -> regroup per doc -> expand ordered pairs
+    IN-ARRAY -> pair count -> TakeOrdered.  At 100 TB the pair
+    blow-up is C(v_doc, 2) per document with v_doc capped by the df
+    cut; the heavy shuffle keys are (token, token) pairs with partial
+    map-side aggregation.
     """
     from pyspark.sql import Window
 
@@ -576,34 +578,32 @@ def token_cooccurrence(
         df.select(F.col(id_col).alias("_id"), tokens(text).alias("_toks"))
         .select("_id", F.explode(F.array_distinct("_toks")).alias("tok"))
     )
-    # df-filter via a token-keyed count window instead of a separate
-    # aggregate branch, so the tokenize pipeline has ONE consumer; the
-    # pruned postings are then materialized once — the self-join's two
-    # sides and the window would otherwise re-run tokenize+explode 3x
-    # (the same re-evaluation hazard graph_stats measured at 6x)
     wdf = Window.partitionBy("tok")
     pruned = tok_docs.withColumn("_df", F.count("*").over(wdf)).filter(
         F.col("_df") >= F.lit(min_df)
     )
     if max_df is not None:
         pruned = pruned.filter(F.col("_df") <= F.lit(max_df))
-    pruned = pruned.select("_id", "tok").localCheckpoint(eager=False).persist()
-    a = pruned.select(F.col("_id"), F.col("tok").alias("tok_a"))
-    b = pruned.select(F.col("_id"), F.col("tok").alias("tok_b"))
+    per_doc = pruned.groupBy("_id").agg(
+        F.sort_array(F.collect_list("tok")).alias("_v")
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            "_v",
+            lambda x: F.transform(
+                F.filter("_v", lambda y: x < y),
+                lambda y: F.struct(x.alias("tok_a"), y.alias("tok_b")),
+            ),
+        )
+    )
     pairs = (
-        a.join(b, "_id")
-        .filter(F.col("tok_a") < F.col("tok_b"))
-        .groupBy("tok_a", "tok_b")
+        per_doc.select(F.explode(pair_structs).alias("_p"))
+        .groupBy("_p.tok_a", "_p.tok_b")
         .agg(F.count("*").alias("n_docs"))
     )
-    out = pairs.orderBy(
+    return pairs.orderBy(
         F.col("n_docs").desc(), F.col("tok_a"), F.col("tok_b")
     ).limit(top_n)
-    # ≤ top_n rows: materialize eagerly so the cached postings release
-    try:
-        return df.sparkSession.createDataFrame(out.collect(), out.schema)
-    finally:
-        pruned.unpersist()
 
 
 def rescore_pairs_tfidf(

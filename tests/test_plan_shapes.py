@@ -459,13 +459,16 @@ def test_gopher_quality_is_narrow(spark, sf_dir):
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
 
 
-def test_token_cooccurrence_broadcasts_vocab(spark, sf_dir):
-    # the df-cut vocabulary prunes via a broadcast semi join; pair
-    # ranking compiles to TakeOrdered (no global sort)
+def test_token_cooccurrence_single_pass_no_join(spark, sf_dir):
+    # single-evaluation shape: df-cut via a token-keyed count window,
+    # pair expansion IN-ARRAY (no self-join re-running the tokenizer),
+    # top-N as TakeOrdered (no global sort)
     q = entrymod.queries()["token_cooccurrence"](spark, sf_dir)
     p = plan(q)
-    assert "BroadcastHashJoin" in p and "LeftSemi" in p
+    assert "Join" not in p
+    assert "hashpartitioning(tok" in p
     assert "TakeOrderedAndProject" in p
+    assert "rangepartitioning" not in p
 
 
 def test_path_trigrams_single_user_shuffle_plus_agg(spark, sf_dir):
