@@ -1240,6 +1240,18 @@ _GATE_SINK_ROOT = os.path.join(
 )
 
 
+def _sf_tag(sf: str) -> str:
+    """Filesystem-safe tag for a scale-factor dir — gate sink paths and
+    bucketed-table names are keyed by it so concurrent runs at
+    different SFs (a sweep + a bench) never clobber each other's
+    write→read-back round trips."""
+    return os.path.basename(os.path.normpath(sf)).replace(".", "_")
+
+
+def _gate_sink(sf: str, name: str) -> str:
+    return os.path.join(_GATE_SINK_ROOT, f"{name}_{_sf_tag(sf)}")
+
+
 def _q_sink_partitioned_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     # S10 in the gate as a REAL write->read round trip: partitioned
     # parquet sink, then a read-back whose partition filter prunes
@@ -1251,7 +1263,7 @@ def _q_sink_partitioned_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     )
 
     events = load_table(spark, sf, "events").select("event_id", "event_type", "value")
-    path = os.path.join(_GATE_SINK_ROOT, "events_by_type")
+    path = _gate_sink(sf, "events_by_type")
     write_partitioned_parquet(events, path, partition_cols=("event_type",))
     back = spark.read.parquet(path).filter(
         F.col("event_type").isin("click", "purchase")
@@ -1276,22 +1288,24 @@ def _q_sink_bucketed_join(spark: SparkSession, sf: str) -> DataFrame:
 
     orders = load_table(spark, sf, "orders").select("o_custkey", "o_totalprice")
     customer = load_table(spark, sf, "customer").select("c_custkey", "c_mktsegment")
+    otab = f"gate_orders_bucketed_{_sf_tag(sf)}"
+    ctab = f"gate_customer_bucketed_{_sf_tag(sf)}"
     write_bucketed_table(
         orders,
-        "gate_orders_bucketed",
+        otab,
         ("o_custkey",),
         num_buckets=8,
-        path=os.path.join(_GATE_SINK_ROOT, "orders_bucketed"),
+        path=_gate_sink(sf, "orders_bucketed"),
     )
     write_bucketed_table(
         customer,
-        "gate_customer_bucketed",
+        ctab,
         ("c_custkey",),
         num_buckets=8,
-        path=os.path.join(_GATE_SINK_ROOT, "customer_bucketed"),
+        path=_gate_sink(sf, "customer_bucketed"),
     )
-    o = spark.table("gate_orders_bucketed")
-    c = spark.table("gate_customer_bucketed")
+    o = spark.table(otab)
+    c = spark.table(ctab)
     joined = o.join(c, o.o_custkey == c.c_custkey)
     total = F.sum(F.col("o_totalprice").cast("decimal(20,6)")).cast("double")
     return joined.groupBy("c_mktsegment").agg(
@@ -1315,7 +1329,7 @@ def _q_sink_csv_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("o_orderstatus")
         .agg(F.count("*").alias("n_orders"))
     )
-    path = os.path.join(_GATE_SINK_ROOT, "status_summary_csv")
+    path = _gate_sink(sf, "status_summary_csv")
     write_single_csv(summary, path)
     return spark.read.option("header", "true").schema(
         "o_orderstatus string, n_orders long"
@@ -1354,7 +1368,7 @@ def _q_json_scan_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     rows = load_table(spark, sf, "orders").select(
         "o_orderkey", "o_orderstatus", "o_orderpriority"
     )
-    path = os.path.join(_GATE_SINK_ROOT, "orders_json")
+    path = _gate_sink(sf, "orders_json")
     rows.write.mode("overwrite").json(path)
     schema = T.StructType(
         [
@@ -1393,9 +1407,18 @@ def _q_cache_fanout(spark: SparkSession, sf: str) -> DataFrame:
     by_hour = events.groupBy(
         F.hour(F.col("ts").cast("timestamp")).cast("string").alias("key")
     ).agg(F.count("*").alias("record_count"), vsum.alias("value_sum"))
-    return by_type.withColumn("branch", F.lit("type")).unionByName(
+    out = by_type.withColumn("branch", F.lit("type")).unionByName(
         by_hour.withColumn("branch", F.lit("hour"))
     )
+    # the fan-out result is ~|event_types| + 24 rows: materialize it
+    # eagerly so the cached intermediate can be RELEASED — .cache() is
+    # catalog-pinned (not GC-reclaimed like broadcasts), so a lazy
+    # return would pin another copy of the filtered table per gate/
+    # bench invocation for the session lifetime
+    try:
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        events.unpersist()
 
 
 def _q_dead_letter_split(spark: SparkSession, sf: str) -> DataFrame:
@@ -1446,8 +1469,12 @@ def _q_streaming_to_table_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     # T8 in the gate: a REAL checkpointed foreachBatch parquet sink —
     # availableNow stream over the events file source, partitioned
     # append, then a batch read-back aggregated against the batch
-    # oracle.  The checkpoint makes re-runs no-ops (idempotent
-    # restart), so the read-back equals exactly one copy of the table.
+    # oracle.  The checkpoint makes a COMPLETED re-run a no-op; a crash
+    # BETWEEN the parquet append and the epoch commit would replay the
+    # epoch and append twice — plain foreachBatch+append is
+    # at-least-once, and a production sink gets exactly-once by writing
+    # epoch-id-named files (or a transactional table format) so replays
+    # overwrite instead of duplicate.
     from etl_based_real_time_air_quality_monitoring_system_spark.streaming.pipeline import (
         run_to_partitioned_parquet,
     )
@@ -2849,7 +2876,7 @@ def _q_sink_orc_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     events = load_table(spark, sf, "events").select(
         "event_id", "event_type", "value"
     )
-    path = os.path.join(_GATE_SINK_ROOT, "events_orc")
+    path = _gate_sink(sf, "events_orc")
     write_orc(events, path)
     back = spark.read.orc(path)
     return back.groupBy("event_type").agg(
@@ -2868,7 +2895,7 @@ def _q_schema_evolution_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     events = load_table(spark, sf, "events").select(
         "event_id", "event_type", "value", "user_id"
     )
-    root = os.path.join(_GATE_SINK_ROOT, "events_evolved")
+    root = _gate_sink(sf, "events_evolved")
     old_batch = events.filter(F.col("event_id") % 2 == 0).drop("user_id")
     new_batch = events.filter(F.col("event_id") % 2 == 1)
     old_batch.write.mode("overwrite").parquet(os.path.join(root, "b1"))
@@ -5908,9 +5935,9 @@ def _oracle_sql_literal() -> dict[str, str]:
             WITH scored AS (
                 SELECT a.vec_id AS qid, a.label AS label,
                        b.vec_id AS cid, b.label AS nn_label,
-                       round(list_cosine_similarity(
-                           a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6)
-                           AS sim
+                       floor(list_cosine_similarity(
+                           a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+                           * 1000000.0 + 0.5) / 1000000.0 AS sim
                 FROM embeddings a JOIN embeddings b
                   ON a.vec_id != b.vec_id
             ),

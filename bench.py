@@ -169,7 +169,7 @@ def main() -> None:
     # BENCH_WARM=1: time each query twice and report the min — removes
     # per-query codegen/JIT noise (±20% run-to-run on cold timings) for
     # regression comparisons; the driver's default protocol stays cold
-    warm = bool(os.environ.get("BENCH_WARM"))
+    warm = os.environ.get("BENCH_WARM", "").lower() not in ("", "0", "false")
     timings: dict[str, float] = {}
     for name in names:
         t = run_once(qs[name](spark, sf_dir))

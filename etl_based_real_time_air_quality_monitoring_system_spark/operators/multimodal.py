@@ -184,6 +184,11 @@ def decode_header(payload: bytes | None) -> dict:
         # order), bpp at 28 (uint16 LE)
         width, height = struct.unpack_from("<ii", buf, 18)
         (bpp,) = struct.unpack_from("<H", buf, 28)
+        # negative height is legal (top-down row order); a non-positive
+        # WIDTH is not — treat the header as malformed, honoring the
+        # "garbage in -> unknown" contract
+        if width <= 0 or height == 0:
+            return out
         out.update(format="bmp", width=width, height=abs(height), bits=bpp)
         return out
     if buf[:4] == b"RIFF" and len(buf) >= 12 and buf[8:12] == b"WAVE":
@@ -257,6 +262,15 @@ def decode_assets(df: DataFrame) -> DataFrame:
     partitioning follows input — the same seam a full codec decoder
     drops into."""
 
+    _I32 = 2**31 - 1
+
+    def _i32(v):
+        # a field that overflows int32 (e.g. a >2 GiB WAV data chunk's
+        # frame count) degrades THAT value to NULL — pd.array would
+        # otherwise raise on the unsafe int64->int32 cast and kill
+        # every asset in the batch
+        return v if v is None or -_I32 - 1 <= v <= _I32 else None
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             metas = [decode_header(p) for p in pdf["payload"]]
@@ -265,16 +279,16 @@ def decode_assets(df: DataFrame) -> DataFrame:
                     "asset_id": pdf["asset_id"],
                     "modality": pdf["modality"],
                     "format": [m["format"] for m in metas],
-                    "width": pd.array([m["width"] for m in metas], dtype="Int32"),
-                    "height": pd.array([m["height"] for m in metas], dtype="Int32"),
+                    "width": pd.array([_i32(m["width"]) for m in metas], dtype="Int32"),
+                    "height": pd.array([_i32(m["height"]) for m in metas], dtype="Int32"),
                     "sample_rate": pd.array(
-                        [m["sample_rate"] for m in metas], dtype="Int32"
+                        [_i32(m["sample_rate"]) for m in metas], dtype="Int32"
                     ),
                     "channels": pd.array(
-                        [m["channels"] for m in metas], dtype="Int32"
+                        [_i32(m["channels"]) for m in metas], dtype="Int32"
                     ),
                     "n_frames": pd.array(
-                        [m["n_frames"] for m in metas], dtype="Int32"
+                        [_i32(m["n_frames"]) for m in metas], dtype="Int32"
                     ),
                 }
             )

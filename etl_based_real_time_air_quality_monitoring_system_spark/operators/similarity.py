@@ -188,7 +188,8 @@ def nn_label_confusion(
         "label",
         "_cid",
         "nn_label",
-        F.round(dot(F.col("_ua"), F.col("_ub")), scale).alias("_sim"),
+        (F.floor(dot(F.col("_ua"), F.col("_ub")) * F.lit(10.0 ** scale)
+                 + F.lit(0.5)) / F.lit(10.0 ** scale)).alias("_sim"),
     )
     w = Window.partitionBy("_qid").orderBy(F.desc("_sim"), F.col("_cid"))
     nn = scored.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1)
@@ -217,6 +218,12 @@ def _nn_label_confusion_gemm(
         _as_double_array(emb_col).alias("_e"),
     )
     n = narrow.count()
+    if n <= 1:
+        # empty corpus would crash np.stack; a singleton has no
+        # neighbor (argmax over an all--inf row would still pick
+        # index 0) — the window formulation yields the correct empty
+        # result for both
+        return None
     if n > max_rows:
         logger.warning(
             "nn_label_confusion: corpus has %d rows, over the GEMM bound of "
@@ -231,6 +238,11 @@ def _nn_label_confusion_gemm(
     corpus_lbl = corpus_pdf["_lbl"].to_numpy()
     corpus = np.stack(corpus_pdf["_e"].to_numpy()).astype(np.float64)
     corpus /= np.linalg.norm(corpus, axis=1, keepdims=True)
+    # lifecycle: the broadcast is captured by the returned plan's
+    # closure; once the caller drops the result DataFrame the driver
+    # reference becomes unreachable and Spark's ContextCleaner
+    # unpersists it — no explicit destroy() (which would break the
+    # still-lazy plan)
     bcast = spark.sparkContext.broadcast((corpus_ids, corpus_lbl, corpus))
     parts = max(1, min(spark.sparkContext.defaultParallelism, n // 4096))
     if narrow.rdd.getNumPartitions() != parts:
@@ -244,7 +256,12 @@ def _nn_label_confusion_gemm(
             qids = pdf["_id"].to_numpy()
             qm = np.stack(pdf["_e"].to_numpy()).astype(np.float64)
             qm /= np.linalg.norm(qm, axis=1, keepdims=True)
-            sims = np.round(qm @ bm.T, scale)
+            # floor half-up, NOT np.round: np.round is half-even on
+            # the binary double while the window path/oracle round
+            # half-up — a 6th-digit tie would flip the argmax between
+            # the two paths
+            pow10 = 10.0 ** scale
+            sims = np.floor(qm @ bm.T * pow10 + 0.5) / pow10
             sims[qids[:, None] == bids[None, :]] = -np.inf  # mask self
             # argmax returns the FIRST max; corpus is id-sorted, so ties
             # resolve to the lower neighbor id — same as the window path
@@ -337,6 +354,12 @@ def cosine_near_dup_gemm(
     # restores raise-on-overflow for callers that need the exact path
     # or an error.
     n = narrow.count()
+    if n <= 1:
+        # empty corpus would crash np.stack; a singleton has no
+        # neighbor (argmax over an all--inf row would still pick
+        # index 0) — the window formulation yields the correct empty
+        # result for both
+        return None
     if n > max_rows:
         if strict:
             raise ValueError(
@@ -373,7 +396,12 @@ def cosine_near_dup_gemm(
             qids = pdf["_id"].to_numpy()
             qm = np.stack(pdf["_e"].to_numpy()).astype(np.float64)
             qm /= np.linalg.norm(qm, axis=1, keepdims=True)
-            sims = np.round(qm @ bm.T, scale)
+            # floor half-up, NOT np.round: np.round is half-even on
+            # the binary double while the window path/oracle round
+            # half-up — a 6th-digit tie would flip the argmax between
+            # the two paths
+            pow10 = 10.0 ** scale
+            sims = np.floor(qm @ bm.T * pow10 + 0.5) / pow10
             ii, jj = np.nonzero((sims >= threshold) & (qids[:, None] < bids[None, :]))
             yield pd.DataFrame(
                 {"id_a": qids[ii], "id_b": bids[jj], "cosine_sim": sims[ii, jj]}

@@ -686,3 +686,48 @@ def test_drift_bin_report_negative_values_and_one_sided_split(spark):
     one = spark.createDataFrame([(base, 10.0), (base, 20.0)], ["ts", "value"])
     rows = drift_bin_report(one, "ts", "value").collect()
     assert all(r["rate_ref"] == 0.0 and r["rate_abs_diff"] is not None for r in rows)
+
+
+def test_nn_label_confusion_gemm_tiny_corpora(spark):
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.similarity import (
+        nn_label_confusion,
+    )
+
+    # empty corpus: no crash, empty result (both paths)
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>, label int")
+    assert nn_label_confusion(empty, "vec_id", "embedding", "label").count() == 0
+    # singleton corpus: no neighbor -> no phantom self-pair
+    one = spark.createDataFrame(
+        [(1, [1.0, 0.0], 7)], "vec_id long, embedding array<double>, label int"
+    )
+    assert nn_label_confusion(one, "vec_id", "embedding", "label").count() == 0
+
+
+def test_decode_header_rejects_negative_width_and_clamps_int32(spark):
+    import struct as st
+
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.multimodal import (
+        decode_assets,
+        decode_header,
+        encode_bmp,
+        encode_wav,
+    )
+
+    # craft a BMP with width = -640
+    bad = bytearray(encode_bmp(16, 8))
+    st.pack_into("<i", bad, 18, -640)
+    assert decode_header(bytes(bad))["format"] == "unknown"
+    # craft a WAV whose data-chunk claims >2^31 frames (mono 8-bit)
+    big = bytearray(encode_wav(8000, 1, 8, 4))
+    pos = big.find(b"data")
+    st.pack_into("<I", big, pos + 4, 0xFFFFFFF0)
+    meta = decode_header(bytes(big))
+    assert meta["format"] == "wav" and meta["n_frames"] > 2**31 - 1
+    # the Arrow decode degrades that ONE field to NULL, not the batch
+    df = spark.createDataFrame(
+        [(1, "audio", bytes(big)), (2, "image", encode_bmp(4, 4))],
+        "asset_id long, modality string, payload binary",
+    )
+    rows = {r["asset_id"]: r for r in decode_assets(df).collect()}
+    assert rows[1]["format"] == "wav" and rows[1]["n_frames"] is None
+    assert rows[2]["format"] == "bmp" and rows[2]["width"] == 4
