@@ -731,3 +731,62 @@ def test_decode_header_rejects_negative_width_and_clamps_int32(spark):
     rows = {r["asset_id"]: r for r in decode_assets(df).collect()}
     assert rows[1]["format"] == "wav" and rows[1]["n_frames"] is None
     assert rows[2]["format"] == "bmp" and rows[2]["width"] == 4
+
+
+def test_asof_join_property_vs_bruteforce(spark):
+    """Property: both as-of directions match a brute-force reference on
+    random keyed streams, including equal timestamps and keys with no
+    match; right rows are unique per (key, time) as the contract
+    requires."""
+    import datetime as dt
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.joins import asof_join
+
+    base = dt.datetime(2024, 1, 1)
+
+    @settings(max_examples=6, deadline=None)
+    @given(
+        lefts=st.lists(
+            st.tuples(st.integers(0, 2), st.integers(0, 8)),
+            min_size=1, max_size=15,
+        ),
+        rights=st.lists(
+            st.tuples(st.integers(0, 2), st.integers(0, 8)),
+            min_size=1, max_size=15, unique=True,  # unique (key, time)
+        ),
+    )
+    def check(lefts, rights):
+        lrows = [
+            (i, k, base + dt.timedelta(minutes=m))
+            for i, (k, m) in enumerate(lefts)
+        ]
+        rrows = [
+            (100 + i, k, base + dt.timedelta(minutes=m))
+            for i, (k, m) in enumerate(rights)
+        ]
+        ldf = spark.createDataFrame(lrows, ["lid", "k", "lt"])
+        rdf = spark.createDataFrame(rrows, ["rid", "k", "rt"])
+
+        for direction in ("backward", "forward"):
+            got = {
+                r["lid"]: r["rid"]
+                for r in asof_join(
+                    ldf, rdf, "k", "lt", "rt", ["rid"],
+                    how="left", direction=direction,
+                ).collect()
+            }
+            for lid, k, lt in lrows:
+                if direction == "backward":
+                    cands = [(rt, rid) for rid, rk, rt in rrows
+                             if rk == k and rt <= lt]
+                    want = max(cands)[1] if cands else None
+                else:
+                    cands = [(rt, rid) for rid, rk, rt in rrows
+                             if rk == k and rt >= lt]
+                    want = min(cands)[1] if cands else None
+                assert got[lid] == want, (direction, lid, got[lid], want)
+
+    check()
