@@ -790,3 +790,85 @@ def test_asof_join_property_vs_bruteforce(spark):
                 assert got[lid] == want, (direction, lid, got[lid], want)
 
     check()
+
+
+def test_merge_upsert_property_vs_dict_replay(spark):
+    """Property: a chain of merge_upsert batches equals a python dict
+    replay (insert/replace/delete per key, per-key-unique batches)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.cdc import merge_upsert
+
+    op = st.tuples(
+        st.integers(0, 5),                       # key
+        st.integers(0, 99),                      # value
+        st.booleans(),                           # tombstone?
+    )
+    batch = st.lists(op, min_size=1, max_size=6, unique_by=lambda t: t[0])
+
+    @settings(max_examples=6, deadline=None)
+    @given(batches=st.lists(batch, min_size=1, max_size=4))
+    def check(batches):
+        snap = spark.createDataFrame(
+            [(0, -1), (1, -1)], "k long, v long"
+        )
+        state = {0: -1, 1: -1}
+        for b in batches:
+            upd = spark.createDataFrame(
+                [(k, v, d) for k, v, d in b], "k long, v long, _deleted boolean"
+            )
+            snap = merge_upsert(snap, upd, "k", delete_col="_deleted")
+            for k, v, d in b:
+                if d:
+                    state.pop(k, None)
+                else:
+                    state[k] = v
+        got = {r["k"]: r["v"] for r in snap.collect()}
+        assert got == state
+
+    check()
+
+
+def test_scd2_history_interval_invariants(spark):
+    """Property: SCD2 intervals per key partition the version stream —
+    consecutive, non-overlapping, exactly one open current row."""
+    import datetime as dt
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.cdc import scd2_history
+
+    base = dt.datetime(2024, 1, 1)
+
+    @settings(max_examples=6, deadline=None)
+    @given(
+        versions=st.lists(
+            st.tuples(st.integers(0, 2), st.integers(0, 20)),
+            min_size=1, max_size=15,
+            unique=True,  # unique (key, ts): the operator's contract
+        )
+    )
+    def check(versions):
+        rows = [
+            (i, k, base + dt.timedelta(hours=h))
+            for i, (k, h) in enumerate(versions)
+        ]
+        df = spark.createDataFrame(rows, ["vid", "k", "ts"])
+        hist = scd2_history(df, "k", "ts", tie_break="vid").collect()
+        per_key: dict = {}
+        for r in hist:
+            per_key.setdefault(r["k"], []).append(r)
+        for k, rs in per_key.items():
+            rs.sort(key=lambda r: r["valid_from"])
+            opens = [r for r in rs if r["valid_to"] is None]
+            assert len(opens) == 1 and opens[0] is rs[-1]
+            assert opens[0]["is_current"]
+            for a, b in zip(rs, rs[1:]):
+                # consecutive: each interval closes exactly where the
+                # next opens (no gaps, no overlaps)
+                assert a["valid_to"] == b["valid_from"]
+                assert not a["is_current"]
+
+    check()
