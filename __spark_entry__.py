@@ -1337,21 +1337,36 @@ def _q_sink_csv_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _q_ingest_metrics_passthrough(spark: SparkSession, sf: str) -> DataFrame:
-    # A12 in the gate: the observe() instrumentation must be a pure
-    # passthrough — metrics ride the query, rows are untouched — so
-    # the aggregate over the instrumented frame equals the plain
-    # source-table oracle exactly
+    # A12 in the gate, both halves: (1) the observe() instrumentation
+    # is a pure passthrough — metrics ride the query, rows are
+    # untouched — so the per-type aggregate equals the plain
+    # source-table oracle; (2) the observed counters THEMSELVES are
+    # value-checked: an Observation captures (records,
+    # null_first_col) from a first action, and they come back as a
+    # '__observed__' row the oracle re-derives with count(*) /
+    # count(value).  `value` is selected first so null_first_col
+    # counts exactly the rows count(value) excludes.
+    from pyspark.sql import Observation
+
     from etl_based_real_time_air_quality_monitoring_system_spark.streaming.pipeline import (
         with_ingest_metrics,
     )
 
+    obs = Observation()
     events = with_ingest_metrics(
-        load_table(spark, sf, "events"), name="gate_ingest"
+        load_table(spark, sf, "events").select("value", "event_type"), name=obs
     )
-    return events.groupBy("event_type").agg(
+    per_type = events.groupBy("event_type").agg(
         F.count("*").alias("record_count"),
         F.count("value").alias("value_present"),
     )
+    per_type.count()  # one action so the observation fires
+    m = obs.get
+    observed = spark.createDataFrame(
+        [("__observed__", int(m["records"]), int(m["records"]) - int(m["null_first_col"]))],
+        "event_type string, record_count long, value_present long",
+    )
+    return per_type.unionByName(observed)
 
 
 def _q_json_scan_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
@@ -1526,17 +1541,18 @@ def _q_http_ingest_simulated(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _q_multimodal_decode(spark: SparkSession, sf: str) -> DataFrame:
-    # REAL header decode in the gate: the corpus is valid BMP / PCM-WAV
-    # bytes whose dimensions are pure arithmetic over the asset id, so
-    # the struct.unpack parser (multimodal.decode_header) is checked
-    # field-for-field against an oracle that re-derives each dimension
-    # from the id — a genuine encode->decode round trip, not a stub
+    # REAL header decode in the gate: the corpus is valid BMP /
+    # PCM-WAV / PNG / GIF bytes whose dimensions are pure arithmetic
+    # over the asset id, so the struct.unpack parsers
+    # (multimodal.decode_header) are checked field-for-field against
+    # an oracle that re-derives each dimension from the id — a genuine
+    # encode->decode round trip across four container formats
     from etl_based_real_time_air_quality_monitoring_system_spark.operators.multimodal import (
         decode_assets,
         synthesize_media_assets,
     )
 
-    assets = synthesize_media_assets(spark, 48, 16)
+    assets = synthesize_media_assets(spark, 48, 16, n_png=24, n_gif=24)
     decoded = decode_assets(assets)
     return decoded.select(
         "asset_id",
@@ -1744,6 +1760,22 @@ def _q_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     # near-dup pairs by word-3-gram Jaccard similarity
     docs = load_table(spark, sf, "documents")
     return ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.1)
+
+
+def _q_ngram_jaccard_capped(spark: SparkSession, sf: str) -> DataFrame:
+    # the SCALE path of the inverted index: max_shingle_docs df-cut
+    # drops shingles shared by more than K docs before pair expansion
+    # (a shingle in d docs costs d^2 pair rows — the cap is what keeps
+    # 100 TB tractable).  Jaccard is defined within the capped
+    # vocabulary, so per-doc set sizes are recomputed post-cut
+    # (operators/dedup.py:127-156); this query pins that recompute +
+    # join-back logic against a DuckDB twin applying the same HAVING
+    # df-cut — the branch "you ALWAYS set at scale" is now
+    # oracle-verified, not just pytest-verified
+    docs = load_table(spark, sf, "documents")
+    return ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.05, max_shingle_docs=4
+    )
 
 
 def _q_minhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
@@ -3259,69 +3291,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
     ORDER MATTERS: the driver's correctness gate samples the first ~50
-    entries, so the registry is risk-ordered for round 3 — (1) the 11
-    r2 hash-fails refixed this round (oracle dtype casts), (2) the 26
-    entries never gated in rounds 1–2 (17 TPC-H + corpus/window/
-    serving), (3) queries added or changed in round-3 session 1 —
-    exactly filling the 50-slot window.  Session-2 additions sit at
-    51+ (locally swept green at 3 SFs; they rotate into the window
-    next round), then prior greens, most-stable last.
+    entries, so the registry is risk-ordered for round 4 — (1) the 29
+    entries that have never had a driver-gate row (all round-3
+    session-2 additions, locally swept green at 3 SFs), (2) queries
+    added or changed this round (the df-cut oracle, the 4-format
+    decode, the observe()-metrics check, the GEMM degenerate-input
+    fix), (3) high-value prior greens as ballast — exactly filling the
+    50-slot window.  Everything at 51+ has at least one green
+    CORRECTNESS row from rounds 1-3.
     """
     return {
-        # --- r2 hash-fails, oracles dtype-fixed this round ------------
-        "repetition_stats": _q_repetition_stats,
-        "sequence_packing": _q_sequence_packing,
-        "benchmark_contamination": _q_benchmark_contamination,
-        "mad_outliers": _q_mad_outliers,
-        "corpus_datacard": _q_corpus_datacard,
-        "streaming_stateful_stats": _q_streaming_stateful_stats,
-        "streaming_enriched_counts": _q_streaming_enriched_counts,
-        "fuzzy_dedup_corpus": _q_fuzzy_dedup_corpus,
-        "stratified_sample": _q_stratified_sample,
-        "multimodal_features": _q_multimodal_features,
-        "doc_chunks": _q_doc_chunks,
-        # --- never gated in rounds 1-2 --------------------------------
-        "corpus_filter": _q_corpus_filter,
-        "corpus_pipeline": _q_corpus_pipeline,
-        "serving_tiles": _q_serving_tiles,
-        "value_rankings": _q_value_rankings,
-        "moving_sum_user_value": _q_moving_sum_user_value,
-        "sliding_window_counts": _q_sliding_window_counts,
-        "grouping_sets_qty": _q_grouping_sets_qty,
-        "above_avg_customers": _q_above_avg_customers,
-        "part_type_revenue": _q_part_type_revenue,
-        "tpch_q2": _q_tpch_q2,
-        "tpch_q3": _q_tpch_q3,
-        "tpch_q5": _q_tpch_q5,
-        "tpch_q6": _q_tpch_q6,
-        "tpch_q9": _q_tpch_q9,
-        "tpch_q10": _q_tpch_q10,
-        "tpch_q11": _q_tpch_q11,
-        "tpch_q12": _q_tpch_q12,
-        "tpch_q13": _q_tpch_q13,
-        "tpch_q15": _q_tpch_q15,
-        "tpch_q16": _q_tpch_q16,
-        "tpch_q17": _q_tpch_q17,
-        "tpch_q18": _q_tpch_q18,
-        "tpch_q19": _q_tpch_q19,
-        "tpch_q20": _q_tpch_q20,
-        "tpch_q21": _q_tpch_q21,
-        "tpch_q22": _q_tpch_q22,
-        # --- new or changed this round --------------------------------
-        "multimodal_decode": _q_multimodal_decode,
-        "cdc_merge_upsert": _q_cdc_merge_upsert,
-        "nn_label_confusion": _q_nn_label_confusion,
-        "tpch_q14": _q_tpch_q14,
-        "http_ingest_simulated": _q_http_ingest_simulated,
-        "json_scan_roundtrip": _q_json_scan_roundtrip,
-        "group_split": _q_group_split,
-        "stratified_quota_sample": _q_stratified_quota_sample,
-        "cache_fanout": _q_cache_fanout,
-        "dead_letter_split": _q_dead_letter_split,
-        "streaming_to_table_roundtrip": _q_streaming_to_table_roundtrip,
-        "sink_partitioned_roundtrip": _q_sink_partitioned_roundtrip,
-        "sink_bucketed_join": _q_sink_bucketed_join,
-        # --- new this round (round 3 session 2) -----------------------
+        # --- never driver-gated (round-3 session-2 additions) ---------
         "gopher_quality": _q_gopher_quality,
         "token_cooccurrence": _q_token_cooccurrence,
         "passage_dedup": _q_passage_dedup,
@@ -3349,36 +3329,89 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_dedup": _q_incremental_dedup,
         "cluster_safe_split": _q_cluster_safe_split,
         "schema_evolution_roundtrip": _q_schema_evolution_roundtrip,
-        # --- overflow of the window: new-but-lowest-risk, then riskiest
-        # prior greens ------------------------------------------------
         "ingest_metrics_passthrough": _q_ingest_metrics_passthrough,
         "sink_csv_roundtrip": _q_sink_csv_roundtrip,
-        "air_quality_summary": _q_air_quality_summary,
+        # --- new or changed this round (round 4) ----------------------
+        "ngram_jaccard_capped": _q_ngram_jaccard_capped,
+        "multimodal_decode": _q_multimodal_decode,
         "embedding_near_dup_gemm": _q_embedding_near_dup_gemm,
+        # --- ballast: riskiest prior greens ---------------------------
+        "grouping_sets_qty": _q_grouping_sets_qty,
+        "simhash_near_dup": _q_simhash_near_dup,
         "streaming_hourly_counts": _q_streaming_hourly_counts,
         "streaming_dedup_keys": _q_streaming_dedup_keys,
         "streaming_click_purchase": _q_streaming_click_purchase,
         "streaming_session_stats": _q_streaming_session_stats,
+        "air_quality_summary": _q_air_quality_summary,
+        "ngram_jaccard": _q_ngram_jaccard,
+        "minhash_pairs": _q_minhash_pairs,
+        "dedup_clusters": _q_dedup_clusters,
+        "cdc_merge_upsert": _q_cdc_merge_upsert,
         "session_window_stats": _q_session_window_stats,
         "user_sessions": _q_user_sessions,
         "trailing_hour_count": _q_trailing_hour_count,
         "asof_purchase_attribution": _q_asof_purchase_attribution,
         "latest_event_per_type": _q_latest_event_per_type,
-        # --- round-2 green ------------------------------------------
-        "pii_redaction": _q_pii_redaction,
         "scd2_user_history": _q_scd2_user_history,
         "point_in_time_features": _q_point_in_time_features,
+        # ==== end of the ~50-entry gate window ========================
+        # --- round-3 gated green (window of CORRECTNESS_r03) ----------
+        "repetition_stats": _q_repetition_stats,
+        "sequence_packing": _q_sequence_packing,
+        "benchmark_contamination": _q_benchmark_contamination,
+        "mad_outliers": _q_mad_outliers,
+        "corpus_datacard": _q_corpus_datacard,
+        "streaming_stateful_stats": _q_streaming_stateful_stats,
+        "streaming_enriched_counts": _q_streaming_enriched_counts,
+        "fuzzy_dedup_corpus": _q_fuzzy_dedup_corpus,
+        "stratified_sample": _q_stratified_sample,
+        "multimodal_features": _q_multimodal_features,
+        "doc_chunks": _q_doc_chunks,
+        "corpus_filter": _q_corpus_filter,
+        "corpus_pipeline": _q_corpus_pipeline,
+        "serving_tiles": _q_serving_tiles,
+        "value_rankings": _q_value_rankings,
+        "moving_sum_user_value": _q_moving_sum_user_value,
+        "sliding_window_counts": _q_sliding_window_counts,
+        "above_avg_customers": _q_above_avg_customers,
+        "part_type_revenue": _q_part_type_revenue,
+        "tpch_q2": _q_tpch_q2,
+        "tpch_q3": _q_tpch_q3,
+        "tpch_q5": _q_tpch_q5,
+        "tpch_q6": _q_tpch_q6,
+        "tpch_q9": _q_tpch_q9,
+        "tpch_q10": _q_tpch_q10,
+        "tpch_q11": _q_tpch_q11,
+        "tpch_q12": _q_tpch_q12,
+        "tpch_q13": _q_tpch_q13,
+        "tpch_q15": _q_tpch_q15,
+        "tpch_q16": _q_tpch_q16,
+        "tpch_q17": _q_tpch_q17,
+        "tpch_q18": _q_tpch_q18,
+        "tpch_q19": _q_tpch_q19,
+        "tpch_q20": _q_tpch_q20,
+        "tpch_q21": _q_tpch_q21,
+        "tpch_q22": _q_tpch_q22,
+        "nn_label_confusion": _q_nn_label_confusion,
+        "tpch_q14": _q_tpch_q14,
+        "http_ingest_simulated": _q_http_ingest_simulated,
+        "json_scan_roundtrip": _q_json_scan_roundtrip,
+        "group_split": _q_group_split,
+        "stratified_quota_sample": _q_stratified_quota_sample,
+        "cache_fanout": _q_cache_fanout,
+        "dead_letter_split": _q_dead_letter_split,
+        "streaming_to_table_roundtrip": _q_streaming_to_table_roundtrip,
+        "sink_partitioned_roundtrip": _q_sink_partitioned_roundtrip,
+        "sink_bucketed_join": _q_sink_bucketed_join,
+        # --- round-2 green ------------------------------------------
+        "pii_redaction": _q_pii_redaction,
         "funnel_conversion": _q_funnel_conversion,
         "retention_cohorts": _q_retention_cohorts,
         "event_transitions": _q_event_transitions,
         "doc_fingerprints": _q_doc_fingerprints,
         "rolling_fingerprints": _q_rolling_fingerprints,
         "levenshtein_near_dup": _q_levenshtein_near_dup,
-        "ngram_jaccard": _q_ngram_jaccard,
-        "minhash_pairs": _q_minhash_pairs,
-        "dedup_clusters": _q_dedup_clusters,
         "simhash": _q_simhash,
-        "simhash_near_dup": _q_simhash_near_dup,
         "embedding_topk": _q_embedding_topk,
         "knn_join": _q_knn_join,
         "embedding_near_dup": _q_embedding_near_dup,
@@ -4164,6 +4197,28 @@ def _oracle_sql_literal() -> dict[str, str]:
             JOIN sizes sa ON doc_a = sa.doc_id
             JOIN sizes sb ON doc_b = sb.doc_id
             WHERE round(common / (sa.n + sb.n - common), 4) >= 0.1
+        """,
+        "ngram_jaccard_capped": rf"""
+            WITH {_SHINGLE_CTES},
+            freq AS (
+                SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 4
+            ),
+            kept AS (
+                SELECT sh.doc_id, sh.shingle FROM sh JOIN freq USING (shingle)
+            ),
+            sizes AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id),
+            pairs AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+                FROM kept a JOIN kept b
+                  ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT doc_a, doc_b, common,
+                   round(common / (sa.n + sb.n - common), 4) AS jaccard
+            FROM pairs
+            JOIN sizes sa ON doc_a = sa.doc_id
+            JOIN sizes sb ON doc_b = sb.doc_id
+            WHERE round(common / (sa.n + sb.n - common), 4) >= 0.05
         """,
         "minhash_pairs": rf"""
             WITH {_SHINGLE_CTES},
@@ -5682,6 +5737,8 @@ def _oracle_sql_literal() -> dict[str, str]:
             SELECT event_type, count(*) AS record_count,
                    count(value) AS value_present
             FROM events GROUP BY event_type
+            UNION ALL
+            SELECT '__observed__', count(*), count(value) FROM events
         """,
         "json_scan_roundtrip": """
             WITH agg AS (
@@ -5847,6 +5904,18 @@ def _oracle_sql_literal() -> dict[str, str]:
                    (1 + range % 2)::INTEGER,
                    (100 + range * 7)::INTEGER
             FROM range(16)
+            UNION ALL
+            SELECT range + 1000000, 'image', 'png',
+                   (32 + range % 13)::INTEGER,
+                   (16 + range % 7)::INTEGER,
+                   0, 3, 0
+            FROM range(24)
+            UNION ALL
+            SELECT range + 2000000, 'image', 'gif',
+                   (10 + range % 21)::INTEGER,
+                   (5 + range % 9)::INTEGER,
+                   0, 0, 0
+            FROM range(24)
         """,
         "corpus_pipeline": rf"""
             WITH fp AS (

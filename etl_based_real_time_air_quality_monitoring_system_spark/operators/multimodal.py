@@ -1,14 +1,16 @@
 """Multimodal column plumbing: image/audio/video as opaque ``binary``
 payloads with typed metadata (BASELINE.json north star).
 
-Decode is REAL for uncompressed container formats: ``decode_header``
-parses BMP (BITMAPINFOHEADER) and PCM-WAV (RIFF chunk walk) with
-stdlib ``struct`` only — no codec library — and ``encode_bmp`` /
-``encode_wav`` are its synthesis twins, so the encode→decode round
-trip is oracle-checked in the driver gate (``multimodal_decode``).
-Compressed formats (JPEG/PNG/MP3/H.264) genuinely require codec
-libraries this container lacks; their dispatch extends
-``decode_header``, everything around it (schema, Arrow batch shapes,
+Decode is REAL for header-parseable container formats: ``decode_header``
+parses BMP (BITMAPINFOHEADER), PCM-WAV (RIFF chunk walk), PNG (IHDR
+chunk, big-endian) and GIF (logical screen descriptor, little-endian)
+with stdlib ``struct`` only — no codec library — and ``encode_bmp`` /
+``encode_wav`` / ``encode_png`` / ``encode_gif`` are its synthesis
+twins, so the encode→decode round trip is oracle-checked in the driver
+gate (``multimodal_decode``).  Pixel-level decode of compressed
+formats (JPEG/PNG IDAT/MP3/H.264) genuinely requires codec libraries
+this container lacks; their dispatch extends ``decode_header``,
+everything around it (schema, Arrow batch shapes,
 ``mapInPandas`` signatures, partitioning) is unchanged.  Feature
 extraction uses a deterministic md5-derived stand-in (integer-exact,
 hence gate-checkable).
@@ -24,6 +26,7 @@ from __future__ import annotations
 
 import hashlib
 import struct
+import zlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -87,12 +90,13 @@ def synthesize_assets(spark: SparkSession, n: int, modality: str = "image") -> D
 
 
 def synthesize_media_assets(
-    spark: SparkSession, n_images: int, n_audio: int
+    spark: SparkSession, n_images: int, n_audio: int,
+    n_png: int = 0, n_gif: int = 0,
 ) -> DataFrame:
     """Deterministic corpus of REAL container-format payloads (valid
-    BMP and PCM-WAV headers built with ``struct.pack``): every
-    dimension is pure arithmetic over the asset id, so an oracle can
-    re-derive the expected decode output term-for-term.
+    BMP, PCM-WAV, PNG and GIF headers built with ``struct.pack``):
+    every dimension is pure arithmetic over the asset id, so an oracle
+    can re-derive the expected decode output term-for-term.
 
     Synthesis runs inside ``mapInPandas`` (Arrow-batched, partitioned
     with the ``range`` source) — the same distributed shape real
@@ -141,30 +145,77 @@ def synthesize_media_assets(
     def parts(n: int) -> int:
         return max(1, min(par, n // 16))
 
+    def make_png(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["id"]
+            yield pd.DataFrame(
+                {
+                    "asset_id": ids,
+                    "modality": "image",
+                    "payload": [
+                        encode_png(32 + int(i) % 13, 16 + int(i) % 7) for i in ids
+                    ],
+                }
+            )
+
+    def make_gif(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["id"]
+            yield pd.DataFrame(
+                {
+                    "asset_id": ids,
+                    "modality": "image",
+                    "payload": [
+                        encode_gif(10 + int(i) % 21, 5 + int(i) % 9) for i in ids
+                    ],
+                }
+            )
+
     images = spark.range(n_images, numPartitions=parts(n_images)).mapInPandas(
         make_image, schema
     )
     audio = spark.range(n_audio, numPartitions=parts(n_audio)).mapInPandas(
         make_audio, schema
     )
-    return images.unionByName(audio)
+    out = images.unionByName(audio)
+    if n_png:
+        # offset ids keep asset_id unique across format arms
+        pngs = (
+            spark.range(n_png, numPartitions=parts(n_png))
+            .mapInPandas(make_png, schema)
+            .withColumn("asset_id", F.col("asset_id") + F.lit(1_000_000))
+        )
+        out = out.unionByName(pngs)
+    if n_gif:
+        gifs = (
+            spark.range(n_gif, numPartitions=parts(n_gif))
+            .mapInPandas(make_gif, schema)
+            .withColumn("asset_id", F.col("asset_id") + F.lit(2_000_000))
+        )
+        out = out.unionByName(gifs)
+    return out
 
 
 def decode_header(payload: bytes | None) -> dict:
-    """REAL header-only decode for uncompressed container formats,
+    """REAL header-only decode for header-parseable container formats,
     stdlib ``struct`` only — no codec library needed.
 
     Parses BMP (``BITMAPINFOHEADER``: signature, pixel-data offset,
-    width, height, bits-per-pixel) and WAV (RIFF/WAVE ``fmt `` chunk:
+    width, height, bits-per-pixel), WAV (RIFF/WAVE ``fmt `` chunk:
     channels, sample rate, bits-per-sample, plus frame count from the
-    ``data`` chunk).  Anything else — including truncated headers —
-    returns ``{"format": "unknown"}`` rather than raising, so one bad
-    asset never kills an Arrow batch.
+    ``data`` chunk), PNG (``IHDR``: big-endian width/height at fixed
+    offsets 16/20, bit depth + color type → channels) and GIF
+    (logical screen descriptor: little-endian width/height at offsets
+    6/8, color-resolution bits from the packed flags byte).  Anything
+    else — including truncated headers — returns
+    ``{"format": "unknown"}`` rather than raising, so one bad asset
+    never kills an Arrow batch.
 
-    Compressed formats (JPEG/PNG/MP3/H.264) genuinely require codec
-    libraries that don't ship in this container; a production build
-    extends this dispatch, the surrounding plumbing (batching, schema,
-    partitioning) is unchanged.
+    Pixel-level decode of compressed payloads (JPEG, PNG IDAT
+    inflate, MP3, H.264) genuinely requires codec libraries that don't
+    ship in this container; a production build extends this dispatch,
+    the surrounding plumbing (batching, schema, partitioning) is
+    unchanged.
     """
     out = {
         "format": "unknown",
@@ -213,6 +264,37 @@ def decode_header(payload: bytes | None) -> dict:
                 out["n_frames"] = csize // bytes_per_frame
             pos = body + csize + (csize & 1)
         return out if fmt_seen else {**out, "format": "unknown"}
+    if buf[:8] == b"\x89PNG\r\n\x1a\n" and len(buf) >= 26 and buf[12:16] == b"IHDR":
+        # IHDR is mandated to be the first chunk: width/height are
+        # big-endian uint32 at fixed offsets 16/20, then bit depth and
+        # color type; channels follows from the color type per the
+        # PNG spec (0=gray, 2=RGB, 3=palette, 4=gray+alpha, 6=RGBA)
+        width, height = struct.unpack_from(">II", buf, 16)
+        bit_depth, color_type = struct.unpack_from("BB", buf, 24)
+        if width == 0 or height == 0:
+            return out
+        out.update(
+            format="png",
+            width=width,
+            height=height,
+            bits=bit_depth,
+            channels={0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type),
+        )
+        return out
+    if buf[:6] in (b"GIF87a", b"GIF89a") and len(buf) >= 11:
+        # logical screen descriptor: width/height are little-endian
+        # uint16 at offsets 6/8; the packed byte at 10 carries the
+        # color resolution (bits per primary minus one) in bits 4-6
+        width, height = struct.unpack_from("<HH", buf, 6)
+        if width == 0 or height == 0:
+            return out
+        out.update(
+            format="gif",
+            width=width,
+            height=height,
+            bits=((buf[10] >> 4) & 0x7) + 1,
+        )
+        return out
     return out
 
 
@@ -226,6 +308,37 @@ def encode_bmp(width: int, height: int, pixels: bytes | None = None) -> bytes:
     head = b"BM" + struct.pack("<IHHI", off + len(body), 0, 0, off)
     info = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 8, 0, len(body), 2835, 2835, 0, 0)
     return head + info + body
+
+
+def _png_chunk(ctype: bytes, body: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(body))
+        + ctype
+        + body
+        + struct.pack(">I", zlib.crc32(ctype + body))
+    )
+
+
+def encode_png(width: int, height: int, bit_depth: int = 8, color_type: int = 2) -> bytes:
+    """Minimal valid PNG (signature + IHDR + empty-scanline IDAT +
+    IEND, real CRC32s) — synthesis twin of :func:`decode_header`.
+    Default color type 2 is truecolor (3 channels)."""
+    ihdr = struct.pack(">IIBBBBB", width, height, bit_depth, color_type, 0, 0, 0)
+    idat = zlib.compress(b"\x00" * height)  # filter byte per row, no pixels needed
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", idat)
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def encode_gif(width: int, height: int, color_bits: int = 8) -> bytes:
+    """Minimal valid GIF89a (header + logical screen descriptor +
+    trailer, no color table) — synthesis twin of :func:`decode_header`."""
+    packed = (color_bits - 1) << 4  # color resolution; no GCT
+    screen = struct.pack("<HHBBB", width, height, packed, 0, 0)
+    return b"GIF89a" + screen + b"\x3b"
 
 
 def encode_wav(sample_rate: int, channels: int, bits: int, n_frames: int) -> bytes:

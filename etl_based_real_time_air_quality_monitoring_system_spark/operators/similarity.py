@@ -355,11 +355,12 @@ def cosine_near_dup_gemm(
     # or an error.
     n = narrow.count()
     if n <= 1:
-        # empty corpus would crash np.stack; a singleton has no
-        # neighbor (argmax over an all--inf row would still pick
-        # index 0) — the window formulation yields the correct empty
-        # result for both
-        return None
+        # empty corpus would crash np.stack, and a singleton has no
+        # candidate partner under id_a < id_b — both degenerate cases
+        # have exactly one correct answer: an empty pair set.  This is
+        # a PUBLIC operator with no caller-side fallback, so return an
+        # empty frame with the contract schema, never None.
+        return spark.createDataFrame([], "id_a long, id_b long, cosine_sim double")
     if n > max_rows:
         if strict:
             raise ValueError(

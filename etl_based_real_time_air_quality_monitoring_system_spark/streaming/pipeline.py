@@ -56,12 +56,16 @@ def rate_source(spark: SparkSession, rows_per_second: int = 1) -> DataFrame:
     )
 
 
-def with_ingest_metrics(df: DataFrame, name: str = "ingest") -> DataFrame:
+def with_ingest_metrics(df: DataFrame, name="ingest") -> DataFrame:
     """A12 — the consumer's processed/error tallies
     (consumer.py:133-162) as an ``observe`` instrumentation: metrics
     ride the query (collected per micro-batch via
     ``QueryProgressEvent.observedMetrics`` or ``df.observe`` listeners)
-    instead of driver-side counters."""
+    instead of driver-side counters.
+
+    ``name`` may be a string (streaming: metrics surface through the
+    progress listener) or a ``pyspark.sql.Observation`` (batch:
+    ``obs.get`` after the first action returns the counters)."""
     return df.observe(
         name,
         F.count(F.lit(1)).alias("records"),

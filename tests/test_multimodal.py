@@ -10,6 +10,8 @@ from etl_based_real_time_air_quality_monitoring_system_spark.operators.multimoda
     decode_assets,
     decode_header,
     encode_bmp,
+    encode_gif,
+    encode_png,
     encode_wav,
     extract_features,
     frame_sample,
@@ -104,19 +106,47 @@ def test_decode_header_property_round_trip():
             "wav", rate, ch, bits, frames,
         )
 
+    @settings(max_examples=200, deadline=None)
+    @given(w=st.integers(1, 65_535), h=st.integers(1, 65_535))
+    def png_gif_case(w, h):
+        p = decode_header(encode_png(w, h))
+        assert (p["format"], p["width"], p["height"], p["bits"], p["channels"]) == (
+            "png", w, h, 8, 3,
+        )
+        g = decode_header(encode_gif(w, h))
+        assert (g["format"], g["width"], g["height"], g["bits"]) == ("gif", w, h, 8)
+
     bmp_case()
     wav_case()
+    png_gif_case()
+
+
+def test_decode_header_png_color_types():
+    # channels follow the IHDR color type per the PNG spec
+    for ctype, channels in ((0, 1), (2, 3), (3, 1), (4, 2), (6, 4)):
+        m = decode_header(encode_png(10, 20, color_type=ctype))
+        assert (m["format"], m["channels"]) == ("png", channels)
 
 
 def test_decode_header_garbage_is_unknown_not_error():
-    for junk in (None, b"", b"\x00" * 100, b"BM", b"RIFFxxxxJUNK", b"\x89PNG\r\n"):
+    for junk in (
+        None, b"", b"\x00" * 100, b"BM", b"RIFFxxxxJUNK", b"\x89PNG\r\n",
+        b"\x89PNG\r\n\x1a\n" + b"\x00" * 4 + b"JUNK" + b"\x00" * 20,  # not IHDR
+        b"GIF89a",  # truncated screen descriptor
+        b"GIF88a" + b"\x00" * 10,  # bad version
+    ):
         assert decode_header(junk)["format"] == "unknown"
 
 
+def test_decode_header_zero_dims_are_unknown():
+    assert decode_header(encode_png(0, 5))["format"] == "unknown"
+    assert decode_header(encode_gif(5, 0))["format"] == "unknown"
+
+
 def test_decode_assets_distributed_round_trip(spark):
-    assets = synthesize_media_assets(spark, 12, 6)
+    assets = synthesize_media_assets(spark, 12, 6, n_png=5, n_gif=5)
     rows = {(r["modality"], r["asset_id"]): r for r in decode_assets(assets).collect()}
-    assert len(rows) == 18
+    assert len(rows) == 28
     for i in range(12):
         r = rows[("image", i)]
         assert (r["format"], r["width"], r["height"]) == ("bmp", 16 + i % 17, 8 + i % 11)
@@ -128,6 +158,13 @@ def test_decode_assets_distributed_round_trip(spark):
             1 + i % 2,
             100 + i * 7,
         )
+    for i in range(5):
+        r = rows[("image", 1_000_000 + i)]
+        assert (r["format"], r["width"], r["height"], r["channels"]) == (
+            "png", 32 + i % 13, 16 + i % 7, 3,
+        )
+        r = rows[("image", 2_000_000 + i)]
+        assert (r["format"], r["width"], r["height"]) == ("gif", 10 + i % 21, 5 + i % 9)
 
 
 def test_resize_images_shape_contract(spark):

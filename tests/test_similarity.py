@@ -269,3 +269,21 @@ def test_cosine_near_dup_gemm_auto_falls_back_to_lsh(emb):
     got = sorted(map(tuple, fallback.collect()))
     want = sorted(map(tuple, expected.collect()))
     assert got == want
+
+
+def test_cosine_near_dup_gemm_degenerate_corpus_is_empty_frame(spark):
+    # a public operator must never return None: an empty or singleton
+    # corpus has exactly one correct answer — zero pairs with the
+    # contract schema
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.similarity import (
+        cosine_near_dup_gemm,
+    )
+
+    schema = "vec_id long, embedding array<double>"
+    empty = spark.createDataFrame([], schema)
+    single = spark.createDataFrame([(7, [1.0, 0.0, 0.0])], schema)
+    for corpus in (empty, single):
+        out = cosine_near_dup_gemm(corpus, "vec_id", "embedding", 0.5)
+        assert out is not None
+        assert [f.name for f in out.schema.fields] == ["id_a", "id_b", "cosine_sim"]
+        assert out.count() == 0
