@@ -1614,6 +1614,21 @@ def _q_group_split(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_mixture_sample(spark: SparkSession, sf: str) -> DataFrame:
+    # target-mixture corpus assembly (60/30/10 across three sources,
+    # budget set by the scarcest): all-integer quota math + hash-rank
+    # membership, so both the per-source counts AND the exact kept set
+    # (sum of ids) are engine-portable and oracle-pinned
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.sampling import mixture_sample
+
+    docs = load_table(spark, sf, "documents")
+    mixed = mixture_sample(docs, "source", "doc_id", {"src0": 6, "src1": 3, "src2": 1})
+    return mixed.groupBy("source").agg(
+        F.count("*").alias("doc_count"),
+        F.sum("doc_id").cast("long").alias("id_checksum"),
+    )
+
+
 def _q_stratified_quota_sample(spark: SparkSession, sf: str) -> DataFrame:
     # EXACT per-stratum quotas (budgeted corpus mixing): membership is
     # a deterministic hash ranking, so sum(doc_id) pins the exact kept
@@ -3333,6 +3348,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sink_csv_roundtrip": _q_sink_csv_roundtrip,
         # --- new or changed this round (round 4) ----------------------
         "ngram_jaccard_capped": _q_ngram_jaccard_capped,
+        "mixture_sample": _q_mixture_sample,
         "multimodal_decode": _q_multimodal_decode,
         "embedding_near_dup_gemm": _q_embedding_near_dup_gemm,
         # --- ballast: riskiest prior greens ---------------------------
@@ -3353,8 +3369,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_purchase_attribution": _q_asof_purchase_attribution,
         "latest_event_per_type": _q_latest_event_per_type,
         "scd2_user_history": _q_scd2_user_history,
+        # ==== end of the 50-entry gate window =========================
         "point_in_time_features": _q_point_in_time_features,
-        # ==== end of the ~50-entry gate window ========================
         # --- round-3 gated green (window of CORRECTNESS_r03) ----------
         "repetition_stats": _q_repetition_stats,
         "sequence_packing": _q_sequence_packing,
@@ -4049,6 +4065,31 @@ def _oracle_sql_literal() -> dict[str, str]:
                    CAST(sum(n_chars) AS BIGINT) AS char_count
             FROM documents
             GROUP BY 1, 2
+        """,
+        "mixture_sample": """
+            WITH n AS (
+                SELECT source, count(*) AS cnt FROM documents
+                WHERE source IN ('src0', 'src1', 'src2') GROUP BY source
+            ),
+            w(source, wt) AS (VALUES ('src0', 6), ('src1', 3), ('src2', 1)),
+            t AS (
+                SELECT min((COALESCE(n.cnt, 0) * 10) // w.wt) AS t_max
+                FROM w LEFT JOIN n USING (source)
+            ),
+            q AS (SELECT w.source, (w.wt * t.t_max) // 10 AS quota FROM w, t),
+            ranked AS (
+                SELECT source, doc_id,
+                       row_number() OVER (
+                           PARTITION BY source
+                           ORDER BY md5('mix:v1' || doc_id::VARCHAR), doc_id
+                       ) AS rn
+                FROM documents WHERE source IN ('src0', 'src1', 'src2')
+            )
+            SELECT r.source, count(*) AS doc_count,
+                   CAST(sum(r.doc_id) AS BIGINT) AS id_checksum
+            FROM ranked r JOIN q ON r.source = q.source
+            WHERE r.rn <= q.quota
+            GROUP BY r.source
         """,
         "stratified_quota_sample": """
             WITH ranked AS (

@@ -146,6 +146,9 @@ HEADLINE = [
     "incremental_dedup",
     "cluster_safe_split",
     "schema_evolution_roundtrip",
+    # round-4 additions
+    "ngram_jaccard_capped",
+    "mixture_sample",
 ]
 
 

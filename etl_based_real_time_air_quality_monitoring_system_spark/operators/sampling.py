@@ -135,6 +135,54 @@ def stratified_quota_sample(
     )
 
 
+def mixture_sample(
+    df: DataFrame,
+    source_col: str,
+    id_col: str,
+    weights: dict[str, int],
+    salt: str = "mix:v1",
+) -> DataFrame:
+    """Deterministic TARGET-MIXTURE sampling: keep the largest subset
+    of the corpus whose source proportions match ``weights`` (integer
+    ratio parts, e.g. ``{"web": 6, "code": 3, "wiki": 1}`` for
+    60/30/10) — the data-mixing step of a training-corpus recipe,
+    where the budget is set by the SCARCEST source.
+
+    All-integer quota math so any engine lands on identical quotas:
+    with ``W = sum(weights)`` and per-source counts ``n_s``, the
+    achievable total is ``T = min_s floor(n_s * W / w_s)`` and each
+    source keeps ``quota_s = floor(w_s * T / W)`` rows (provably
+    ``<= n_s``).  Sources not in ``weights`` are dropped; a weighted
+    source with zero rows makes the whole mixture empty (the recipe is
+    unsatisfiable, surfaced as an empty result rather than a silently
+    skewed mix).
+
+    Scale shape: one tiny per-source count aggregate (driver-collects
+    ``#sources`` rows, same bounded-collect discipline as centroids),
+    then :func:`stratified_quota_sample` — hash-ranked exact quotas,
+    map-side WindowGroupLimit, one shuffle on the source column.
+    """
+    counts = {
+        r["_s"]: r["_n"]
+        for r in df.select(F.col(source_col).alias("_s"))
+        .filter(F.col("_s").isin(list(weights)))
+        .groupBy("_s")
+        .agg(F.count("*").alias("_n"))
+        .collect()
+    }
+    total_w = sum(weights.values())
+    t_max = min((counts.get(s, 0) * total_w) // w for s, w in weights.items())
+    quotas = {s: (w * t_max) // total_w for s, w in weights.items()}
+    return stratified_quota_sample(
+        df.filter(F.col(source_col).isin(list(weights))),
+        source_col,
+        id_col,
+        quotas,
+        default_quota=0,
+        salt=salt,
+    )
+
+
 def cluster_safe_split(
     docs: DataFrame,
     clusters: DataFrame,

@@ -432,6 +432,15 @@ def cosine_near_dup_lsh(
 
     Output schema matches :func:`cosine_near_dup_pairs`; recall < 1 by
     construction (measured floor asserted in tests).
+
+    SIZE THE BUCKETS WITH THE CORPUS: random (non-dup) vectors collide
+    in a band with probability 2^-(n_planes/bands), so candidate mass
+    from chance alone is ~n^2 / 2^(bits_per_band) per band — keep
+    ``n_planes/bands >= log2(n)`` or the join degenerates toward
+    all-pairs (measured in SCALING.md: 16 planes / 4 bands is 11x
+    slower than 48/4 at 8k vectors, and the gap widens with n).
+    The signature packs into one long, so n_planes <= 63; for more
+    bits raise ``bands``.
     """
     if dim is None:
         dim = len(df.select(emb_col).head()[0])
@@ -488,6 +497,13 @@ def hyperplanes(dim: int, n_planes: int = 16, seed: int = 42) -> np.ndarray:
 
 def lsh_signature(emb: Column, planes: np.ndarray) -> Column:
     """Sign-of-dot-product bit signature packed into a long."""
+    if len(planes) > 63:
+        raise ValueError(
+            f"lsh_signature packs bits into a signed 64-bit long: "
+            f"{len(planes)} planes won't fit (max 63).  For wider "
+            "signatures raise `bands` instead of bits-per-band, or "
+            "split planes across several signature columns."
+        )
     sig = F.lit(0).cast("long")
     for i, plane in enumerate(planes):
         bit = F.when(dot(emb, vec_lit(plane)) > 0, F.lit(1 << i)).otherwise(F.lit(0))

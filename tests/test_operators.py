@@ -461,6 +461,44 @@ def test_stratified_quota_sample_exact_quotas(spark, sf_dir):
     assert ids1 == ids2
 
 
+def test_mixture_sample_hits_target_ratio(spark, sf_dir):
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.sampling import mixture_sample
+    from etl_based_real_time_air_quality_monitoring_system_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    mixed = mixture_sample(docs, "source", "doc_id", {"src0": 6, "src1": 3, "src2": 1})
+    counts = {
+        r["source"]: r["n"]
+        for r in mixed.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    # only weighted sources survive, and kept counts follow the
+    # all-integer quota rule exactly
+    assert set(counts) <= {"src0", "src1", "src2"}
+    n = {r["source"]: r["n"] for r in docs.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    t_max = min(n[s] * 10 // w for s, w in (("src0", 6), ("src1", 3), ("src2", 1)))
+    assert counts == {s: w * t_max // 10 for s, w in (("src0", 6), ("src1", 3), ("src2", 1)) if w * t_max // 10}
+    # membership is deterministic under repartitioning
+    ids1 = sorted(r["doc_id"] for r in mixed.collect())
+    ids2 = sorted(
+        r["doc_id"]
+        for r in mixture_sample(
+            docs.repartition(13), "source", "doc_id", {"src0": 6, "src1": 3, "src2": 1}
+        ).collect()
+    )
+    assert ids1 == ids2
+
+
+def test_mixture_sample_unsatisfiable_recipe_is_empty(spark, sf_dir):
+    # a weighted source with zero rows must yield an EMPTY mixture
+    # (surfacing the unsatisfiable recipe), never a silently skewed one
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.sampling import mixture_sample
+    from etl_based_real_time_air_quality_monitoring_system_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    mixed = mixture_sample(docs, "source", "doc_id", {"src0": 1, "no_such_source": 1})
+    assert mixed.count() == 0
+
+
 def test_gap_fill_locf_semantics(spark):
     from etl_based_real_time_air_quality_monitoring_system_spark.operators.timeseries import gap_fill_locf
 

@@ -830,6 +830,83 @@ def test_merge_upsert_property_vs_dict_replay(spark):
     check()
 
 
+def test_cdc_permuted_batches_last_writer_wins_by_version(spark):
+    """Property: under at-least-once, OUT-OF-ORDER batch delivery (the
+    reality T3 implies), the version-compacted CDC composition —
+    union arrived batches, ``latest_per_key`` by version, ONE
+    ``merge_upsert`` — lands the same snapshot for every permutation
+    (and redelivery) of the batches: last writer wins by VERSION, not
+    by arrival order.  The scd2_history built from the same arrived
+    stream is likewise permutation-invariant."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.cdc import (
+        merge_upsert,
+        scd2_history,
+    )
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.topk import latest_per_key
+
+    # ops with globally-unique versions (a CDC log's LSN); key 0-3
+    ops = st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 99), st.booleans()),
+        min_size=1,
+        max_size=10,
+    )
+
+    @settings(max_examples=5, deadline=None)
+    @given(ops=ops, data=st.data())
+    def check(ops, data):
+        versioned = [(k, ver, v, d) for ver, (k, v, d) in enumerate(ops)]
+        # split into batches, permute delivery, redeliver one batch
+        n_batches = data.draw(st.integers(1, min(4, len(versioned))))
+        batches = [versioned[i::n_batches] for i in range(n_batches)]
+        order = data.draw(st.permutations(range(n_batches)))
+        delivered = [batches[i] for i in order]
+        delivered.append(delivered[data.draw(st.integers(0, len(delivered) - 1))])
+
+        base = spark.createDataFrame([(0, -1, -1), (9, -1, -1)], "k long, ver long, v long")
+        arrived = spark.createDataFrame(
+            [r for b in delivered for r in b], "k long, ver long, v long, _deleted boolean"
+        )
+        compact = latest_per_key(arrived, "k", "ver")
+        snap = merge_upsert(base, compact, "k", delete_col="_deleted")
+        got = {r["k"]: (r["ver"], r["v"]) for r in snap.collect()}
+
+        # oracle: per key, the max-version op wins — a tombstone as
+        # latest version removes the key entirely, a base key with no
+        # op survives untouched
+        expect = {}
+        for k in set(kk for kk, *_ in versioned) | {0, 9}:
+            latest = max(
+                (row for row in versioned if row[0] == k),
+                key=lambda r: r[1],
+                default=None,
+            )
+            if latest is None:
+                expect[k] = (-1, -1)  # untouched base row
+            elif latest[3]:
+                pass  # deleted
+            else:
+                expect[k] = (latest[1], latest[2])
+        assert got == expect
+
+        # scd2 history over the deduped arrived stream is the same
+        # regardless of delivery order: intervals follow version order
+        hist = scd2_history(arrived.dropDuplicates(["ver"]), "k", "ver").collect()
+        per_key: dict = {}
+        for r in hist:
+            per_key.setdefault(r["k"], []).append((r["valid_from"], r["valid_to"]))
+        for k, ivals in per_key.items():
+            vers = sorted(ver for kk, ver, *_ in versioned if kk == k)
+            want = [
+                (a, b) for a, b in zip(vers, [*vers[1:], None])
+            ]
+            assert sorted(ivals, key=lambda t: t[0]) == want
+
+    check()
+
+
 def test_scd2_history_interval_invariants(spark):
     """Property: SCD2 intervals per key partition the version stream —
     consecutive, non-overlapping, exactly one open current row."""
