@@ -1359,8 +1359,12 @@ def _q_ingest_metrics_passthrough(spark: SparkSession, sf: str) -> DataFrame:
     per_type = events.groupBy("event_type").agg(
         F.count("*").alias("record_count"),
         F.count("value").alias("value_present"),
-    )
-    per_type.count()  # one action so the observation fires
+    ).cache()
+    # one action so the observation fires; caching the aggregate (a
+    # handful of rows) means the events scan runs exactly once — the
+    # driver's later collect reads the cached result, it does not
+    # re-execute the scan
+    per_type.count()
     m = obs.get
     observed = spark.createDataFrame(
         [("__observed__", int(m["records"]), int(m["records"]) - int(m["null_first_col"]))],

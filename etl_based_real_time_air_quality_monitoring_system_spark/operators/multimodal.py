@@ -271,14 +271,17 @@ def decode_header(payload: bytes | None) -> dict:
         # PNG spec (0=gray, 2=RGB, 3=palette, 4=gray+alpha, 6=RGBA)
         width, height = struct.unpack_from(">II", buf, 16)
         bit_depth, color_type = struct.unpack_from("BB", buf, 24)
-        if width == 0 or height == 0:
+        channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
+        if width == 0 or height == 0 or channels is None:
+            # zero dimensions or an illegal color type: malformed
+            # header -> "unknown", same policy as the BMP branch
             return out
         out.update(
             format="png",
             width=width,
             height=height,
             bits=bit_depth,
-            channels={0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type),
+            channels=channels,
         )
         return out
     if buf[:6] in (b"GIF87a", b"GIF89a") and len(buf) >= 11:
@@ -336,6 +339,11 @@ def encode_png(width: int, height: int, bit_depth: int = 8, color_type: int = 2)
 def encode_gif(width: int, height: int, color_bits: int = 8) -> bytes:
     """Minimal valid GIF89a (header + logical screen descriptor +
     trailer, no color table) — synthesis twin of :func:`decode_header`."""
+    if not 1 <= color_bits <= 8:
+        # the color-resolution field is 3 bits (values 1..8); anything
+        # else would corrupt the packed flags byte (e.g. 9 sets the
+        # global-color-table flag for a table that is never written)
+        raise ValueError(f"encode_gif: color_bits must be 1..8, got {color_bits}")
     packed = (color_bits - 1) << 4  # color resolution; no GCT
     screen = struct.pack("<HHBBB", width, height, packed, 0, 0)
     return b"GIF89a" + screen + b"\x3b"

@@ -162,6 +162,13 @@ def mixture_sample(
     then :func:`stratified_quota_sample` — hash-ranked exact quotas,
     map-side WindowGroupLimit, one shuffle on the source column.
     """
+    if not weights:
+        raise ValueError("mixture_sample: weights must name at least one source")
+    bad = {s: w for s, w in weights.items() if w <= 0}
+    if bad:
+        raise ValueError(
+            f"mixture_sample: weights must be positive integers, got {bad}"
+        )
     counts = {
         r["_s"]: r["_n"]
         for r in df.select(F.col(source_col).alias("_s"))

@@ -500,9 +500,12 @@ def lsh_signature(emb: Column, planes: np.ndarray) -> Column:
     if len(planes) > 63:
         raise ValueError(
             f"lsh_signature packs bits into a signed 64-bit long: "
-            f"{len(planes)} planes won't fit (max 63).  For wider "
-            "signatures raise `bands` instead of bits-per-band, or "
-            "split planes across several signature columns."
+            f"{len(planes)} planes won't fit (max 63).  Keep "
+            "bits-per-band >= log2(n) and reduce the number of bands "
+            "sharing this signature (more bands only helps recall, "
+            "narrower bands break candidate pruning), or split the "
+            "planes across several signature columns — one long per "
+            "band group."
         )
     sig = F.lit(0).cast("long")
     for i, plane in enumerate(planes):

@@ -897,6 +897,9 @@ def test_cdc_permuted_batches_last_writer_wins_by_version(spark):
         per_key: dict = {}
         for r in hist:
             per_key.setdefault(r["k"], []).append((r["valid_from"], r["valid_to"]))
+        # every key with ops must appear — a key silently dropped by
+        # scd2_history would otherwise skip its assertions entirely
+        assert set(per_key) == {k for k, *_ in versioned}
         for k, ivals in per_key.items():
             vers = sorted(ver for kk, ver, *_ in versioned if kk == k)
             want = [
