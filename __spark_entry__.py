@@ -1359,18 +1359,22 @@ def _q_ingest_metrics_passthrough(spark: SparkSession, sf: str) -> DataFrame:
     per_type = events.groupBy("event_type").agg(
         F.count("*").alias("record_count"),
         F.count("value").alias("value_present"),
-    ).cache()
-    # one action so the observation fires; caching the aggregate (a
-    # handful of rows) means the events scan runs exactly once — the
-    # driver's later collect reads the cached result, it does not
-    # re-execute the scan
-    per_type.count()
-    m = obs.get
-    observed = spark.createDataFrame(
-        [("__observed__", int(m["records"]), int(m["records"]) - int(m["null_first_col"]))],
-        "event_type string, record_count long, value_present long",
     )
-    return per_type.unionByName(observed)
+    # ONE action fires the observation; the per-type rows it already
+    # computed (bounded by #event types — a tiny-result collect) come
+    # back as literals, so the events scan executes exactly once and
+    # nothing stays cached in the session
+    rows = [
+        (r["event_type"], r["record_count"], r["value_present"])
+        for r in per_type.collect()
+    ]
+    m = obs.get
+    rows.append(
+        ("__observed__", int(m["records"]), int(m["records"]) - int(m["null_first_col"]))
+    )
+    return spark.createDataFrame(
+        rows, "event_type string, record_count long, value_present long"
+    )
 
 
 def _q_json_scan_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
