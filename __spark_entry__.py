@@ -1637,6 +1637,27 @@ def _q_mixture_sample(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_token_budget_prefix(spark: SparkSession, sf: str) -> DataFrame:
+    # "assemble exactly N tokens": hash-ordered prefix under a global
+    # token budget, computed with the scale-safe coarse-bucket +
+    # prefix-offset formulation (never a single-partition global
+    # window); the oracle recomputes the same prefix with one flat
+    # SQL running sum — counts, token total, and exact membership
+    # (id checksum) must all agree
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.sampling import (
+        token_budget_prefix,
+    )
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.text import token_count
+
+    docs = load_table(spark, sf, "documents")
+    kept = token_budget_prefix(docs, "doc_id", token_count("text"), budget=2000)
+    return kept.agg(
+        F.count("*").alias("kept_docs"),
+        F.sum(token_count("text")).cast("long").alias("total_tokens"),
+        F.sum("doc_id").cast("long").alias("id_checksum"),
+    )
+
+
 def _q_stratified_quota_sample(spark: SparkSession, sf: str) -> DataFrame:
     # EXACT per-stratum quotas (budgeted corpus mixing): membership is
     # a deterministic hash ranking, so sum(doc_id) pins the exact kept
@@ -3357,6 +3378,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new or changed this round (round 4) ----------------------
         "ngram_jaccard_capped": _q_ngram_jaccard_capped,
         "mixture_sample": _q_mixture_sample,
+        "token_budget_prefix": _q_token_budget_prefix,
         "multimodal_decode": _q_multimodal_decode,
         "embedding_near_dup_gemm": _q_embedding_near_dup_gemm,
         # --- ballast: riskiest prior greens ---------------------------
@@ -4073,6 +4095,24 @@ def _oracle_sql_literal() -> dict[str, str]:
                    CAST(sum(n_chars) AS BIGINT) AS char_count
             FROM documents
             GROUP BY 1, 2
+        """,
+        "token_budget_prefix": r"""
+            WITH t AS (
+                SELECT doc_id,
+                       len(string_split_regex(trim(text), '\s+')) AS n_tok,
+                       md5('budget:v1' || doc_id::VARCHAR) AS h
+                FROM documents
+            ),
+            c AS (
+                SELECT *,
+                       sum(n_tok) OVER (ORDER BY h, doc_id
+                                        ROWS UNBOUNDED PRECEDING) AS cum
+                FROM t
+            )
+            SELECT count(*) AS kept_docs,
+                   CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+                   CAST(sum(doc_id) AS BIGINT) AS id_checksum
+            FROM c WHERE cum <= 2000
         """,
         "mixture_sample": """
             WITH n AS (

@@ -149,6 +149,7 @@ HEADLINE = [
     # round-4 additions
     "ngram_jaccard_capped",
     "mixture_sample",
+    "token_budget_prefix",
 ]
 
 

@@ -190,6 +190,67 @@ def mixture_sample(
     )
 
 
+def token_budget_prefix(
+    df: DataFrame,
+    id_col: str,
+    token_count,
+    budget: int,
+    salt: str = "budget:v1",
+    coarse_hex: int = 2,
+) -> DataFrame:
+    """Keep the hash-ordered PREFIX of the corpus whose cumulative
+    token count fits ``budget`` — "assemble exactly N tokens of
+    training data", deterministically: membership is a pure function
+    of (content hash, budget), stable under repartitioning and
+    engine-portable.
+
+    A naive ``sum() OVER (ORDER BY hash)`` is a single-partition
+    global window — the plan that dies first at 100 TB.  This uses the
+    same two-phase shape as ``aggregates.equi_depth_bins``: rows get a
+    coarse hash-prefix bucket (16^``coarse_hex`` buckets), a tiny
+    per-bucket token-sum histogram (bounded driver collect, one row
+    per bucket) yields exact prefix offsets, and the running sum is
+    then a PER-BUCKET window + broadcast offset — one shuffle on the
+    bucket key, parallelism = bucket count (raise ``coarse_hex`` with
+    the cluster).  ``token_count`` is a Column (e.g.
+    ``text.token_count("text")``) so callers choose the tokenizer.
+    """
+    c = F.col(id_col)
+    h = F.md5(F.concat(F.lit(salt), c.cast("string")).cast("binary"))
+    narrow = df.select(
+        "*",
+        token_count.alias("_ntok"),
+        h.alias("_h"),
+        F.conv(F.substring(h, 1, coarse_hex), 16, 10).cast("int").alias("_b"),
+    )
+    hist = {
+        r["_b"]: r["_s"]
+        for r in narrow.groupBy("_b").agg(F.sum("_ntok").alias("_s")).collect()
+    }
+    running = 0
+    offsets = []
+    for b in sorted(hist):
+        offsets.append((b, running))
+        running += int(hist[b])
+    spark = df.sparkSession
+    off = F.broadcast(
+        spark.createDataFrame(offsets or [(0, 0)], "_b int, _off long")
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("_b")
+        .orderBy("_h", c)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        narrow.join(off, "_b")
+        .withColumn("_cum", F.sum("_ntok").over(w) + F.col("_off"))
+        .filter(F.col("_cum") <= F.lit(budget))
+        .drop("_h", "_b", "_off", "_cum", "_ntok")
+    )
+
+
 def cluster_safe_split(
     docs: DataFrame,
     clusters: DataFrame,

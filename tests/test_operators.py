@@ -499,6 +499,42 @@ def test_mixture_sample_unsatisfiable_recipe_is_empty(spark, sf_dir):
     assert mixed.count() == 0
 
 
+def test_token_budget_prefix_matches_global_window(spark, sf_dir):
+    # the coarse-bucket + prefix-offset formulation must equal the
+    # naive single-partition global running sum exactly
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.sampling import token_budget_prefix
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.text import token_count
+    from etl_based_real_time_air_quality_monitoring_system_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    budget = 1500
+    kept = sorted(
+        r["doc_id"]
+        for r in token_budget_prefix(docs, "doc_id", token_count("text"), budget).collect()
+    )
+    rows = docs.select(
+        "doc_id", token_count("text").alias("n"),
+        F.md5(F.concat(F.lit("budget:v1"), F.col("doc_id").cast("string")).cast("binary")).alias("h"),
+    ).collect()
+    cum, want = 0, []
+    for r in sorted(rows, key=lambda r: (r["h"], r["doc_id"])):
+        cum += r["n"]
+        if cum > budget:
+            break
+        want.append(r["doc_id"])
+    assert kept == sorted(want) and want  # non-trivial prefix
+    # deterministic under repartitioning
+    kept2 = sorted(
+        r["doc_id"]
+        for r in token_budget_prefix(
+            docs.repartition(9), "doc_id", token_count("text"), budget
+        ).collect()
+    )
+    assert kept2 == kept
+    # a budget below the first doc's tokens keeps nothing
+    assert token_budget_prefix(docs, "doc_id", token_count("text"), 0).count() == 0
+
+
 def test_gap_fill_locf_semantics(spark):
     from etl_based_real_time_air_quality_monitoring_system_spark.operators.timeseries import gap_fill_locf
 

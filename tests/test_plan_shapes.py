@@ -288,6 +288,23 @@ def test_stratified_quota_sample_windowgrouplimit(spark, sf_dir):
     assert "BatchEvalPython" not in p
 
 
+def test_token_budget_prefix_no_global_window(spark, sf_dir):
+    """The running token sum must be a PER-BUCKET window (hash
+    partitioning on the coarse bucket) with a broadcast offset join —
+    never the single-partition global window a naive
+    `sum() OVER (ORDER BY hash)` plans, which dies first at 100 TB."""
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.sampling import token_budget_prefix
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.text import token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    q = token_budget_prefix(docs, "doc_id", token_count("text"), budget=2000)
+    p = plan(q)
+    assert "SinglePartition" not in p, f"global window sneaked in: {p}"
+    assert "hashpartitioning(_b" in p
+    assert "BroadcastHashJoin" in p  # the 256-row offset table
+    assert "BatchEvalPython" not in p
+
+
 def test_multimodal_decode_no_shuffle(spark, sf_dir):
     """Header decode is embarrassingly parallel: the mapInPandas seam
     must follow the input partitioning — no exchange anywhere."""
