@@ -3,14 +3,16 @@ payloads with typed metadata (BASELINE.json north star).
 
 Decode is REAL for header-parseable container formats: ``decode_header``
 parses BMP (BITMAPINFOHEADER), PCM-WAV (RIFF chunk walk), PNG (IHDR
-chunk, big-endian) and GIF (logical screen descriptor, little-endian)
-with stdlib ``struct`` only — no codec library — and ``encode_bmp`` /
-``encode_wav`` / ``encode_png`` / ``encode_gif`` are its synthesis
-twins, so the encode→decode round trip is oracle-checked in the driver
-gate (``multimodal_decode``).  Pixel-level decode of compressed
-formats (JPEG/PNG IDAT/MP3/H.264) genuinely requires codec libraries
-this container lacks; their dispatch extends ``decode_header``,
-everything around it (schema, Arrow batch shapes,
+chunk, big-endian), GIF (logical screen descriptor, little-endian)
+and JPEG (marker-segment walk to SOF) with stdlib ``struct`` only —
+no codec library — and ``encode_bmp`` / ``encode_wav`` /
+``encode_png`` / ``encode_gif`` / ``encode_jpeg_header`` are its
+synthesis twins, so the encode→decode round trip is oracle-checked in
+the driver gate (``multimodal_decode``) across five formats.
+Pixel-level decode of compressed payloads (JPEG entropy data,
+PNG IDAT inflate, MP3, H.264) genuinely requires codec libraries
+this container lacks; that extension drops into ``decode_header``'s
+dispatch, everything around it (schema, Arrow batch shapes,
 ``mapInPandas`` signatures, partitioning) is unchanged.  Feature
 extraction uses a deterministic md5-derived stand-in (integer-exact,
 hence gate-checkable).
@@ -91,12 +93,13 @@ def synthesize_assets(spark: SparkSession, n: int, modality: str = "image") -> D
 
 def synthesize_media_assets(
     spark: SparkSession, n_images: int, n_audio: int,
-    n_png: int = 0, n_gif: int = 0,
+    n_png: int = 0, n_gif: int = 0, n_jpeg: int = 0,
 ) -> DataFrame:
     """Deterministic corpus of REAL container-format payloads (valid
-    BMP, PCM-WAV, PNG and GIF headers built with ``struct.pack``):
-    every dimension is pure arithmetic over the asset id, so an oracle
-    can re-derive the expected decode output term-for-term.
+    BMP, PCM-WAV, PNG, GIF and JPEG headers built with
+    ``struct.pack``): every dimension is pure arithmetic over the
+    asset id, so an oracle can re-derive the expected decode output
+    term-for-term.
 
     Synthesis runs inside ``mapInPandas`` (Arrow-batched, partitioned
     with the ``range`` source) — the same distributed shape real
@@ -171,6 +174,20 @@ def synthesize_media_assets(
                 }
             )
 
+    def make_jpeg(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["id"]
+            yield pd.DataFrame(
+                {
+                    "asset_id": ids,
+                    "modality": "image",
+                    "payload": [
+                        encode_jpeg_header(100 + int(i) % 31, 50 + int(i) % 17)
+                        for i in ids
+                    ],
+                }
+            )
+
     images = spark.range(n_images, numPartitions=parts(n_images)).mapInPandas(
         make_image, schema
     )
@@ -193,6 +210,13 @@ def synthesize_media_assets(
             .withColumn("asset_id", F.col("asset_id") + F.lit(2_000_000))
         )
         out = out.unionByName(gifs)
+    if n_jpeg:
+        jpegs = (
+            spark.range(n_jpeg, numPartitions=parts(n_jpeg))
+            .mapInPandas(make_jpeg, schema)
+            .withColumn("asset_id", F.col("asset_id") + F.lit(3_000_000))
+        )
+        out = out.unionByName(jpegs)
     return out
 
 
@@ -204,9 +228,11 @@ def decode_header(payload: bytes | None) -> dict:
     width, height, bits-per-pixel), WAV (RIFF/WAVE ``fmt `` chunk:
     channels, sample rate, bits-per-sample, plus frame count from the
     ``data`` chunk), PNG (``IHDR``: big-endian width/height at fixed
-    offsets 16/20, bit depth + color type → channels) and GIF
+    offsets 16/20, bit depth + color type → channels), GIF
     (logical screen descriptor: little-endian width/height at offsets
-    6/8, color-resolution bits from the packed flags byte).  Anything
+    6/8, color-resolution bits from the packed flags byte) and JPEG
+    (marker-segment walk to the first SOF frame header: precision,
+    height, width, component count).  Anything
     else — including truncated headers — returns
     ``{"format": "unknown"}`` rather than raising, so one bad asset
     never kills an Arrow batch.
@@ -284,6 +310,43 @@ def decode_header(payload: bytes | None) -> dict:
             channels=channels,
         )
         return out
+    if buf[:2] == b"\xff\xd8":
+        # JPEG: walk the marker segments (0xFF marker + uint16 BE
+        # length including itself) to the first start-of-frame
+        # (SOF0..SOF15 except DHT/JPG/DAC), which carries bit
+        # precision, height, width, and component count — dimensions
+        # are header-parseable even though pixel decode needs a codec
+        pos = 2
+        while pos + 4 <= len(buf):
+            if buf[pos] != 0xFF:
+                return out  # desynced marker stream -> malformed
+            marker = buf[pos + 1]
+            if marker == 0xD9:  # EOI before any SOF
+                return out
+            if 0xD0 <= marker <= 0xD8 or marker == 0x01 or marker == 0xFF:
+                pos += 2  # standalone markers carry no length
+                continue
+            (seglen,) = struct.unpack_from(">H", buf, pos + 2)
+            if seglen < 2:
+                return out
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                if pos + 4 + 6 > len(buf):
+                    return out
+                bits, height, width, ncomp = struct.unpack_from(
+                    ">BHHB", buf, pos + 4
+                )
+                if width == 0 or height == 0:
+                    return out
+                out.update(
+                    format="jpeg",
+                    width=width,
+                    height=height,
+                    bits=bits,
+                    channels=ncomp,
+                )
+                return out
+            pos += 2 + seglen
+        return out
     if buf[:6] in (b"GIF87a", b"GIF89a") and len(buf) >= 11:
         # logical screen descriptor: width/height are little-endian
         # uint16 at offsets 6/8; the packed byte at 10 carries the
@@ -347,6 +410,20 @@ def encode_gif(width: int, height: int, color_bits: int = 8) -> bytes:
     packed = (color_bits - 1) << 4  # color resolution; no GCT
     screen = struct.pack("<HHBBB", width, height, packed, 0, 0)
     return b"GIF89a" + screen + b"\x3b"
+
+
+def encode_jpeg_header(width: int, height: int, channels: int = 3) -> bytes:
+    """Structurally valid JPEG prefix (SOI + JFIF APP0 + SOF0 + EOI, no
+    scan data) — synthesis twin of :func:`decode_header`'s marker walk.
+    Real pixel payloads need a codec; the header path doesn't."""
+    app0_body = b"JFIF\x00\x01\x01\x00" + struct.pack(">HH", 72, 72) + b"\x00\x00"
+    app0 = b"\xff\xe0" + struct.pack(">H", 2 + len(app0_body)) + app0_body
+    comps = b"".join(
+        struct.pack("BBB", i + 1, 0x11, 0) for i in range(channels)
+    )
+    sof_body = struct.pack(">BHHB", 8, height, width, channels) + comps
+    sof = b"\xff\xc0" + struct.pack(">H", 2 + len(sof_body)) + sof_body
+    return b"\xff\xd8" + app0 + sof + b"\xff\xd9"
 
 
 def encode_wav(sample_rate: int, channels: int, bits: int, n_frames: int) -> bytes:

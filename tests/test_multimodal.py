@@ -11,6 +11,7 @@ from etl_based_real_time_air_quality_monitoring_system_spark.operators.multimoda
     decode_header,
     encode_bmp,
     encode_gif,
+    encode_jpeg_header,
     encode_png,
     encode_wav,
     extract_features,
@@ -116,9 +117,18 @@ def test_decode_header_property_round_trip():
         g = decode_header(encode_gif(w, h))
         assert (g["format"], g["width"], g["height"], g["bits"]) == ("gif", w, h, 8)
 
+    @settings(max_examples=200, deadline=None)
+    @given(w=st.integers(1, 65_535), h=st.integers(1, 65_535), c=st.integers(1, 4))
+    def jpeg_case(w, h, c):
+        j = decode_header(encode_jpeg_header(w, h, c))
+        assert (j["format"], j["width"], j["height"], j["channels"], j["bits"]) == (
+            "jpeg", w, h, c, 8,
+        )
+
     bmp_case()
     wav_case()
     png_gif_case()
+    jpeg_case()
 
 
 def test_decode_header_png_color_types():
@@ -134,6 +144,9 @@ def test_decode_header_garbage_is_unknown_not_error():
         b"\x89PNG\r\n\x1a\n" + b"\x00" * 4 + b"JUNK" + b"\x00" * 20,  # not IHDR
         b"GIF89a",  # truncated screen descriptor
         b"GIF88a" + b"\x00" * 10,  # bad version
+        b"\xff\xd8\xff\xd9",  # JPEG EOI before any SOF
+        b"\xff\xd8\x00\x00" * 5,  # JPEG desynced marker stream
+        b"\xff\xd8\xff\xc0\x00\x01",  # JPEG SOF with impossible length
     ):
         assert decode_header(junk)["format"] == "unknown"
 
@@ -144,9 +157,9 @@ def test_decode_header_zero_dims_are_unknown():
 
 
 def test_decode_assets_distributed_round_trip(spark):
-    assets = synthesize_media_assets(spark, 12, 6, n_png=5, n_gif=5)
+    assets = synthesize_media_assets(spark, 12, 6, n_png=5, n_gif=5, n_jpeg=5)
     rows = {(r["modality"], r["asset_id"]): r for r in decode_assets(assets).collect()}
-    assert len(rows) == 28
+    assert len(rows) == 33
     for i in range(12):
         r = rows[("image", i)]
         assert (r["format"], r["width"], r["height"]) == ("bmp", 16 + i % 17, 8 + i % 11)
@@ -165,6 +178,10 @@ def test_decode_assets_distributed_round_trip(spark):
         )
         r = rows[("image", 2_000_000 + i)]
         assert (r["format"], r["width"], r["height"]) == ("gif", 10 + i % 21, 5 + i % 9)
+        r = rows[("image", 3_000_000 + i)]
+        assert (r["format"], r["width"], r["height"], r["channels"]) == (
+            "jpeg", 100 + i % 31, 50 + i % 17, 3,
+        )
 
 
 def test_resize_images_shape_contract(spark):
