@@ -1252,6 +1252,28 @@ def _gate_sink(sf: str, name: str) -> str:
     return os.path.join(_GATE_SINK_ROOT, f"{name}_{_sf_tag(sf)}")
 
 
+def _q_sink_sharded_export(spark: SparkSession, sf: str) -> DataFrame:
+    # training-shard export round trip: deterministic shard membership
+    # (content-hash bucket) proven by per-shard count + id checksum +
+    # char total against an oracle recomputing the same bucket rule;
+    # within-shard ORDER is pinned separately in pytest (parquet
+    # read-back order is split-dependent, so the gate checks the
+    # order-insensitive invariants)
+    from etl_based_real_time_air_quality_monitoring_system_spark.sources.writers import (
+        write_training_shards,
+    )
+
+    docs = load_table(spark, sf, "documents")
+    path = _gate_sink(sf, "training_shards")
+    write_training_shards(docs, path, "doc_id", n_shards=8)
+    back = spark.read.parquet(path)
+    return back.groupBy("shard").agg(
+        F.count("*").alias("doc_count"),
+        F.sum("doc_id").cast("long").alias("id_checksum"),
+        F.sum("n_chars").cast("long").alias("char_total"),
+    )
+
+
 def _q_sink_partitioned_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     # S10 in the gate as a REAL write->read round trip: partitioned
     # parquet sink, then a read-back whose partition filter prunes
@@ -3380,6 +3402,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_capped": _q_ngram_jaccard_capped,
         "mixture_sample": _q_mixture_sample,
         "token_budget_prefix": _q_token_budget_prefix,
+        "sink_sharded_export": _q_sink_sharded_export,
         "multimodal_decode": _q_multimodal_decode,
         "embedding_near_dup_gemm": _q_embedding_near_dup_gemm,
         # --- ballast: riskiest prior greens ---------------------------
@@ -4096,6 +4119,16 @@ def _oracle_sql_literal() -> dict[str, str]:
                    CAST(sum(n_chars) AS BIGINT) AS char_count
             FROM documents
             GROUP BY 1, 2
+        """,
+        "sink_sharded_export": """
+            SELECT CAST(('0x' || substr(
+                       md5('shard:v1' || doc_id::VARCHAR), 1, 7)
+                   )::BIGINT % 8 AS INTEGER) AS shard,
+                   count(*) AS doc_count,
+                   CAST(sum(doc_id) AS BIGINT) AS id_checksum,
+                   CAST(sum(n_chars) AS BIGINT) AS char_total
+            FROM documents
+            GROUP BY 1
         """,
         "token_budget_prefix": r"""
             WITH t AS (

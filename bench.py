@@ -150,6 +150,7 @@ HEADLINE = [
     "ngram_jaccard_capped",
     "mixture_sample",
     "token_budget_prefix",
+    "sink_sharded_export",
 ]
 
 

@@ -116,6 +116,45 @@ def compact_small_files(
     return len(spark.read.parquet(dst_path).inputFiles())
 
 
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    id_col: str,
+    n_shards: int,
+    salt: str = "shard:v1",
+    mode: str = "overwrite",
+) -> None:
+    """Training-corpus export: ``n_shards`` shard directories with
+    deterministic membership AND deterministic within-shard order —
+    the "global shuffle" of training data done without RNG, so a
+    re-run (or a different engine) produces byte-identical shards.
+
+    shard = content-hash bucket of the id (stable under
+    repartitioning, same rule as ``sampling.hash_bucket``); rows
+    within a shard are ordered by the full hash (+ id tie-break) —
+    effectively a uniform random permutation, but reproducible.  One
+    shuffle (``repartition`` on the shard column) co-locates each
+    shard in a single task, ``partitionBy`` writes one directory per
+    shard, ``sortWithinPartitions`` fixes the in-file row order.  At
+    100 TB pick ``n_shards`` ≈ corpus_bytes / target_shard_bytes.
+    """
+    from pyspark.sql import functions as F
+
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.sampling import hash_bucket
+
+    h = F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")).cast("binary"))
+    (
+        df.withColumn("shard", hash_bucket(F.col(id_col), n_shards, salt))
+        .withColumn("_h", h)
+        .repartition(n_shards, F.col("shard"))
+        .sortWithinPartitions("shard", "_h", id_col)
+        .drop("_h")
+        .write.mode(mode)
+        .partitionBy("shard")
+        .parquet(path)
+    )
+
+
 def write_orc(
     df: DataFrame,
     path: str,

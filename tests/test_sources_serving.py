@@ -137,3 +137,49 @@ def test_partitioned_write_sort_within_partitions(spark, sf_dir, tmp_path):
     for f in files[:4]:
         ts = pq.read_table(f, columns=["ts"])["ts"].to_pylist()
         assert ts == sorted(ts), f"rows not ts-sorted within {f}"
+
+
+def test_write_training_shards_deterministic_order(spark, sf_dir, tmp_path):
+    """Shard export: one file per shard directory, content-hash
+    membership stable across re-runs/repartitionings, and the
+    within-file row order is exactly the (hash, id) permutation."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.sampling import hash_bucket
+    from etl_based_real_time_air_quality_monitoring_system_spark.sources.readers import load_table
+    from etl_based_real_time_air_quality_monitoring_system_spark.sources.writers import write_training_shards
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = str(tmp_path / "shards")
+    write_training_shards(docs, out, "doc_id", n_shards=4)
+
+    shard_dirs = sorted(d for d in os.listdir(out) if d.startswith("shard="))
+    assert shard_dirs == [f"shard={i}" for i in range(4)]
+    salt = "shard:v1"
+    expected = {
+        r["doc_id"]: r["b"]
+        for r in docs.select(
+            "doc_id", hash_bucket(F.col("doc_id"), 4, salt).alias("b")
+        ).collect()
+    }
+    for d in shard_dirs:
+        shard = int(d.split("=")[1])
+        files = [f for f in os.listdir(os.path.join(out, d)) if f.endswith(".parquet")]
+        assert len(files) == 1, f"{d}: expected one file, got {files}"
+        # single file read in one split preserves writer row order
+        rows = [
+            r["doc_id"]
+            for r in spark.read.parquet(os.path.join(out, d, files[0])).collect()
+        ]
+        assert rows, d
+        assert all(expected[i] == shard for i in rows)
+        import hashlib
+
+        keyed = sorted(rows, key=lambda i: (hashlib.md5(f"{salt}{i}".encode()).hexdigest(), i))
+        assert rows == keyed, f"{d}: within-shard order is not the hash permutation"
+    # membership covers the whole corpus exactly once
+    back = spark.read.parquet(out)
+    assert back.count() == docs.count()
+    assert back.select("doc_id").distinct().count() == docs.count()
