@@ -1813,6 +1813,25 @@ def _q_corpus_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     return corpus_report(prepare_corpus(docs))
 
 
+def _q_corpus_assembly(spark: SparkSession, sf: str) -> DataFrame:
+    # the end-to-end assembly capstone: exact dedup + quality/lang
+    # filter -> 50/30/20 source mixture -> 1200-token budget prefix ->
+    # deterministic shards; every stage hash-driven, so the oracle
+    # re-derives the exact final shard contents (counts, id checksums,
+    # token totals) through the same CTE chain
+    from etl_based_real_time_air_quality_monitoring_system_spark.plans.corpus import assemble_corpus
+
+    docs = load_table(spark, sf, "documents")
+    out = assemble_corpus(
+        docs, {"src0": 5, "src1": 3, "src2": 2}, token_budget=1200, n_shards=4
+    )
+    return out.groupBy("source", "shard").agg(
+        F.count("*").alias("doc_count"),
+        F.sum("doc_id").cast("long").alias("id_checksum"),
+        F.sum("n_tokens").cast("long").alias("token_total"),
+    )
+
+
 def _q_lang_pred_counts(spark: SparkSession, sf: str) -> DataFrame:
     # marker-based language-ID heuristic, distribution of predictions
     docs = load_table(spark, sf, "documents")
@@ -3403,6 +3422,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_sample": _q_mixture_sample,
         "token_budget_prefix": _q_token_budget_prefix,
         "sink_sharded_export": _q_sink_sharded_export,
+        "corpus_assembly": _q_corpus_assembly,
         "multimodal_decode": _q_multimodal_decode,
         "embedding_near_dup_gemm": _q_embedding_near_dup_gemm,
         # --- ballast: riskiest prior greens ---------------------------
@@ -3609,6 +3629,55 @@ _LANG_SCORES = ",\n                   ".join(
         ("fr", ("le", "la", "et", "les", "des")),
     )
 )
+
+
+#: the shared dedup -> profile -> quality/lang/token-bound filter CTE
+#: chain (mirrors plans.corpus.prepare_corpus) — factored so the
+#: corpus_pipeline and corpus_assembly oracles can never drift apart
+_CORPUS_KEPT_CTES = rf"""fp AS (
+                SELECT doc_id, source, text,
+                       md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS f
+                FROM documents
+            ),
+            surv AS (
+                SELECT doc_id, source, text FROM (
+                    SELECT *, row_number() OVER (PARTITION BY f ORDER BY doc_id) AS rn
+                    FROM fp
+                ) WHERE rn = 1
+            ),
+            t AS (
+                SELECT doc_id, source, {_TOKS} AS toks,
+                       string_split_regex(trim(lower(text)), '\s+') AS ltoks
+                FROM surv
+            ),
+            profiled AS (
+                SELECT doc_id, source,
+                       floor((
+                           0.4::DOUBLE * least(len(toks)::DOUBLE / 100.0::DOUBLE, 1.0::DOUBLE)
+                         + 0.3::DOUBLE * (len(list_distinct(toks))::DOUBLE / len(toks)::DOUBLE)
+                         + 0.3::DOUBLE * (1.0::DOUBLE
+                               - len(list_filter(toks, x -> x IN {_STOP_SQL}))::DOUBLE
+                                 / len(toks)::DOUBLE)
+                           ) * 10000.0 + 0.5) / 10000.0 AS quality,
+                       CAST(len(toks) AS INTEGER) AS n_tokens,
+                       len(list_filter(ltoks, x -> x IN ('the','and','of','to','a'))) AS s_en,
+                       len(list_filter(ltoks, x -> x IN ('el','la','de','que','y'))) AS s_es,
+                       len(list_filter(ltoks, x -> x IN ('der','die','und','das','ist'))) AS s_de,
+                       len(list_filter(ltoks, x -> x IN ('le','la','et','les','des'))) AS s_fr
+                FROM t
+            ),
+            kept AS (
+                SELECT * FROM profiled
+                WHERE quality >= 0.5
+                  AND n_tokens BETWEEN 20 AND 2000
+                  AND (CASE
+                        WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr AND s_en > 0
+                            THEN 'en'
+                        WHEN s_es >= s_de AND s_es >= s_fr AND s_es > 0 THEN 'es'
+                        WHEN s_de >= s_fr AND s_de > 0 THEN 'de'
+                        WHEN s_fr > 0 THEN 'fr'
+                        ELSE 'und' END) = 'en'
+            )"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -6047,54 +6116,51 @@ def _oracle_sql_literal() -> dict[str, str]:
             FROM range(24)
         """,
         "corpus_pipeline": rf"""
-            WITH fp AS (
-                SELECT doc_id, source, text,
-                       md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS f
-                FROM documents
-            ),
-            surv AS (
-                SELECT doc_id, source, text FROM (
-                    SELECT *, row_number() OVER (PARTITION BY f ORDER BY doc_id) AS rn
-                    FROM fp
-                ) WHERE rn = 1
-            ),
-            t AS (
-                SELECT doc_id, source, {_TOKS} AS toks,
-                       string_split_regex(trim(lower(text)), '\s+') AS ltoks
-                FROM surv
-            ),
-            profiled AS (
-                SELECT doc_id, source,
-                       floor((
-                           0.4::DOUBLE * least(len(toks)::DOUBLE / 100.0::DOUBLE, 1.0::DOUBLE)
-                         + 0.3::DOUBLE * (len(list_distinct(toks))::DOUBLE / len(toks)::DOUBLE)
-                         + 0.3::DOUBLE * (1.0::DOUBLE
-                               - len(list_filter(toks, x -> x IN {_STOP_SQL}))::DOUBLE
-                                 / len(toks)::DOUBLE)
-                           ) * 10000.0 + 0.5) / 10000.0 AS quality,
-                       CAST(len(toks) AS INTEGER) AS n_tokens,
-                       len(list_filter(ltoks, x -> x IN ('the','and','of','to','a'))) AS s_en,
-                       len(list_filter(ltoks, x -> x IN ('el','la','de','que','y'))) AS s_es,
-                       len(list_filter(ltoks, x -> x IN ('der','die','und','das','ist'))) AS s_de,
-                       len(list_filter(ltoks, x -> x IN ('le','la','et','les','des'))) AS s_fr
-                FROM t
-            ),
-            kept AS (
-                SELECT * FROM profiled
-                WHERE quality >= 0.5
-                  AND n_tokens BETWEEN 20 AND 2000
-                  AND (CASE
-                        WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr AND s_en > 0
-                            THEN 'en'
-                        WHEN s_es >= s_de AND s_es >= s_fr AND s_es > 0 THEN 'es'
-                        WHEN s_de >= s_fr AND s_de > 0 THEN 'de'
-                        WHEN s_fr > 0 THEN 'fr'
-                        ELSE 'und' END) = 'en'
-            )
+            WITH {_CORPUS_KEPT_CTES}
             SELECT source, count(*) AS kept_docs,
                    CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
                    round(avg(quality), 4) AS avg_quality
             FROM kept GROUP BY source
+        """,
+        "corpus_assembly": rf"""
+            WITH {_CORPUS_KEPT_CTES},
+            n AS (
+                SELECT source, count(*) AS cnt FROM kept
+                WHERE source IN ('src0', 'src1', 'src2') GROUP BY source
+            ),
+            w(source, wt) AS (VALUES ('src0', 5), ('src1', 3), ('src2', 2)),
+            tt AS (
+                SELECT min((COALESCE(n.cnt, 0) * 10) // w.wt) AS t_max
+                FROM w LEFT JOIN n USING (source)
+            ),
+            q AS (SELECT w.source, (w.wt * tt.t_max) // 10 AS quota FROM w, tt),
+            rankedm AS (
+                SELECT k.doc_id, k.source, k.n_tokens,
+                       row_number() OVER (
+                           PARTITION BY k.source
+                           ORDER BY md5('mix:v1' || k.doc_id::VARCHAR), k.doc_id
+                       ) AS rn
+                FROM kept k WHERE k.source IN ('src0', 'src1', 'src2')
+            ),
+            mixed AS (
+                SELECT r.doc_id, r.source, r.n_tokens
+                FROM rankedm r JOIN q USING (source) WHERE r.rn <= q.quota
+            ),
+            budget AS (
+                SELECT *,
+                       sum(n_tokens) OVER (ORDER BY md5('budget:v1' || doc_id::VARCHAR),
+                                           doc_id ROWS UNBOUNDED PRECEDING) AS cum
+                FROM mixed
+            ),
+            fitted AS (SELECT * FROM budget WHERE cum <= 1200)
+            SELECT source,
+                   CAST(('0x' || substr(
+                       md5('shard:v1' || doc_id::VARCHAR), 1, 7)
+                   )::BIGINT % 4 AS INTEGER) AS shard,
+                   count(*) AS doc_count,
+                   CAST(sum(doc_id) AS BIGINT) AS id_checksum,
+                   CAST(sum(n_tokens) AS BIGINT) AS token_total
+            FROM fitted GROUP BY 1, 2
         """,
         "tpch_q5": """
             SELECT n_name,

@@ -151,6 +151,7 @@ HEADLINE = [
     "mixture_sample",
     "token_budget_prefix",
     "sink_sharded_export",
+    "corpus_assembly",
 ]
 
 

@@ -81,3 +81,42 @@ def corpus_report(kept: DataFrame, source_col: str = "source") -> DataFrame:
         F.sum("n_tokens").alias("total_tokens"),
         F.round(F.avg("quality"), 4).alias("avg_quality"),
     )
+
+
+def assemble_corpus(
+    docs: DataFrame,
+    weights: dict[str, int],
+    token_budget: int,
+    n_shards: int,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    shard_salt: str = "shard:v1",
+) -> DataFrame:
+    """The END-TO-END corpus assembly recipe, composed entirely from
+    the registered operators: ``prepare_corpus`` (exact dedup +
+    quality/language/token-bound filter) → ``mixture_sample`` (hit the
+    target source mixture, budgeted by the scarcest source) →
+    ``token_budget_prefix`` ("exactly N tokens", hash-ordered prefix)
+    → deterministic shard assignment.  Every stage is a pure function
+    of content hashes, so the final shard contents are bit-reproducible
+    on any partitioning and any engine — the property a training-data
+    build actually needs.
+
+    Scale shape = the sum of its parts (each audited separately in
+    PLANS.md/SCALING.md): one fingerprint shuffle, one source shuffle
+    (quota window), one coarse-bucket shuffle (budget window) — no
+    stage exceeds one wide exchange, nothing collects beyond bounded
+    histograms.
+    """
+    from ..operators.sampling import (
+        hash_bucket,
+        mixture_sample,
+        token_budget_prefix,
+    )
+
+    kept = prepare_corpus(docs)
+    mixed = mixture_sample(kept, source_col, id_col, weights)
+    fitted = token_budget_prefix(mixed, id_col, F.col("n_tokens"), token_budget)
+    return fitted.withColumn(
+        "shard", hash_bucket(F.col(id_col), n_shards, shard_salt)
+    )
