@@ -1832,6 +1832,18 @@ def _q_corpus_assembly(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_embedding_gram(spark: SparkSession, sf: str) -> DataFrame:
+    # the distributed second-moment pass of PCA/covariance: per-batch
+    # integer GEMM partials (quantized half-up to micros) combined by
+    # an associative integer sum — bit-identical on any partitioning,
+    # so the full upper-triangle Gram matrix is oracle-checkable
+    # value-for-value
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.similarity import gram_matrix_micros
+
+    emb = load_table(spark, sf, "embeddings")
+    return gram_matrix_micros(emb, "embedding")
+
+
 def _q_lang_pred_counts(spark: SparkSession, sf: str) -> DataFrame:
     # marker-based language-ID heuristic, distribution of predictions
     docs = load_table(spark, sf, "documents")
@@ -3423,6 +3435,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_budget_prefix": _q_token_budget_prefix,
         "sink_sharded_export": _q_sink_sharded_export,
         "corpus_assembly": _q_corpus_assembly,
+        "embedding_gram": _q_embedding_gram,
         "multimodal_decode": _q_multimodal_decode,
         "embedding_near_dup_gemm": _q_embedding_near_dup_gemm,
         # --- ballast: riskiest prior greens ---------------------------
@@ -4187,6 +4200,18 @@ def _oracle_sql_literal() -> dict[str, str]:
                    count(*) AS doc_count,
                    CAST(sum(n_chars) AS BIGINT) AS char_count
             FROM documents
+            GROUP BY 1, 2
+        """,
+        "embedding_gram": """
+            WITH q AS (
+                SELECT vec_id, CAST(u.i - 1 AS INTEGER) AS dim,
+                       CAST(floor(CAST(embedding[u.i] AS DOUBLE)
+                                  * 1000000.0 + 0.5) AS BIGINT) AS qv
+                FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS u(i)
+            )
+            SELECT a.dim AS i, b.dim AS j,
+                   CAST(sum(a.qv * b.qv) AS BIGINT) AS gram_sum_q2
+            FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.dim <= b.dim
             GROUP BY 1, 2
         """,
         "sink_sharded_export": """

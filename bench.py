@@ -152,6 +152,7 @@ HEADLINE = [
     "token_budget_prefix",
     "sink_sharded_export",
     "corpus_assembly",
+    "embedding_gram",
 ]
 
 

@@ -692,3 +692,114 @@ def label_centroids_exact(
             F.floor(F.col("component") * F.lit(1_000_000.0)).cast("long")
         ).alias("component_sum_micros"),
     )
+
+
+# ----------------------------------------------------------------- PCA
+
+def gram_matrix_micros(
+    df: DataFrame, emb_col: str = "embedding", scale: int = 6
+) -> DataFrame:
+    """EXACT distributed Gram matrix Σ q·qᵀ over half-up-quantized
+    components q_i = floor(x_i·10^scale + 0.5) — the second-moment
+    pass of PCA / covariance, shaped for 100 TB and oracle-checkable.
+
+    Each Arrow batch computes its partial Gram with ONE integer
+    ``block.T @ block`` (the same BLAS seam as the GEMM near-dup
+    path), then emits d·(d+1)/2 upper-triangle partial rows; the only
+    shuffle carries (i, j, partial_sum) — bounded by
+    partitions × d²/2, never by corpus size — and the final combine is
+    an integer sum, associative and order-independent, so the result
+    is bit-identical on any partitioning and any engine.  Magnitude
+    check: |q| ≤ 10^6-ish components give products ≤ 10^12 and
+    Σ over 10^6 rows ≤ 10^18 < 2^63; for larger corpora lower
+    ``scale``.
+    """
+    import pandas as pd
+
+    pow10 = 10.0 ** scale
+
+    def partial(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.stack(pdf["_e"].to_numpy())
+            q = np.floor(m * pow10 + 0.5).astype(np.int64)
+            g = q.T @ q  # integer GEMM: exact
+            d = g.shape[0]
+            iu, ju = np.triu_indices(d)
+            yield pd.DataFrame(
+                {"i": iu.astype(np.int32), "j": ju.astype(np.int32), "p": g[iu, ju]}
+            )
+
+    partials = df.select(_as_double_array(emb_col).alias("_e")).mapInPandas(
+        partial, "i int, j int, p long"
+    )
+    return partials.groupBy("i", "j").agg(F.sum("p").alias("gram_sum_q2"))
+
+
+def pca_components(
+    df: DataFrame, emb_col: str = "embedding", k: int = 8, scale: int = 6
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Top-``k`` principal components of the embedding cloud:
+    distributed mean + Gram passes (both exact integer aggregates —
+    the parts that touch the corpus), then a d×d eigensolve on the
+    DRIVER (d² floats, trivially bounded).  Signs are fixed by making
+    each component's largest-|.| entry positive, so results are
+    deterministic.  Returns (mean, eigenvalues desc, components[k, d]).
+    """
+    n = df.count()
+    if n == 0:
+        raise ValueError("pca_components: empty corpus")
+    pow10 = 10.0 ** scale
+    sums = (
+        df.select(F.posexplode(_as_double_array(emb_col)).alias("dim", "x"))
+        .groupBy("dim")
+        .agg(F.sum(F.floor(F.col("x") * F.lit(pow10) + F.lit(0.5)).cast("long")).alias("s"))
+        .collect()
+    )
+    d = len(sums)
+    mean_q = np.zeros(d)
+    for r in sums:
+        mean_q[r["dim"]] = r["s"] / n
+    gram = np.zeros((d, d))
+    for r in gram_matrix_micros(df, emb_col, scale).collect():
+        gram[r["i"], r["j"]] = gram[r["j"], r["i"]] = r["gram_sum_q2"]
+    # covariance of the quantized cloud: E[qqᵀ] - mean·meanᵀ, rescaled
+    cov = (gram / n - np.outer(mean_q, mean_q)) / pow10**2
+    vals, vecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(vals)[::-1][:k]
+    comps = vecs[:, order].T
+    flips = np.sign(comps[np.arange(len(order)), np.abs(comps).argmax(axis=1)])
+    comps *= flips[:, None]
+    return mean_q / pow10, vals[order], comps
+
+
+def pca_project(
+    df: DataFrame,
+    id_col: str,
+    emb_col: str = "embedding",
+    k: int = 8,
+    mean: np.ndarray | None = None,
+    components: np.ndarray | None = None,
+    scale_out: int = 6,
+) -> DataFrame:
+    """Project embeddings onto the top-``k`` principal axes — the
+    dimensionality-reduction step before ANN indexing or clustering.
+    Components come from :func:`pca_components` (pass them in to reuse
+    across DataFrames); the projection itself is a pure JVM expression
+    (centered dot product per axis via ``zip_with``/``aggregate``
+    against literal component vectors) — no Python in the per-row
+    path, output rounded half-up to ``scale_out`` for determinism.
+    """
+    if components is None or mean is None:
+        mean, _, components = pca_components(df, emb_col, k)
+    e = _as_double_array(emb_col)
+    centered = F.zip_with(e, vec_lit(mean), lambda x, m: x - m)
+    pow10 = F.lit(10.0 ** scale_out)
+    proj = F.array(
+        *[
+            F.floor(dot(centered, vec_lit(c)) * pow10 + F.lit(0.5)) / pow10
+            for c in components
+        ]
+    )
+    return df.select(F.col(id_col), proj.alias("pca"))

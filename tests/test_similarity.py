@@ -287,3 +287,59 @@ def test_cosine_near_dup_gemm_degenerate_corpus_is_empty_frame(spark):
         assert out is not None
         assert [f.name for f in out.schema.fields] == ["id_a", "id_b", "cosine_sim"]
         assert out.count() == 0
+
+
+def test_gram_matrix_micros_matches_numpy(emb):
+    import numpy as np
+
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.similarity import (
+        gram_matrix_micros,
+    )
+
+    rows = emb.select("vec_id", "embedding").collect()
+    m = np.stack([np.array(r["embedding"], dtype=np.float64) for r in rows])
+    q = np.floor(m * 1e6 + 0.5).astype(np.int64)
+    want = q.T @ q
+    got = {(r["i"], r["j"]): r["gram_sum_q2"] for r in gram_matrix_micros(emb).collect()}
+    d = m.shape[1]
+    assert len(got) == d * (d + 1) // 2
+    for (i, j), v in got.items():
+        assert v == want[i, j], (i, j)
+    # partition-invariant: integer combine is associative
+    got2 = {
+        (r["i"], r["j"]): r["gram_sum_q2"]
+        for r in gram_matrix_micros(emb.repartition(7)).collect()
+    }
+    assert got2 == got
+
+
+def test_pca_components_and_projection(emb):
+    import numpy as np
+
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.similarity import (
+        pca_components,
+        pca_project,
+    )
+
+    mean, vals, comps = pca_components(emb, k=4)
+    # eigenvalues descending and non-negative; components orthonormal
+    assert all(vals[i] >= vals[i + 1] >= 0 for i in range(len(vals) - 1))
+    assert np.allclose(comps @ comps.T, np.eye(4), atol=1e-8)
+    # deterministic under repartitioning (exact integer passes + fixed
+    # sign convention)
+    mean2, vals2, comps2 = pca_components(emb.repartition(5), k=4)
+    assert np.array_equal(mean, mean2) and np.array_equal(comps, comps2)
+    # projection matches numpy within the output rounding
+    rows = emb.select("vec_id", "embedding").collect()
+    m = np.stack([np.array(r["embedding"], dtype=np.float64) for r in rows])
+    ids = [r["vec_id"] for r in rows]
+    want = (m - mean) @ comps.T
+    got = {
+        r["vec_id"]: np.array(r["pca"])
+        for r in pca_project(emb, "vec_id", k=4, mean=mean, components=comps).collect()
+    }
+    for vid, w in zip(ids, want):
+        assert np.allclose(got[vid], w, atol=1e-5)
+    # the leading axis actually dominates: projected variance ordering
+    pv = np.var(want, axis=0)
+    assert all(pv[i] >= pv[i + 1] - 1e-9 for i in range(len(pv) - 1))
