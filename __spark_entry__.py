@@ -1844,6 +1844,16 @@ def _q_embedding_gram(spark: SparkSession, sf: str) -> DataFrame:
     return gram_matrix_micros(emb, "embedding")
 
 
+def _q_hourly_ohlc(spark: SparkSession, sf: str) -> DataFrame:
+    # per-user hourly OHLC bars in ONE hash aggregate: open/close via
+    # min/max over struct(ts, value) — total lexicographic order makes
+    # boundary ties engine-exact, no window anywhere
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.timeseries import resample_ohlc
+
+    events = load_table(spark, sf, "events")
+    return resample_ohlc(events, "user_id", "ts", "value", unit="hour")
+
+
 def _q_lang_pred_counts(spark: SparkSession, sf: str) -> DataFrame:
     # marker-based language-ID heuristic, distribution of predictions
     docs = load_table(spark, sf, "documents")
@@ -3436,6 +3446,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sink_sharded_export": _q_sink_sharded_export,
         "corpus_assembly": _q_corpus_assembly,
         "embedding_gram": _q_embedding_gram,
+        "hourly_ohlc": _q_hourly_ohlc,
         "multimodal_decode": _q_multimodal_decode,
         "embedding_near_dup_gemm": _q_embedding_near_dup_gemm,
         # --- ballast: riskiest prior greens ---------------------------
@@ -4200,6 +4211,16 @@ def _oracle_sql_literal() -> dict[str, str]:
                    count(*) AS doc_count,
                    CAST(sum(n_chars) AS BIGINT) AS char_count
             FROM documents
+            GROUP BY 1, 2
+        """,
+        "hourly_ohlc": f"""
+            SELECT user_id, date_trunc('hour', {_TS}) AS bucket,
+                   min(struct_pack(t := {_TS}, v := value)).v AS open,
+                   max(value) AS high,
+                   min(value) AS low,
+                   max(struct_pack(t := {_TS}, v := value)).v AS close,
+                   count(value) AS n_obs
+            FROM events WHERE value IS NOT NULL
             GROUP BY 1, 2
         """,
         "embedding_gram": """

@@ -153,6 +153,7 @@ HEADLINE = [
     "sink_sharded_export",
     "corpus_assembly",
     "embedding_gram",
+    "hourly_ohlc",
 ]
 
 

@@ -90,3 +90,34 @@ def gap_fill_locf(
         ).alias("value_locf"),
         F.col("_s").isNull().cast("int").alias("was_filled"),
     )
+
+
+def resample_ohlc(
+    df: DataFrame, key: str, ts: str, value: str, unit: str = "hour"
+) -> DataFrame:
+    """Downsample an irregular series to per-bucket OHLC bars — open =
+    value at the earliest observation in the bucket, close = at the
+    latest, high/low = extremes, plus the observation count.
+
+    ONE partial+final hash aggregate, no window: open/close are
+    ``min``/``max`` over ``struct(ts, value)`` — the struct's
+    lexicographic order is total, so boundary ties (several
+    observations sharing the bucket's first/last timestamp) resolve
+    identically in any engine, keeping the bars oracle-exact.  NULL
+    values are excluded (an empty bucket simply has no bar — compose
+    with ``gap_fill_locf`` to materialize it)."""
+    if unit not in _UNIT_INTERVAL:
+        raise ValueError(f"unit must be one of {sorted(_UNIT_INTERVAL)}, got {unit!r}")
+    v = F.col(value)
+    pair = F.struct(F.col(ts).alias("t"), v.alias("v"))
+    return (
+        df.filter(v.isNotNull())
+        .groupBy(F.col(key), F.date_trunc(unit, F.col(ts)).alias("bucket"))
+        .agg(
+            F.min(pair)["v"].alias("open"),
+            F.max(v).alias("high"),
+            F.min(v).alias("low"),
+            F.max(pair)["v"].alias("close"),
+            F.count(v).alias("n_obs"),
+        )
+    )

@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from etl_based_real_time_air_quality_monitoring_system_spark.operators.aggregates import (
@@ -533,6 +534,33 @@ def test_token_budget_prefix_matches_global_window(spark, sf_dir):
     assert kept2 == kept
     # a budget below the first doc's tokens keeps nothing
     assert token_budget_prefix(docs, "doc_id", token_count("text"), 0).count() == 0
+
+
+def test_resample_ohlc_bars_and_tie_breaks(spark):
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.timeseries import resample_ohlc
+
+    rows = [
+        ("A", "2024-01-01 00:05:00", 10.0),
+        ("A", "2024-01-01 00:20:00", 30.0),
+        ("A", "2024-01-01 00:50:00", 20.0),
+        # boundary ties: two observations share the bucket's last ts —
+        # close must deterministically be the max value among the ties
+        ("B", "2024-01-01 01:00:00", 5.0),
+        ("B", "2024-01-01 01:30:00", 9.0),
+        ("B", "2024-01-01 01:30:00", 7.0),
+        ("B", None if False else "2024-01-01 01:10:00", None),  # NULL value ignored
+    ]
+    df = spark.createDataFrame(rows, "k string, ts string, value double").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    bars = {
+        (r["k"], str(r["bucket"])): (r["open"], r["high"], r["low"], r["close"], r["n_obs"])
+        for r in resample_ohlc(df, "k", "ts", "value").collect()
+    }
+    assert bars[("A", "2024-01-01 00:00:00")] == (10.0, 30.0, 10.0, 20.0, 3)
+    assert bars[("B", "2024-01-01 01:00:00")] == (5.0, 9.0, 5.0, 9.0, 3)
+    with pytest.raises(ValueError, match="unit"):
+        resample_ohlc(df, "k", "ts", "value", unit="fortnight")
 
 
 def test_gap_fill_locf_semantics(spark):
