@@ -1545,6 +1545,53 @@ def _q_streaming_to_table_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_streaming_cdc_apply(spark: SparkSession, sf: str) -> DataFrame:
+    # the T-family x CDC composition in the gate: a REAL availableNow
+    # stream of versioned keyed updates (events re-cast as a CDC log,
+    # 'error' = tombstone), applied per micro-batch onto an
+    # alternating-generation parquet snapshot via foreachBatch.  The
+    # merge carries a VERSION GUARD and retains tombstones, so the
+    # final snapshot is identical for ANY micro-batch composition or
+    # delivery order — and a re-run over rewritten source files
+    # converges to the same answer (equal versions never replace).
+    # Oracle: the max-version row per user, minus users whose latest
+    # event is a tombstone.
+    from etl_based_real_time_air_quality_monitoring_system_spark.streaming.pipeline import (
+        read_cdc_snapshot,
+        run_cdc_apply,
+        stream_json_records,
+    )
+
+    events = load_table(spark, sf, "events")
+    updates = events.select(
+        "user_id",
+        F.col("event_id").alias("version"),
+        "value",
+        (F.col("event_type") == "error").alias("_deleted"),
+    )
+    st = os.stat(os.path.join(sf, "events.parquet"))
+    tag = f"{sf.strip('/').replace('/', '_')}_{st.st_size}_{st.st_mtime_ns}"
+    src = _gate_sink(sf, f"cdc_updates_{tag}")
+    snap = _gate_sink(sf, f"cdc_snapshot_{tag}")
+    ck = snap + "_ck"
+    # 4 json files -> 4 micro-batches at maxFilesPerTrigger=1; hash
+    # repartitioning scatters versions across batches, exercising the
+    # out-of-order path every run
+    updates.repartition(4).write.mode("overwrite").json(src)
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("version", T.LongType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("_deleted", T.BooleanType()),
+        ]
+    )
+    stream = stream_json_records(spark, src, schema, max_files_per_trigger=1)
+    q = run_cdc_apply(stream, snap, ck, key="user_id", version_col="version")
+    q.awaitTermination()
+    return read_cdc_snapshot(spark, snap, delete_col="_deleted")
+
+
 def _q_http_ingest_simulated(spark: SparkSession, sf: str) -> DataFrame:
     # the S1->P5->P6->P7 ingest path in the gate: deterministic
     # WeatherAPI payload simulation (md5-derived fields — DuckDB
@@ -3447,6 +3494,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_assembly": _q_corpus_assembly,
         "embedding_gram": _q_embedding_gram,
         "hourly_ohlc": _q_hourly_ohlc,
+        "streaming_cdc_apply": _q_streaming_cdc_apply,
         "multimodal_decode": _q_multimodal_decode,
         "embedding_near_dup_gemm": _q_embedding_near_dup_gemm,
         # --- ballast: riskiest prior greens ---------------------------
@@ -4212,6 +4260,17 @@ def _oracle_sql_literal() -> dict[str, str]:
                    CAST(sum(n_chars) AS BIGINT) AS char_count
             FROM documents
             GROUP BY 1, 2
+        """,
+        "streaming_cdc_apply": """
+            WITH latest AS (
+                SELECT user_id, event_id AS version, value, event_type,
+                       row_number() OVER (
+                           PARTITION BY user_id ORDER BY event_id DESC
+                       ) AS rn
+                FROM events
+            )
+            SELECT user_id, version, value
+            FROM latest WHERE rn = 1 AND event_type <> 'error'
         """,
         "hourly_ohlc": f"""
             SELECT user_id, date_trunc('hour', {_TS}) AS bucket,

@@ -154,6 +154,7 @@ HEADLINE = [
     "corpus_assembly",
     "embedding_gram",
     "hourly_ohlc",
+    "streaming_cdc_apply",
 ]
 
 

@@ -320,6 +320,101 @@ def run_to_partitioned_parquet(
     return stream.start()
 
 
+def run_cdc_apply(
+    updates: DataFrame,
+    snapshot_root: str,
+    checkpoint: str,
+    key: str,
+    version_col: str,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming CDC apply: maintain a keyed SNAPSHOT table from a
+    stream of versioned updates — each micro-batch is compacted to its
+    latest version per key, then merged with a VERSION GUARD: a base
+    row is replaced only by a strictly newer update, so delivery order
+    across micro-batches doesn't matter (last writer by version, not
+    by arrival — the property the CDC permutation test pins).
+    Tombstones are RETAINED as rows (compacted-log semantics): a stale
+    update can never resurrect a key deleted at a higher version;
+    :func:`read_cdc_snapshot` filters them for readers.
+
+    Exactly-once discipline without a table format: the snapshot
+    alternates between two directories (``gen=epoch%2``) — each epoch
+    reads the committed generation and overwrites the other, and the
+    ``_GEN`` marker flips only AFTER the parquet write completes.  A
+    mid-write crash therefore never corrupts the generation being
+    read, and the one replay Spark's checkpoint can issue (the last
+    uncommitted epoch) re-reads the unchanged marker and rewrites the
+    same output — idempotent because compaction is by VERSION, not
+    arrival.  (The marker is a local-fs file here; an HDFS/S3 deploy
+    swaps in the Hadoop FS rename for the same commit point.)
+
+    At scale the per-epoch merge is two anti-joins on the key with the
+    COMPACTED BATCH broadcast (the normal CDC shape: batch ≪
+    snapshot) — the snapshot itself never shuffles.
+    """
+    import os
+
+    from ..operators.topk import latest_per_key
+
+    spark = updates.sparkSession
+
+    def apply_batch(batch: DataFrame, epoch_id: int) -> None:
+        compact = latest_per_key(batch, key, version_col)
+        marker = os.path.join(snapshot_root, "_GEN")
+        prev = None
+        if os.path.exists(marker):
+            with open(marker) as fh:
+                prev = fh.read().strip()
+        if prev:
+            base = spark.read.parquet(os.path.join(snapshot_root, prev)).alias("b")
+            upd = F.broadcast(compact.alias("u"))
+            same_key = F.col(f"b.{key}") == F.col(f"u.{key}")
+            # base rows with NO strictly newer update survive; updates
+            # not dominated by an equal-or-newer base row land
+            kept = base.join(
+                upd, same_key & (F.col(f"u.{version_col}") > F.col(f"b.{version_col}")),
+                "left_anti",
+            )
+            fresh = compact.alias("u").join(
+                spark.read.parquet(os.path.join(snapshot_root, prev)).alias("b"),
+                same_key & (F.col(f"b.{version_col}") >= F.col(f"u.{version_col}")),
+                "left_anti",
+            )
+            merged = kept.unionByName(fresh)
+        else:
+            merged = compact
+        gen = f"gen={int(epoch_id) % 2}"
+        merged.write.mode("overwrite").parquet(os.path.join(snapshot_root, gen))
+        with open(marker, "w") as fh:
+            fh.write(gen)
+
+    stream = updates.writeStream.foreachBatch(apply_batch).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        stream = stream.trigger(availableNow=True)
+    return stream.start()
+
+
+def read_cdc_snapshot(
+    spark: SparkSession,
+    snapshot_root: str,
+    delete_col: str | None = None,
+) -> DataFrame:
+    """Read the committed generation written by :func:`run_cdc_apply`;
+    pass ``delete_col`` to filter retained tombstone rows (the live
+    view — what a serving reader wants)."""
+    import os
+
+    with open(os.path.join(snapshot_root, "_GEN")) as fh:
+        gen = fh.read().strip()
+    out = spark.read.parquet(os.path.join(snapshot_root, gen))
+    if delete_col is not None:
+        out = out.filter(~F.coalesce(F.col(delete_col), F.lit(False))).drop(delete_col)
+    return out
+
+
 def stateful_distinct_users_exact(
     df: DataFrame,
     key: str = "event_type",

@@ -476,3 +476,71 @@ def test_streaming_incremental_dedup_foreachbatch(spark, tmp_path):
     assert ("n1" in ids) != ("n2" in ids) or ("n1" in ids and "n2" not in ids)
     assert "n4" in ids
     assert len(ids) == 3
+
+
+def test_cdc_apply_version_guard_no_resurrection(spark, tmp_path):
+    """run_cdc_apply: a STALE lower-version update delivered in a LATER
+    micro-batch must neither resurrect a tombstoned key nor roll back a
+    newer value — last writer by VERSION, not arrival.  Files are
+    staged so batch 1 carries the high versions and batch 2 the stale
+    ones (maxFilesPerTrigger=1)."""
+    import json as _json
+    import os
+
+    from etl_based_real_time_air_quality_monitoring_system_spark.streaming.pipeline import (
+        read_cdc_snapshot,
+        run_cdc_apply,
+        stream_json_records,
+    )
+
+    src = tmp_path / "updates"
+    src.mkdir()
+    # batch 1 (older mtime, listed first): v5 tombstone for key 1,
+    # v7 value for key 2
+    (src / "a_first.json").write_text(
+        "\n".join(
+            _json.dumps(r)
+            for r in (
+                {"k": 1, "version": 5, "v": 99.0, "_deleted": True},
+                {"k": 2, "version": 7, "v": 70.0, "_deleted": False},
+            )
+        )
+    )
+    time.sleep(1.1)  # file-source batches follow modification time
+    # batch 2: stale v3 for key 1 (must stay dead), stale v6 for key 2
+    # (must not roll back), fresh v1 for key 3 (must land)
+    (src / "b_second.json").write_text(
+        "\n".join(
+            _json.dumps(r)
+            for r in (
+                {"k": 1, "version": 3, "v": 11.0, "_deleted": False},
+                {"k": 2, "version": 6, "v": 60.0, "_deleted": False},
+                {"k": 3, "version": 1, "v": 30.0, "_deleted": False},
+            )
+        )
+    )
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("version", T.LongType()),
+            T.StructField("v", T.DoubleType()),
+            T.StructField("_deleted", T.BooleanType()),
+        ]
+    )
+    stream = stream_json_records(spark, str(src), schema, max_files_per_trigger=1)
+    q = run_cdc_apply(
+        stream, str(tmp_path / "snap"), str(tmp_path / "ck"), "k", "version"
+    )
+    q.awaitTermination()
+    live = {
+        r["k"]: (r["version"], r["v"])
+        for r in read_cdc_snapshot(spark, str(tmp_path / "snap"), "_deleted").collect()
+    }
+    assert live == {2: (7, 70.0), 3: (1, 30.0)}
+    # the tombstone row is RETAINED in the raw snapshot (compacted-log
+    # semantics) so any future stale update still loses by version
+    raw = {
+        r["k"]: r["version"]
+        for r in read_cdc_snapshot(spark, str(tmp_path / "snap")).collect()
+    }
+    assert raw[1] == 5
