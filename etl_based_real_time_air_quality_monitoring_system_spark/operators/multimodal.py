@@ -323,7 +323,14 @@ def decode_header(payload: bytes | None) -> dict:
             marker = buf[pos + 1]
             if marker == 0xD9:  # EOI before any SOF
                 return out
-            if 0xD0 <= marker <= 0xD8 or marker == 0x01 or marker == 0xFF:
+            if marker == 0xFF:
+                # legal fill byte before a marker: consume ONE 0xFF so
+                # the walk stays aligned on the next (possibly final)
+                # 0xFF of the run — skipping two would desync on an
+                # odd-length fill run
+                pos += 1
+                continue
+            if 0xD0 <= marker <= 0xD8 or marker == 0x01:
                 pos += 2  # standalone markers carry no length
                 continue
             (seglen,) = struct.unpack_from(">H", buf, pos + 2)

@@ -14,16 +14,29 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, functions as F
 
 
-def hash_bucket(id_col: Column | str, n_buckets: int = 100, salt: str = "split:v1") -> Column:
-    """Stable bucket in [0, n_buckets): first 7 hex chars of
-    md5(salt || id) as an integer, mod n_buckets.  28 bits of hash is
-    plenty for split assignment and stays exact in 64-bit arithmetic
-    everywhere."""
+def salted_hash(id_col: Column | str, salt: str) -> Column:
+    """The ONE salted content-hash recipe every sampling/split/shard
+    operator derives from — md5(salt || id) as lowercase hex (whose
+    lexicographic order equals the numeric order of any prefix).
+    Centralized so bucket membership and hash ordering can never drift
+    apart across operators."""
     c = F.col(id_col) if isinstance(id_col, str) else id_col
-    h = F.md5(F.concat(F.lit(salt), c.cast("string")).cast("binary"))
-    return (F.conv(F.substring(h, 1, 7), 16, 10).cast("long") % n_buckets).cast(
-        "int"
-    )
+    return F.md5(F.concat(F.lit(salt), c.cast("string")).cast("binary"))
+
+
+def bucket_of(hash_col: Column, n_buckets: int) -> Column:
+    """Stable bucket in [0, n_buckets) from a :func:`salted_hash`
+    column: first 7 hex chars as an integer, mod n_buckets.  28 bits
+    of hash is plenty for split assignment and stays exact in 64-bit
+    arithmetic everywhere."""
+    return (
+        F.conv(F.substring(hash_col, 1, 7), 16, 10).cast("long") % n_buckets
+    ).cast("int")
+
+
+def hash_bucket(id_col: Column | str, n_buckets: int = 100, salt: str = "split:v1") -> Column:
+    """Stable bucket in [0, n_buckets) — ``bucket_of(salted_hash(...))``."""
+    return bucket_of(salted_hash(id_col, salt), n_buckets)
 
 
 def train_test_split(
@@ -117,9 +130,7 @@ def stratified_quota_sample(
     quota = F.lit(default_quota)
     for value, q in sorted(quotas.items()):
         quota = F.when(c == value, F.lit(q)).otherwise(quota)
-    rank_key = F.md5(
-        F.concat(F.lit(salt), F.col(id_col).cast("string")).cast("binary")
-    )
+    rank_key = salted_hash(id_col, salt)
     w = Window.partitionBy(stratum_col).orderBy(rank_key, F.col(id_col))
     # two-stage filter on purpose: InferWindowGroupLimit only fires on
     # a LITERAL rank bound, so the literal max-quota filter compiles
@@ -216,10 +227,13 @@ def token_budget_prefix(
     ``text.token_count("text")``) so callers choose the tokenizer.
     """
     c = F.col(id_col)
-    h = F.md5(F.concat(F.lit(salt), c.cast("string")).cast("binary"))
-    narrow = df.select(
+    h = salted_hash(c, salt)
+    # total function over dirty input: rows with a NULL id have no
+    # stable identity and are excluded; a NULL token count contributes
+    # zero tokens (the row rides along, costing nothing)
+    narrow = df.filter(c.isNotNull()).select(
         "*",
-        token_count.alias("_ntok"),
+        F.coalesce(token_count.cast("long"), F.lit(0)).alias("_ntok"),
         h.alias("_h"),
         F.conv(F.substring(h, 1, coarse_hex), 16, 10).cast("int").alias("_b"),
     )

@@ -91,6 +91,7 @@ def assemble_corpus(
     id_col: str = "doc_id",
     source_col: str = "source",
     shard_salt: str = "shard:v1",
+    materialize: bool = True,
 ) -> DataFrame:
     """The END-TO-END corpus assembly recipe, composed entirely from
     the registered operators: ``prepare_corpus`` (exact dedup +
@@ -106,7 +107,14 @@ def assemble_corpus(
     PLANS.md/SCALING.md): one fingerprint shuffle, one source shuffle
     (quota window), one coarse-bucket shuffle (budget window) — no
     stage exceeds one wide exchange, nothing collects beyond bounded
-    histograms.
+    histograms.  The mixture and budget stages each need a bounded
+    driver statistic over the filtered corpus, so ``kept`` is
+    persisted for the duration of the call and released before
+    returning; with ``materialize=True`` (default) the budget-bounded
+    result is eagerly checkpointed so the expensive dedup+filter
+    pipeline runs exactly once no matter how often the caller acts on
+    the result (set False for budgets too large to pin to executor
+    storage — the caller then owns caching).
     """
     from ..operators.sampling import (
         hash_bucket,
@@ -114,9 +122,18 @@ def assemble_corpus(
         token_budget_prefix,
     )
 
-    kept = prepare_corpus(docs)
-    mixed = mixture_sample(kept, source_col, id_col, weights)
-    fitted = token_budget_prefix(mixed, id_col, F.col("n_tokens"), token_budget)
-    return fitted.withColumn(
-        "shard", hash_bucket(F.col(id_col), n_shards, shard_salt)
-    )
+    kept = prepare_corpus(docs).persist()
+    try:
+        mixed = mixture_sample(kept, source_col, id_col, weights)
+        fitted = token_budget_prefix(mixed, id_col, F.col("n_tokens"), token_budget)
+        out = fitted.withColumn(
+            "shard", hash_bucket(F.col(id_col), n_shards, shard_salt)
+        )
+        if materialize:
+            out = out.localCheckpoint(eager=True)
+        return out
+    finally:
+        if materialize:
+            kept.unpersist()
+        # non-materialized: the caller's first action still reads the
+        # cache; Spark drops it with the DataFrame when unreferenced

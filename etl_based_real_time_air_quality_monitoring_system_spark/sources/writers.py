@@ -140,12 +140,17 @@ def write_training_shards(
     """
     from pyspark.sql import functions as F
 
-    from etl_based_real_time_air_quality_monitoring_system_spark.operators.sampling import hash_bucket
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.sampling import (
+        bucket_of,
+        salted_hash,
+    )
 
-    h = F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")).cast("binary"))
+    # ONE hash column drives both shard membership and in-shard order —
+    # the pairing the round-trip test pins can't drift, and the md5
+    # evaluates once per row
     (
-        df.withColumn("shard", hash_bucket(F.col(id_col), n_shards, salt))
-        .withColumn("_h", h)
+        df.withColumn("_h", salted_hash(F.col(id_col), salt))
+        .withColumn("shard", bucket_of(F.col("_h"), n_shards))
         .repartition(n_shards, F.col("shard"))
         .sortWithinPartitions("shard", "_h", id_col)
         .drop("_h")

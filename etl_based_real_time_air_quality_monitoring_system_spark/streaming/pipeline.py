@@ -326,6 +326,7 @@ def run_cdc_apply(
     checkpoint: str,
     key: str,
     version_col: str,
+    tie_break: str | None = None,
     available_now: bool = True,
 ) -> StreamingQuery:
     """Streaming CDC apply: maintain a keyed SNAPSHOT table from a
@@ -338,20 +339,29 @@ def run_cdc_apply(
     update can never resurrect a key deleted at a higher version;
     :func:`read_cdc_snapshot` filters them for readers.
 
-    Exactly-once discipline without a table format: the snapshot
-    alternates between two directories (``gen=epoch%2``) — each epoch
-    reads the committed generation and overwrites the other, and the
-    ``_GEN`` marker flips only AFTER the parquet write completes.  A
-    mid-write crash therefore never corrupts the generation being
-    read, and the one replay Spark's checkpoint can issue (the last
-    uncommitted epoch) re-reads the unchanged marker and rewrites the
-    same output — idempotent because compaction is by VERSION, not
-    arrival.  (The marker is a local-fs file here; an HDFS/S3 deploy
-    swaps in the Hadoop FS rename for the same commit point.)
+    Versions are expected unique per key; if a producer can emit
+    duplicates, pass ``tie_break`` (a column making the within-batch
+    order total) — cross-batch, an equal version deterministically
+    keeps the already-applied row.
 
-    At scale the per-epoch merge is two anti-joins on the key with the
-    COMPACTED BATCH broadcast (the normal CDC shape: batch ≪
-    snapshot) — the snapshot itself never shuffles.
+    Exactly-once discipline without a table format: the snapshot
+    alternates between two directories (``gen=epoch%2``), and the
+    ``_GEN`` marker records ``gen|epoch`` only AFTER the parquet write
+    completes.  A mid-write crash never corrupts the generation being
+    read, and the one replay Spark's checkpoint can issue (the last
+    epoch, if the crash hit between the marker flip and the streaming
+    commit) is detected by the recorded epoch id and skipped — without
+    that check the replay would read its own output directory as the
+    base and overwrite it mid-read.  (The marker is a local-fs file
+    here; an HDFS/S3 deploy swaps in the Hadoop FS rename for the same
+    commit point.)
+
+    At scale the per-epoch merge keeps the snapshot shuffle-free: the
+    survivor anti-join broadcasts the compacted batch (build-right),
+    and the dominated-update side is computed from a key set bounded
+    by the batch (snapshot semi-join against the broadcast batch,
+    then a tiny anti-join) — the snapshot is scanned once and never
+    exchanged.
     """
     import os
 
@@ -360,34 +370,56 @@ def run_cdc_apply(
     spark = updates.sparkSession
 
     def apply_batch(batch: DataFrame, epoch_id: int) -> None:
-        compact = latest_per_key(batch, key, version_col)
         marker = os.path.join(snapshot_root, "_GEN")
-        prev = None
+        prev_gen, applied_epoch = None, None
         if os.path.exists(marker):
             with open(marker) as fh:
-                prev = fh.read().strip()
-        if prev:
-            base = spark.read.parquet(os.path.join(snapshot_root, prev)).alias("b")
-            upd = F.broadcast(compact.alias("u"))
-            same_key = F.col(f"b.{key}") == F.col(f"u.{key}")
-            # base rows with NO strictly newer update survive; updates
-            # not dominated by an equal-or-newer base row land
-            kept = base.join(
-                upd, same_key & (F.col(f"u.{version_col}") > F.col(f"b.{version_col}")),
-                "left_anti",
-            )
-            fresh = compact.alias("u").join(
-                spark.read.parquet(os.path.join(snapshot_root, prev)).alias("b"),
-                same_key & (F.col(f"b.{version_col}") >= F.col(f"u.{version_col}")),
-                "left_anti",
-            )
-            merged = kept.unionByName(fresh)
-        else:
-            merged = compact
-        gen = f"gen={int(epoch_id) % 2}"
-        merged.write.mode("overwrite").parquet(os.path.join(snapshot_root, gen))
-        with open(marker, "w") as fh:
-            fh.write(gen)
+                prev_gen, _, ep = fh.read().strip().partition("|")
+                applied_epoch = int(ep) if ep else None
+        if applied_epoch is not None and applied_epoch == int(epoch_id):
+            # replay of an epoch whose write + marker already landed
+            # (crash between marker flip and checkpoint commit): the
+            # output is committed — re-applying would read our own
+            # output as the base, so this replay is a no-op
+            return
+        compact = latest_per_key(batch, key, version_col, tie_break=tie_break).persist()
+        try:
+            if prev_gen:
+                base = spark.read.parquet(
+                    os.path.join(snapshot_root, prev_gen)
+                ).alias("b")
+                upd = F.broadcast(compact.alias("u"))
+                same_key = F.col(f"b.{key}") == F.col(f"u.{key}")
+                # snapshot rows with NO strictly newer update survive —
+                # anti-join with the batch broadcast build-right, so
+                # the snapshot never shuffles
+                kept = base.join(
+                    upd,
+                    same_key & (F.col(f"u.{version_col}") > F.col(f"b.{version_col}")),
+                    "left_anti",
+                )
+                # keys whose base row dominates (>=) any update: a semi
+                # join of the snapshot against the broadcast batch —
+                # output bounded by the batch's key count
+                dominating = (
+                    base.join(
+                        upd,
+                        same_key
+                        & (F.col(f"b.{version_col}") >= F.col(f"u.{version_col}")),
+                        "left_semi",
+                    )
+                    .select(F.col(key))
+                )
+                fresh = compact.join(F.broadcast(dominating), key, "left_anti")
+                merged = kept.unionByName(fresh)
+            else:
+                merged = compact
+            gen = f"gen={int(epoch_id) % 2}"
+            merged.write.mode("overwrite").parquet(os.path.join(snapshot_root, gen))
+            with open(marker, "w") as fh:
+                fh.write(f"{gen}|{int(epoch_id)}")
+        finally:
+            compact.unpersist()
 
     stream = updates.writeStream.foreachBatch(apply_batch).option(
         "checkpointLocation", checkpoint
@@ -408,7 +440,7 @@ def read_cdc_snapshot(
     import os
 
     with open(os.path.join(snapshot_root, "_GEN")) as fh:
-        gen = fh.read().strip()
+        gen = fh.read().strip().partition("|")[0]
     out = spark.read.parquet(os.path.join(snapshot_root, gen))
     if delete_col is not None:
         out = out.filter(~F.coalesce(F.col(delete_col), F.lit(False))).drop(delete_col)

@@ -118,9 +118,17 @@ def test_decode_header_property_round_trip():
         assert (g["format"], g["width"], g["height"], g["bits"]) == ("gif", w, h, 8)
 
     @settings(max_examples=200, deadline=None)
-    @given(w=st.integers(1, 65_535), h=st.integers(1, 65_535), c=st.integers(1, 4))
-    def jpeg_case(w, h, c):
-        j = decode_header(encode_jpeg_header(w, h, c))
+    @given(
+        w=st.integers(1, 65_535), h=st.integers(1, 65_535), c=st.integers(1, 4),
+        fill=st.integers(0, 3),
+    )
+    def jpeg_case(w, h, c, fill):
+        raw = encode_jpeg_header(w, h, c)
+        # the spec allows 0xFF fill-byte runs (any length, odd or even)
+        # before a marker — the walk must stay aligned
+        sof = raw.index(b"\xff\xc0")
+        raw = raw[:sof] + b"\xff" * fill + raw[sof:]
+        j = decode_header(raw)
         assert (j["format"], j["width"], j["height"], j["channels"], j["bits"]) == (
             "jpeg", w, h, c, 8,
         )

@@ -548,7 +548,7 @@ def test_resample_ohlc_bars_and_tie_breaks(spark):
         ("B", "2024-01-01 01:00:00", 5.0),
         ("B", "2024-01-01 01:30:00", 9.0),
         ("B", "2024-01-01 01:30:00", 7.0),
-        ("B", None if False else "2024-01-01 01:10:00", None),  # NULL value ignored
+        ("B", "2024-01-01 01:10:00", None),  # NULL value is ignored
     ]
     df = spark.createDataFrame(rows, "k string, ts string, value double").withColumn(
         "ts", F.col("ts").cast("timestamp")
