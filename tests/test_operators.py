@@ -980,3 +980,73 @@ def test_mad_outliers_flags_extremes(spark):
     assert out["n_outliers"] == 1
     assert out["median_value"] == 10.0
     assert out["mad_value"] == 1.0
+
+
+def test_mixture_sample_property_integer_quota_rule(spark):
+    """Property: for ANY positive integer weights over synthetic
+    per-source corpora, kept counts follow the all-integer quota rule
+    exactly, only weighted sources survive, and quotas never exceed
+    availability."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.sampling import mixture_sample
+
+    @settings(max_examples=5, deadline=None)
+    @given(
+        sizes=st.lists(st.integers(0, 40), min_size=3, max_size=3),
+        weights=st.lists(st.integers(1, 9), min_size=3, max_size=3),
+    )
+    def check(sizes, weights):
+        rows = [
+            (s * 1000 + i, f"s{s}")
+            for s, n in enumerate(sizes)
+            for i in range(n)
+        ] + [(9999, "unweighted")]
+        df = spark.createDataFrame(rows, "doc_id long, source string")
+        w = {f"s{i}": wt for i, wt in enumerate(weights)}
+        counts = {
+            r["source"]: r["n"]
+            for r in mixture_sample(df, "source", "doc_id", w)
+            .groupBy("source")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        total_w = sum(weights)
+        t_max = min(sizes[i] * total_w // weights[i] for i in range(3))
+        expect = {
+            f"s{i}": weights[i] * t_max // total_w
+            for i in range(3)
+            if weights[i] * t_max // total_w > 0
+        }
+        assert counts == expect
+        for i in range(3):
+            assert expect.get(f"s{i}", 0) <= sizes[i]
+
+    check()
+
+
+def test_mixture_sample_rejects_bad_weights(spark):
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.sampling import mixture_sample
+
+    df = spark.createDataFrame([(1, "a")], "doc_id long, source string")
+    with pytest.raises(ValueError, match="at least one"):
+        mixture_sample(df, "source", "doc_id", {})
+    with pytest.raises(ValueError, match="positive"):
+        mixture_sample(df, "source", "doc_id", {"a": 0})
+
+
+def test_token_budget_prefix_total_over_dirty_input(spark):
+    """NULL ids are excluded (no stable identity), NULL token counts
+    ride along at zero cost — the operator never raises on dirty rows."""
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.sampling import token_budget_prefix
+
+    rows = [(1, 10), (2, None), (None, 50), (3, 30), (4, 25)]
+    df = spark.createDataFrame(rows, "id long, ntok int")
+    kept = token_budget_prefix(df, "id", F.col("ntok"), budget=40)
+    ids = sorted(r["id"] for r in kept.collect())
+    assert None not in ids
+    # the zero-cost NULL-ntok row can always fit; real rows obey the
+    # hash-order prefix
+    got_cost = sum(r or 0 for i, r in rows if i in ids and i is not None)
+    assert got_cost <= 40
