@@ -1891,6 +1891,27 @@ def _q_embedding_gram(spark: SparkSession, sf: str) -> DataFrame:
     return gram_matrix_micros(emb, "embedding")
 
 
+def _q_zorder_cells(spark: SparkSession, sf: str) -> DataFrame:
+    # the Z-order layout engine's VALUE computation in the gate:
+    # min/max rank-scaling onto the 4096-grid (deterministic IEEE-754
+    # (x-lo)*k with k precomputed once) + 24-bit Morton interleave,
+    # aggregated into the top-6-bit cells — the oracle re-derives
+    # every z-value term-for-term, pinning both the scaling and the
+    # bit arithmetic that decide the physical sort order
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.layout import zorder_value
+
+    events = load_table(spark, sf, "events")
+    z = zorder_value(events, ["user_id", "value"], bits=12)
+    return (
+        events.select(z.alias("z"))
+        .groupBy(F.shiftright(F.col("z"), 18).alias("cell"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum("z").cast("long").alias("z_sum"),
+        )
+    )
+
+
 def _q_hourly_ohlc(spark: SparkSession, sf: str) -> DataFrame:
     # per-user hourly OHLC bars in ONE hash aggregate: open/close via
     # min/max over struct(ts, value) — total lexicographic order makes
@@ -3494,6 +3515,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_assembly": _q_corpus_assembly,
         "embedding_gram": _q_embedding_gram,
         "hourly_ohlc": _q_hourly_ohlc,
+        "zorder_cells": _q_zorder_cells,
         "streaming_cdc_apply": _q_streaming_cdc_apply,
         "multimodal_decode": _q_multimodal_decode,
         "embedding_near_dup_gemm": _q_embedding_near_dup_gemm,
@@ -3645,6 +3667,13 @@ _STOP_SQL = "(" + ", ".join(f"'{w}'" for w in STOPWORDS) + ")"
 #: Gopher required-stopword list as a DuckDB list literal (mirrors
 #: operators.text.GOPHER_STOPWORDS)
 _GOPHER_SQL = "['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with']"
+
+#: 24-bit Morton interleave of two 12-bit cells (mirrors
+#: operators.layout.interleave_bits: bit j of col i -> position j*2+i)
+_Z_INTERLEAVE = "\n                   + ".join(
+    f"(((a >> {j}) & 1) * {1 << (2 * j)}) + (((b >> {j}) & 1) * {1 << (2 * j + 1)})"
+    for j in range(12)
+)
 
 #: per-column profile rows for the table_profile oracle (mirrors
 #: operators.dq.table_profile over the events columns in the query)
@@ -4260,6 +4289,27 @@ def _oracle_sql_literal() -> dict[str, str]:
                    CAST(sum(n_chars) AS BIGINT) AS char_count
             FROM documents
             GROUP BY 1, 2
+        """,
+        "zorder_cells": f"""
+            WITH mm AS (
+                SELECT min(CAST(user_id AS DOUBLE)) AS alo,
+                       max(CAST(user_id AS DOUBLE)) AS ahi,
+                       min(value) AS blo, max(value) AS bhi
+                FROM events
+            ),
+            scaled AS (
+                SELECT COALESCE(CAST(floor((CAST(user_id AS DOUBLE) - alo)
+                                 * (4095.0 / (ahi - alo))) AS BIGINT), 0) AS a,
+                       COALESCE(CAST(floor((value - blo)
+                                 * (4095.0 / (bhi - blo))) AS BIGINT), 0) AS b
+                FROM events, mm
+            ),
+            zv AS (
+                SELECT {_Z_INTERLEAVE} AS z FROM scaled
+            )
+            SELECT z >> 18 AS cell, count(*) AS n_rows,
+                   CAST(sum(z) AS BIGINT) AS z_sum
+            FROM zv GROUP BY 1
         """,
         "streaming_cdc_apply": """
             WITH latest AS (

@@ -155,6 +155,7 @@ HEADLINE = [
     "embedding_gram",
     "hourly_ohlc",
     "streaming_cdc_apply",
+    "zorder_cells",
 ]
 
 

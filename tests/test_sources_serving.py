@@ -183,3 +183,67 @@ def test_write_training_shards_deterministic_order(spark, sf_dir, tmp_path):
     back = spark.read.parquet(out)
     assert back.count() == docs.count()
     assert back.select("doc_id").distinct().count() == docs.count()
+
+
+def test_interleave_bits_matches_python_reference(spark):
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.layout import interleave_bits
+
+    rows = [(0, 0), (1, 0), (0, 1), (3, 5), (4095, 4095), (1234, 567)]
+    df = spark.createDataFrame(rows, "a long, b long")
+    got = {
+        (r["a"], r["b"]): r["z"]
+        for r in df.withColumn("z", interleave_bits([F.col("a"), F.col("b")], 12)).collect()
+    }
+
+    def ref(a, b):
+        z = 0
+        for j in range(12):
+            z |= ((a >> j) & 1) << (2 * j)
+            z |= ((b >> j) & 1) << (2 * j + 1)
+        return z
+
+    assert got == {(a, b): ref(a, b) for a, b in rows}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="fit a signed"):
+        interleave_bits([F.col("a")] * 4, 16)
+
+
+def test_write_zordered_tightens_worst_dimension(spark, tmp_path):
+    """The point of Z-order: per-file bounding boxes are square-ish
+    instead of full-width slabs, so a predicate on EITHER dimension
+    prunes files.  Metric: the per-file extent of the WORST dimension
+    (a slab layout scores ~1.0 on its unsorted dimension; Morton cells
+    score ~1/sqrt(n_files) on both).  Uniform synthetic grid keeps the
+    comparison distribution-controlled."""
+    import os
+
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.layout import write_zordered
+
+    # deterministic pseudo-uniform 2-d cloud (hash-scattered, no RNG)
+    pts = spark.range(4096).select(
+        (F.col("id") * 2654435761 % 4096).cast("long").alias("a"),
+        (F.col("id") * 40503 % 4096).cast("double").alias("b"),
+    )
+
+    def mean_worst_extent(path):
+        worst = []
+        for f in os.listdir(path):
+            if not f.endswith(".parquet"):
+                continue
+            part = spark.read.parquet(os.path.join(path, f))
+            r = part.agg(F.min("a"), F.max("a"), F.min("b"), F.max("b")).collect()[0]
+            worst.append(max((r[1] - r[0]) / 4096.0, (r[3] - r[2]) / 4096.0))
+        assert len(worst) >= 8
+        return sum(worst) / len(worst)
+
+    zpath = str(tmp_path / "zordered")
+    write_zordered(pts, zpath, ["a", "b"], bits=12, n_files=16)
+    apath = str(tmp_path / "a_sorted")
+    pts.repartitionByRange(16, "a").sortWithinPartitions("a").write.parquet(apath)
+
+    z_worst, a_worst = mean_worst_extent(zpath), mean_worst_extent(apath)
+    # the slab layout's unsorted dimension spans ~the full domain in
+    # every file; Morton cells stay compact in BOTH dimensions
+    assert a_worst > 0.9, a_worst
+    assert z_worst < 0.5, (z_worst, a_worst)

@@ -176,12 +176,25 @@ def probes(spark, sf_dir: str, factor: int) -> dict[str, tuple[DataFrame, int]]:
     cos_lsh = cosine_near_dup_lsh(
         emb, "vec_id", "embedding", 0.9, n_planes=min(4 * bits, 60), bands=4
     )
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.sampling import token_budget_prefix
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.similarity import (
+        gram_matrix_micros,
+    )
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.text import token_count
+
+    gram = gram_matrix_micros(emb, "embedding")
+    # budget scales with volume so the prefix stays ~half the corpus
+    budget = token_budget_prefix(
+        docs_s, "doc_id", token_count("text"), budget=60_000 * factor
+    )
     return {
         "hash_aggregate(events)": (agg, n_events),
         "minhash_lsh_candidates(documents)": (minhash, n_docs),
         "ngram_jaccard_pairs(documents)": (jac_uncapped, n_docs),
         "ngram_jaccard_pairs+dfcut8(documents)": (jac_capped, n_docs),
         "cosine_near_dup_lsh(embeddings)": (cos_lsh, n_emb),
+        "gram_matrix_micros(embeddings)": (gram, n_emb),
+        "token_budget_prefix(documents)": (budget, n_docs),
         "session_window(events)": (win, n_events),
         "shuffle_join+agg(orders x customer)": (join, n_orders),
         "exact_text_dedup(documents)": (dedup, n_docs),
