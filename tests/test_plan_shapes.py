@@ -502,3 +502,36 @@ def test_passage_dedup_no_python(spark, sf_dir):
     q = entrymod.queries()["passage_dedup"](spark, sf_dir)
     p = plan(q)
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_hourly_ohlc_single_aggregate_no_window(spark, sf_dir):
+    """OHLC bars must compile to ONE partial+final hash aggregate —
+    struct min/max, never a per-bucket Window (whose sort would
+    dominate at 100 TB)."""
+    q = entrymod.queries()["hourly_ohlc"](spark, sf_dir)
+    p = plan(q)
+    assert "Window" not in p
+    assert n_key_shuffles(p) == 1, f"expected exactly 1 shuffle: {n_key_shuffles(p)}"
+    assert "BatchEvalPython" not in p
+
+
+def test_embedding_gram_arrow_seam_one_shuffle(spark, sf_dir):
+    """The Gram pass: one Arrow partial-GEMM seam, then ONE shuffle
+    carrying (i, j, partial) rows bounded by partitions x d^2/2 —
+    the corpus itself never exchanges."""
+    q = entrymod.queries()["embedding_gram"](spark, sf_dir)
+    p = plan(q)
+    assert "MapInPandas" in p
+    assert n_key_shuffles(p) == 1, f"expected 1 shuffle: {n_key_shuffles(p)}"
+
+
+def test_zorder_value_pure_jvm(spark, sf_dir):
+    """The z-value is integer expressions only — no Python anywhere,
+    and computing it adds no exchange to a narrow projection."""
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.layout import zorder_value
+
+    events = load_table(spark, sf_dir, "events")
+    q = events.select(zorder_value(events, ["user_id", "value"], bits=12).alias("z"))
+    p = plan(q)
+    assert "EvalPython" not in p  # neither Batch nor Arrow
+    assert n_key_shuffles(p) == 0
