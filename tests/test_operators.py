@@ -1050,3 +1050,30 @@ def test_token_budget_prefix_total_over_dirty_input(spark):
     # hash-order prefix
     got_cost = sum(r or 0 for i, r in rows if i in ids and i is not None)
     assert got_cost <= 40
+
+
+def test_token_budget_prefix_oversized_budget_keeps_all(spark, sf_dir):
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.sampling import token_budget_prefix
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.text import token_count
+    from etl_based_real_time_air_quality_monitoring_system_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = token_budget_prefix(docs, "doc_id", token_count("text"), budget=10**12)
+    assert kept.count() == docs.count()
+
+
+def test_assemble_corpus_deterministic_under_repartition(spark, sf_dir):
+    """The whole assembly recipe is a pure function of content hashes:
+    any input partitioning produces the identical final shard
+    contents."""
+    from etl_based_real_time_air_quality_monitoring_system_spark.plans.corpus import assemble_corpus
+    from etl_based_real_time_air_quality_monitoring_system_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = {"src0": 5, "src1": 3, "src2": 2}
+
+    def run(df):
+        out = assemble_corpus(df, w, token_budget=1200, n_shards=4)
+        return sorted((r["doc_id"], r["shard"]) for r in out.collect())
+
+    assert run(docs) == run(docs.repartition(17))

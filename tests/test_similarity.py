@@ -343,3 +343,27 @@ def test_pca_components_and_projection(emb):
     # the leading axis actually dominates: projected variance ordering
     pv = np.var(want, axis=0)
     assert all(pv[i] >= pv[i + 1] - 1e-9 for i in range(len(pv) - 1))
+
+
+def test_pca_project_with_basis_components_is_identity(emb):
+    """With zero mean and unit-basis components the projection must
+    reproduce the raw coordinates (rounded half-up to scale_out) —
+    pins the pure-JVM centered-dot expression path independently of
+    the eigensolve."""
+    import numpy as np
+
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.similarity import pca_project
+
+    d = len(emb.select("embedding").head()[0])
+    mean = np.zeros(d)
+    comps = np.eye(d)[:3]
+    rows = emb.select("vec_id", "embedding").collect()
+    got = {
+        r["vec_id"]: list(r["pca"])
+        for r in pca_project(
+            emb, "vec_id", k=3, mean=mean, components=comps
+        ).collect()
+    }
+    for r in rows:
+        want = [np.floor(float(x) * 1e6 + 0.5) / 1e6 for x in r["embedding"][:3]]
+        assert got[r["vec_id"]] == want

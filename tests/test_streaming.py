@@ -544,3 +544,44 @@ def test_cdc_apply_version_guard_no_resurrection(spark, tmp_path):
         for r in read_cdc_snapshot(spark, str(tmp_path / "snap")).collect()
     }
     assert raw[1] == 5
+
+
+def test_cdc_apply_tie_break_resolves_duplicate_versions(spark, tmp_path):
+    """A producer emitting two payloads under ONE (key, version) in a
+    batch picks a deterministic winner when tie_break is supplied."""
+    import json as _json
+
+    from etl_based_real_time_air_quality_monitoring_system_spark.streaming.pipeline import (
+        read_cdc_snapshot,
+        run_cdc_apply,
+        stream_json_records,
+    )
+
+    src = tmp_path / "updates"
+    src.mkdir()
+    (src / "batch.json").write_text(
+        "\n".join(
+            _json.dumps(r)
+            for r in (
+                {"k": 1, "version": 5, "v": 10.0, "_deleted": False},
+                {"k": 1, "version": 5, "v": 20.0, "_deleted": False},
+            )
+        )
+    )
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("version", T.LongType()),
+            T.StructField("v", T.DoubleType()),
+            T.StructField("_deleted", T.BooleanType()),
+        ]
+    )
+    stream = stream_json_records(spark, str(src), schema, max_files_per_trigger=1)
+    q = run_cdc_apply(
+        stream, str(tmp_path / "snap"), str(tmp_path / "ck"), "k", "version",
+        tie_break="v",
+    )
+    q.awaitTermination()
+    rows = read_cdc_snapshot(spark, str(tmp_path / "snap"), "_deleted").collect()
+    # tie_break orders DESC alongside the version: the larger v wins
+    assert [(r["k"], r["version"], r["v"]) for r in rows] == [(1, 5, 20.0)]
