@@ -320,6 +320,33 @@ def run_to_partitioned_parquet(
     return stream.start()
 
 
+def version_guarded_merge(
+    base: DataFrame, compact: DataFrame, key: str, version_col: str
+) -> DataFrame:
+    """The CDC merge core: replace a base row only with a STRICTLY
+    newer update, keep updates not dominated by an equal-or-newer base
+    row.  Shuffle-free on the snapshot side: the survivor anti-join
+    broadcasts the compacted batch (build-right), and the dominated
+    side is a snapshot semi-join against that same broadcast (output
+    bounded by the batch's key count) followed by a tiny anti-join —
+    the snapshot is scanned once and never exchanged (plan-pinned in
+    tests).  ``compact`` must be unique per key."""
+    b, u = base.alias("b"), F.broadcast(compact.alias("u"))
+    same_key = F.col(f"b.{key}") == F.col(f"u.{key}")
+    kept = b.join(
+        u,
+        same_key & (F.col(f"u.{version_col}") > F.col(f"b.{version_col}")),
+        "left_anti",
+    )
+    dominating = b.join(
+        u,
+        same_key & (F.col(f"b.{version_col}") >= F.col(f"u.{version_col}")),
+        "left_semi",
+    ).select(F.col(key))
+    fresh = compact.join(F.broadcast(dominating), key, "left_anti")
+    return kept.unionByName(fresh)
+
+
 def run_cdc_apply(
     updates: DataFrame,
     snapshot_root: str,
@@ -385,33 +412,8 @@ def run_cdc_apply(
         compact = latest_per_key(batch, key, version_col, tie_break=tie_break).persist()
         try:
             if prev_gen:
-                base = spark.read.parquet(
-                    os.path.join(snapshot_root, prev_gen)
-                ).alias("b")
-                upd = F.broadcast(compact.alias("u"))
-                same_key = F.col(f"b.{key}") == F.col(f"u.{key}")
-                # snapshot rows with NO strictly newer update survive —
-                # anti-join with the batch broadcast build-right, so
-                # the snapshot never shuffles
-                kept = base.join(
-                    upd,
-                    same_key & (F.col(f"u.{version_col}") > F.col(f"b.{version_col}")),
-                    "left_anti",
-                )
-                # keys whose base row dominates (>=) any update: a semi
-                # join of the snapshot against the broadcast batch —
-                # output bounded by the batch's key count
-                dominating = (
-                    base.join(
-                        upd,
-                        same_key
-                        & (F.col(f"b.{version_col}") >= F.col(f"u.{version_col}")),
-                        "left_semi",
-                    )
-                    .select(F.col(key))
-                )
-                fresh = compact.join(F.broadcast(dominating), key, "left_anti")
-                merged = kept.unionByName(fresh)
+                base = spark.read.parquet(os.path.join(snapshot_root, prev_gen))
+                merged = version_guarded_merge(base, compact, key, version_col)
             else:
                 merged = compact
             gen = f"gen={int(epoch_id) % 2}"

@@ -535,3 +535,25 @@ def test_zorder_value_pure_jvm(spark, sf_dir):
     p = plan(q)
     assert "EvalPython" not in p  # neither Batch nor Arrow
     assert n_key_shuffles(p) == 0
+
+
+def test_version_guarded_merge_never_shuffles_snapshot(spark, sf_dir, tmp_path):
+    """The CDC merge's scale claim, plan-pinned: with a dimension-sized
+    update batch, BOTH joins against the snapshot broadcast the batch
+    side — no hash/range exchange of the snapshot anywhere."""
+    from etl_based_real_time_air_quality_monitoring_system_spark.streaming.pipeline import (
+        version_guarded_merge,
+    )
+
+    snap_path = str(tmp_path / "snap")
+    load_table(spark, sf_dir, "events").select(
+        F.col("user_id").alias("k"), F.col("event_id").alias("version"), "value"
+    ).write.parquet(snap_path)
+    base = spark.read.parquet(snap_path)
+    compact = spark.createDataFrame(
+        [(1, 10**12, 1.0), (2, 0, 2.0)], "k long, version long, value double"
+    )
+    p = plan(version_guarded_merge(base, compact, "k", "version"))
+    assert p.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in p
+    assert n_key_shuffles(p) == 0, f"snapshot shuffled:\n{p[:1500]}"
