@@ -84,6 +84,9 @@ def write_zordered(
     compact hyper-rectangle and multi-column predicates prune on every
     dimension.  ``n_files`` caps the layout's granularity (defaults to
     the session's shuffle parallelism)."""
+    from .sampling import reserve_columns
+
+    reserve_columns(df, ("_z",), "write_zordered")
     z = zorder_value(df, cols, bits)
     out = df.withColumn("_z", z)
     out = (

@@ -14,6 +14,20 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, functions as F
 
 
+def reserve_columns(df: DataFrame, names: tuple[str, ...], op: str) -> None:
+    """Fail fast when an operator's internal helper columns collide
+    with the caller's schema: building ``_h``/``_b``/... via
+    ``select('*', ...)`` on a frame that already has those names would
+    yield duplicate columns (AnalysisException at best, a wrong
+    ``drop`` at worst).  A clear error beats either."""
+    clash = sorted(set(names) & set(df.columns))
+    if clash:
+        raise ValueError(
+            f"{op}: input columns {clash} collide with reserved internal "
+            f"names {sorted(names)}; rename them before calling"
+        )
+
+
 def salted_hash(id_col: Column | str, salt: str) -> Column:
     """The ONE salted content-hash recipe every sampling/split/shard
     operator derives from — md5(salt || id) as lowercase hex (whose
@@ -226,6 +240,7 @@ def token_budget_prefix(
     the cluster).  ``token_count`` is a Column (e.g.
     ``text.token_count("text")``) so callers choose the tokenizer.
     """
+    reserve_columns(df, ("_ntok", "_h", "_b", "_off", "_cum"), "token_budget_prefix")
     c = F.col(id_col)
     h = salted_hash(c, salt)
     # total function over dirty input: rows with a NULL id have no

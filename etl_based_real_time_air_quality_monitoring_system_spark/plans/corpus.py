@@ -133,7 +133,10 @@ def assemble_corpus(
             out = out.localCheckpoint(eager=True)
         return out
     finally:
-        if materialize:
-            kept.unpersist()
-        # non-materialized: the caller's first action still reads the
-        # cache; Spark drops it with the DataFrame when unreferenced
+        # always release: the persist pays for the bounded collects
+        # INSIDE this call (mixture counts + budget histogram).  With
+        # materialize=False the caller's later actions recompute the
+        # lineage — by design, the caller owns caching then; keeping
+        # `kept` pinned would leak executor storage for the session
+        # with no handle to release it.
+        kept.unpersist()

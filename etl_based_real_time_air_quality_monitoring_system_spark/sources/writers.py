@@ -142,9 +142,11 @@ def write_training_shards(
 
     from etl_based_real_time_air_quality_monitoring_system_spark.operators.sampling import (
         bucket_of,
+        reserve_columns,
         salted_hash,
     )
 
+    reserve_columns(df, ("_h", "shard"), "write_training_shards")
     # ONE hash column drives both shard membership and in-shard order —
     # the pairing the round-trip test pins can't drift, and the md5
     # evaluates once per row

@@ -347,6 +347,45 @@ def version_guarded_merge(
     return kept.unionByName(fresh)
 
 
+def _read_gen_marker(snapshot_root: str) -> list[tuple[str, int, str]]:
+    """Parse the ``_GEN`` marker: one line per retained generation,
+    NEWEST FIRST, each ``gen_dir|epoch_id|run_token``.  Returns []
+    when no generation has ever committed."""
+    import os
+
+    marker = os.path.join(snapshot_root, "_GEN")
+    if not os.path.exists(marker):
+        return []
+    out = []
+    with open(marker) as fh:
+        for line in fh:
+            line = line.strip()
+            if not line:
+                continue
+            gen, _, rest = line.partition("|")
+            ep, _, run = rest.partition("|")
+            out.append((gen, int(ep) if ep else -1, run))
+    return out
+
+
+def _write_gen_marker(
+    snapshot_root: str, history: list[tuple[str, int, str]]
+) -> None:
+    """ATOMIC marker replace: write to a temp file, then ``os.replace``
+    over ``_GEN`` — a crash mid-write can never leave a truncated
+    marker, so readers and the next batch always see either the old or
+    the new commit point, never garbage.  (Local-fs analog of the
+    Hadoop FS rename an HDFS/S3 deploy would use.)"""
+    import os
+
+    tmp = os.path.join(snapshot_root, "_GEN.tmp")
+    with open(tmp, "w") as fh:
+        fh.write("\n".join(f"{g}|{e}|{r}" for g, e, r in history))
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.replace(tmp, os.path.join(snapshot_root, "_GEN"))
+
+
 def run_cdc_apply(
     updates: DataFrame,
     snapshot_root: str,
@@ -355,6 +394,7 @@ def run_cdc_apply(
     version_col: str,
     tie_break: str | None = None,
     available_now: bool = True,
+    keep_generations: int = 3,
 ) -> StreamingQuery:
     """Streaming CDC apply: maintain a keyed SNAPSHOT table from a
     stream of versioned updates — each micro-batch is compacted to its
@@ -371,17 +411,30 @@ def run_cdc_apply(
     order total) — cross-batch, an equal version deterministically
     keeps the already-applied row.
 
-    Exactly-once discipline without a table format: the snapshot
-    alternates between two directories (``gen=epoch%2``), and the
-    ``_GEN`` marker records ``gen|epoch`` only AFTER the parquet write
-    completes.  A mid-write crash never corrupts the generation being
-    read, and the one replay Spark's checkpoint can issue (the last
-    epoch, if the crash hit between the marker flip and the streaming
-    commit) is detected by the recorded epoch id and skipped — without
-    that check the replay would read its own output directory as the
-    base and overwrite it mid-read.  (The marker is a local-fs file
-    here; an HDFS/S3 deploy swaps in the Hadoop FS rename for the same
-    commit point.)
+    Exactly-once discipline without a table format: each commit writes
+    a FRESH generation directory ``gen-<seq>`` whose sequence number
+    comes from the marker itself (last committed seq + 1 — NEVER from
+    the epoch id, which is a property of the checkpoint: a fresh
+    checkpoint against an existing snapshot resets epochs to 0 and an
+    epoch-derived directory could collide with the committed base).
+    The ``_GEN`` marker — replaced atomically (temp + ``os.replace``)
+    only AFTER the parquet write completes — lists the retained
+    generations newest-first with their epoch and run token.  Because
+    base (last committed gen) and output (next seq) are always
+    distinct directories, a replayed batch can never read the
+    directory it is writing.  Replay handling is two-layered: a replay
+    within the SAME query run whose commit already landed is detected
+    by (epoch, run token) and skipped; a replay from a RESTARTED run
+    (fresh run token — possibly with a fresh checkpoint whose epoch
+    ids restart at 0) falls through to the merge, which the version
+    guard makes idempotent (equal versions never replace, dominated
+    updates drop out), so it commits a new generation with identical
+    content rather than corrupting the base.
+
+    ``keep_generations`` older snapshots are retained with their epoch
+    ids — :func:`read_cdc_snapshot` can time-travel to any of them via
+    ``asof_epoch``; generations that age out are deleted after the
+    marker commit.
 
     At scale the per-epoch merge keeps the snapshot shuffle-free: the
     survivor anti-join broadcasts the compacted batch (build-right),
@@ -391,35 +444,51 @@ def run_cdc_apply(
     exchanged.
     """
     import os
+    import re
+    import shutil
+    import uuid
 
     from ..operators.topk import latest_per_key
 
+    if keep_generations < 1:
+        raise ValueError("run_cdc_apply: keep_generations must be >= 1")
     spark = updates.sparkSession
+    run_token = uuid.uuid4().hex[:12]
 
     def apply_batch(batch: DataFrame, epoch_id: int) -> None:
-        marker = os.path.join(snapshot_root, "_GEN")
-        prev_gen, applied_epoch = None, None
-        if os.path.exists(marker):
-            with open(marker) as fh:
-                prev_gen, _, ep = fh.read().strip().partition("|")
-                applied_epoch = int(ep) if ep else None
-        if applied_epoch is not None and applied_epoch == int(epoch_id):
-            # replay of an epoch whose write + marker already landed
-            # (crash between marker flip and checkpoint commit): the
-            # output is committed — re-applying would read our own
-            # output as the base, so this replay is a no-op
+        os.makedirs(snapshot_root, exist_ok=True)
+        history = _read_gen_marker(snapshot_root)
+        if (
+            history
+            and history[0][1] == int(epoch_id)
+            and history[0][2] == run_token
+        ):
+            # same-run replay of an epoch whose write + marker already
+            # landed (failure between marker commit and streaming
+            # commit): committed — skip.  Cross-run replays (different
+            # token) fall through to the idempotent merge below.
             return
         compact = latest_per_key(batch, key, version_col, tie_break=tie_break).persist()
         try:
-            if prev_gen:
-                base = spark.read.parquet(os.path.join(snapshot_root, prev_gen))
+            if history:
+                base = spark.read.parquet(os.path.join(snapshot_root, history[0][0]))
                 merged = version_guarded_merge(base, compact, key, version_col)
+                # trailing digits of the committed dir name (tolerates
+                # the pre-history `gen=N` layout a live snapshot may
+                # still carry) — next seq is always a FRESH directory
+                m = re.search(r"(\d+)$", history[0][0])
+                seq = (int(m.group(1)) if m else 0) + 1
             else:
                 merged = compact
-            gen = f"gen={int(epoch_id) % 2}"
+                seq = 1
+            gen = f"gen-{seq:06d}"
             merged.write.mode("overwrite").parquet(os.path.join(snapshot_root, gen))
-            with open(marker, "w") as fh:
-                fh.write(f"{gen}|{int(epoch_id)}")
+            new_hist = [(gen, int(epoch_id), run_token)] + history
+            _write_gen_marker(snapshot_root, new_hist[:keep_generations])
+            for old_gen, _, _ in new_hist[keep_generations:]:
+                shutil.rmtree(
+                    os.path.join(snapshot_root, old_gen), ignore_errors=True
+                )
         finally:
             compact.unpersist()
 
@@ -435,14 +504,33 @@ def read_cdc_snapshot(
     spark: SparkSession,
     snapshot_root: str,
     delete_col: str | None = None,
+    asof_epoch: int | None = None,
 ) -> DataFrame:
-    """Read the committed generation written by :func:`run_cdc_apply`;
-    pass ``delete_col`` to filter retained tombstone rows (the live
-    view — what a serving reader wants)."""
+    """Read a committed generation written by :func:`run_cdc_apply` —
+    the latest by default, or TIME-TRAVEL to the newest retained
+    generation whose epoch id is ``<= asof_epoch`` (the lakehouse
+    snapshot-isolation read: the state as of that commit, exactly what
+    replaying updates through epoch N would produce).  Pass
+    ``delete_col`` to filter retained tombstone rows (the live view —
+    what a serving reader wants)."""
     import os
 
-    with open(os.path.join(snapshot_root, "_GEN")) as fh:
-        gen = fh.read().strip().partition("|")[0]
+    history = _read_gen_marker(snapshot_root)
+    if not history:
+        raise FileNotFoundError(
+            f"read_cdc_snapshot: no committed generation under {snapshot_root}"
+        )
+    if asof_epoch is None:
+        gen = history[0][0]
+    else:
+        match = next((g for g, e, _ in history if e <= asof_epoch), None)
+        if match is None:
+            raise ValueError(
+                f"read_cdc_snapshot: no retained generation at epoch <= "
+                f"{asof_epoch}; oldest retained epoch is {history[-1][1]} "
+                "(raise keep_generations to travel further back)"
+            )
+        gen = match
     out = spark.read.parquet(os.path.join(snapshot_root, gen))
     if delete_col is not None:
         out = out.filter(~F.coalesce(F.col(delete_col), F.lit(False))).drop(delete_col)

@@ -1077,3 +1077,25 @@ def test_assemble_corpus_deterministic_under_repartition(spark, sf_dir):
         return sorted((r["doc_id"], r["shard"]) for r in out.collect())
 
     assert run(docs) == run(docs.repartition(17))
+
+
+def test_reserved_internal_names_fail_fast(spark, tmp_path):
+    """Operators that build helper columns via select('*', ...) must
+    reject inputs already carrying those names instead of producing
+    duplicate/ambiguous columns (ADVICE r4)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.layout import write_zordered
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.sampling import token_budget_prefix
+    from etl_based_real_time_air_quality_monitoring_system_spark.sources.writers import write_training_shards
+
+    df = spark.range(5).select(
+        F.col("id"), F.lit("x").alias("_h"), F.lit(0).alias("shard"), F.lit(1).alias("_z")
+    )
+    with pytest.raises(ValueError, match="token_budget_prefix.*_h"):
+        token_budget_prefix(df, "id", F.lit(1), 100)
+    with pytest.raises(ValueError, match="write_training_shards"):
+        write_training_shards(df, str(tmp_path / "s"), "id", 2)
+    with pytest.raises(ValueError, match="write_zordered"):
+        write_zordered(df.select("id", "_z"), str(tmp_path / "z"), ["id"])

@@ -585,3 +585,142 @@ def test_cdc_apply_tie_break_resolves_duplicate_versions(spark, tmp_path):
     rows = read_cdc_snapshot(spark, str(tmp_path / "snap"), "_deleted").collect()
     # tie_break orders DESC alongside the version: the larger v wins
     assert [(r["k"], r["version"], r["v"]) for r in rows] == [(1, 5, 20.0)]
+
+
+_CDC_SCHEMA = T.StructType(
+    [
+        T.StructField("k", T.LongType()),
+        T.StructField("version", T.LongType()),
+        T.StructField("v", T.DoubleType()),
+        T.StructField("_deleted", T.BooleanType()),
+    ]
+)
+
+
+def _cdc_run(spark, src, snap, ck, **kw):
+    from etl_based_real_time_air_quality_monitoring_system_spark.streaming.pipeline import (
+        run_cdc_apply,
+        stream_json_records,
+    )
+
+    stream = stream_json_records(spark, str(src), _CDC_SCHEMA, max_files_per_trigger=1)
+    q = run_cdc_apply(stream, str(snap), str(ck), "k", "version", **kw)
+    q.awaitTermination()
+
+
+def test_cdc_apply_restart_fresh_checkpoint_extends_snapshot(spark, tmp_path):
+    """The generation sequence comes from the _GEN marker, NOT the
+    epoch id: a second run against an existing snapshot_root with a
+    FRESH checkpoint (epoch ids restart at 0) must (a) not skip its
+    first batch as a 'replay' of the recorded epoch 0 and (b) never
+    write into the directory it reads as base."""
+    import json as _json
+
+    from etl_based_real_time_air_quality_monitoring_system_spark.streaming.pipeline import (
+        read_cdc_snapshot,
+    )
+
+    src1 = tmp_path / "u1"
+    src1.mkdir()
+    (src1 / "a.json").write_text(
+        _json.dumps({"k": 1, "version": 1, "v": 10.0, "_deleted": False})
+    )
+    _cdc_run(spark, src1, tmp_path / "snap", tmp_path / "ck1")
+
+    # second run: NEW source dir, FRESH checkpoint -> its first batch is
+    # also epoch 0, exactly the reuse scenario that used to collide
+    src2 = tmp_path / "u2"
+    src2.mkdir()
+    (src2 / "b.json").write_text(
+        "\n".join(
+            _json.dumps(r)
+            for r in (
+                {"k": 1, "version": 2, "v": 11.0, "_deleted": False},
+                {"k": 2, "version": 1, "v": 20.0, "_deleted": False},
+            )
+        )
+    )
+    _cdc_run(spark, src2, tmp_path / "snap", tmp_path / "ck2")
+    live = {
+        r["k"]: (r["version"], r["v"])
+        for r in read_cdc_snapshot(spark, str(tmp_path / "snap"), "_deleted").collect()
+    }
+    assert live == {1: (2, 11.0), 2: (1, 20.0)}
+
+
+def test_cdc_apply_replayed_run_is_idempotent(spark, tmp_path):
+    """Cross-run replay of ALREADY-APPLIED updates (fresh checkpoint,
+    same source) must converge to the same snapshot: the version guard
+    makes the merge a no-op change, committed as a new generation."""
+    import json as _json
+
+    from etl_based_real_time_air_quality_monitoring_system_spark.streaming.pipeline import (
+        read_cdc_snapshot,
+    )
+
+    src = tmp_path / "u"
+    src.mkdir()
+    (src / "a.json").write_text(
+        "\n".join(
+            _json.dumps(r)
+            for r in (
+                {"k": 1, "version": 5, "v": 50.0, "_deleted": False},
+                {"k": 2, "version": 3, "v": 30.0, "_deleted": True},
+            )
+        )
+    )
+    _cdc_run(spark, src, tmp_path / "snap", tmp_path / "ck1")
+    before = sorted(
+        (r["k"], r["version"], r["v"], r["_deleted"])
+        for r in read_cdc_snapshot(spark, str(tmp_path / "snap")).collect()
+    )
+    _cdc_run(spark, src, tmp_path / "snap", tmp_path / "ck2")  # full replay
+    after = sorted(
+        (r["k"], r["version"], r["v"], r["_deleted"])
+        for r in read_cdc_snapshot(spark, str(tmp_path / "snap")).collect()
+    )
+    assert after == before
+
+
+def test_cdc_time_travel_asof_epoch(spark, tmp_path):
+    """read_cdc_snapshot(asof_epoch=N) returns the committed state as
+    of that epoch — identical to replaying updates <= N; generations
+    beyond keep_generations age out and asking for them raises."""
+    import json as _json
+
+    from etl_based_real_time_air_quality_monitoring_system_spark.streaming.pipeline import (
+        read_cdc_snapshot,
+    )
+
+    src = tmp_path / "u"
+    src.mkdir()
+    batches = [
+        [{"k": 1, "version": 1, "v": 10.0, "_deleted": False}],
+        [
+            {"k": 1, "version": 2, "v": 11.0, "_deleted": False},
+            {"k": 2, "version": 1, "v": 20.0, "_deleted": False},
+        ],
+        [{"k": 2, "version": 2, "v": 0.0, "_deleted": True}],
+    ]
+    for i, rows in enumerate(batches):
+        (src / f"b{i}.json").write_text("\n".join(_json.dumps(r) for r in rows))
+        time.sleep(1.1)  # file source orders batches by mtime
+    _cdc_run(spark, src, tmp_path / "snap", tmp_path / "ck", keep_generations=3)
+
+    def state(asof=None):
+        return {
+            r["k"]: (r["version"], r["v"])
+            for r in read_cdc_snapshot(
+                spark, str(tmp_path / "snap"), "_deleted", asof_epoch=asof
+            ).collect()
+        }
+
+    assert state() == {1: (2, 11.0)}  # latest: key 2 tombstoned
+    assert state(asof=2) == {1: (2, 11.0)}
+    assert state(asof=1) == {1: (2, 11.0), 2: (1, 20.0)}
+    assert state(asof=0) == {1: (1, 10.0)}
+
+    # keep_generations=2: epoch-0 generation ages out
+    _cdc_run(spark, src, tmp_path / "snap2", tmp_path / "ck2", keep_generations=2)
+    with pytest.raises(ValueError, match="no retained generation"):
+        read_cdc_snapshot(spark, str(tmp_path / "snap2"), asof_epoch=0)
