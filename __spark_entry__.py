@@ -1619,18 +1619,21 @@ def _q_http_ingest_simulated(spark: SparkSession, sf: str) -> DataFrame:
 
 def _q_multimodal_decode(spark: SparkSession, sf: str) -> DataFrame:
     # REAL header decode in the gate: the corpus is valid BMP /
-    # PCM-WAV / PNG / GIF / JPEG bytes whose dimensions are pure
-    # arithmetic over the asset id, so the struct.unpack parsers
-    # (multimodal.decode_header, incl. the JPEG marker walk) are
-    # checked field-for-field against an oracle that re-derives each
-    # dimension from the id — a genuine encode->decode round trip
-    # across five container formats
+    # PCM-WAV / PNG / GIF / JPEG / TIFF (both byte orders) / FLAC
+    # bytes whose dimensions are pure arithmetic over the asset id, so
+    # the struct.unpack parsers (multimodal.decode_header, incl. the
+    # JPEG marker walk, the TIFF IFD walk and the FLAC STREAMINFO
+    # bit-unpack) are checked field-for-field against an oracle that
+    # re-derives each dimension from the id — a genuine encode->decode
+    # round trip across seven container formats
     from etl_based_real_time_air_quality_monitoring_system_spark.operators.multimodal import (
         decode_assets,
         synthesize_media_assets,
     )
 
-    assets = synthesize_media_assets(spark, 48, 16, n_png=24, n_gif=24, n_jpeg=24)
+    assets = synthesize_media_assets(
+        spark, 48, 16, n_png=24, n_gif=24, n_jpeg=24, n_tiff=24, n_flac=24
+    )
     decoded = decode_assets(assets)
     return decoded.select(
         "asset_id",
@@ -6268,6 +6271,18 @@ def _oracle_sql_literal() -> dict[str, str]:
                    (100 + range % 31)::INTEGER,
                    (50 + range % 17)::INTEGER,
                    0, 3, 0
+            FROM range(24)
+            UNION ALL
+            SELECT range + 4000000, 'image', 'tiff',
+                   (20 + range % 29)::INTEGER,
+                   (12 + range % 15)::INTEGER,
+                   0, 0, 0
+            FROM range(24)
+            UNION ALL
+            SELECT range + 5000000, 'audio', 'flac', 0, 0,
+                   (8000 + 441 * (range % 9))::INTEGER,
+                   (1 + range % 2)::INTEGER,
+                   (50 + 3 * range)::INTEGER
             FROM range(24)
         """,
         "corpus_pipeline": rf"""

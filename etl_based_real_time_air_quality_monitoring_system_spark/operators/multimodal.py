@@ -3,12 +3,14 @@ payloads with typed metadata (BASELINE.json north star).
 
 Decode is REAL for header-parseable container formats: ``decode_header``
 parses BMP (BITMAPINFOHEADER), PCM-WAV (RIFF chunk walk), PNG (IHDR
-chunk, big-endian), GIF (logical screen descriptor, little-endian)
-and JPEG (marker-segment walk to SOF) with stdlib ``struct`` only —
-no codec library — and ``encode_bmp`` / ``encode_wav`` /
-``encode_png`` / ``encode_gif`` / ``encode_jpeg_header`` are its
-synthesis twins, so the encode→decode round trip is oracle-checked in
-the driver gate (``multimodal_decode``) across five formats.
+chunk, big-endian), GIF (logical screen descriptor, little-endian),
+JPEG (marker-segment walk to SOF), TIFF (IFD entry walk, both byte
+orders) and FLAC (STREAMINFO bit-unpacking) with stdlib ``struct``
+only — no codec library — and ``encode_bmp`` / ``encode_wav`` /
+``encode_png`` / ``encode_gif`` / ``encode_jpeg_header`` /
+``encode_tiff`` / ``encode_flac`` are its synthesis twins, so the
+encode→decode round trip is oracle-checked in the driver gate
+(``multimodal_decode``) across seven formats.
 Pixel-level decode of compressed payloads (JPEG entropy data,
 PNG IDAT inflate, MP3, H.264) genuinely requires codec libraries
 this container lacks; that extension drops into ``decode_header``'s
@@ -94,6 +96,7 @@ def synthesize_assets(spark: SparkSession, n: int, modality: str = "image") -> D
 def synthesize_media_assets(
     spark: SparkSession, n_images: int, n_audio: int,
     n_png: int = 0, n_gif: int = 0, n_jpeg: int = 0,
+    n_tiff: int = 0, n_flac: int = 0,
 ) -> DataFrame:
     """Deterministic corpus of REAL container-format payloads (valid
     BMP, PCM-WAV, PNG, GIF and JPEG headers built with
@@ -217,6 +220,60 @@ def synthesize_media_assets(
             .withColumn("asset_id", F.col("asset_id") + F.lit(3_000_000))
         )
         out = out.unionByName(jpegs)
+
+    def make_tiff(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["id"]
+            yield pd.DataFrame(
+                {
+                    "asset_id": ids,
+                    "modality": "image",
+                    # alternate byte order by parity: both IFD walks are
+                    # exercised, the decoded dimensions are identical
+                    "payload": [
+                        encode_tiff(
+                            20 + int(i) % 29,
+                            12 + int(i) % 15,
+                            big_endian=bool(int(i) % 2),
+                        )
+                        for i in ids
+                    ],
+                }
+            )
+
+    def make_flac(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["id"]
+            yield pd.DataFrame(
+                {
+                    "asset_id": ids,
+                    "modality": "audio",
+                    "payload": [
+                        encode_flac(
+                            8000 + 441 * (int(i) % 9),
+                            1 + int(i) % 2,
+                            8 + 4 * (int(i) % 3),
+                            50 + 3 * int(i),
+                        )
+                        for i in ids
+                    ],
+                }
+            )
+
+    if n_tiff:
+        tiffs = (
+            spark.range(n_tiff, numPartitions=parts(n_tiff))
+            .mapInPandas(make_tiff, schema)
+            .withColumn("asset_id", F.col("asset_id") + F.lit(4_000_000))
+        )
+        out = out.unionByName(tiffs)
+    if n_flac:
+        flacs = (
+            spark.range(n_flac, numPartitions=parts(n_flac))
+            .mapInPandas(make_flac, schema)
+            .withColumn("asset_id", F.col("asset_id") + F.lit(5_000_000))
+        )
+        out = out.unionByName(flacs)
     return out
 
 
@@ -354,6 +411,63 @@ def decode_header(payload: bytes | None) -> dict:
                 return out
             pos += 2 + seglen
         return out
+    if buf[:4] in (b"II*\x00", b"MM\x00*") and len(buf) >= 8:
+        # TIFF: 2-byte byte-order mark ("II" little / "MM" big), magic
+        # 42, then a uint32 offset to the first IFD — a table of
+        # 12-byte entries (tag, type, count, value-or-offset).  Width/
+        # height/bits live in tags 256/257/258; SHORT(3) values are
+        # inline in the first 2 bytes of the value field, LONG(4) in
+        # all 4 — both endianness-dependent
+        e = "<" if buf[:2] == b"II" else ">"
+        (ifd_off,) = struct.unpack_from(e + "I", buf, 4)
+        if ifd_off + 2 > len(buf):
+            return out
+        (n_entries,) = struct.unpack_from(e + "H", buf, ifd_off)
+        tags: dict[int, int] = {}
+        for k in range(n_entries):
+            ep = ifd_off + 2 + 12 * k
+            if ep + 12 > len(buf):
+                return out
+            tag, ttype, count = struct.unpack_from(e + "HHI", buf, ep)
+            if count != 1:
+                continue  # multi-valued (e.g. per-channel bits) — skip
+            if ttype == 3:  # SHORT, inline
+                (val,) = struct.unpack_from(e + "H", buf, ep + 8)
+            elif ttype == 4:  # LONG, inline
+                (val,) = struct.unpack_from(e + "I", buf, ep + 8)
+            else:
+                continue
+            tags[tag] = val
+        width, height = tags.get(256), tags.get(257)
+        if not width or not height:
+            return out
+        out.update(format="tiff", width=width, height=height, bits=tags.get(258))
+        return out
+    if buf[:4] == b"fLaC" and len(buf) >= 8 + 34:
+        # FLAC: "fLaC" magic, then metadata blocks (1-byte last+type,
+        # uint24 BE length); the first block is mandated STREAMINFO
+        # (type 0, 34 bytes) whose bit-packed tail carries sample rate
+        # (20 bits), channels-1 (3), bits-per-sample-1 (5) and total
+        # samples (36)
+        btype = buf[4] & 0x7F
+        (blen,) = struct.unpack(">I", b"\x00" + buf[5:8])
+        if btype != 0 or blen < 34:
+            return out
+        b = buf[8 + 10 : 8 + 18]  # the 8 bit-packed bytes after block sizes
+        rate = (b[0] << 12) | (b[1] << 4) | (b[2] >> 4)
+        channels = ((b[2] >> 1) & 0x7) + 1
+        bits = (((b[2] & 1) << 4) | (b[3] >> 4)) + 1
+        total = ((b[3] & 0x0F) << 32) | (b[4] << 24) | (b[5] << 16) | (b[6] << 8) | b[7]
+        if rate == 0:
+            return out  # spec: 0 is invalid for audio streams
+        out.update(
+            format="flac",
+            sample_rate=rate,
+            channels=channels,
+            bits=bits,
+            n_frames=total,
+        )
+        return out
     if buf[:6] in (b"GIF87a", b"GIF89a") and len(buf) >= 11:
         # logical screen descriptor: width/height are little-endian
         # uint16 at offsets 6/8; the packed byte at 10 carries the
@@ -431,6 +545,52 @@ def encode_jpeg_header(width: int, height: int, channels: int = 3) -> bytes:
     sof_body = struct.pack(">BHHB", 8, height, width, channels) + comps
     sof = b"\xff\xc0" + struct.pack(">H", 2 + len(sof_body)) + sof_body
     return b"\xff\xd8" + app0 + sof + b"\xff\xd9"
+
+
+def encode_tiff(
+    width: int, height: int, bits: int = 8, big_endian: bool = False
+) -> bytes:
+    """Minimal valid TIFF (header + one IFD with ImageWidth/
+    ImageLength/BitsPerSample as inline SHORTs, no strips) in either
+    byte order — synthesis twin of :func:`decode_header`'s IFD walk."""
+    e = ">" if big_endian else "<"
+    head = (b"MM\x00*" if big_endian else b"II*\x00") + struct.pack(e + "I", 8)
+
+    def entry(tag: int, val: int) -> bytes:
+        # type 3 = SHORT, count 1 — the spec left-justifies the value
+        # within the 4-byte field in BOTH byte orders
+        return struct.pack(e + "HHI", tag, 3, 1) + struct.pack(e + "H", val) + b"\x00\x00"
+
+    ifd = (
+        struct.pack(e + "H", 3)
+        + entry(256, width)
+        + entry(257, height)
+        + entry(258, bits)
+        + struct.pack(e + "I", 0)  # no next IFD
+    )
+    return head + ifd
+
+
+def encode_flac(
+    sample_rate: int, channels: int, bits: int, total_samples: int
+) -> bytes:
+    """Minimal valid FLAC (magic + last-block STREAMINFO with the
+    bit-packed stream parameters, zeroed MD5) — synthesis twin of
+    :func:`decode_header`."""
+    body = bytearray(34)
+    struct.pack_into(">HH", body, 0, 4096, 4096)  # min/max blocksize
+    # min/max framesize (u24) left 0 = unknown
+    b = body
+    b[10] = (sample_rate >> 12) & 0xFF
+    b[11] = (sample_rate >> 4) & 0xFF
+    b[12] = ((sample_rate & 0xF) << 4) | (((channels - 1) & 0x7) << 1) | (
+        ((bits - 1) >> 4) & 1
+    )
+    b[13] = (((bits - 1) & 0xF) << 4) | ((total_samples >> 32) & 0xF)
+    struct.pack_into(">I", b, 14, total_samples & 0xFFFFFFFF)
+    # bytes 18..33: MD5 of the unencoded audio — zeroed (unknown)
+    header = bytes([0x80]) + struct.pack(">I", 34)[1:]  # last block, type 0
+    return b"fLaC" + header + bytes(b)
 
 
 def encode_wav(sample_rate: int, channels: int, bits: int, n_frames: int) -> bytes:

@@ -210,3 +210,47 @@ def test_resize_images_shape_contract(spark):
     # no shuffle: the seam is a pure mapInPandas over the scan
     p = out._sc._jvm.PythonSQLUtils.explainString(out._jdf.queryExecution(), "formatted")
     assert "Exchange" not in p
+
+
+def test_decode_header_tiff_flac_round_trip():
+    """TIFF (both byte orders, the left-justified inline-SHORT rule)
+    and FLAC (STREAMINFO bit-unpacking incl. the 36-bit total-samples
+    field) encode->decode round trips, plus malformed-header policy."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.multimodal import (
+        encode_flac,
+        encode_tiff,
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        w=st.integers(1, 65_535), h=st.integers(1, 65_535),
+        bits=st.sampled_from([1, 8, 16]), be=st.booleans(),
+    )
+    def tiff_case(w, h, bits, be):
+        m = decode_header(encode_tiff(w, h, bits, big_endian=be))
+        assert (m["format"], m["width"], m["height"], m["bits"]) == ("tiff", w, h, bits)
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        rate=st.integers(1, 655_350), ch=st.integers(1, 8),
+        bits=st.integers(4, 32), total=st.integers(0, 2**36 - 1),
+    )
+    def flac_case(rate, ch, bits, total):
+        m = decode_header(encode_flac(rate, ch, bits, total))
+        assert (
+            m["format"], m["sample_rate"], m["channels"], m["bits"], m["n_frames"]
+        ) == ("flac", rate, ch, bits, total)
+
+    tiff_case()
+    flac_case()
+    # truncated IFD / missing STREAMINFO -> unknown, never an exception
+    assert decode_header(b"II*\x00\x08\x00\x00\x00")["format"] == "unknown"
+    assert decode_header(b"MM\x00*\x00\x00\x00\x08\x00")["format"] == "unknown"
+    assert decode_header(b"fLaC" + bytes(38))["format"] == "unknown"  # rate 0
+    # a FLAC whose first block is not STREAMINFO is malformed
+    bad = bytearray(encode_flac(8000, 1, 8, 10))
+    bad[4] = 0x81  # last-block flag + type 1 (PADDING)
+    assert decode_header(bytes(bad))["format"] == "unknown"
