@@ -1915,6 +1915,55 @@ def _q_zorder_cells(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_zorder_pruning(spark: SparkSession, sf: str) -> DataFrame:
+    # the Z-order layout's BENEFIT gate: the same events written
+    # linear-sorted (range-partitioned on user_id alone) and z-ordered
+    # (user_id, value) are read back through one two-predicate box
+    # filter — the layouts MUST agree row-for-row (layout can only
+    # change physical performance, never the answer).  The actual
+    # row-group skipping advantage (z-ordered scans intersect strictly
+    # fewer row-group stat boxes) is pinned in pytest via parquet
+    # footer metadata, where the inequality is layout-deterministic.
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.layout import write_zordered
+
+    ev = load_table(spark, sf, "events").select("event_id", "user_id", "value")
+    b = ev.agg(
+        F.min("user_id").alias("lu"),
+        F.max("user_id").alias("hu"),
+        F.min("value").alias("lv"),
+        F.max("value").alias("hv"),
+    ).collect()[0]
+    # box bounds derived from global min/max with exact integer // and
+    # IEEE double arithmetic — DuckDB re-derives them bit-for-bit
+    ulo = b["lu"] + (b["hu"] - b["lu"]) * 2 // 5
+    uhi = b["lu"] + (b["hu"] - b["lu"]) * 9 // 20
+    vlo = b["lv"] + (b["hv"] - b["lv"]) * 0.4
+    vhi = b["lv"] + (b["hv"] - b["lv"]) * 0.45
+    lin, zo = _gate_sink(sf, "zorder_lin"), _gate_sink(sf, "zorder_zo")
+    (
+        ev.repartitionByRange(8, "user_id")
+        .sortWithinPartitions("user_id")
+        .write.mode("overwrite")
+        .parquet(lin)
+    )
+    write_zordered(ev, zo, ["user_id", "value"], bits=12, n_files=8)
+    parts = []
+    for name, path in (("linear", lin), ("zorder", zo)):
+        parts.append(
+            spark.read.parquet(path)
+            .filter(
+                F.col("user_id").between(ulo, uhi)
+                & F.col("value").between(vlo, vhi)
+            )
+            .agg(
+                F.count("*").alias("n_rows"),
+                F.sum("event_id").cast("long").alias("id_checksum"),
+            )
+            .select(F.lit(name).alias("layout"), "n_rows", "id_checksum")
+        )
+    return parts[0].unionByName(parts[1])
+
+
 def _q_hourly_ohlc(spark: SparkSession, sf: str) -> DataFrame:
     # per-user hourly OHLC bars in ONE hash aggregate: open/close via
     # min/max over struct(ts, value) — total lexicographic order makes
@@ -3519,6 +3568,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_gram": _q_embedding_gram,
         "hourly_ohlc": _q_hourly_ohlc,
         "zorder_cells": _q_zorder_cells,
+        "zorder_pruning": _q_zorder_pruning,
         "streaming_cdc_apply": _q_streaming_cdc_apply,
         "multimodal_decode": _q_multimodal_decode,
         "embedding_near_dup_gemm": _q_embedding_near_dup_gemm,
@@ -4292,6 +4342,24 @@ def _oracle_sql_literal() -> dict[str, str]:
                    CAST(sum(n_chars) AS BIGINT) AS char_count
             FROM documents
             GROUP BY 1, 2
+        """,
+        "zorder_pruning": """
+            WITH b AS (
+                SELECT min(user_id) + ((max(user_id) - min(user_id)) * 2) // 5 AS ulo,
+                       min(user_id) + ((max(user_id) - min(user_id)) * 9) // 20 AS uhi,
+                       min(value) + (max(value) - min(value)) * 0.4 AS vlo,
+                       min(value) + (max(value) - min(value)) * 0.45 AS vhi
+                FROM events
+            ),
+            m AS (
+                SELECT count(*) AS n_rows,
+                       CAST(sum(event_id) AS BIGINT) AS id_checksum
+                FROM events, b
+                WHERE user_id BETWEEN b.ulo AND b.uhi
+                  AND value BETWEEN b.vlo AND b.vhi
+            )
+            SELECT l.layout, m.n_rows, m.id_checksum
+            FROM (VALUES ('linear'), ('zorder')) AS l(layout), m
         """,
         "zorder_cells": f"""
             WITH mm AS (

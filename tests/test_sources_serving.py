@@ -247,3 +247,68 @@ def test_write_zordered_tightens_worst_dimension(spark, tmp_path):
     # every file; Morton cells stay compact in BOTH dimensions
     assert a_worst > 0.9, a_worst
     assert z_worst < 0.5, (z_worst, a_worst)
+
+
+def test_zorder_scan_skips_more_row_groups(spark, tmp_path):
+    """The pruning proof behind the zorder_pruning gate query: for a
+    two-predicate box filter, count the parquet ROW GROUPS whose
+    min/max stats box intersects the predicate box — exactly the
+    groups a stats-pruning scan must read.  The z-ordered layout must
+    intersect strictly fewer than the single-column-sorted layout
+    (whose groups span the full extent of the unsorted dimension and
+    therefore all match on it)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.layout import write_zordered
+
+    pts = spark.range(65536).select(
+        F.col("id").alias("event_id"),
+        (F.col("id") * 2654435761 % 4096).cast("long").alias("a"),
+        (F.col("id") * 40503 % 4096).cast("double").alias("b"),
+    )
+    zpath, apath = str(tmp_path / "zo"), str(tmp_path / "lin")
+    write_zordered(pts, zpath, ["a", "b"], bits=12, n_files=16)
+    pts.repartitionByRange(16, "a").sortWithinPartitions("a").write.parquet(apath)
+
+    # wide on the slab layout's SORT dimension (50% of a), narrow on
+    # the other (6% of b): the a-sorted layout can prune only via a
+    # (half its groups survive, each spanning all of b), while Morton
+    # cells stay compact in b too and prune most of that half
+    box = {"a": (1024, 3071), "b": (1600.0, 1850.0)}
+
+    def overlapping_row_groups(path):
+        total, hit = 0, 0
+        for fn in os.listdir(path):
+            if not fn.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(os.path.join(path, fn)).metadata
+            names = [md.schema.column(i).name for i in range(md.num_columns)]
+            for g in range(md.num_row_groups):
+                rg = md.row_group(g)
+                total += 1
+                ok = True
+                for col, (lo, hi) in box.items():
+                    st = rg.column(names.index(col)).statistics
+                    assert st is not None and st.has_min_max
+                    if st.max < lo or st.min > hi:
+                        ok = False
+                        break
+                hit += ok
+        return hit, total
+
+    z_hit, z_total = overlapping_row_groups(zpath)
+    a_hit, a_total = overlapping_row_groups(apath)
+    # same data, same filter: answers agree (the gate query pins this
+    # against DuckDB; here both layouts against each other)
+    match = lambda p: (
+        spark.read.parquet(p)
+        .filter(F.col("a").between(*box["a"]) & F.col("b").between(*box["b"]))
+        .agg(F.count("*"), F.sum("event_id"))
+        .collect()[0]
+    )
+    assert match(zpath) == match(apath)
+    # the layout claim: z-order intersects strictly fewer stat boxes
+    assert z_total >= 16 and a_total >= 16
+    assert z_hit < a_hit, (z_hit, z_total, a_hit, a_total)
