@@ -1592,6 +1592,102 @@ def _q_streaming_cdc_apply(spark: SparkSession, sf: str) -> DataFrame:
     return read_cdc_snapshot(spark, snap, delete_col="_deleted")
 
 
+def _q_streaming_late_data_drop(spark: SparkSession, sf: str) -> DataFrame:
+    # T5's actual late-data-DROP semantic in the gate, through the
+    # operator that genuinely enforces it on this engine:
+    # dropDuplicatesWithinWatermark filters input rows older than the
+    # propagated watermark (probed: windowed AGGREGATION on Spark
+    # 4.1.2 exercises the documented "may be dropped" latitude and
+    # never drops — it reopens and re-emits the closed window — and
+    # the stateful operator's filter watermark lags the reported one
+    # by a batch, hence three mtime-ordered micro-batches here: batch
+    # 1 establishes the 11:49:24 watermark, batch 2 rides inside it,
+    # batch 3 delivers rows two hours older, which MUST be dropped).
+    # Every row is a pure function of an index i, so the oracle
+    # re-derives the survivors term-for-term; if the watermark stopped
+    # dropping, the hour-9 rows would surface and fail rows+hash.
+    import datetime as _dt
+    import json as _json
+    import shutil as _shutil
+
+    from etl_based_real_time_air_quality_monitoring_system_spark.streaming.pipeline import (
+        dedup_within_watermark,
+        stream_json_records,
+    )
+
+    root = _gate_sink(sf, "late_drop")
+    _shutil.rmtree(root, ignore_errors=True)
+    src = os.path.join(root, "src")
+    os.makedirs(src)
+
+    def row(i: int, base_h: int, off_s: int) -> str:
+        ts = _dt.datetime(2024, 1, 1, base_h) + _dt.timedelta(seconds=off_s)
+        return _json.dumps(
+            {
+                "event_id": i,
+                "ts": ts.strftime("%Y-%m-%d %H:%M:%S"),
+                "event_type": f"type_{i % 3}",
+                "value": float(i),
+            }
+        )
+
+    files = {
+        # batch 1 (on-time): 10:00:00..11:59:24 -> watermark 11:49:24
+        "a_warmup.json": [row(i, 10, i * 36) for i in range(200)],
+        # batch 2 (on-time, watermark now propagated): 11:50:00..11:50:49
+        "b_inside.json": [row(i, 11, 3000 + (i - 200)) for i in range(200, 250)],
+        # batch 3: even i -> hour 9, two hours BELOW the watermark
+        # (must drop); odd i -> hour 12 (must pass)
+        "c_late.json": [
+            row(i, 9 if i % 2 == 0 else 12, i - 250) for i in range(250, 350)
+        ],
+    }
+    for k, (name, lines) in enumerate(files.items()):
+        p = os.path.join(src, name)
+        with open(p, "w") as fh:
+            fh.write("\n".join(lines))
+        t0 = os.path.getmtime(os.path.join(src, "a_warmup.json"))
+        os.utime(p, (t0 + 10 * k, t0 + 10 * k))
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    stream = stream_json_records(spark, src, schema, max_files_per_trigger=1)
+    # unique per-row key: nothing is a duplicate, so the ONLY thing the
+    # operator can remove is watermark-late input
+    deduped = dedup_within_watermark(
+        stream, ["event_id"], ts_col="ts", watermark="10 minutes"
+    )
+    name = f"late_drop_{_sf_tag(sf)}"
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return (
+        spark.table(name)
+        .groupBy(
+            F.hour("ts").alias("event_hour"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("record_count"),
+            F.sum(F.col("value").cast("long")).alias("value_sum"),
+        )
+    )
+
+
 def _q_http_ingest_simulated(spark: SparkSession, sf: str) -> DataFrame:
     # the S1->P5->P6->P7 ingest path in the gate: deterministic
     # WeatherAPI payload simulation (md5-derived fields — DuckDB
@@ -3570,6 +3666,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_cells": _q_zorder_cells,
         "zorder_pruning": _q_zorder_pruning,
         "streaming_cdc_apply": _q_streaming_cdc_apply,
+        "streaming_late_data_drop": _q_streaming_late_data_drop,
         "multimodal_decode": _q_multimodal_decode,
         "embedding_near_dup_gemm": _q_embedding_near_dup_gemm,
         # --- ballast: riskiest prior greens ---------------------------
@@ -6120,6 +6217,33 @@ def _oracle_sql_literal() -> dict[str, str]:
                    count(*) AS record_count,
                    round(sum(value::DECIMAL(20,6)), 2)::DOUBLE AS value_sum
             FROM w GROUP BY 1, 2, 3
+        """,
+        "streaming_late_data_drop": """
+            WITH src AS (
+                -- batch 1: 10:00:00 + i*36s, i in [0, 200)
+                SELECT range AS i,
+                       TIMESTAMP '2024-01-01 10:00:00'
+                           + (range * 36) * INTERVAL 1 SECOND AS ts
+                FROM range(200)
+                UNION ALL
+                -- batch 2: 11:50:00 + (i-200)s, i in [200, 250)
+                SELECT range,
+                       TIMESTAMP '2024-01-01 11:50:00'
+                           + (range - 200) * INTERVAL 1 SECOND
+                FROM range(200, 250)
+                UNION ALL
+                -- batch 3 survivors: only odd i (hour 12); the even-i
+                -- hour-9 rows are watermark-dropped by the engine
+                SELECT range,
+                       TIMESTAMP '2024-01-01 12:00:00'
+                           + (range - 250) * INTERVAL 1 SECOND
+                FROM range(250, 350) WHERE range % 2 = 1
+            )
+            SELECT hour(ts) AS event_hour,
+                   'type_' || (i % 3) AS event_type,
+                   count(*) AS record_count,
+                   CAST(sum(i) AS BIGINT) AS value_sum
+            FROM src GROUP BY 1, 2
         """,
         "streaming_hourly_counts": """
             SELECT date_trunc('hour', ts) AS window_start,

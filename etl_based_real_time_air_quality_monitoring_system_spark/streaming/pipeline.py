@@ -152,7 +152,17 @@ def windowed_aggregate(
 ) -> DataFrame:
     """T6 — tumbling-window count/avg per key (the streaming analog of
     the reference's hourly groupBy, spark_processor.py:184-189).
-    Late rows beyond the watermark are dropped (T5).
+
+    Watermark caveat (probed on Spark 4.1.2, pinned by the
+    ``streaming_late_data_drop`` gate query): for AGGREGATIONS this
+    engine exercises the documented "data older than the watermark
+    *may* be dropped" latitude and never drops it — a too-late row
+    reopens its closed window and append mode re-emits that window (a
+    duplicate window key downstream).  The watermark still bounds
+    state (T5's resource guarantee).  When the hard drop-late semantic
+    is required, run :func:`dedup_within_watermark` on a unique row
+    key upstream — its stateful operator filters input older than the
+    propagated watermark (one-batch propagation lag).
 
     ``aggs`` replaces the default [count, round(avg, 2)] aggregate
     list (pre-aliased Columns) — e.g. decimal sums when the result must

@@ -724,3 +724,48 @@ def test_cdc_time_travel_asof_epoch(spark, tmp_path):
     _cdc_run(spark, src, tmp_path / "snap2", tmp_path / "ck2", keep_generations=2)
     with pytest.raises(ValueError, match="no retained generation"):
         read_cdc_snapshot(spark, str(tmp_path / "snap2"), asof_epoch=0)
+
+
+def test_watermark_drops_late_rows_via_dedup_operator(spark, tmp_path):
+    """The T5 hard-drop semantic (pinned as a gate query in
+    streaming_late_data_drop): dropDuplicatesWithinWatermark on a
+    unique row key removes input older than the propagated watermark —
+    and ONLY that input.  The watermark reaches the operator's filter
+    one batch late, hence the warmup batch in the middle."""
+    src = tmp_path / "src"
+    src.mkdir()
+    _write_jsonl(src / "a.json", _rows(10, 0, 3))  # wm -> 09:50:02
+    _write_jsonl(src / "b.json", _rows(10, 30, 2, base_id=100))
+    # batch 3: one row at hour 8 (far below watermark) + one at 10:45
+    _write_jsonl(
+        src / "c.json",
+        _rows(8, 0, 1, base_id=200) + _rows(10, 45, 1, base_id=300),
+    )
+    t0 = (src / "a.json").stat().st_mtime
+    import os as _os
+
+    _os.utime(src / "b.json", (t0 + 10, t0 + 10))
+    _os.utime(src / "c.json", (t0 + 20, t0 + 20))
+    stream = stream_json_records(spark, str(src), EVENT_SCHEMA, max_files_per_trigger=1)
+    deduped = dedup_within_watermark(stream, ["event_id"], watermark="10 minutes")
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("late_drop_unit")
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        dropped = sum(
+            p["stateOperators"][0].get("numRowsDroppedByWatermark", 0)
+            for p in q.recentProgress
+            if p["stateOperators"]
+        )
+    finally:
+        q.stop()
+    ids = sorted(
+        r["event_id"] for r in spark.sql("select event_id from late_drop_unit").collect()
+    )
+    assert ids == [0, 1, 2, 100, 101, 300]  # 200 (hour 8) dropped
+    assert dropped == 1
