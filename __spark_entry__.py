@@ -1688,6 +1688,77 @@ def _q_streaming_late_data_drop(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_cdc_time_travel(spark: SparkSession, sf: str) -> DataFrame:
+    # lakehouse TIME TRAVEL over the CDC snapshot machinery: four
+    # mtime-ordered micro-batches (batch b = updates with version%4 ==
+    # b, so batch membership is SQL-derivable), generations retained
+    # with their epoch ids.  read_cdc_snapshot(asof_epoch=1) must equal
+    # replaying only the updates of epochs 0-1 through the
+    # version-guarded merge — the oracle re-derives BOTH the latest
+    # and the historical snapshot from the version rule, live rows
+    # value-for-value.
+    import glob as _glob
+    import shutil as _shutil
+
+    from etl_based_real_time_air_quality_monitoring_system_spark.streaming.pipeline import (
+        read_cdc_snapshot,
+        run_cdc_apply,
+        stream_json_records,
+    )
+
+    events = load_table(spark, sf, "events")
+    updates = events.select(
+        "user_id",
+        F.col("event_id").alias("version"),
+        "value",
+        (F.col("event_type") == "error").alias("_deleted"),
+    )
+    root = _gate_sink(sf, "cdc_tt")
+    _shutil.rmtree(root, ignore_errors=True)
+    src = os.path.join(root, "src")
+    os.makedirs(src)
+    for b in range(4):
+        part_dir = os.path.join(root, f"part{b}")
+        (
+            updates.filter(F.col("version") % 4 == b)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .json(part_dir)
+        )
+        (part_file,) = _glob.glob(os.path.join(part_dir, "part-*.json"))
+        dst = os.path.join(src, f"b{b}.json")
+        os.replace(part_file, dst)
+        t0 = os.path.getmtime(os.path.join(src, "b0.json"))
+        os.utime(dst, (t0 + 10 * b, t0 + 10 * b))
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("version", T.LongType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("_deleted", T.BooleanType()),
+        ]
+    )
+    stream = stream_json_records(spark, src, schema, max_files_per_trigger=1)
+    q = run_cdc_apply(
+        stream,
+        os.path.join(root, "snap"),
+        os.path.join(root, "ck"),
+        key="user_id",
+        version_col="version",
+        keep_generations=4,
+    )
+    q.awaitTermination()
+    latest = read_cdc_snapshot(spark, os.path.join(root, "snap"), "_deleted")
+    asof = read_cdc_snapshot(
+        spark, os.path.join(root, "snap"), "_deleted", asof_epoch=1
+    )
+    return latest.select(
+        F.lit("latest").alias("snap"), "user_id", "version", "value"
+    ).unionByName(
+        asof.select(F.lit("asof_epoch_1").alias("snap"), "user_id", "version", "value")
+    )
+
+
 def _q_http_ingest_simulated(spark: SparkSession, sf: str) -> DataFrame:
     # the S1->P5->P6->P7 ingest path in the gate: deterministic
     # WeatherAPI payload simulation (md5-derived fields — DuckDB
@@ -3667,6 +3738,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_pruning": _q_zorder_pruning,
         "streaming_cdc_apply": _q_streaming_cdc_apply,
         "streaming_late_data_drop": _q_streaming_late_data_drop,
+        "cdc_time_travel": _q_cdc_time_travel,
         "multimodal_decode": _q_multimodal_decode,
         "embedding_near_dup_gemm": _q_embedding_near_dup_gemm,
         # --- ballast: riskiest prior greens ---------------------------
@@ -4478,6 +4550,31 @@ def _oracle_sql_literal() -> dict[str, str]:
             SELECT z >> 18 AS cell, count(*) AS n_rows,
                    CAST(sum(z) AS BIGINT) AS z_sum
             FROM zv GROUP BY 1
+        """,
+        "cdc_time_travel": """
+            WITH u AS (
+                SELECT user_id, event_id AS version, value, event_type
+                FROM events
+            ),
+            l AS (
+                SELECT user_id, version, value, event_type,
+                       row_number() OVER (
+                           PARTITION BY user_id ORDER BY version DESC
+                       ) AS rn
+                FROM u
+            ),
+            a AS (
+                SELECT user_id, version, value, event_type,
+                       row_number() OVER (
+                           PARTITION BY user_id ORDER BY version DESC
+                       ) AS rn
+                FROM u WHERE version % 4 <= 1
+            )
+            SELECT 'latest' AS snap, user_id, version, value
+            FROM l WHERE rn = 1 AND event_type <> 'error'
+            UNION ALL
+            SELECT 'asof_epoch_1', user_id, version, value
+            FROM a WHERE rn = 1 AND event_type <> 'error'
         """,
         "streaming_cdc_apply": """
             WITH latest AS (
