@@ -2310,6 +2310,50 @@ def _q_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_ivf_topk_recall(spark: SparkSession, sf: str) -> DataFrame:
+    # the ANN QUALITY metric itself under the gate: IVF-Flat top-10
+    # for five query vectors vs the exact brute-force top-10, reduced
+    # to one row (n_queries, n_hits, recall_micros).  The oracle
+    # re-derives the WHOLE approximate pipeline in SQL — deterministic
+    # centroids (first 8 by id), per-query probe ranking, per-vector
+    # assignment argmax with Spark's tie rule (array_max over
+    # struct(sim, cid) keeps the HIGHEST cid), rounded-cosine rank —
+    # so the recall number is hash-checked, not trusted.
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_centroids,
+        ivf_topk,
+    )
+
+    emb = load_table(spark, sf, "embeddings")
+    qrows = (
+        emb.filter(F.col("vec_id") < 5)
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+        .orderBy("vec_id")
+        .collect()
+    )
+    cents = ivf_centroids(emb, "vec_id", "embedding", 8)
+    hits = None
+    for r in qrows:
+        qv = list(r["e"])
+        qid = F.lit(int(r["vec_id"])).alias("qid")
+        ivf = ivf_topk(
+            emb, "vec_id", "embedding", qv,
+            k=10, n_centroids=8, n_probe=4, centroids=cents,
+        ).select(qid, "vec_id")
+        bf = brute_force_topk(emb, "vec_id", "embedding", qv, k=10).select(
+            qid, "vec_id"
+        )
+        piece = ivf.join(bf, ["qid", "vec_id"], "inner")
+        hits = piece if hits is None else hits.unionByName(piece)
+    n_q = len(qrows)
+    return hits.agg(F.count("*").alias("n_hits")).select(
+        F.lit(n_q).alias("n_queries"),
+        "n_hits",
+        F.expr(f"(n_hits * 1000000) div {10 * n_q}").alias("recall_micros"),
+    )
+
+
 def _q_dq_report(spark: SparkSession, sf: str) -> DataFrame:
     # the reference's promised-but-unbuilt "Automated Data Quality
     # Checks" (README.md:46-53) as a one-pass operator: every check is
@@ -3739,6 +3783,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_cdc_apply": _q_streaming_cdc_apply,
         "streaming_late_data_drop": _q_streaming_late_data_drop,
         "cdc_time_travel": _q_cdc_time_travel,
+        "ivf_topk_recall": _q_ivf_topk_recall,
         "multimodal_decode": _q_multimodal_decode,
         "embedding_near_dup_gemm": _q_embedding_near_dup_gemm,
         # --- ballast: riskiest prior greens ---------------------------
@@ -4965,6 +5010,80 @@ def _oracle_sql_literal() -> dict[str, str]:
             FROM embeddings
             ORDER BY cosine_sim DESC, vec_id ASC
             LIMIT 10
+        """,
+        "ivf_topk_recall": """
+            WITH q AS (
+                SELECT vec_id AS qid, embedding::DOUBLE[] AS qe
+                FROM embeddings WHERE vec_id < 5
+            ),
+            c AS (
+                SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+                       embedding::DOUBLE[] AS ce
+                FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 8)
+            ),
+            e AS (SELECT vec_id, embedding::DOUBLE[] AS ee FROM embeddings),
+            -- numpy probe ranking mirror: +1e-12 in the denominator
+            probes AS (
+                SELECT qid, cid FROM (
+                    SELECT q.qid, c.cid, row_number() OVER (
+                        PARTITION BY q.qid ORDER BY
+                            list_dot_product(c.ce, q.qe)
+                            / (sqrt(list_dot_product(c.ce, c.ce))
+                               * sqrt(list_dot_product(q.qe, q.qe)) + 1e-12)
+                            DESC, c.cid ASC
+                    ) AS rn
+                    FROM q CROSS JOIN c
+                ) WHERE rn <= 4
+            ),
+            -- ivf_assign mirror: argmax by cosine, ties -> HIGHEST cid
+            assign AS (
+                SELECT vec_id, cid FROM (
+                    SELECT e.vec_id, c.cid, row_number() OVER (
+                        PARTITION BY e.vec_id ORDER BY
+                            list_dot_product(e.ee, c.ce)
+                            / (sqrt(list_dot_product(e.ee, e.ee))
+                               * sqrt(list_dot_product(c.ce, c.ce)))
+                            DESC, c.cid DESC
+                    ) AS rn
+                    FROM e CROSS JOIN c
+                ) WHERE rn = 1
+            ),
+            ivf AS (
+                SELECT qid, vec_id FROM (
+                    SELECT q.qid, e.vec_id, row_number() OVER (
+                        PARTITION BY q.qid ORDER BY
+                            round(list_dot_product(e.ee, q.qe)
+                                  / (sqrt(list_dot_product(e.ee, e.ee))
+                                     * sqrt(list_dot_product(q.qe, q.qe))), 6)
+                            DESC, e.vec_id ASC
+                    ) AS rn
+                    FROM q
+                    JOIN probes p ON p.qid = q.qid
+                    JOIN assign a ON a.cid = p.cid
+                    JOIN e ON e.vec_id = a.vec_id
+                ) WHERE rn <= 10
+            ),
+            bf AS (
+                SELECT qid, vec_id FROM (
+                    SELECT q.qid, e.vec_id, row_number() OVER (
+                        PARTITION BY q.qid ORDER BY
+                            round(list_dot_product(e.ee, q.qe)
+                                  / (sqrt(list_dot_product(e.ee, e.ee))
+                                     * sqrt(list_dot_product(q.qe, q.qe))), 6)
+                            DESC, e.vec_id ASC
+                    ) AS rn
+                    FROM q CROSS JOIN e
+                ) WHERE rn <= 10
+            ),
+            h AS (
+                SELECT count(*) AS n_hits
+                FROM ivf JOIN bf USING (qid, vec_id)
+            )
+            SELECT (SELECT count(*) FROM q) AS n_queries,
+                   h.n_hits,
+                   (h.n_hits * 1000000) // ((SELECT count(*) FROM q) * 10)
+                       AS recall_micros
+            FROM h
         """,
         "ivf_topk_exhaustive": """
             SELECT vec_id,
