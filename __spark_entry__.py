@@ -1759,6 +1759,73 @@ def _q_cdc_time_travel(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_funnel_over_cdc(spark: SparkSession, sf: str) -> DataFrame:
+    # the interaction matrix, not operators in isolation: an ordered
+    # funnel computed over a CDC-MAINTAINED snapshot.  The event log
+    # doubles as a mutation stream (latest version per user decides
+    # live vs tombstoned); run_cdc_apply materializes the snapshot
+    # through real micro-batches, then funnel_stages runs per snapshot
+    # segment.  The oracle re-derives the version-resolved segments
+    # AND the three chained stage minimums — a composition bug in
+    # either family (or in their join) breaks rows+hash.
+    import shutil as _shutil
+
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.funnel import funnel_stages
+    from etl_based_real_time_air_quality_monitoring_system_spark.streaming.pipeline import (
+        read_cdc_snapshot,
+        run_cdc_apply,
+        stream_json_records,
+    )
+
+    events = load_table(spark, sf, "events")
+    updates = events.select(
+        "user_id",
+        F.col("event_id").alias("version"),
+        (F.col("event_type") == "error").alias("_deleted"),
+    )
+    root = _gate_sink(sf, "funnel_cdc")
+    _shutil.rmtree(root, ignore_errors=True)
+    src = os.path.join(root, "src")
+    # order-independent by design (version guard), so a plain hash
+    # scatter into 4 files / 4 micro-batches suffices here
+    updates.repartition(4).write.mode("overwrite").json(src)
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("version", T.LongType()),
+            T.StructField("_deleted", T.BooleanType()),
+        ]
+    )
+    stream = stream_json_records(spark, src, schema, max_files_per_trigger=1)
+    q = run_cdc_apply(
+        stream,
+        os.path.join(root, "snap"),
+        os.path.join(root, "ck"),
+        key="user_id",
+        version_col="version",
+    )
+    q.awaitTermination()
+    snap = read_cdc_snapshot(spark, os.path.join(root, "snap"))
+    seg = snap.select(
+        "user_id",
+        F.when(F.coalesce(F.col("_deleted"), F.lit(False)), F.lit("deleted"))
+        .otherwise(F.lit("live"))
+        .alias("segment"),
+    )
+    out = None
+    for s in ("live", "deleted"):
+        members = seg.filter(F.col("segment") == s).select("user_id")
+        piece = funnel_stages(
+            events.join(F.broadcast(members), "user_id", "left_semi"),
+            "user_id",
+            "ts",
+            "event_type",
+            ["signup", "click", "purchase"],
+        ).select(F.lit(s).alias("segment"), "stage", "users")
+        out = piece if out is None else out.unionByName(piece)
+    return out
+
+
 def _q_http_ingest_simulated(spark: SparkSession, sf: str) -> DataFrame:
     # the S1->P5->P6->P7 ingest path in the gate: deterministic
     # WeatherAPI payload simulation (md5-derived fields — DuckDB
@@ -3784,6 +3851,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_late_data_drop": _q_streaming_late_data_drop,
         "cdc_time_travel": _q_cdc_time_travel,
         "ivf_topk_recall": _q_ivf_topk_recall,
+        "funnel_over_cdc": _q_funnel_over_cdc,
         "multimodal_decode": _q_multimodal_decode,
         "embedding_near_dup_gemm": _q_embedding_near_dup_gemm,
         # --- ballast: riskiest prior greens ---------------------------
@@ -5753,6 +5821,48 @@ def _oracle_sql_literal() -> dict[str, str]:
                    round(max(d.med), 4) AS median_value,
                    round(max(mad.mad), 4) AS mad_value
             FROM d JOIN mad USING (event_type) GROUP BY d.event_type
+        """,
+        "funnel_over_cdc": """
+            WITH seg AS (
+                SELECT user_id,
+                       CASE WHEN event_type = 'error' THEN 'deleted'
+                            ELSE 'live' END AS segment
+                FROM (
+                    SELECT user_id, event_type, row_number() OVER (
+                        PARTITION BY user_id ORDER BY event_id DESC
+                    ) AS rn
+                    FROM events
+                ) WHERE rn = 1
+            ),
+            ev AS (
+                SELECT e.user_id, e.ts, e.event_type, s.segment
+                FROM events e JOIN seg s USING (user_id)
+            ),
+            m0 AS (
+                SELECT segment, user_id,
+                       min(CASE WHEN event_type = 'signup' THEN ts END) AS t0
+                FROM ev GROUP BY 1, 2
+            ),
+            m1 AS (
+                SELECT e.segment, e.user_id, m0.t0,
+                       min(CASE WHEN e.event_type = 'click'
+                                 AND e.ts >= m0.t0 THEN e.ts END) AS t1
+                FROM ev e JOIN m0 ON e.user_id = m0.user_id
+                GROUP BY 1, 2, 3
+            ),
+            m2 AS (
+                SELECT e.segment, e.user_id, m1.t0, m1.t1,
+                       min(CASE WHEN e.event_type = 'purchase'
+                                 AND e.ts >= m1.t1 THEN e.ts END) AS t2
+                FROM ev e JOIN m1 ON e.user_id = m1.user_id
+                GROUP BY 1, 2, 3, 4
+            )
+            SELECT segment, 'stage0_signup' AS stage, count(t0) AS users
+            FROM m2 GROUP BY 1
+            UNION ALL
+            SELECT segment, 'stage1_click', count(t1) FROM m2 GROUP BY 1
+            UNION ALL
+            SELECT segment, 'stage2_purchase', count(t2) FROM m2 GROUP BY 1
         """,
         "funnel_conversion": """
             WITH m0 AS (
