@@ -1548,8 +1548,8 @@ def _q_streaming_to_table_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
 def _q_streaming_cdc_apply(spark: SparkSession, sf: str) -> DataFrame:
     # the T-family x CDC composition in the gate: a REAL availableNow
     # stream of versioned keyed updates (events re-cast as a CDC log,
-    # 'error' = tombstone), applied per micro-batch onto an
-    # alternating-generation parquet snapshot via foreachBatch.  The
+    # 'error' = tombstone), applied per micro-batch onto a
+    # generation-sequenced parquet snapshot via foreachBatch.  The
     # merge carries a VERSION GUARD and retains tombstones, so the
     # final snapshot is identical for ANY micro-batch composition or
     # delivery order — and a re-run over rewritten source files
@@ -3797,17 +3797,101 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
     ORDER MATTERS: the driver's correctness gate samples the first ~50
-    entries, so the registry is risk-ordered for round 4 — (1) the 29
-    entries that have never had a driver-gate row (all round-3
-    session-2 additions, locally swept green at 3 SFs), (2) queries
-    added or changed this round (the df-cut oracle, the 4-format
-    decode, the observe()-metrics check, the GEMM degenerate-input
-    fix), (3) high-value prior greens as ballast — exactly filling the
-    50-slot window.  Everything at 51+ has at least one green
-    CORRECTNESS row from rounds 1-3.
+    entries, so the registry is risk-ordered for round 5 — (1) the
+    queries added or changed this round (the five new gate queries,
+    the 7-format decode, the CDC generation/marker redesign, the
+    corpus unpersist), (2) the r1 cohort, whose only driver-gate rows
+    predate three rounds of code evolution (the round-4 verdict's #1
+    ask) — exactly filling the 50-slot window.  Positions 51+ are
+    ordered oldest-gate-first so wider sweeps cover the next-stalest
+    entries, with the r4-gated cohort last.
     """
     return {
-        # --- never driver-gated (round-3 session-2 additions) ---------
+        # === the 50-entry driver-gate window (risk-ordered r5) ========
+        # --- new or changed this round (round 5) ----------------------
+        "zorder_pruning": _q_zorder_pruning,
+        "streaming_late_data_drop": _q_streaming_late_data_drop,
+        "cdc_time_travel": _q_cdc_time_travel,
+        "ivf_topk_recall": _q_ivf_topk_recall,
+        "funnel_over_cdc": _q_funnel_over_cdc,
+        "multimodal_decode": _q_multimodal_decode,
+        "streaming_cdc_apply": _q_streaming_cdc_apply,
+        "corpus_assembly": _q_corpus_assembly,
+        # --- least-recently-gated: the r1 cohort (last driver gate
+        # --- row is CORRECTNESS_r01 — re-gated on current code) -------
+        "flagship": flagship_pipeline,
+        "grouped_stats": _q_grouped_stats,
+        "band_distribution": _q_band_distribution,
+        "global_means": _q_global_means,
+        "hourly_activity": _q_hourly_activity,
+        "multikey_summary": _q_multikey_summary,
+        "count_distinct": _q_count_distinct,
+        "acctbal_range": _q_acctbal_range,
+        "priority_counts": _q_priority_counts,
+        "dq_report": _q_dq_report,
+        "latest_value_max_by": _q_latest_value_max_by,
+        "value_histogram": _q_value_histogram,
+        "priority_except_all": _q_priority_except_all,
+        "priority_intersect_all": _q_priority_intersect_all,
+        "top_orders": _q_top_orders,
+        "price_bands": _q_price_bands,
+        "value_temp_bands": _q_value_temp_bands,
+        "calendar_parts": _q_calendar_parts,
+        "weighted_score": _q_weighted_score,
+        "props_k_stats": _q_props_k_stats,
+        "high_value_events": _q_high_value_events,
+        "member_filter": _q_member_filter,
+        "distinct_user_event": _q_distinct_user_event,
+        "notnull_count": _q_notnull_count,
+        "join_revenue_by_segment": _q_join_revenue_by_segment,
+        "join_star_region": _q_join_star_region,
+        "customers_with_orders": _q_customers_with_orders,
+        "customers_without_orders": _q_customers_without_orders,
+        "running_user_value": _q_running_user_value,
+        "top3_per_type": _q_top3_per_type,
+        "value_delta_per_user": _q_value_delta_per_user,
+        "users_click_and_purchase": _q_users_click_and_purchase,
+        "users_click_not_purchase": _q_users_click_not_purchase,
+        "union_hot_or_error": _q_union_hot_or_error,
+        "pivot_qty_by_status": _q_pivot_qty_by_status,
+        "rollup_flag_status": _q_rollup_flag_status,
+        "cube_flag_status": _q_cube_flag_status,
+        "unpivot_means": _q_unpivot_means,
+        "tpch_q1": _q_tpch_q1,
+        "tpch_q4": _q_tpch_q4,
+        "tpch_q7": _q_tpch_q7,
+        "tpch_q8": _q_tpch_q8,
+        # ==== end of the 50-entry gate window =========================
+        # --- r1 cohort overflow (judge-re-verified this session or
+        # --- twinned with an r4-gated variant; next rotation's front)
+        "salted_revenue_by_segment": _q_salted_revenue_by_segment,
+        "order_snapshot_diff": _q_order_snapshot_diff,
+        "value_percentiles": _q_value_percentiles,
+        "gapfill_hourly_locf": _q_gapfill_hourly_locf,
+        "range_band_join": _q_range_band_join,
+        # --- r2 cohort (next-oldest driver gate rows) -----------------
+        "pii_redaction": _q_pii_redaction,
+        "funnel_conversion": _q_funnel_conversion,
+        "retention_cohorts": _q_retention_cohorts,
+        "event_transitions": _q_event_transitions,
+        "doc_fingerprints": _q_doc_fingerprints,
+        "rolling_fingerprints": _q_rolling_fingerprints,
+        "levenshtein_near_dup": _q_levenshtein_near_dup,
+        "simhash": _q_simhash,
+        "embedding_topk": _q_embedding_topk,
+        "knn_join": _q_knn_join,
+        "embedding_near_dup": _q_embedding_near_dup,
+        "ivf_topk": _q_ivf_topk,
+        "ivf_topk_exhaustive": _q_ivf_topk_exhaustive,
+        "lsh_topk": _q_lsh_topk,
+        "text_stats": _q_text_stats,
+        "text_quality": _q_text_quality,
+        "lang_pred_counts": _q_lang_pred_counts,
+        "train_test_split": _q_train_test_split,
+        "tfidf_terms": _q_tfidf_terms,
+        "zscore_outliers": _q_zscore_outliers,
+        "top_tokens": _q_top_tokens,
+        # --- gated r3/r4 (most recently gated, ballast) ---------------
         "gopher_quality": _q_gopher_quality,
         "token_cooccurrence": _q_token_cooccurrence,
         "passage_dedup": _q_passage_dedup,
@@ -3837,24 +3921,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "schema_evolution_roundtrip": _q_schema_evolution_roundtrip,
         "ingest_metrics_passthrough": _q_ingest_metrics_passthrough,
         "sink_csv_roundtrip": _q_sink_csv_roundtrip,
-        # --- new or changed this round (round 4) ----------------------
         "ngram_jaccard_capped": _q_ngram_jaccard_capped,
         "mixture_sample": _q_mixture_sample,
         "token_budget_prefix": _q_token_budget_prefix,
         "sink_sharded_export": _q_sink_sharded_export,
-        "corpus_assembly": _q_corpus_assembly,
         "embedding_gram": _q_embedding_gram,
         "hourly_ohlc": _q_hourly_ohlc,
         "zorder_cells": _q_zorder_cells,
-        "zorder_pruning": _q_zorder_pruning,
-        "streaming_cdc_apply": _q_streaming_cdc_apply,
-        "streaming_late_data_drop": _q_streaming_late_data_drop,
-        "cdc_time_travel": _q_cdc_time_travel,
-        "ivf_topk_recall": _q_ivf_topk_recall,
-        "funnel_over_cdc": _q_funnel_over_cdc,
-        "multimodal_decode": _q_multimodal_decode,
         "embedding_near_dup_gemm": _q_embedding_near_dup_gemm,
-        # --- ballast: riskiest prior greens ---------------------------
         "grouping_sets_qty": _q_grouping_sets_qty,
         "simhash_near_dup": _q_simhash_near_dup,
         "streaming_hourly_counts": _q_streaming_hourly_counts,
@@ -3872,9 +3946,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_purchase_attribution": _q_asof_purchase_attribution,
         "latest_event_per_type": _q_latest_event_per_type,
         "scd2_user_history": _q_scd2_user_history,
-        # ==== end of the 50-entry gate window =========================
         "point_in_time_features": _q_point_in_time_features,
-        # --- round-3 gated green (window of CORRECTNESS_r03) ----------
         "repetition_stats": _q_repetition_stats,
         "sequence_packing": _q_sequence_packing,
         "benchmark_contamination": _q_benchmark_contamination,
@@ -3922,76 +3994,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_to_table_roundtrip": _q_streaming_to_table_roundtrip,
         "sink_partitioned_roundtrip": _q_sink_partitioned_roundtrip,
         "sink_bucketed_join": _q_sink_bucketed_join,
-        # --- round-2 green ------------------------------------------
-        "pii_redaction": _q_pii_redaction,
-        "funnel_conversion": _q_funnel_conversion,
-        "retention_cohorts": _q_retention_cohorts,
-        "event_transitions": _q_event_transitions,
-        "doc_fingerprints": _q_doc_fingerprints,
-        "rolling_fingerprints": _q_rolling_fingerprints,
-        "levenshtein_near_dup": _q_levenshtein_near_dup,
-        "simhash": _q_simhash,
-        "embedding_topk": _q_embedding_topk,
-        "knn_join": _q_knn_join,
-        "embedding_near_dup": _q_embedding_near_dup,
-        "ivf_topk": _q_ivf_topk,
-        "ivf_topk_exhaustive": _q_ivf_topk_exhaustive,
-        "lsh_topk": _q_lsh_topk,
-        "text_stats": _q_text_stats,
-        "text_quality": _q_text_quality,
-        "lang_pred_counts": _q_lang_pred_counts,
-        "train_test_split": _q_train_test_split,
-        "tfidf_terms": _q_tfidf_terms,
-        "zscore_outliers": _q_zscore_outliers,
-        "top_tokens": _q_top_tokens,
-        # --- round-1 green (gate-verified in CORRECTNESS_r01) ---------
-        "flagship": flagship_pipeline,
-        "grouped_stats": _q_grouped_stats,
-        "band_distribution": _q_band_distribution,
-        "global_means": _q_global_means,
-        "hourly_activity": _q_hourly_activity,
-        "multikey_summary": _q_multikey_summary,
-        "count_distinct": _q_count_distinct,
-        "acctbal_range": _q_acctbal_range,
-        "priority_counts": _q_priority_counts,
-        "dq_report": _q_dq_report,
-        "latest_value_max_by": _q_latest_value_max_by,
-        "value_histogram": _q_value_histogram,
-        "priority_except_all": _q_priority_except_all,
-        "priority_intersect_all": _q_priority_intersect_all,
-        "top_orders": _q_top_orders,
-        "price_bands": _q_price_bands,
-        "value_temp_bands": _q_value_temp_bands,
-        "calendar_parts": _q_calendar_parts,
-        "weighted_score": _q_weighted_score,
-        "props_k_stats": _q_props_k_stats,
-        "high_value_events": _q_high_value_events,
-        "member_filter": _q_member_filter,
-        "distinct_user_event": _q_distinct_user_event,
-        "notnull_count": _q_notnull_count,
-        "join_revenue_by_segment": _q_join_revenue_by_segment,
-        "salted_revenue_by_segment": _q_salted_revenue_by_segment,
-        "join_star_region": _q_join_star_region,
-        "customers_with_orders": _q_customers_with_orders,
-        "customers_without_orders": _q_customers_without_orders,
-        "running_user_value": _q_running_user_value,
-        "top3_per_type": _q_top3_per_type,
-        "value_delta_per_user": _q_value_delta_per_user,
-        "users_click_and_purchase": _q_users_click_and_purchase,
-        "users_click_not_purchase": _q_users_click_not_purchase,
-        "union_hot_or_error": _q_union_hot_or_error,
-        "pivot_qty_by_status": _q_pivot_qty_by_status,
-        "rollup_flag_status": _q_rollup_flag_status,
-        "cube_flag_status": _q_cube_flag_status,
-        "unpivot_means": _q_unpivot_means,
-        "value_percentiles": _q_value_percentiles,
-        "range_band_join": _q_range_band_join,
-        "gapfill_hourly_locf": _q_gapfill_hourly_locf,
-        "order_snapshot_diff": _q_order_snapshot_diff,
-        "tpch_q1": _q_tpch_q1,
-        "tpch_q4": _q_tpch_q4,
-        "tpch_q7": _q_tpch_q7,
-        "tpch_q8": _q_tpch_q8,
     }
 
 

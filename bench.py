@@ -156,6 +156,12 @@ HEADLINE = [
     "hourly_ohlc",
     "streaming_cdc_apply",
     "zorder_cells",
+    # round-5 additions
+    "zorder_pruning",
+    "streaming_late_data_drop",
+    "cdc_time_travel",
+    "ivf_topk_recall",
+    "funnel_over_cdc",
 ]
 
 

@@ -30,6 +30,7 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 25,
+    stats: dict | None = None,
 ) -> DataFrame:
     """(vertex, component) for every vertex in ``edges``; component is
     the minimum vertex id reachable from the vertex.  Deterministic —
@@ -37,6 +38,10 @@ def connected_components(
 
     Only vertices that appear in an edge are returned (isolated docs
     are their own trivial cluster and never enter the pair graph).
+
+    Pass a dict as ``stats`` to receive ``{"rounds": r}`` — the number
+    of propagation rounds run before the convergence check fired (the
+    scaling probe reports it; O(log diameter) by the pointer jump).
     """
     sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     sym = (
@@ -51,7 +56,9 @@ def connected_components(
         .persist()
     )
     try:
-        for _ in range(max_iter):
+        for _round in range(max_iter):
+            if stats is not None:
+                stats["rounds"] = _round + 1
             # min label over neighbors, joined back onto every vertex
             nbr_min = (
                 sym.join(labels, sym.b == labels.v)

@@ -207,11 +207,35 @@ def probes(spark, sf_dir: str, factor: int) -> dict[str, tuple[DataFrame, int]]:
     }
 
 
+def cc_probe(spark, sf_dir: str, factor: int) -> tuple[int, float, int, int]:
+    """Probe the ONE iterative operator: connected components over the
+    LSH candidate graph of the salted corpus.  The iterations execute
+    inside the call (per-round convergence counts), so this is timed
+    inline rather than via the noop sink; the edge list is
+    materialized off the clock so the curve measures label
+    propagation, not candidate generation.  Returns (n_edges, sec,
+    rounds, n_components)."""
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.dedup import minhash_lsh_candidates
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.graph import connected_components
+
+    docs_s = inflate_docs_salted(load_table(spark, sf_dir, "documents"), factor)
+    edges = minhash_lsh_candidates(docs_s, "doc_id", "text", n=3, k=16, bands=4).persist()
+    n_edges = edges.count()
+    stats: dict = {}
+    t0 = time.perf_counter()
+    labels = connected_components(edges, "doc_a", "doc_b", stats=stats)
+    n_components = labels.select("component").distinct().count()
+    sec = time.perf_counter() - t0
+    edges.unpersist()
+    return n_edges, sec, stats.get("rounds", 0), n_components
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     factors = [int(a) for a in sys.argv[2:]] or [1, 4, 16]
     spark = get_session("scale-probe")
     rows: list[tuple[str, int, int, float, float]] = []
+    cc_rows: list[tuple[int, int, float, int, int]] = []
     for factor in factors:
         for name, (df, n_in) in probes(spark, sf_dir, factor).items():
             run_once(df)  # warm: codegen + file listing off the clock
@@ -220,6 +244,11 @@ def main() -> None:
             rows.append((name, factor, n_in, sec, per_mrow))
             print(f"x{factor:>2} {name:38s} {n_in:>10,} rows {sec:7.2f}s "
                   f"{per_mrow:7.3f} s/Mrow", flush=True)
+        n_edges, sec, rounds, n_comp = cc_probe(spark, sf_dir, factor)
+        cc_rows.append((factor, n_edges, sec, rounds, n_comp))
+        print(f"x{factor:>2} {'connected_components(lsh graph)':38s} "
+              f"{n_edges:>10,} edges {sec:7.2f}s rounds={rounds} "
+              f"components={n_comp:,}", flush=True)
     out = [
         "# SCALING — measured operator scaling curves",
         "",
@@ -245,6 +274,26 @@ def main() -> None:
     ]
     for name, factor, n_in, sec, per_mrow in rows:
         out.append(f"| {name} | {factor} | {n_in:,} | {sec:.2f} | {per_mrow:.3f} |")
+    out += [
+        "",
+        "## connected_components (the iterative operator)",
+        "",
+        "Label propagation + pointer jumping over the MinHash-LSH",
+        "candidate graph of the salted corpus (edge list materialized",
+        "off the clock).  Scale-safe = rounds stay O(log diameter)",
+        "(LSH dup clusters are near-cliques, so 2-3 rounds regardless",
+        "of volume) and sec grows ~linearly with edges; a climbing",
+        "round count would mean the candidate graph is growing long",
+        "chains — raise the band threshold before blaming the",
+        "propagation.  `max_iter` (default 25) is a diameter backstop:",
+        "a path graph of length L needs ~log2(L) rounds, so 25 covers",
+        "any graph that fits in storage.",
+        "",
+        "| factor | edges | sec | rounds | components |",
+        "|---|---|---|---|---|",
+    ]
+    for factor, n_edges, sec, rounds, n_comp in cc_rows:
+        out.append(f"| {factor} | {n_edges:,} | {sec:.2f} | {rounds} | {n_comp:,} |")
     out.append("")
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     path = os.path.join(root, "SCALING.md")
