@@ -1252,6 +1252,20 @@ def _gate_sink(sf: str, name: str) -> str:
     return os.path.join(_GATE_SINK_ROOT, f"{name}_{_sf_tag(sf)}")
 
 
+def _cdc_update_schema(with_value: bool = True) -> T.StructType:
+    """The versioned-update record shape shared by every CDC gate query
+    (single declaration — the three queries and their oracles must all
+    read the same fields or they silently read nulls)."""
+    fields = [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("version", T.LongType()),
+    ]
+    if with_value:
+        fields.append(T.StructField("value", T.DoubleType()))
+    fields.append(T.StructField("_deleted", T.BooleanType()))
+    return T.StructType(fields)
+
+
 def _q_sink_sharded_export(spark: SparkSession, sf: str) -> DataFrame:
     # training-shard export round trip: deterministic shard membership
     # (content-hash bucket) proven by per-shard count + id checksum +
@@ -1578,14 +1592,7 @@ def _q_streaming_cdc_apply(spark: SparkSession, sf: str) -> DataFrame:
     # repartitioning scatters versions across batches, exercising the
     # out-of-order path every run
     updates.repartition(4).write.mode("overwrite").json(src)
-    schema = T.StructType(
-        [
-            T.StructField("user_id", T.LongType()),
-            T.StructField("version", T.LongType()),
-            T.StructField("value", T.DoubleType()),
-            T.StructField("_deleted", T.BooleanType()),
-        ]
-    )
+    schema = _cdc_update_schema()
     stream = stream_json_records(spark, src, schema, max_files_per_trigger=1)
     q = run_cdc_apply(stream, snap, ck, key="user_id", version_col="version")
     q.awaitTermination()
@@ -1730,14 +1737,7 @@ def _q_cdc_time_travel(spark: SparkSession, sf: str) -> DataFrame:
         os.replace(part_file, dst)
         t0 = os.path.getmtime(os.path.join(src, "b0.json"))
         os.utime(dst, (t0 + 10 * b, t0 + 10 * b))
-    schema = T.StructType(
-        [
-            T.StructField("user_id", T.LongType()),
-            T.StructField("version", T.LongType()),
-            T.StructField("value", T.DoubleType()),
-            T.StructField("_deleted", T.BooleanType()),
-        ]
-    )
+    schema = _cdc_update_schema()
     stream = stream_json_records(spark, src, schema, max_files_per_trigger=1)
     q = run_cdc_apply(
         stream,
@@ -1789,13 +1789,7 @@ def _q_funnel_over_cdc(spark: SparkSession, sf: str) -> DataFrame:
     # order-independent by design (version guard), so a plain hash
     # scatter into 4 files / 4 micro-batches suffices here
     updates.repartition(4).write.mode("overwrite").json(src)
-    schema = T.StructType(
-        [
-            T.StructField("user_id", T.LongType()),
-            T.StructField("version", T.LongType()),
-            T.StructField("_deleted", T.BooleanType()),
-        ]
-    )
+    schema = _cdc_update_schema(with_value=False)
     stream = stream_json_records(spark, src, schema, max_files_per_trigger=1)
     q = run_cdc_apply(
         stream,
@@ -2180,7 +2174,20 @@ def _q_zorder_pruning(spark: SparkSession, sf: str) -> DataFrame:
         .write.mode("overwrite")
         .parquet(lin)
     )
-    write_zordered(ev, zo, ["user_id", "value"], bits=12, n_files=8)
+    # the box-bounds aggregate above already holds each column's global
+    # min/max — pass them through so write_zordered skips its two
+    # per-column statistics jobs (one shared stats pass, three uses)
+    write_zordered(
+        ev,
+        zo,
+        ["user_id", "value"],
+        bits=12,
+        n_files=8,
+        bounds={
+            "user_id": (float(b["lu"]), float(b["hu"])),
+            "value": (float(b["lv"]), float(b["hv"])),
+        },
+    )
     parts = []
     for name, path in (("linear", lin), ("zorder", zo)):
         parts.append(
@@ -2386,13 +2393,30 @@ def _q_ivf_topk_recall(spark: SparkSession, sf: str) -> DataFrame:
     # assignment argmax with Spark's tie rule (array_max over
     # struct(sim, cid) keeps the HIGHEST cid), rounded-cosine rank —
     # so the recall number is hash-checked, not trusted.
+    #
+    # Cross-engine exactness: components are quantized to integer
+    # micros FIRST (floor(x*1e6+0.5) — a scalar op, bit-identical in
+    # both engines).  Every dot product / squared norm then sums
+    # integers bounded by 64 * (0.6e6)^2 < 2^53, so the reductions are
+    # EXACT in any summation order (numpy pairwise, Spark fold, DuckDB
+    # sequential all agree bit-for-bit), and the ranking keys —
+    # dot/sqrt(n2) ratios — are scalar IEEE ops on identical inputs.
+    # Without this, sub-ulp summation drift could flip a probe or
+    # candidate ranking between engines (the reason ivf_topk itself
+    # stays rows-only).
     from etl_based_real_time_air_quality_monitoring_system_spark.operators.similarity import (
         brute_force_topk,
         ivf_centroids,
         ivf_topk,
     )
 
-    emb = load_table(spark, sf, "embeddings")
+    emb = load_table(spark, sf, "embeddings").select(
+        "vec_id",
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x: F.floor(x * F.lit(1000000.0) + F.lit(0.5)).cast("double"),
+        ).alias("embedding"),
+    )
     qrows = (
         emb.filter(F.col("vec_id") < 5)
         .select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
@@ -5082,16 +5106,26 @@ def _oracle_sql_literal() -> dict[str, str]:
             LIMIT 10
         """,
         "ivf_topk_recall": """
-            WITH q AS (
-                SELECT vec_id AS qid, embedding::DOUBLE[] AS qe
-                FROM embeddings WHERE vec_id < 5
+            -- integer-micros quantization (floor(x*1e6+0.5), scalar op)
+            -- makes every dot/norm an EXACT integer sum < 2^53: numpy,
+            -- Spark and DuckDB agree bit-for-bit regardless of
+            -- summation order, so the rankings below are deterministic
+            -- mirrors, not drift-prone float re-derivations
+            WITH mq AS (
+                SELECT vec_id,
+                       list_transform(embedding::DOUBLE[],
+                           x -> floor(x * 1000000.0 + 0.5)) AS me
+                FROM embeddings
+            ),
+            q AS (
+                SELECT vec_id AS qid, me AS qe FROM mq WHERE vec_id < 5
             ),
             c AS (
                 SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
-                       embedding::DOUBLE[] AS ce
-                FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 8)
+                       me AS ce
+                FROM (SELECT * FROM mq ORDER BY vec_id LIMIT 8)
             ),
-            e AS (SELECT vec_id, embedding::DOUBLE[] AS ee FROM embeddings),
+            e AS (SELECT vec_id, me AS ee FROM mq),
             -- numpy probe ranking mirror: +1e-12 in the denominator
             probes AS (
                 SELECT qid, cid FROM (
@@ -5859,12 +5893,24 @@ def _oracle_sql_literal() -> dict[str, str]:
                 FROM ev e JOIN m1 ON e.user_id = m1.user_id
                 GROUP BY 1, 2, 3, 4
             )
-            SELECT segment, 'stage0_signup' AS stage, count(t0) AS users
-            FROM m2 GROUP BY 1
-            UNION ALL
-            SELECT segment, 'stage1_click', count(t1) FROM m2 GROUP BY 1
-            UNION ALL
-            SELECT segment, 'stage2_purchase', count(t2) FROM m2 GROUP BY 1
+            , counts AS (
+                SELECT segment, 'stage0_signup' AS stage, count(t0) AS users
+                FROM m2 GROUP BY 1
+                UNION ALL
+                SELECT segment, 'stage1_click', count(t1) FROM m2 GROUP BY 1
+                UNION ALL
+                SELECT segment, 'stage2_purchase', count(t2) FROM m2 GROUP BY 1
+            )
+            -- segments x stages spine: an EMPTY segment still yields its
+            -- three stage rows with users=0, mirroring funnel_stages'
+            -- global aggregate on an empty frame (data-independent shape)
+            SELECT s.segment, st.stage,
+                   CAST(COALESCE(c.users, 0) AS BIGINT) AS users
+            FROM (VALUES ('live'), ('deleted')) AS s(segment)
+            CROSS JOIN (VALUES ('stage0_signup'), ('stage1_click'),
+                               ('stage2_purchase')) AS st(stage)
+            LEFT JOIN counts c
+              ON c.segment = s.segment AND c.stage = st.stage
         """,
         "funnel_conversion": """
             WITH m0 AS (

@@ -41,7 +41,12 @@ def interleave_bits(cols: Sequence[Column], bits: int = 16) -> Column:
     return z
 
 
-def rank_scale(df: DataFrame, col: str, bits: int = 16) -> Column:
+def rank_scale(
+    df: DataFrame,
+    col: str,
+    bits: int = 16,
+    bounds: tuple[float | None, float | None] | None = None,
+) -> Column:
     """Map a numeric column onto the integer grid [0, 2^bits) by
     linear min/max scaling — the normalization step before bit
     interleaving.  One tiny global (min, max) aggregate (driver
@@ -49,12 +54,19 @@ def rank_scale(df: DataFrame, col: str, bits: int = 16) -> Column:
     ``floor((x - min) * k)`` with ``k = (2^bits - 1) / (max - min)``
     is deterministic IEEE-754 double arithmetic, so any engine lands
     on the identical cell.  A constant column maps to cell 0; NULLs
-    map to cell 0 (they sort first, same as a NULLS FIRST layout)."""
-    row = df.agg(
-        F.min(F.col(col).cast("double")).alias("lo"),
-        F.max(F.col(col).cast("double")).alias("hi"),
-    ).collect()[0]
-    lo, hi = row["lo"], row["hi"]
+    map to cell 0 (they sort first, same as a NULLS FIRST layout).
+
+    Pass ``bounds=(lo, hi)`` when the caller already holds the global
+    min/max (e.g. from a shared statistics pass) to skip the aggregate
+    job — at scale that saves one full-column scan per dimension."""
+    if bounds is not None:
+        lo, hi = bounds
+    else:
+        row = df.agg(
+            F.min(F.col(col).cast("double")).alias("lo"),
+            F.max(F.col(col).cast("double")).alias("hi"),
+        ).collect()[0]
+        lo, hi = row["lo"], row["hi"]
     if lo is None or hi is None or hi == lo:
         return F.lit(0).cast("long")
     k = ((1 << bits) - 1) / (hi - lo)
@@ -64,10 +76,20 @@ def rank_scale(df: DataFrame, col: str, bits: int = 16) -> Column:
     )
 
 
-def zorder_value(df: DataFrame, cols: Sequence[str], bits: int = 16) -> Column:
+def zorder_value(
+    df: DataFrame,
+    cols: Sequence[str],
+    bits: int = 16,
+    bounds: dict[str, tuple[float, float]] | None = None,
+) -> Column:
     """Z-value over ``cols``: rank-scale each onto the 2^bits grid,
-    then interleave.  Returns a Column to sort or range-partition by."""
-    return interleave_bits([rank_scale(df, c, bits) for c in cols], bits)
+    then interleave.  Returns a Column to sort or range-partition by.
+    ``bounds`` maps column name -> (min, max) for columns whose global
+    statistics the caller already computed (others aggregate here)."""
+    bounds = bounds or {}
+    return interleave_bits(
+        [rank_scale(df, c, bits, bounds.get(c)) for c in cols], bits
+    )
 
 
 def write_zordered(
@@ -77,6 +99,7 @@ def write_zordered(
     bits: int = 16,
     n_files: int | None = None,
     mode: str = "overwrite",
+    bounds: dict[str, tuple[float, float]] | None = None,
 ) -> None:
     """Write parquet clustered by the Z-order of ``cols``: one global
     sort on the z-value (range exchange + per-task sort — the cost any
@@ -87,7 +110,7 @@ def write_zordered(
     from .sampling import reserve_columns
 
     reserve_columns(df, ("_z",), "write_zordered")
-    z = zorder_value(df, cols, bits)
+    z = zorder_value(df, cols, bits, bounds)
     out = df.withColumn("_z", z)
     out = (
         out.repartitionByRange(n_files, "_z") if n_files else out.repartitionByRange("_z")

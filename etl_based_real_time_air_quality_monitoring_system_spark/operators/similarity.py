@@ -609,7 +609,10 @@ def ivf_topk(
     sims = (centroids @ qv) / (
         np.linalg.norm(centroids, axis=1) * np.linalg.norm(qv) + 1e-12
     )
-    probes = [int(i) for i in np.argsort(-sims)[:n_probe]]
+    # stable sort: exact similarity ties resolve to the LOWEST centroid
+    # id (argsort's default quicksort is unstable, which would make the
+    # probe set nondeterministic on tied similarities)
+    probes = [int(i) for i in np.argsort(-sims, kind="stable")[:n_probe]]
     assigned = ivf_assign(
         df.select(F.col(id_col), _as_double_array(emb_col).alias("_e")), "_e", centroids
     )

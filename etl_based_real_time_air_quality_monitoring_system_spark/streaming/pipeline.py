@@ -454,7 +454,6 @@ def run_cdc_apply(
     exchanged.
     """
     import os
-    import re
     import shutil
     import uuid
 
@@ -486,8 +485,7 @@ def run_cdc_apply(
                 # trailing digits of the committed dir name (tolerates
                 # the pre-history `gen=N` layout a live snapshot may
                 # still carry) — next seq is always a FRESH directory
-                m = re.search(r"(\d+)$", history[0][0])
-                seq = (int(m.group(1)) if m else 0) + 1
+                seq = _gen_seq(history[0][0]) + 1
             else:
                 merged = compact
                 seq = 1
@@ -510,37 +508,80 @@ def run_cdc_apply(
     return stream.start()
 
 
+def _gen_seq(gen_dir: str) -> int:
+    """Commit sequence number of a generation directory (``gen-000042``
+    → 42).  Unlike epoch ids — which are a property of the CHECKPOINT
+    and restart at 0 under a fresh checkpoint — the sequence is minted
+    from the marker itself, so it is monotonic across query restarts
+    and is the only safe time-travel key spanning runs."""
+    import re
+
+    m = re.search(r"(\d+)$", gen_dir)
+    return int(m.group(1)) if m else 0
+
+
 def read_cdc_snapshot(
     spark: SparkSession,
     snapshot_root: str,
     delete_col: str | None = None,
     asof_epoch: int | None = None,
+    asof_commit: int | None = None,
 ) -> DataFrame:
     """Read a committed generation written by :func:`run_cdc_apply` —
-    the latest by default, or TIME-TRAVEL to the newest retained
-    generation whose epoch id is ``<= asof_epoch`` (the lakehouse
+    the latest by default, or TIME-TRAVEL backwards (the lakehouse
     snapshot-isolation read: the state as of that commit, exactly what
-    replaying updates through epoch N would produce).  Pass
-    ``delete_col`` to filter retained tombstone rows (the live view —
-    what a serving reader wants)."""
+    replaying updates through it would produce).  Two keys:
+
+    - ``asof_commit=N``: newest retained generation whose COMMIT
+      SEQUENCE is ``<= N``.  The sequence is minted from the marker
+      (monotonic across query restarts), so this is the durable
+      time-travel key — use it when the snapshot may have been built
+      by more than one streaming run.
+    - ``asof_epoch=N``: newest generation of the LATEST run whose
+      epoch id is ``<= N``.  Epoch ids are a property of the
+      checkpoint and restart at 0 under a fresh checkpoint, so
+      resolution is scoped to the newest run token — an epoch from a
+      superseded run is not addressable (ask by commit instead).
+
+    Pass ``delete_col`` to filter retained tombstone rows (the live
+    view — what a serving reader wants)."""
     import os
 
+    if asof_epoch is not None and asof_commit is not None:
+        raise ValueError(
+            "read_cdc_snapshot: pass at most one of asof_epoch / asof_commit"
+        )
     history = _read_gen_marker(snapshot_root)
     if not history:
         raise FileNotFoundError(
             f"read_cdc_snapshot: no committed generation under {snapshot_root}"
         )
-    if asof_epoch is None:
-        gen = history[0][0]
-    else:
-        match = next((g for g, e, _ in history if e <= asof_epoch), None)
+    if asof_commit is not None:
+        match = next((g for g, _, _ in history if _gen_seq(g) <= asof_commit), None)
         if match is None:
             raise ValueError(
-                f"read_cdc_snapshot: no retained generation at epoch <= "
-                f"{asof_epoch}; oldest retained epoch is {history[-1][1]} "
-                "(raise keep_generations to travel further back)"
+                f"read_cdc_snapshot: no retained generation at commit <= "
+                f"{asof_commit}; oldest retained commit is "
+                f"{_gen_seq(history[-1][0])} (raise keep_generations to "
+                "travel further back)"
             )
         gen = match
+    elif asof_epoch is not None:
+        latest_run = history[0][2]
+        match = next(
+            (g for g, e, r in history if r == latest_run and e <= asof_epoch), None
+        )
+        if match is None:
+            in_run = [e for _, e, r in history if r == latest_run]
+            raise ValueError(
+                f"read_cdc_snapshot: no generation of the latest run at epoch "
+                f"<= {asof_epoch}; its oldest retained epoch is "
+                f"{min(in_run)}.  Epochs reset across restarts — use "
+                "asof_commit to travel into an earlier run."
+            )
+        gen = match
+    else:
+        gen = history[0][0]
     out = spark.read.parquet(os.path.join(snapshot_root, gen))
     if delete_col is not None:
         out = out.filter(~F.coalesce(F.col(delete_col), F.lit(False))).drop(delete_col)

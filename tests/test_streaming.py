@@ -722,8 +722,58 @@ def test_cdc_time_travel_asof_epoch(spark, tmp_path):
 
     # keep_generations=2: epoch-0 generation ages out
     _cdc_run(spark, src, tmp_path / "snap2", tmp_path / "ck2", keep_generations=2)
-    with pytest.raises(ValueError, match="no retained generation"):
+    with pytest.raises(ValueError, match="oldest retained epoch is 1"):
         read_cdc_snapshot(spark, str(tmp_path / "snap2"), asof_epoch=0)
+
+
+def test_cdc_time_travel_across_restart(spark, tmp_path):
+    """Epoch ids reset under a fresh checkpoint, so asof_epoch is
+    scoped to the LATEST run — a restarted run's epoch-0 generation
+    must not shadow run A's history — and asof_commit (the marker-
+    minted monotonic sequence) addresses generations across runs."""
+    import json as _json
+
+    from etl_based_real_time_air_quality_monitoring_system_spark.streaming.pipeline import (
+        read_cdc_snapshot,
+    )
+
+    src1 = tmp_path / "u1"
+    src1.mkdir()
+    batches = [
+        [{"k": 1, "version": 1, "v": 10.0, "_deleted": False}],
+        [{"k": 2, "version": 1, "v": 20.0, "_deleted": False}],
+    ]
+    for i, rows in enumerate(batches):
+        (src1 / f"b{i}.json").write_text("\n".join(_json.dumps(r) for r in rows))
+        time.sleep(1.1)
+    _cdc_run(spark, src1, tmp_path / "snap", tmp_path / "ck1", keep_generations=4)
+
+    # run B: fresh checkpoint -> its only batch is ALSO epoch 0
+    src2 = tmp_path / "u2"
+    src2.mkdir()
+    (src2 / "c.json").write_text(
+        _json.dumps({"k": 1, "version": 2, "v": 11.0, "_deleted": False})
+    )
+    _cdc_run(spark, src2, tmp_path / "snap", tmp_path / "ck2", keep_generations=4)
+
+    def state(**kw):
+        return {
+            r["k"]: (r["version"], r["v"])
+            for r in read_cdc_snapshot(
+                spark, str(tmp_path / "snap"), "_deleted", **kw
+            ).collect()
+        }
+
+    # asof_epoch=0 resolves within run B (k1@v2 + k2), NOT run A's epoch 0
+    assert state(asof_epoch=0) == {1: (2, 11.0), 2: (1, 20.0)}
+    # asof_commit spans runs: commits 1 and 2 are run A's generations
+    assert state(asof_commit=1) == {1: (1, 10.0)}
+    assert state(asof_commit=2) == {1: (1, 10.0), 2: (1, 20.0)}
+    assert state(asof_commit=3) == state()
+    with pytest.raises(ValueError, match="at most one of"):
+        read_cdc_snapshot(
+            spark, str(tmp_path / "snap"), asof_epoch=0, asof_commit=1
+        )
 
 
 def test_watermark_drops_late_rows_via_dedup_operator(spark, tmp_path):
