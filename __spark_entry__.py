@@ -3373,6 +3373,19 @@ def _q_passage_dedup(spark: SparkSession, sf: str) -> DataFrame:
     return passage_dup_stats(docs, k=8)
 
 
+def _q_substring_dup_spans(spark: SparkSession, sf: str) -> DataFrame:
+    # exact duplicated-substring coverage (ExactSubstr-dedup analog,
+    # Lee et al. 2022): overlapping 8-token windows shared across docs,
+    # per-doc interval-UNION token coverage — the sliding-window +
+    # union-length semantics the oracle re-derives term for term
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.dedup import (
+        substring_dup_spans,
+    )
+
+    docs = load_table(spark, sf, "documents")
+    return substring_dup_spans(docs, k=8)
+
+
 def _q_dedup_keep_best(spark: SparkSession, sf: str) -> DataFrame:
     # canonicalization after fuzzy dedup: LSH pairs -> connected
     # components -> keep the highest-quality doc per cluster (ties ->
@@ -3833,6 +3846,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # === the 50-entry driver-gate window (risk-ordered r5) ========
         # --- new or changed this round (round 5) ----------------------
+        "substring_dup_spans": _q_substring_dup_spans,
         "zorder_pruning": _q_zorder_pruning,
         "streaming_late_data_drop": _q_streaming_late_data_drop,
         "cdc_time_travel": _q_cdc_time_travel,
@@ -4219,6 +4233,46 @@ def _oracle_sql_literal() -> dict[str, str]:
                         THEN floor(coalesce(d.n_dup, 0)::DOUBLE
                                    / b.n_passages::DOUBLE * 10000.0 + 0.5) / 10000.0
                         ELSE 0.0 END AS dup_frac
+            FROM base b LEFT JOIN d ON b.doc_id = d.doc_id
+        """,
+        "substring_dup_spans": rf"""
+            WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+            base AS (
+                SELECT doc_id,
+                       CAST(len(toks) AS BIGINT) AS n_tokens,
+                       CAST(greatest(len(toks) - 7, 0) AS BIGINT) AS n_grams,
+                       toks
+                FROM t
+            ),
+            g AS (
+                SELECT doc_id, i AS pos,
+                       md5(array_to_string(toks[(i+1):(i+8)], ' ')) AS gh
+                FROM base, UNNEST(range(0, n_grams)) AS u(i)
+            ),
+            shared AS (
+                SELECT gh FROM g GROUP BY gh
+                HAVING count(DISTINCT doc_id) >= 2
+            ),
+            -- interval union of [pos, pos+7]: consecutive dup positions
+            -- < 8 apart overlap, so each contributes min(8, next - pos)
+            dp AS (
+                SELECT doc_id, pos,
+                       least(8, coalesce(lead(pos) OVER (
+                           PARTITION BY doc_id ORDER BY pos) - pos, 8)) AS span
+                FROM g WHERE gh IN (SELECT gh FROM shared)
+            ),
+            d AS (
+                SELECT doc_id, count(*) AS dup_grams,
+                       sum(span) AS covered
+                FROM dp GROUP BY doc_id
+            )
+            SELECT b.doc_id, b.n_tokens, b.n_grams,
+                   CAST(coalesce(d.dup_grams, 0) AS BIGINT) AS dup_grams,
+                   CAST(coalesce(d.covered, 0) AS BIGINT) AS covered_tokens,
+                   CAST(CASE WHEN b.n_tokens > 0
+                        THEN floor(coalesce(d.covered, 0)::DOUBLE
+                                   / b.n_tokens::DOUBLE * 1000000.0 + 0.5)
+                        ELSE 0 END AS BIGINT) AS dup_cover_micros
             FROM base b LEFT JOIN d ON b.doc_id = d.doc_id
         """,
         "dedup_keep_best": rf"""

@@ -573,6 +573,118 @@ def passage_dup_stats(
     )
 
 
+def substring_dup_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    min_df: int = 2,
+) -> DataFrame:
+    """Exact duplicated-SUBSTRING coverage (the Spark-native analog of
+    suffix-array ExactSubstr dedup, Lee et al. 2022 "Deduplicating
+    Training Data Makes Language Models Better"): for every OVERLAPPING
+    ``k``-token window of every document, test whether the same window
+    occurs in at least ``min_df`` distinct documents, then report the
+    fraction of each document's tokens covered by the UNION of its
+    duplicated spans — the quantity ExactSubstr cuts out of training
+    corpora.
+
+    Differs from :func:`passage_dup_stats` (non-overlapping passages,
+    per-passage counts) in both granularity and the metric: windows
+    slide by one token, and coverage is an interval-union length, not
+    a window count — a doc whose every window is shifted-duplicate of
+    one popular sentence counts that sentence's tokens ONCE.
+
+    Returns (id, n_tokens, n_grams, dup_grams, covered_tokens,
+    dup_cover_micros) for every input document; ``dup_cover_micros``
+    is floor-half-up integer micros so cross-engine comparison is
+    exact.
+
+    Scale shape: suffix arrays don't distribute; this does — one
+    tokenize + slide projection (no Python), explode to (doc, pos,
+    16-byte hash), ONE shuffle on the hash for the distinct-doc count
+    (map-side combined), a semi-join back, and a per-doc sort window
+    for the interval union (the (doc, pos) shuffle).  Postings
+    cardinality is ~corpus_tokens — same order as the corpus, never
+    quadratic; a popular k-gram costs its df in semi-join probes, not
+    df^2 pairs.  The interval-union trick keeps the answer exact with
+    a single ``lead`` window instead of materializing per-token
+    coverage (k-times blow-up avoided).
+    """
+    from pyspark.sql import Window
+
+    toks = tokens(text_col)
+    d = spread_small_input(df.select(id_col, text_col)).select(
+        F.col(id_col), toks.alias("_toks")
+    )
+    n_tok = F.size("_toks")
+    n_grams = F.greatest(n_tok - F.lit(k - 1), F.lit(0))
+    # sequence(a, b) DESCENDS when a > b — guard sub-k docs to []
+    base = d.select(
+        F.col(id_col),
+        n_tok.cast("long").alias("n_tokens"),
+        n_grams.cast("long").alias("n_grams"),
+        F.when(
+            n_grams > 0,
+            F.transform(
+                F.sequence(F.lit(0), n_grams - F.lit(1)),
+                lambda i: F.md5(
+                    F.concat_ws(" ", F.slice("_toks", i + F.lit(1), k)).cast(
+                        "binary"
+                    )
+                ),
+            ),
+        )
+        .otherwise(F.array().cast("array<string>"))
+        .alias("_gh"),
+    )
+    grams = base.select(F.col(id_col), F.posexplode("_gh").alias("pos", "gh"))
+    shared = (
+        grams.groupBy("gh")
+        .agg(F.count_distinct(id_col).alias("_ndocs"))
+        .filter(F.col("_ndocs") >= min_df)
+        .select("gh")
+    )
+    dup_pos = grams.join(shared, "gh", "left_semi").select(id_col, "pos")
+    # union of fixed-length intervals [pos, pos+k-1]: consecutive dup
+    # positions overlap when they are < k apart, so each contributes
+    # min(k, next_pos - pos) tokens (the last contributes k; every
+    # interval fits the doc because pos <= n_tokens - k)
+    w = Window.partitionBy(id_col).orderBy("pos")
+    spans = dup_pos.withColumn(
+        "_span",
+        F.least(F.lit(k).cast("long"),
+                F.coalesce(F.lead("pos").over(w) - F.col("pos"), F.lit(k)).cast("long")),
+    )
+    per_doc = spans.groupBy(id_col).agg(
+        F.count("*").alias("dup_grams"),
+        F.sum("_span").alias("covered_tokens"),
+    )
+    return (
+        base.select(id_col, "n_tokens", "n_grams")
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            "n_tokens",
+            "n_grams",
+            F.coalesce("dup_grams", F.lit(0)).alias("dup_grams"),
+            F.coalesce("covered_tokens", F.lit(0)).alias("covered_tokens"),
+            F.when(
+                F.col("n_tokens") > 0,
+                F.floor(
+                    F.coalesce("covered_tokens", F.lit(0)).cast("double")
+                    / F.col("n_tokens").cast("double")
+                    * F.lit(1000000.0)
+                    + F.lit(0.5)
+                ),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("dup_cover_micros"),
+        )
+    )
+
+
 def keep_best_per_cluster(
     clusters: DataFrame,
     scored: DataFrame,

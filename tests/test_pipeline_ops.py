@@ -76,6 +76,69 @@ def test_passage_dup_stats_marks_shared_passages(spark):
     assert tiny["n_passages"] == 0 and tiny["dup_frac"] == 0.0
 
 
+def test_substring_dup_spans_interval_union(spark):
+    """Overlapping duplicated k-grams must count covered tokens ONCE
+    (interval union), not once per window."""
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.dedup import substring_dup_spans
+
+    rows = [
+        ("a", "x1 x2 x3 x4 x5 x6"),
+        ("b", "x2 x3 x4 x5 q r"),
+        ("c", "nothing shared here at all ever"),
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in substring_dup_spans(
+            spark.createDataFrame(rows, ["doc_id", "text"]), k=3
+        ).collect()
+    }
+    # a and b share the windows (x2 x3 x4) and (x3 x4 x5): two dup
+    # positions one apart -> union covers x2..x5 = 4 tokens, not 6
+    assert out["a"]["n_grams"] == 4 and out["a"]["dup_grams"] == 2
+    assert out["a"]["covered_tokens"] == 4
+    assert out["a"]["dup_cover_micros"] == 666667  # floor(4/6*1e6+0.5)
+    assert out["b"]["dup_grams"] == 2 and out["b"]["covered_tokens"] == 4
+    assert out["c"]["dup_grams"] == 0 and out["c"]["covered_tokens"] == 0
+
+
+def test_substring_dup_spans_gap_identical_and_tiny(spark):
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.dedup import substring_dup_spans
+
+    # non-adjacent dup spans (gap >= k) contribute k tokens each
+    rows = [
+        ("a", "s1 s2 s3 mid1 s4 s5 s6 tailx"),
+        ("b", "s1 s2 s3 OTHER s4 s5 s6 taily"),
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in substring_dup_spans(
+            spark.createDataFrame(rows, ["doc_id", "text"]), k=3
+        ).collect()
+    }
+    # shared windows: (s1 s2 s3) at pos 0 and (s4 s5 s6) at pos 4 ->
+    # spans min(3, 4-0) + 3 = 6 covered tokens of 8
+    assert out["a"]["dup_grams"] == 2 and out["a"]["covered_tokens"] == 6
+
+    # identical docs -> full coverage, exactly 1.0 in micros
+    dup = substring_dup_spans(
+        spark.createDataFrame(
+            [("p", "alpha beta gamma delta"), ("q", "alpha beta gamma delta")],
+            ["doc_id", "text"],
+        ),
+        k=3,
+    ).collect()
+    for r in dup:
+        assert r["covered_tokens"] == r["n_tokens"] == 4
+        assert r["dup_cover_micros"] == 1000000
+
+    # sub-k document: zero grams, zero coverage, no phantom windows
+    tiny = substring_dup_spans(
+        spark.createDataFrame([("t", "too short")], ["doc_id", "text"]), k=3
+    ).collect()[0]
+    assert tiny["n_grams"] == 0 and tiny["covered_tokens"] == 0
+    assert tiny["dup_cover_micros"] == 0
+
+
 def test_keep_best_per_cluster_tiebreak(spark):
     clusters = spark.createDataFrame(
         [("d1", "c1"), ("d2", "c1"), ("d3", "c1"), ("d9", "c2")],

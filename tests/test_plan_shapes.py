@@ -504,6 +504,16 @@ def test_passage_dedup_no_python(spark, sf_dir):
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
 
 
+def test_substring_dup_spans_no_python_no_cartesian(spark, sf_dir):
+    """ExactSubstr coverage: pure JVM expressions (tokenize/slide/md5
+    in-scan), hash-keyed shuffles only — never a pair-expansion
+    cartesian and never a Python eval."""
+    q = entrymod.queries()["substring_dup_spans"](spark, sf_dir)
+    p = plan(q)
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "CartesianProduct" not in p
+
+
 def test_hourly_ohlc_single_aggregate_no_window(spark, sf_dir):
     """OHLC bars must compile to ONE partial+final hash aggregate —
     struct min/max, never a per-bucket Window (whose sort would
