@@ -1923,6 +1923,20 @@ def _q_group_split(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_pps_sample(spark: SparkSession, sf: str) -> DataFrame:
+    # deterministic systematic PPS sampling (Madow 1949): ~50 docs
+    # drawn proportional to n_chars on the salted-hash line; selection
+    # is pure integer math ((cum*n) DIV total boundary crossings), so
+    # the oracle re-derives the exact member set + boundary ranks
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.sampling import (
+        pps_systematic_sample,
+    )
+
+    docs = load_table(spark, sf, "documents")
+    out = pps_systematic_sample(docs, "doc_id", "n_chars", 50)
+    return out.select("doc_id", "n_chars", "sample_rank")
+
+
 def _q_mixture_sample(spark: SparkSession, sf: str) -> DataFrame:
     # target-mixture corpus assembly (60/30/10 across three sources,
     # budget set by the scarcest): all-integer quota math + hash-rank
@@ -3847,6 +3861,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # === the 50-entry driver-gate window (risk-ordered r5) ========
         # --- new or changed this round (round 5) ----------------------
         "substring_dup_spans": _q_substring_dup_spans,
+        "pps_sample": _q_pps_sample,
         "zorder_pruning": _q_zorder_pruning,
         "streaming_late_data_drop": _q_streaming_late_data_drop,
         "cdc_time_travel": _q_cdc_time_travel,
@@ -4829,6 +4844,27 @@ def _oracle_sql_literal() -> dict[str, str]:
                    CAST(sum(n_tok) AS BIGINT) AS total_tokens,
                    CAST(sum(doc_id) AS BIGINT) AS id_checksum
             FROM c WHERE cum <= 2000
+        """,
+        "pps_sample": """
+            WITH w AS (
+                SELECT doc_id, n_chars,
+                       md5('pps:v1' || CAST(doc_id AS VARCHAR)) AS h
+                FROM documents
+                WHERE doc_id IS NOT NULL AND n_chars > 0
+            ),
+            c AS (
+                SELECT doc_id, n_chars,
+                       sum(n_chars) OVER (ORDER BY h, doc_id
+                           ROWS UNBOUNDED PRECEDING) AS cum
+                FROM w
+            ),
+            t AS (SELECT sum(n_chars) AS total FROM w)
+            -- systematic PPS: select the row containing each of the 50
+            -- equal-spaced boundaries on the cumulative-weight line
+            SELECT doc_id, n_chars,
+                   CAST((cum * 50) // total AS BIGINT) AS sample_rank
+            FROM c, t
+            WHERE (cum * 50) // total > ((cum - n_chars) * 50) // total
         """,
         "mixture_sample": """
             WITH n AS (

@@ -280,6 +280,104 @@ def token_budget_prefix(
     )
 
 
+def pps_systematic_sample(
+    df: DataFrame,
+    id_col: str,
+    weight,
+    n: int,
+    salt: str = "pps:v1",
+    coarse_hex: int = 2,
+    rank_col: str = "sample_rank",
+) -> DataFrame:
+    """Systematic probability-proportional-to-size sampling (Madow
+    1949): pick ~``n`` rows with inclusion probability proportional to
+    ``weight`` — the corpus-curation "sample documents proportional to
+    quality/length" step — 100% deterministically: the pseudo-random
+    stream is the salted content-hash order, so membership is a pure
+    function of (content, weights, n), reproducible across runs,
+    partitionings, and engines (no RNG anywhere).
+
+    Mechanics: rows are laid on a line in hash order, each occupying a
+    segment of its integer weight; a boundary falls every
+    ``total/n`` units and the row containing each boundary is
+    selected.  Selection test per row is pure integer math —
+    ``(cum*n) div total > ((cum-w)*n) div total`` — so the oracle
+    re-derives membership exactly.  Rows heavier than ``total/n``
+    straddle several boundaries but are selected once (sampling
+    without replacement), so the output can be smaller than ``n``.
+
+    ``rank_col`` carries the (last) boundary index the row covers —
+    a ready-made stratum/shard key for the sample.
+
+    Rows with NULL id or non-positive weight are excluded (no stable
+    identity / zero inclusion mass).  Raises if ``total*n`` would
+    overflow int64 (rescale weights — inclusion depends only on
+    ratios).
+
+    Scale shape: same two-phase prefix-sum as
+    :func:`token_budget_prefix` — NEVER a single-partition global
+    window: coarse hash-prefix buckets, a bounded per-bucket histogram
+    collect (one row per bucket), broadcast offsets, per-bucket window
+    sum.  One shuffle on the bucket key.
+    """
+    reserve_columns(
+        df, ("_w", "_h", "_b", "_off", "_cum", rank_col), "pps_systematic_sample"
+    )
+    if n <= 0:
+        raise ValueError("pps_systematic_sample: n must be positive")
+    c = F.col(id_col)
+    h = salted_hash(c, salt)
+    w = F.col(weight) if isinstance(weight, str) else weight
+    narrow = df.filter(c.isNotNull() & (w.cast("long") > 0)).select(
+        "*",
+        w.cast("long").alias("_w"),
+        h.alias("_h"),
+        F.conv(F.substring(h, 1, coarse_hex), 16, 10).cast("int").alias("_b"),
+    )
+    hist = {
+        r["_b"]: r["_s"]
+        for r in narrow.groupBy("_b").agg(F.sum("_w").alias("_s")).collect()
+    }
+    running = 0
+    offsets = []
+    for b in sorted(hist):
+        offsets.append((b, running))
+        running += int(hist[b])
+    total = running
+    if total == 0:
+        return narrow.drop("_w", "_h", "_b").withColumn(
+            rank_col, F.lit(None).cast("long")
+        ).limit(0)
+    if total * n >= 2**63:
+        raise ValueError(
+            f"pps_systematic_sample: total_weight*n = {total}*{n} overflows "
+            "int64 — rescale weights (inclusion depends only on ratios)"
+        )
+    spark = df.sparkSession
+    off = F.broadcast(
+        spark.createDataFrame(offsets, "_b int, _off long")
+    )
+    from pyspark.sql import Window
+
+    win = (
+        Window.partitionBy("_b")
+        .orderBy("_h", c)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("_w").over(win) + F.col("_off")
+    # SQL DIV = true int64 floor division (never a double round-trip,
+    # which loses exactness above 2^53)
+    k_cur = F.expr(f"(_cum * {n}) DIV {total}")
+    k_prev = F.expr(f"((_cum - _w) * {n}) DIV {total}")
+    return (
+        narrow.join(off, "_b")
+        .withColumn("_cum", cum)
+        .filter(k_cur > k_prev)
+        .withColumn(rank_col, k_cur)
+        .drop("_h", "_b", "_off", "_cum", "_w")
+    )
+
+
 def cluster_safe_split(
     docs: DataFrame,
     clusters: DataFrame,

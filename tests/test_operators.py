@@ -500,6 +500,64 @@ def test_mixture_sample_unsatisfiable_recipe_is_empty(spark, sf_dir):
     assert mixed.count() == 0
 
 
+def test_pps_sample_matches_driver_replay_and_is_stable(spark, sf_dir):
+    # the distributed two-phase selection must equal a driver-side
+    # replay of Madow systematic PPS on the same hash line, exactly
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.sampling import pps_systematic_sample
+    from etl_based_real_time_air_quality_monitoring_system_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    n = 20
+    got = {
+        r["doc_id"]: r["sample_rank"]
+        for r in pps_systematic_sample(docs, "doc_id", "n_chars", n).collect()
+    }
+    rows = docs.select(
+        "doc_id", "n_chars",
+        F.md5(F.concat(F.lit("pps:v1"), F.col("doc_id").cast("string")).cast("binary")).alias("h"),
+    ).collect()
+    total = sum(r["n_chars"] for r in rows if r["n_chars"] > 0)
+    cum, want = 0, {}
+    for r in sorted(
+        (r for r in rows if r["n_chars"] > 0), key=lambda r: (r["h"], r["doc_id"])
+    ):
+        prev = cum
+        cum += r["n_chars"]
+        if (cum * n) // total > (prev * n) // total:
+            want[r["doc_id"]] = (cum * n) // total
+    assert got == want and len(got) > 0
+    # deterministic under repartitioning
+    got2 = {
+        r["doc_id"]: r["sample_rank"]
+        for r in pps_systematic_sample(
+            docs.repartition(7), "doc_id", "n_chars", n
+        ).collect()
+    }
+    assert got2 == got
+
+
+def test_pps_sample_heavy_row_and_guards(spark):
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.sampling import pps_systematic_sample
+
+    # a row heavier than total/n straddles several boundaries but is
+    # selected once -> output smaller than n (without replacement)
+    df = spark.createDataFrame(
+        [(1, 1000), (2, 5), (3, 5), (4, 5)], "id long, w long"
+    )
+    out = pps_systematic_sample(df, "id", "w", 5).collect()
+    assert len(out) < 5 and any(r["id"] == 1 for r in out)
+    # zero/negative weights excluded; n<=0 and int64 overflow raise
+    empty = pps_systematic_sample(
+        spark.createDataFrame([(1, 0), (2, -3)], "id long, w long"), "id", "w", 3
+    )
+    assert empty.count() == 0
+    with pytest.raises(ValueError, match="n must be positive"):
+        pps_systematic_sample(df, "id", "w", 0)
+    big = spark.createDataFrame([(1, 2**61), (2, 2**61)], "id long, w long")
+    with pytest.raises(ValueError, match="overflows int64"):
+        pps_systematic_sample(big, "id", "w", 100)
+
+
 def test_token_budget_prefix_matches_global_window(spark, sf_dir):
     # the coarse-bucket + prefix-offset formulation must equal the
     # naive single-partition global running sum exactly
