@@ -1923,6 +1923,22 @@ def _q_group_split(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_retrieval_ndcg(spark: SparkSession, sf: str) -> DataFrame:
+    # embedding-retrieval quality eval: NDCG@10 under binary label
+    # relevance for 20 query vectors.  Discounts are pre-quantized
+    # integer micros shared between the plan and the oracle, so DCG /
+    # IDCG / NDCG are all exact integer arithmetic — the ranking
+    # itself uses the repo's rounded-cosine + id total order.
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.similarity import (
+        retrieval_ndcg,
+    )
+
+    emb = load_table(spark, sf, "embeddings")
+    return retrieval_ndcg(
+        emb, emb.filter(F.col("vec_id") < 20), "vec_id", "embedding", "label", k=10
+    )
+
+
 def _q_pps_sample(spark: SparkSession, sf: str) -> DataFrame:
     # deterministic systematic PPS sampling (Madow 1949): ~50 docs
     # drawn proportional to n_chars on the salted-hash line; selection
@@ -3862,6 +3878,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new or changed this round (round 5) ----------------------
         "substring_dup_spans": _q_substring_dup_spans,
         "pps_sample": _q_pps_sample,
+        "retrieval_ndcg": _q_retrieval_ndcg,
         "zorder_pruning": _q_zorder_pruning,
         "streaming_late_data_drop": _q_streaming_late_data_drop,
         "cdc_time_travel": _q_cdc_time_travel,
@@ -4184,6 +4201,20 @@ def oracle_sql() -> dict[str, str]:
 
 
 def _oracle_sql_literal() -> dict[str, str]:
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.similarity import (
+        ndcg_position_weights_micros,
+    )
+
+    # the SAME integer-micros NDCG discounts the Spark plan embeds —
+    # generated once, interpolated into the oracle as literals
+    _ndcg_w = ndcg_position_weights_micros(10)
+    _ndcg_wts = ", ".join(f"({p}, {w})" for p, w in enumerate(_ndcg_w, 1))
+    _ndcg_pre = ", ".join(
+        f"({r}, {s})"
+        for r, s in enumerate(
+            [sum(_ndcg_w[:i]) for i in range(1, 11)], 1
+        )
+    )
     return {
         "gopher_quality": rf"""
             WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
@@ -4844,6 +4875,50 @@ def _oracle_sql_literal() -> dict[str, str]:
                    CAST(sum(n_tok) AS BIGINT) AS total_tokens,
                    CAST(sum(doc_id) AS BIGINT) AS id_checksum
             FROM c WHERE cum <= 2000
+        """,
+        "retrieval_ndcg": f"""
+            WITH q AS (
+                SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe,
+                       label AS qlabel
+                FROM embeddings WHERE vec_id < 20
+            ),
+            e AS (
+                SELECT vec_id, embedding::DOUBLE[] AS ee, label
+                FROM embeddings
+            ),
+            ranked AS (
+                SELECT query_id, qlabel, clabel,
+                       row_number() OVER (
+                           PARTITION BY query_id ORDER BY sim DESC, corpus_id
+                       ) AS rn
+                FROM (
+                    SELECT q.query_id, q.qlabel, e.vec_id AS corpus_id,
+                           e.label AS clabel,
+                           round(list_cosine_similarity(e.ee, q.qe), 6) AS sim
+                    FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id
+                )
+            ),
+            wts(pos, wm) AS (VALUES {_ndcg_wts}),
+            pre(r, s) AS (VALUES {_ndcg_pre}),
+            topk AS (
+                SELECT query_id, qlabel AS label,
+                       CAST(sum(CASE WHEN clabel = qlabel THEN 1 ELSE 0 END)
+                            AS BIGINT) AS n_relevant_at_k,
+                       CAST(sum(CASE WHEN clabel = qlabel THEN w.wm ELSE 0 END)
+                            AS BIGINT) AS dcg_micros
+                FROM ranked JOIN wts w ON w.pos = ranked.rn
+                WHERE rn <= 10
+                GROUP BY 1, 2
+            ),
+            ln AS (SELECT label, count(*) AS n FROM embeddings GROUP BY 1)
+            SELECT t.query_id, t.label, t.n_relevant_at_k, t.dcg_micros,
+                   CAST(COALESCE(p.s, 0) AS BIGINT) AS idcg_micros,
+                   CAST(CASE WHEN COALESCE(p.s, 0) > 0
+                        THEN (t.dcg_micros * 1000000) // p.s
+                        ELSE 0 END AS BIGINT) AS ndcg_micros
+            FROM topk t
+            JOIN ln ON ln.label = t.label
+            LEFT JOIN pre p ON p.r = least(10, ln.n - 1)
         """,
         "pps_sample": """
             WITH w AS (

@@ -806,3 +806,123 @@ def pca_project(
         ]
     )
     return df.select(F.col(id_col), proj.alias("pca"))
+
+
+# ------------------------------------------------------- retrieval eval
+
+def ndcg_position_weights_micros(k: int) -> list[int]:
+    """The standard NDCG discount 1/log2(pos+1) for positions 1..k,
+    quantized to integer micros ONCE on the driver.  Both the Spark
+    plan and any SQL oracle consume these identical integers, so DCG
+    sums are exact integer arithmetic — no cross-engine transcendental
+    (log2) or float-summation drift can touch the metric."""
+    import math
+
+    return [int(math.floor(1.0 / math.log2(p + 1) * 1e6 + 0.5)) for p in range(1, k + 1)]
+
+
+def retrieval_ndcg(
+    df: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    emb_col: str,
+    label_col: str,
+    k: int = 10,
+    scale: int = 6,
+) -> DataFrame:
+    """NDCG@k of cosine retrieval under binary label relevance — the
+    embedding-quality eval run before a corpus ships: for each query
+    vector, retrieve the top-``k`` corpus neighbors (self excluded),
+    score position ``p`` with the standard 1/log2(p+1) discount when
+    the neighbor's label matches the query's, and normalize by the
+    ideal DCG given how many same-label corpus rows exist.
+
+    Returns (query_id, label, n_relevant_at_k, dcg_micros,
+    idcg_micros, ndcg_micros) — ALL integers: discounts are
+    pre-quantized micros (:func:`ndcg_position_weights_micros`), DCG /
+    IDCG are integer sums and NDCG an integer division, so the whole
+    metric is engine-exact.  ``ndcg_micros`` is 0 when no same-label
+    row exists (IDCG 0).
+
+    Ranking ties: rounded cosine (``scale``) then neighbor id — the
+    same total order every exact-similarity operator here pins.
+
+    Scale shape: broadcast query set (queries x corpus scoring is one
+    scan, no shuffle), ONE window shuffle on query_id for top-k, one
+    broadcast label-frequency join.  Swap the candidate generator for
+    ``ivf_topk``/``lsh_topk`` lists at 100 TB — the eval aggregation
+    is reused unchanged.
+    """
+    from pyspark.sql import Window
+
+    wm = ndcg_position_weights_micros(k)
+    prefix = []
+    s = 0
+    for x in wm:
+        s += x
+        prefix.append(s)
+    corpus = df.select(
+        F.col(id_col).alias("corpus_id"),
+        _as_double_array(emb_col).alias("_ce"),
+        F.col(label_col).alias("_clabel"),
+    )
+    qs = queries.select(
+        F.col(id_col).alias("query_id"),
+        _as_double_array(emb_col).alias("_qe"),
+        F.col(label_col).alias("label"),
+    )
+    scored = (
+        corpus.crossJoin(F.broadcast(qs))
+        .filter(F.col("corpus_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "label",
+            "corpus_id",
+            "_clabel",
+            F.round(cosine(F.col("_ce"), F.col("_qe")), scale).alias("_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("_sim"), F.col("corpus_id"))
+    ranked = (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .withColumn(
+            "_gain",
+            F.when(
+                F.col("_clabel") == F.col("label"),
+                F.element_at(F.array(*[F.lit(x) for x in wm]), F.col("_rn")),
+            ).otherwise(F.lit(0)).cast("long"),
+        )
+    )
+    per_q = ranked.groupBy("query_id", "label").agg(
+        F.sum((F.col("_gain") > 0).cast("long")).alias("n_relevant_at_k"),
+        F.sum("_gain").alias("dcg_micros"),
+    )
+    # ideal: all of the first min(k, same-label-corpus-rows - self)
+    # positions relevant -> a prefix sum of the same integer weights
+    label_n = df.groupBy(F.col(label_col).alias("label")).agg(
+        F.count("*").alias("_ln")
+    )
+    r = F.least(F.lit(k), F.col("_ln") - F.lit(1))
+    idcg = F.when(
+        r > 0, F.element_at(F.array(*[F.lit(x) for x in prefix]), r.cast("int"))
+    ).otherwise(F.lit(0)).cast("long")
+    return (
+        per_q.join(F.broadcast(label_n), "label")
+        .withColumn("idcg_micros", idcg)
+        .withColumn(
+            "ndcg_micros",
+            F.when(
+                F.col("idcg_micros") > 0,
+                F.expr("(dcg_micros * 1000000) DIV idcg_micros"),
+            ).otherwise(F.lit(0)).cast("long"),
+        )
+        .select(
+            "query_id",
+            "label",
+            "n_relevant_at_k",
+            "dcg_micros",
+            "idcg_micros",
+            "ndcg_micros",
+        )
+    )

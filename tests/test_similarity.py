@@ -367,3 +367,49 @@ def test_pca_project_with_basis_components_is_identity(emb):
     for r in rows:
         want = [np.floor(float(x) * 1e6 + 0.5) / 1e6 for x in r["embedding"][:3]]
         assert got[r["vec_id"]] == want
+
+
+def test_retrieval_ndcg_hand_computed(spark):
+    """NDCG@k on a 4-vector corpus whose ranking is known by
+    construction: all quantities integer-exact against the published
+    1/log2(p+1) discount."""
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.similarity import (
+        ndcg_position_weights_micros,
+        retrieval_ndcg,
+    )
+
+    rows = [
+        (0, [1.0, 0.0], 1),   # query
+        (1, [1.0, 0.1], 1),   # nearest, relevant
+        (2, [1.0, 1.0], 2),   # middle, irrelevant
+        (3, [0.0, 1.0], 1),   # farthest, relevant
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    out = retrieval_ndcg(
+        df, df.filter(F.col("vec_id") == 0), "vec_id", "embedding", "label", k=3
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    w = ndcg_position_weights_micros(3)  # [1000000, 630930, 500000]
+    dcg = w[0] + w[2]          # relevant at positions 1 and 3
+    idcg = w[0] + w[1]         # two same-label corpus rows -> R=2
+    assert r["n_relevant_at_k"] == 2
+    assert r["dcg_micros"] == dcg
+    assert r["idcg_micros"] == idcg
+    assert r["ndcg_micros"] == (dcg * 1000000) // idcg
+
+
+def test_retrieval_ndcg_no_same_label_is_zero(spark):
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.similarity import retrieval_ndcg
+
+    rows = [
+        (0, [1.0, 0.0], 7),  # unique label: IDCG 0 -> NDCG 0
+        (1, [0.9, 0.1], 1),
+        (2, [0.8, 0.2], 1),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    r = retrieval_ndcg(
+        df, df.filter(F.col("vec_id") == 0), "vec_id", "embedding", "label", k=2
+    ).collect()[0]
+    assert r["n_relevant_at_k"] == 0 and r["dcg_micros"] == 0
+    assert r["idcg_micros"] == 0 and r["ndcg_micros"] == 0
