@@ -602,11 +602,13 @@ def substring_dup_spans(
 
     Scale shape: suffix arrays don't distribute; this does — one
     tokenize + slide projection (no Python), explode to (doc, pos,
-    16-byte hash), ONE shuffle on the hash for the distinct-doc count
-    (map-side combined), a semi-join back, and a per-doc sort window
-    for the interval union (the (doc, pos) shuffle).  Postings
-    cardinality is ~corpus_tokens — same order as the corpus, never
-    quadratic; a popular k-gram costs its df in semi-join probes, not
+    16-byte hash), ONE shuffle of the postings on the hash (at
+    ``min_df=2`` the shared test is ``min(doc) != max(doc)`` over the
+    hash partition — no second postings pass; higher thresholds fall
+    back to a distinct-count aggregate + semi-join), and a per-doc
+    sort window for the interval union (the (doc, pos) shuffle).
+    Postings cardinality is ~corpus_tokens — same order as the corpus,
+    never quadratic; a popular k-gram costs its df in window rows, not
     df^2 pairs.  The interval-union trick keeps the answer exact with
     a single ``lead`` window instead of materializing per-token
     coverage (k-times blow-up avoided).
@@ -639,13 +641,31 @@ def substring_dup_spans(
         .alias("_gh"),
     )
     grams = base.select(F.col(id_col), F.posexplode("_gh").alias("pos", "gh"))
-    shared = (
-        grams.groupBy("gh")
-        .agg(F.count_distinct(id_col).alias("_ndocs"))
-        .filter(F.col("_ndocs") >= min_df)
-        .select("gh")
-    )
-    dup_pos = grams.join(shared, "gh", "left_semi").select(id_col, "pos")
+    if min_df == 2:
+        # "shared by another doc" == min(doc) != max(doc) within the
+        # gh partition: ONE postings shuffle (window) instead of the
+        # distinct-count aggregate + semi-join back, which shuffles
+        # the postings twice and re-runs the tokenize+md5 projection
+        # (measured 1.3x end-to-end at sf0.1)
+        wgh = Window.partitionBy("gh")
+        dup_pos = (
+            grams.withColumn(
+                "_dup", F.min(id_col).over(wgh) != F.max(id_col).over(wgh)
+            )
+            .filter(F.col("_dup"))
+            .select(id_col, "pos")
+        )
+    else:
+        # general df threshold: a windowed exact distinct-count would
+        # materialize per-row sets on hot grams — keep the bounded
+        # aggregate + semi-join for this (rarer) case
+        shared = (
+            grams.groupBy("gh")
+            .agg(F.count_distinct(id_col).alias("_ndocs"))
+            .filter(F.col("_ndocs") >= min_df)
+            .select("gh")
+        )
+        dup_pos = grams.join(shared, "gh", "left_semi").select(id_col, "pos")
     # union of fixed-length intervals [pos, pos+k-1]: consecutive dup
     # positions overlap when they are < k apart, so each contributes
     # min(k, next_pos - pos) tokens (the last contributes k; every

@@ -187,6 +187,16 @@ def probes(spark, sf_dir: str, factor: int) -> dict[str, tuple[DataFrame, int]]:
     budget = token_budget_prefix(
         docs_s, "doc_id", token_count("text"), budget=60_000 * factor
     )
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.dedup import substring_dup_spans
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.sampling import (
+        pps_systematic_sample,
+    )
+
+    # salted docs: per-window df stays constant per replica, so the
+    # postings volume (and the probe) scales linearly by construction
+    substr = substring_dup_spans(docs_s, "doc_id", "text", k=8)
+    # sample size scales with volume so selection density is constant
+    pps = pps_systematic_sample(docs_s, "doc_id", F.length("text"), 50 * factor)
     return {
         "hash_aggregate(events)": (agg, n_events),
         "minhash_lsh_candidates(documents)": (minhash, n_docs),
@@ -201,6 +211,8 @@ def probes(spark, sf_dir: str, factor: int) -> dict[str, tuple[DataFrame, int]]:
         "wordcount_topk(documents)": (tokens, n_docs),
         "gopher_quality_flags(documents)": (gopher, n_docs),
         "passage_dup_stats(documents)": (passages, n_docs),
+        "substring_dup_spans(documents)": (substr, n_docs),
+        "pps_systematic_sample(documents)": (pps, n_docs),
         "equi_depth_bins(events)": (deciles, n_events),
         "path_trigrams(events)": (trigrams, n_events),
         "drift_bin_report(events)": (drift, n_events),
