@@ -504,6 +504,25 @@ def test_passage_dedup_no_python(spark, sf_dir):
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
 
 
+def test_pps_sample_no_global_window_no_python(spark, sf_dir):
+    """The PPS selection must keep the two-phase bucket shape — a
+    SinglePartition window over the whole corpus is the plan that
+    dies first at 100 TB."""
+    q = entrymod.queries()["pps_sample"](spark, sf_dir)
+    p = plan(q)
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "SinglePartition" not in p, "global window leaked into PPS plan"
+
+
+def test_retrieval_ndcg_broadcast_no_python(spark, sf_dir):
+    """NDCG eval: query set and label frequencies broadcast, scoring
+    stays a JVM projection — no Python, no shuffled cartesian."""
+    q = entrymod.queries()["retrieval_ndcg"](spark, sf_dir)
+    p = plan(q)
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
+
+
 def test_substring_dup_spans_no_python_no_cartesian(spark, sf_dir):
     """ExactSubstr coverage: pure JVM expressions (tokenize/slide/md5
     in-scan), hash-keyed shuffles only — never a pair-expansion

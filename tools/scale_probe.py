@@ -281,6 +281,14 @@ def main() -> None:
         "8k vectors is 11x slower than 48; the operator docstring now",
         "carries the sizing rule and a >63-plane guard).",
         "",
+        "`substring_dup_spans` carries ~8x the postings of",
+        "`passage_dup_stats` by construction (overlapping windows slide",
+        "by one token); its sec/Mrow steps up between 1x and 4x — the",
+        "window sort crossing the in-memory buffer into external spill",
+        "at 32 shuffle partitions — then scales LINEARLY 4x->16x",
+        "(no superlinear term; raise shuffle partitions with volume and",
+        "the step moves out).",
+        "",
         "| operator | factor | input rows | sec | sec/Mrow |",
         "|---|---|---|---|---|",
     ]
