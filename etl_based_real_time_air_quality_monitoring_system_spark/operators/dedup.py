@@ -573,6 +573,64 @@ def passage_dup_stats(
     )
 
 
+def source_overlap_matrix(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    k: int = 8,
+) -> DataFrame:
+    """Cross-SOURCE content-overlap matrix: for every pair of sources,
+    how many distinct ``k``-token passages occur in BOTH — the corpus
+    provenance diagnostic (which feeds mirror/scrape each other) run
+    before choosing mixture weights, so a source double-counted through
+    a mirror doesn't get double the sampling mass.
+
+    Returns (src_a, src_b, shared_passages) with ``src_a < src_b``,
+    only pairs with at least one shared passage.
+
+    Scale shape: one passage-hash projection (the passage_dup_stats
+    key), ONE shuffle to group postings by hash; the per-hash source
+    SET is bounded by the number of sources (a small, *schema-level*
+    cardinality — unlike doc ids, which is why ``collect_set`` is safe
+    here and banned in the doc-level operators), and the pair fan-out
+    per hash is at most |sources|^2 rows into a tiny final aggregate.
+    The corpus itself never self-joins.
+    """
+    toks = tokens(text_col)
+    d = spread_small_input(df.select(group_col, text_col)).select(
+        F.col(group_col).alias("_g"), toks.alias("_toks")
+    )
+    n_pass = F.floor(F.size("_toks") / F.lit(k)).cast("int")
+    passages = d.select(
+        "_g",
+        F.when(
+            n_pass > 0,
+            F.transform(
+                F.sequence(F.lit(0), n_pass - F.lit(1)),
+                lambda i: F.md5(
+                    F.concat_ws(
+                        " ", F.slice("_toks", i * F.lit(k) + F.lit(1), k)
+                    ).cast("binary")
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>")).alias("_ph"),
+    )
+    per_hash = (
+        passages.select("_g", F.explode("_ph").alias("ph"))
+        .groupBy("ph")
+        .agg(F.sort_array(F.collect_set("_g")).alias("_gs"))
+        .filter(F.size("_gs") >= 2)
+    )
+    pairs = (
+        per_hash.select(F.explode("_gs").alias("src_a"), "_gs")
+        .select("src_a", F.explode("_gs").alias("src_b"))
+        .filter(F.col("src_a") < F.col("src_b"))
+    )
+    return pairs.groupBy("src_a", "src_b").agg(
+        F.count("*").alias("shared_passages")
+    )
+
+
 def substring_dup_spans(
     df: DataFrame,
     id_col: str = "doc_id",

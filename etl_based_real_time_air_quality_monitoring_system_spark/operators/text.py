@@ -713,3 +713,89 @@ def oov_rate(
         (F.floor(oov.cast("double") / n.cast("double") * pow10 + F.lit(0.5))
          / pow10).alias("oov_frac"),
     )
+
+
+def target_affinity(
+    df: DataFrame,
+    target: DataFrame,
+    id_col: str = "doc_id",
+    text: str = "text",
+    n_buckets: int = 4096,
+    scale: int = 1_000_000,
+    salt: str = "dsir:v1",
+) -> DataFrame:
+    """Hashed-n-gram target-domain affinity score per corpus document —
+    the data-selection screen of DSIR (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): featurize every
+    doc as hashed unigrams+bigrams, compare each feature's frequency in
+    a small TARGET corpus (the domain you want more of) against its
+    frequency in the raw corpus, and score docs by how target-like
+    their features are.  Feed the scores to ``pps_systematic_sample``
+    or a top-k cut to assemble a domain-skewed training mixture.
+
+    Exactness over log-likelihood: DSIR's per-feature weight is
+    ``log(p_target/p_raw)``; cross-engine float ``ln`` is not
+    bit-stable, so the per-feature weight here is the scaled count
+    ratio ``(c_target * scale) div c_raw`` in exact BIGINT arithmetic
+    (the global ``N_raw/N_target`` normalization is a constant factor
+    over all docs and cannot change any ranking/threshold decision, so
+    it is dropped).  A doc's score is the floor-mean of its features'
+    weights, in micros.  Relative to the log form this up-weights
+    high-ratio features — acceptable for a screen whose output is an
+    ordering; documented, deterministic, and oracle-checkable.
+
+    Returns (id_col, n_feats, affinity_micros), one row per corpus doc.
+
+    Plan shape at 100 TB: the corpus is featurized once
+    [explode+count, map-side combined into <= n_buckets rows per task
+    -> tiny shuffle]; the target is small by definition [same, tiny];
+    the per-bucket weight table (<= n_buckets rows) broadcast-joins
+    back to the corpus features, and the only real shuffle is the
+    per-doc partial-aggregated (id, sum, count) rollup.  The corpus
+    text itself never shuffles and nothing collects to the driver.
+    """
+    def feat_buckets(toks_col: Column) -> Column:
+        # unigrams + adjacent bigrams, hashed to [0, n_buckets); the
+        # bigram slice pair is empty for single-token docs
+        tail_len = F.greatest(F.size(toks_col) - 1, F.lit(0))
+        bis = F.zip_with(
+            F.slice(toks_col, 1, tail_len),
+            F.slice(toks_col, 2, tail_len),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+        return F.transform(
+            F.concat(toks_col, bis),
+            lambda t: (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit(salt), t).cast("binary")), 1, 7
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % n_buckets
+            ).cast("int"),
+        )
+
+    corpus_feats = spread_small_input(df.select(id_col, text)).select(
+        id_col, F.explode(feat_buckets(tokens(text))).alias("_b")
+    )
+    tgt_feats = spread_small_input(target.select(text)).select(
+        F.explode(feat_buckets(tokens(text))).alias("_b")
+    )
+    c_raw = corpus_feats.groupBy("_b").agg(F.count("*").alias("_craw"))
+    c_tgt = tgt_feats.groupBy("_b").agg(F.count("*").alias("_ctgt"))
+    weights = c_raw.join(c_tgt, "_b", "left").select(
+        "_b",
+        F.expr(f"(coalesce(_ctgt, 0L) * {scale}) div _craw").alias("_w"),
+    )
+    return (
+        corpus_feats.join(F.broadcast(weights), "_b")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_feats"), F.sum("_w").alias("_sw"))
+        .select(
+            id_col,
+            "n_feats",
+            F.expr("_sw div n_feats").alias("affinity_micros"),
+        )
+    )

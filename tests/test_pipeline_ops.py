@@ -76,6 +76,60 @@ def test_passage_dup_stats_marks_shared_passages(spark):
     assert tiny["n_passages"] == 0 and tiny["dup_frac"] == 0.0
 
 
+def test_target_affinity_ranks_target_like_docs_higher(spark):
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.text import target_affinity
+
+    rows = [
+        ("d1", "physics energy quantum field theory experiment"),
+        ("d2", "quantum field experiment energy physics notes"),
+        ("d3", "cheap pills buy now click here free offer"),
+    ]
+    corpus = spark.createDataFrame(rows, ["doc_id", "text"])
+    target = corpus.filter("doc_id = 'd1'").select("doc_id", "text")
+    out = {
+        r["doc_id"]: r
+        for r in target_affinity(corpus, target, n_buckets=256).collect()
+    }
+    # feature count = unigrams + adjacent bigrams = 2*len - 1
+    assert out["d1"]["n_feats"] == 11 and out["d3"]["n_feats"] == 15
+    # the target doc itself scores highest; the vocabulary-sharing doc
+    # beats the spam doc, which shares no features with the target
+    assert (
+        out["d1"]["affinity_micros"]
+        > out["d2"]["affinity_micros"]
+        > out["d3"]["affinity_micros"]
+    )
+    assert out["d3"]["affinity_micros"] == 0
+    # empty target -> every weight 0 -> every score 0
+    zero = target_affinity(
+        corpus, corpus.filter("doc_id = 'nope'"), n_buckets=256
+    ).collect()
+    assert all(r["affinity_micros"] == 0 for r in zero)
+
+
+def test_source_overlap_matrix_counts_distinct_shared_passages(spark):
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.dedup import source_overlap_matrix
+
+    shared = "one two three four five six seven eight"  # exactly k=8 tokens
+    rows = [
+        # srcA carries the shared passage TWICE (two docs) — it must
+        # still count once per pair (distinct passage hashes per source)
+        ("srcA", shared + " alpha beta gamma delta epsilon zeta eta theta"),
+        ("srcA", shared + " aa bb cc dd ee ff gg hh"),
+        ("srcB", shared + " iota kappa lambda mu nu xi omicron pi"),
+        ("srcC", "unrelated words that never repeat anywhere else at all"),
+    ]
+    out = {
+        (r["src_a"], r["src_b"]): r["shared_passages"]
+        for r in source_overlap_matrix(
+            spark.createDataFrame(rows, ["source", "text"]), k=8
+        ).collect()
+    }
+    # only the A-B pair overlaps, exactly one distinct shared passage,
+    # and the pair is emitted in lexicographic order
+    assert out == {("srcA", "srcB"): 1}
+
+
 def test_substring_dup_spans_interval_union(spark):
     """Overlapping duplicated k-grams must count covered tokens ONCE
     (interval union), not once per window."""
