@@ -3432,6 +3432,51 @@ def _q_target_affinity(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    # SemDeDup (Abbas et al. 2023): embedding-space near-dups no
+    # lexical hash can see — cluster on deterministic centroids, then
+    # within-cluster cosine keep-min; integer-micros quantization keeps
+    # every similarity bit-identical to the SQL twin
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    emb = load_table(spark, sf, "embeddings")
+    return semantic_dedup(
+        emb, "vec_id", "embedding", n_clusters=8, threshold=0.35
+    )
+
+
+def _q_incremental_neardup(spark: SparkSession, sf: str) -> DataFrame:
+    # MinHash-LSH near-dup screen at ingest, folded over three arrival
+    # batches (doc_id % 3): each batch is screened against the
+    # ACCEPTED history's band buckets plus smaller-id same-batch
+    # collisions; rejects never enter the index.  Production runs one
+    # batch per invocation against a persisted bucket index (see the
+    # foreachBatch streaming test) — the 3-step unroll here exists so
+    # the sequential fold is oracle-expressible in plain SQL.
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.dedup import (
+        incremental_neardup,
+    )
+
+    docs = load_table(spark, sf, "documents")
+    b = F.col("doc_id") % 3
+    # each fold step's accepted-id set is localCheckpoint'd (the
+    # iterative-query pattern used by dedup_clusters): without the
+    # lineage cut, step i's plan re-embeds every prior step's whole
+    # MinHash pipeline and the fold recomputes exponentially
+    acc0 = incremental_neardup(docs.limit(0), docs.filter(b == 0)).localCheckpoint()
+    c1 = docs.join(acc0, "doc_id", "left_semi")
+    acc1 = incremental_neardup(c1, docs.filter(b == 1)).localCheckpoint()
+    c2 = c1.unionByName(docs.join(acc1, "doc_id", "left_semi"))
+    acc2 = incremental_neardup(c2, docs.filter(b == 2))
+    return (
+        acc0.withColumn("batch", F.lit(0))
+        .unionByName(acc1.withColumn("batch", F.lit(1)))
+        .unionByName(acc2.withColumn("batch", F.lit(2)))
+    )
+
+
 def _q_substring_dup_spans(spark: SparkSession, sf: str) -> DataFrame:
     # exact duplicated-substring coverage (ExactSubstr-dedup analog,
     # Lee et al. 2022): overlapping 8-token windows shared across docs,
@@ -3908,6 +3953,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_dup_spans": _q_substring_dup_spans,
         "source_overlap": _q_source_overlap,
         "target_affinity": _q_target_affinity,
+        "incremental_neardup": _q_incremental_neardup,
+        "semantic_dedup": _q_semantic_dedup,
         "pps_sample": _q_pps_sample,
         "retrieval_ndcg": _q_retrieval_ndcg,
         "zorder_pruning": _q_zorder_pruning,
@@ -3925,8 +3972,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "global_means": _q_global_means,
         "hourly_activity": _q_hourly_activity,
         "multikey_summary": _q_multikey_summary,
-        "count_distinct": _q_count_distinct,
-        "acctbal_range": _q_acctbal_range,
         "priority_counts": _q_priority_counts,
         "dq_report": _q_dq_report,
         "latest_value_max_by": _q_latest_value_max_by,
@@ -3973,6 +4018,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- notnull_count's not-null scan path is dq_report's (in
         # --- window); it yielded its slot to target_affinity
         "notnull_count": _q_notnull_count,
+        # --- acctbal_range's agg family stays represented in-window by
+        # --- value_histogram/global_means/grouped_stats; it yielded
+        # --- its slot to incremental_neardup
+        "acctbal_range": _q_acctbal_range,
+        # --- count_distinct's path is in-window via dq_report /
+        # --- table_profile; it yielded its slot to semantic_dedup
+        "count_distinct": _q_count_distinct,
         "salted_revenue_by_segment": _q_salted_revenue_by_segment,
         "order_snapshot_diff": _q_order_snapshot_diff,
         "value_percentiles": _q_value_percentiles,
@@ -4338,6 +4390,118 @@ def _oracle_sql_literal() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS shared_passages
             FROM p a JOIN p b ON a.ph = b.ph AND a.source < b.source
             GROUP BY 1, 2
+        """,
+        "semantic_dedup": """
+            WITH m AS (
+                SELECT vec_id, list_transform(embedding::DOUBLE[],
+                           x -> floor(x * 1000000.0 + 0.5)) AS me
+                FROM embeddings
+            ),
+            c AS (
+                SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+                       me AS ce
+                FROM (SELECT * FROM m ORDER BY vec_id LIMIT 8)
+            ),
+            -- ivf_assign mirror: argmax by cosine, ties -> HIGHEST cid
+            assign AS (
+                SELECT vec_id, me, cid FROM (
+                    SELECT m.vec_id, m.me, c.cid, row_number() OVER (
+                        PARTITION BY m.vec_id ORDER BY
+                            list_dot_product(m.me, c.ce)
+                            / (sqrt(list_dot_product(m.me, m.me))
+                               * sqrt(list_dot_product(c.ce, c.ce)))
+                            DESC, c.cid DESC
+                    ) AS rn
+                    FROM m CROSS JOIN c
+                ) WHERE rn = 1
+            ),
+            hits AS (
+                SELECT DISTINCT b.vec_id FROM assign a JOIN assign b
+                  ON a.cid = b.cid AND a.vec_id < b.vec_id
+                WHERE round(list_dot_product(a.me, b.me)
+                            / (sqrt(list_dot_product(a.me, a.me))
+                               * sqrt(list_dot_product(b.me, b.me))), 6)
+                      >= 0.35
+            )
+            SELECT a.vec_id, CAST(a.cid AS INTEGER) AS cluster_id,
+                   CASE WHEN h.vec_id IS NULL THEN 1 ELSE 0 END AS keep
+            FROM assign a LEFT JOIN hits h ON a.vec_id = h.vec_id
+        """,
+        "incremental_neardup": rf"""
+            WITH toks AS (
+                SELECT doc_id, CAST(doc_id % 3 AS INTEGER) AS batch,
+                       {_TOKS} AS t
+                FROM documents WHERE text IS NOT NULL
+            ),
+            sh AS (
+                SELECT DISTINCT doc_id,
+                       t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+                FROM toks, UNNEST(range(1, greatest(len(t) - 1, 1))) AS u(i)
+            ),
+            sig AS (
+                SELECT doc_id,
+                   {_MINHASH_AGGS}
+                FROM sh GROUP BY doc_id
+            ),
+            bands AS (
+            {_BAND_SELECTS}
+            ),
+            bb AS (
+                SELECT bands.*, CAST(doc_id % 3 AS INTEGER) AS batch
+                FROM bands
+            ),
+            hit0 AS (
+                SELECT DISTINCT a.doc_id FROM bb a JOIN bb c
+                  ON c.band = a.band AND c.bucket = a.bucket
+                 AND c.doc_id < a.doc_id
+                WHERE a.batch = 0 AND c.batch = 0
+            ),
+            acc0 AS (
+                SELECT doc_id FROM toks WHERE batch = 0
+                  AND doc_id NOT IN (SELECT doc_id FROM hit0)
+            ),
+            idx1 AS (
+                SELECT DISTINCT band, bucket FROM bb
+                JOIN acc0 USING (doc_id)
+            ),
+            hit1 AS (
+                SELECT DISTINCT a.doc_id FROM bb a
+                WHERE a.batch = 1 AND (
+                    EXISTS (SELECT 1 FROM idx1 i
+                            WHERE i.band = a.band AND i.bucket = a.bucket)
+                    OR EXISTS (SELECT 1 FROM bb c
+                               WHERE c.batch = 1 AND c.band = a.band
+                                 AND c.bucket = a.bucket
+                                 AND c.doc_id < a.doc_id))
+            ),
+            acc1 AS (
+                SELECT doc_id FROM toks WHERE batch = 1
+                  AND doc_id NOT IN (SELECT doc_id FROM hit1)
+            ),
+            idx2 AS (
+                SELECT band, bucket FROM idx1
+                UNION
+                SELECT band, bucket FROM bb JOIN acc1 USING (doc_id)
+            ),
+            hit2 AS (
+                SELECT DISTINCT a.doc_id FROM bb a
+                WHERE a.batch = 2 AND (
+                    EXISTS (SELECT 1 FROM idx2 i
+                            WHERE i.band = a.band AND i.bucket = a.bucket)
+                    OR EXISTS (SELECT 1 FROM bb c
+                               WHERE c.batch = 2 AND c.band = a.band
+                                 AND c.bucket = a.bucket
+                                 AND c.doc_id < a.doc_id))
+            ),
+            acc2 AS (
+                SELECT doc_id FROM toks WHERE batch = 2
+                  AND doc_id NOT IN (SELECT doc_id FROM hit2)
+            )
+            SELECT doc_id, CAST(0 AS INTEGER) AS batch FROM acc0
+            UNION ALL
+            SELECT doc_id, CAST(1 AS INTEGER) AS batch FROM acc1
+            UNION ALL
+            SELECT doc_id, CAST(2 AS INTEGER) AS batch FROM acc2
         """,
         "target_affinity": rf"""
             WITH t AS (

@@ -257,6 +257,42 @@ def minhash_signatures(
     )
 
 
+def minhash_band_rows(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    k: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """LSH band rows (_id, band, bucket) for every doc: the MinHash
+    signature split into ``bands`` bands of k/bands hashes, each band
+    md5-compacted to one bucket key.  All bands are emitted in ONE
+    pass over the signature (explode of per-band structs) instead of a
+    bands-wide union that would re-evaluate the signature subtree per
+    band.  Shared by the candidate-pair expansion and the incremental
+    ingest screen."""
+    assert k % bands == 0, "k must divide into equal bands"
+    r = k // bands
+    sig = minhash_signatures(df, id_col, text_col, n, k)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(band_index).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        "|", *[F.col(f"h{band_index * r + j}") for j in range(r)]
+                    ).cast("binary")
+                ).alias("bucket"),
+            )
+            for band_index in range(bands)
+        ]
+    )
+    return sig.select(
+        F.col(id_col).alias("_id"), F.explode(band_structs).alias("_bb")
+    ).select("_id", F.col("_bb.band").alias("band"), F.col("_bb.bucket").alias("bucket"))
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     id_col: str,
@@ -272,29 +308,7 @@ def minhash_lsh_candidates(
 
     The all-pairs O(n^2) never materializes — only per-bucket pairs.
     """
-    assert k % bands == 0, "k must divide into equal bands"
-    r = k // bands
-    sig = minhash_signatures(df, id_col, text_col, n, k)
-    # all bands in ONE pass over the signature (explode of per-band
-    # structs), instead of a bands-wide union that re-evaluates the
-    # signature subtree per band; the self-join below then reuses a
-    # single exchange for both sides
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(band_index).alias("band"),
-                F.md5(
-                    F.concat_ws(
-                        "|", *[F.col(f"h{band_index * r + j}") for j in range(r)]
-                    ).cast("binary")
-                ).alias("bucket"),
-            )
-            for band_index in range(bands)
-        ]
-    )
-    band_rows = sig.select(
-        F.col(id_col).alias("_id"), F.explode(band_structs).alias("_bb")
-    ).select("_id", F.col("_bb.band").alias("band"), F.col("_bb.bucket").alias("bucket"))
+    band_rows = minhash_band_rows(df, id_col, text_col, n, k, bands)
     # inverted index on the bucket (vs a self-join, which would
     # re-evaluate the whole signature pipeline per side): collect the
     # doc list per (band, bucket), expand ordered pairs, distinct
@@ -841,4 +855,66 @@ def incremental_dedup(
     )
     return batch_survivors.join(known, "fingerprint", "left_anti").select(
         id_col, "fingerprint"
+    )
+
+
+def incremental_neardup(
+    corpus: DataFrame | None,
+    incoming: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    k: int = 16,
+    bands: int = 4,
+    known_bands: DataFrame | None = None,
+) -> DataFrame:
+    """MinHash-LSH NEAR-dup screen at ingest — :func:`incremental_dedup`
+    for fuzzy duplicates: an incoming doc is dropped iff any of its LSH
+    band buckets (a) appears among the accepted historical corpus's
+    buckets, or (b) is shared with a strictly-smaller-id doc in the
+    same batch (per-bucket keep-min — same deterministic rule the
+    batch dedup family uses; like any per-bucket first-wins rule it
+    can drop both ends of a 2-hop chain a<b<c where only b collides
+    with each, which is the conservative direction for training data).
+
+    Returns surviving (id_col,) rows.  Rejected docs' buckets do NOT
+    enter the index — only accepted docs define "known", so a doc
+    colliding solely with an earlier reject still lands.
+
+    Scale shape: the corpus side reduces to DISTINCT (band, bucket)
+    16-byte keys — at 100 TB that set lives as its own compact parquet
+    index updated per batch and is passed as ``known_bands`` (see the
+    streaming foreachBatch test), so the recurring cost is
+    bands-per-doc hash rows, never documents; the history screen is a
+    semi-join on bucket keys and the within-batch screen one
+    bucket-partitioned window min.  Nothing pairwise ever
+    materializes.  Pass either ``corpus`` (re-derives the index from
+    raw docs — the batch/backfill path) or a precomputed
+    ``known_bands`` (band, bucket) frame — the streaming path.
+    """
+    from pyspark.sql import Window
+
+    inc_bands = minhash_band_rows(
+        incoming.filter(F.col(text_col).isNotNull()), id_col, text_col, n, k, bands
+    )
+    if known_bands is None:
+        known_bands = minhash_band_rows(
+            corpus.filter(F.col(text_col).isNotNull()), id_col, text_col, n, k, bands
+        )
+    known = known_bands.select("band", "bucket").distinct()
+    hist_hit = (
+        inc_bands.join(known, ["band", "bucket"], "left_semi")
+        .select(F.col("_id").alias(id_col))
+        .distinct()
+    )
+    w = Window.partitionBy("band", "bucket")
+    batch_hit = (
+        inc_bands.withColumn("_min_id", F.min("_id").over(w))
+        .filter(F.col("_id") > F.col("_min_id"))
+        .select(F.col("_id").alias(id_col))
+        .distinct()
+    )
+    ids = incoming.filter(F.col(text_col).isNotNull()).select(id_col)
+    return ids.join(hist_hit, id_col, "left_anti").join(
+        batch_hit, id_col, "left_anti"
     )

@@ -926,3 +926,92 @@ def retrieval_ndcg(
             "ndcg_micros",
         )
     )
+
+
+def micros_vec(col: Column | str) -> Column:
+    """Embedding quantized to integer micros (floor-half-up per
+    component, computed in double) — the cross-engine exactness trick
+    the ANN recall gate established: integer-component dot products
+    are exactly representable doubles (64 dims x 1e12 per term stays
+    far under 2^53), so similarity math downstream is bit-identical
+    in any engine."""
+    return F.transform(
+        _as_double_array(col), lambda x: F.floor(x * F.lit(1000000.0) + F.lit(0.5))
+    )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    n_clusters: int = 8,
+    threshold: float = 0.9,
+    scale: int = 6,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    at web-scale through semantic deduplication"): cluster the
+    embedding space, then WITHIN each cluster drop every doc whose
+    cosine to a strictly-smaller-id cluster-mate rounds to >=
+    ``threshold`` — semantic near-duplicates that no lexical hash
+    (MinHash/SimHash) can see, e.g. translations, paraphrases,
+    templated rewrites.
+
+    Returns (id_col, cluster_id, keep) for EVERY input row — a
+    scoreboard, not just survivors, so downstream mixture math can
+    account for what was dropped and why.
+
+    Determinism/exactness: embeddings are quantized to integer micros
+    (:func:`micros_vec`) so dot products are exact; centroids are the
+    first ``n_clusters`` vectors by id (the :func:`ivf_centroids`
+    convention — centroid QUALITY only moves the cluster split, never
+    the keep rule's correctness); assignment ties break to the
+    highest cluster id (the :func:`ivf_assign` struct-max rule).
+
+    Scale shape: assignment is a zero-shuffle in-scan argmax against
+    broadcast centroid literals; the only pairwise work is the
+    within-cluster self-join (one shuffle on cluster_id), whose pair
+    mass is sum(c_i^2) — bounded by cluster granularity, which is the
+    SemDeDup premise: at 100 TB you run 100k clusters so c_i stays
+    ~1e3-1e4, and the join never crosses cluster boundaries.  The
+    driver holds k x d centroid values only.
+    """
+    m = (
+        spread_small_input(df.select(id_col, emb_col))
+        .select(F.col(id_col).alias("_id"), micros_vec(emb_col).alias("_m"))
+    )
+    cent_rows = m.orderBy("_id").limit(n_clusters).collect()
+    centroids = [list(r["_m"]) for r in cent_rows]
+    scored = F.array(
+        *[
+            F.struct(
+                cosine(F.col("_m"), vec_lit(c)).alias("sim"),
+                F.lit(i).alias("cid"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    assigned = m.withColumn(
+        "cluster_id", F.array_max(scored).getField("cid")
+    ).select("_id", "cluster_id", "_m")
+    a = assigned.select(
+        F.col("_id").alias("_ida"), F.col("cluster_id").alias("_ca"), F.col("_m").alias("_ma")
+    )
+    b = assigned.select(
+        F.col("_id").alias("_idb"), F.col("cluster_id").alias("_cb"), F.col("_m").alias("_mb")
+    )
+    hits = (
+        a.join(b, (F.col("_ca") == F.col("_cb")) & (F.col("_ida") < F.col("_idb")))
+        .filter(
+            F.round(cosine(F.col("_ma"), F.col("_mb")), scale) >= F.lit(threshold)
+        )
+        .select(F.col("_idb").alias("_hit"))
+        .distinct()
+    )
+    return (
+        assigned.join(hits, assigned["_id"] == hits["_hit"], "left")
+        .select(
+            F.col("_id").alias(id_col),
+            "cluster_id",
+            F.when(F.col("_hit").isNull(), F.lit(1)).otherwise(F.lit(0)).alias("keep"),
+        )
+    )

@@ -76,6 +76,36 @@ def test_passage_dup_stats_marks_shared_passages(spark):
     assert tiny["n_passages"] == 0 and tiny["dup_frac"] == 0.0
 
 
+def test_incremental_neardup_drops_history_and_smaller_id_hits(spark):
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.dedup import (
+        incremental_neardup,
+        minhash_band_rows,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    corpus = spark.createDataFrame([(1, base)], ["doc_id", "text"])
+    inc = spark.createDataFrame(
+        [
+            (10, base + " extra"),  # near-dup of historical doc 1 -> drop
+            (11, "completely different words about astronomy and telescopes tonight"),
+            # near-dup of 11 with bigger id -> within-batch drop
+            (12, "completely different words about astronomy and telescopes tonight ok"),
+            (13, None),  # null text never lands
+            (14, "tiny"),  # <3 tokens, no shingles -> trivially survives
+        ],
+        ["doc_id", "text"],
+    )
+    got = sorted(r["doc_id"] for r in incremental_neardup(corpus, inc).collect())
+    assert got == [11, 14]
+    # the precomputed-index path (production streaming shape) agrees
+    idx = minhash_band_rows(corpus, "doc_id", "text").select("band", "bucket")
+    got2 = sorted(
+        r["doc_id"]
+        for r in incremental_neardup(None, inc, known_bands=idx).collect()
+    )
+    assert got2 == [11, 14]
+
+
 def test_target_affinity_ranks_target_like_docs_higher(spark):
     from etl_based_real_time_air_quality_monitoring_system_spark.operators.text import target_affinity
 

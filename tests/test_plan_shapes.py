@@ -533,6 +533,39 @@ def test_substring_dup_spans_no_python_no_cartesian(spark, sf_dir):
     assert "CartesianProduct" not in p
 
 
+def test_target_affinity_broadcast_weights_no_python(spark, sf_dir):
+    """DSIR-style affinity: the per-bucket weight table broadcast-joins
+    back to the corpus features — a shuffled (sort-merge) weight join
+    means the tiny side lost its broadcast and the corpus pays a full
+    exchange at 100 TB.  Pure JVM throughout."""
+    q = entrymod.queries()["target_affinity"](spark, sf_dir)
+    p = plan(q)
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "BroadcastHashJoin" in p, "weight table must broadcast"
+    assert "CartesianProduct" not in p
+
+
+def test_source_overlap_no_python_no_cartesian(spark, sf_dir):
+    """Source-overlap matrix: passage-hash postings shuffle, per-hash
+    source sets (schema-level cardinality), pair fan-out into a tiny
+    aggregate — never a corpus self-join."""
+    q = entrymod.queries()["source_overlap"](spark, sf_dir)
+    p = plan(q)
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_semantic_dedup_cluster_equi_join_no_python(spark, sf_dir):
+    """SemDeDup: centroid assignment is an in-scan JVM argmax (the
+    centroids are literals, not a joined side), and the only pairwise
+    work is the within-cluster equi-join — a cartesian pair expansion
+    is the plan that dies at 100 TB."""
+    q = entrymod.queries()["semantic_dedup"](spark, sf_dir)
+    p = plan(q)
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "CartesianProduct" not in p
+
+
 def test_hourly_ohlc_single_aggregate_no_window(spark, sf_dir):
     """OHLC bars must compile to ONE partial+final hash aggregate —
     struct min/max, never a per-bucket Window (whose sort would

@@ -413,3 +413,28 @@ def test_retrieval_ndcg_no_same_label_is_zero(spark):
     ).collect()[0]
     assert r["n_relevant_at_k"] == 0 and r["dcg_micros"] == 0
     assert r["idcg_micros"] == 0 and r["ndcg_micros"] == 0
+
+
+def test_semantic_dedup_drops_within_cluster_near_dups(spark):
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.similarity import semantic_dedup
+
+    rows = [
+        (1, [1.0, 0.0]),     # centroid 0
+        (2, [0.0, 1.0]),     # centroid 1
+        (3, [1.0, 0.01]),    # cluster 0, ~parallel to 1 -> drop
+        (4, [0.01, 1.0]),    # cluster 1, ~parallel to 2 -> drop
+        (5, [0.7, 0.714]),   # cluster 1 (barely), ~0.71 to both -> keep
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = {
+        r["vec_id"]: r
+        for r in semantic_dedup(
+            df, "vec_id", "embedding", n_clusters=2, threshold=0.9
+        ).collect()
+    }
+    assert len(out) == 5
+    assert {i: out[i]["keep"] for i in (1, 2, 3, 4, 5)} == {
+        1: 1, 2: 1, 3: 0, 4: 0, 5: 1
+    }
+    assert out[3]["cluster_id"] == 0 and out[4]["cluster_id"] == 1
+    assert out[5]["cluster_id"] == 1

@@ -416,6 +416,78 @@ def test_stateful_distinct_users_gated_or_correct(spark, sf_dir):
     assert got == exp
 
 
+def test_streaming_incremental_neardup_foreachbatch(spark, tmp_path):
+    """NEAR-dup screen at ingest in its streaming home: the accepted
+    corpus's LSH band buckets live as a compact parquet index; each
+    micro-batch is screened against the index (dedup.incremental_neardup
+    with known_bands) and only accepted docs' bands are appended — so a
+    re-worded duplicate never lands, while a doc colliding only with an
+    earlier REJECT does (rejects never index)."""
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.dedup import (
+        incremental_neardup,
+        minhash_band_rows,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    seed = spark.createDataFrame(
+        [("seed1", base)], "doc_id string, text string"
+    )
+    out_dir = tmp_path / "accepted"
+    idx_dir = tmp_path / "band_index"
+    seed.write.parquet(str(out_dir / "batch_seed"))
+    minhash_band_rows(seed, "doc_id", "text").select(
+        "band", "bucket"
+    ).write.parquet(str(idx_dir / "batch_seed"))
+
+    src = tmp_path / "incoming"
+    src.mkdir()
+    _write_jsonl(
+        src / "b0.json",
+        [
+            {"doc_id": "n1", "text": base + " extra"},  # near-dup of seed
+            {"doc_id": "n2", "text": "fresh words about astronomy and telescopes tonight"},
+            # near-dup of n2, bigger id -> within-batch drop
+            {"doc_id": "n3", "text": "fresh words about astronomy and telescopes tonight ok"},
+        ],
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType(), True),
+            T.StructField("text", T.StringType(), True),
+        ]
+    )
+    stream = spark.readStream.schema(schema).json(str(src))
+    state = {"n": 0}
+
+    def apply_batch(batch, epoch_id):
+        sess = batch.sparkSession
+        idx = sess.read.parquet(str(idx_dir / "*"))
+        accepted_ids = incremental_neardup(None, batch, known_bands=idx)
+        accepted = batch.join(accepted_ids, "doc_id", "left_semi")
+        accepted.write.mode("overwrite").parquet(
+            str(out_dir / f"batch_{state['n']}")
+        )
+        minhash_band_rows(accepted, "doc_id", "text").select(
+            "band", "bucket"
+        ).write.mode("overwrite").parquet(str(idx_dir / f"batch_{state['n']}"))
+        state["n"] += 1
+
+    q = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+
+    ids = {
+        r["doc_id"]
+        for r in spark.read.parquet(str(out_dir / "*")).collect()
+    }
+    assert ids == {"seed1", "n2"}
+
+
 def test_streaming_incremental_dedup_foreachbatch(spark, tmp_path):
     """Nightly-ingest dedup in its streaming home: each micro-batch of
     documents is deduped within itself AND against the corpus built by
