@@ -3459,17 +3459,33 @@ def _q_incremental_neardup(spark: SparkSession, sf: str) -> DataFrame:
         incremental_neardup,
     )
 
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.dedup import (
+        minhash_band_rows,
+    )
+
     docs = load_table(spark, sf, "documents")
     b = F.col("doc_id") % 3
-    # each fold step's accepted-id set is localCheckpoint'd (the
-    # iterative-query pattern used by dedup_clusters): without the
-    # lineage cut, step i's plan re-embeds every prior step's whole
-    # MinHash pipeline and the fold recomputes exponentially
+
+    def accepted_bands(acc: DataFrame) -> DataFrame:
+        return minhash_band_rows(
+            docs.join(acc.select("doc_id"), "doc_id", "left_semi"),
+            "doc_id",
+            "text",
+        ).select("band", "bucket")
+
+    # the fold carries the compact (band, bucket) index forward —
+    # exactly the production per-batch shape — so each step shingles
+    # only ITS accepted docs once, never the whole history again; the
+    # localCheckpoints are the iterative-query lineage cut (the
+    # dedup_clusters pattern): without them step i's plan re-embeds
+    # every prior step's MinHash pipeline and recomputes exponentially
     acc0 = incremental_neardup(docs.limit(0), docs.filter(b == 0)).localCheckpoint()
-    c1 = docs.join(acc0, "doc_id", "left_semi")
-    acc1 = incremental_neardup(c1, docs.filter(b == 1)).localCheckpoint()
-    c2 = c1.unionByName(docs.join(acc1, "doc_id", "left_semi"))
-    acc2 = incremental_neardup(c2, docs.filter(b == 2))
+    idx1 = accepted_bands(acc0).localCheckpoint()
+    acc1 = incremental_neardup(
+        None, docs.filter(b == 1), known_bands=idx1
+    ).localCheckpoint()
+    idx2 = idx1.unionByName(accepted_bands(acc1)).localCheckpoint()
+    acc2 = incremental_neardup(None, docs.filter(b == 2), known_bands=idx2)
     return (
         acc0.withColumn("batch", F.lit(0))
         .unionByName(acc1.withColumn("batch", F.lit(1)))
@@ -4415,13 +4431,17 @@ def _oracle_sql_literal() -> dict[str, str]:
                     FROM m CROSS JOIN c
                 ) WHERE rn = 1
             ),
+            -- floor-half-up integer micros, never round(): Spark
+            -- HALF_UP vs DuckDB's float-multiply round can flip a doc
+            -- sitting exactly on the threshold boundary
             hits AS (
                 SELECT DISTINCT b.vec_id FROM assign a JOIN assign b
                   ON a.cid = b.cid AND a.vec_id < b.vec_id
-                WHERE round(list_dot_product(a.me, b.me)
+                WHERE floor(list_dot_product(a.me, b.me)
                             / (sqrt(list_dot_product(a.me, a.me))
-                               * sqrt(list_dot_product(b.me, b.me))), 6)
-                      >= 0.35
+                               * sqrt(list_dot_product(b.me, b.me)))
+                            * 1000000.0 + 0.5)
+                      >= 350000
             )
             SELECT a.vec_id, CAST(a.cid AS INTEGER) AS cluster_id,
                    CASE WHEN h.vec_id IS NULL THEN 1 ELSE 0 END AS keep

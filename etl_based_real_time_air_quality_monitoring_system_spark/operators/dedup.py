@@ -894,6 +894,11 @@ def incremental_neardup(
     """
     from pyspark.sql import Window
 
+    if corpus is None and known_bands is None:
+        raise ValueError(
+            "incremental_neardup: pass either corpus (raw accepted docs) "
+            "or known_bands (their precomputed (band, bucket) index)"
+        )
     inc_bands = minhash_band_rows(
         incoming.filter(F.col(text_col).isNotNull()), id_col, text_col, n, k, bands
     )

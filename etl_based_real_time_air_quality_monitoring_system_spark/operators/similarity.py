@@ -19,6 +19,7 @@ Scale design:
 from __future__ import annotations
 
 import logging
+import math
 from collections.abc import Sequence
 
 import numpy as np
@@ -940,6 +941,68 @@ def micros_vec(col: Column | str) -> Column:
     )
 
 
+def two_level_assign(
+    df: DataFrame,
+    id_col: str,
+    emb_col: str,
+    centroids,
+    alias: str = "cluster_id",
+) -> DataFrame:
+    """IVF-style coarse-then-fine centroid assignment — the scale path
+    for large cluster counts, where :func:`ivf_assign`'s flat in-scan
+    argmax hits two walls at once: O(n*k) cosine work AND a k-wide
+    expression tree that blows past whole-stage-codegen method limits
+    (measured: the 128-centroid flat argmax falls back to interpreted
+    eval, ~30x slower).
+
+    The k centroids are split into G = ceil(sqrt(k)) index-contiguous
+    groups; each vector scores the G group REPRESENTATIVES (first
+    member, deterministic) in-scan, then broadcast-joins to only the
+    winning group's members and takes the struct-max — O(n*2*sqrt(k))
+    cosines, constant-size codegen, ONE map-side-combinable per-id
+    aggregate.  Ties break to the highest group index then the highest
+    cluster id, matching :func:`ivf_assign`'s struct-max rule within
+    each stage.  Assignment is approximate at group boundaries (a
+    vector may miss the globally-nearest centroid when it sits in a
+    losing group) — for SemDeDup that only moves the cluster SPLIT,
+    never the keep rule's correctness, the same trade
+    :func:`ivf_topk`'s n_probe makes."""
+    n_k = len(centroids)
+    g = max(1, math.isqrt(n_k - 1) + 1) if n_k > 1 else 1  # ceil(sqrt)
+    groups = [list(range(s, min(s + g, n_k))) for s in range(0, n_k, g)]
+    emb = _as_double_array(emb_col)
+    rep_scored = F.array(
+        *[
+            F.struct(
+                cosine(emb, vec_lit(centroids[grp[0]])).alias("sim"),
+                F.lit(gi).alias("gid"),
+            )
+            for gi, grp in enumerate(groups)
+        ]
+    )
+    with_gid = df.withColumn("_gid", F.array_max(rep_scored).getField("gid"))
+    spark = df.sparkSession
+    members = spark.createDataFrame(
+        [
+            (gi, int(cid), [float(x) for x in centroids[cid]])
+            for gi, grp in enumerate(groups)
+            for cid in grp
+        ],
+        "_gid int, _cid int, _cvec array<double>",
+    )
+    scored = with_gid.join(F.broadcast(members), "_gid").withColumn(
+        "_sc", F.struct(cosine(emb, F.col("_cvec")).alias("sim"), F.col("_cid").alias("cid"))
+    )
+    # emb is constant per id, so max() just carries it through the
+    # same map-side-combinable aggregate that resolves the argmax
+    return (
+        scored.groupBy(id_col)
+        .agg(F.max("_sc").alias("_best"), F.max(emb_col).alias(emb_col))
+        .withColumn(alias, F.col("_best").getField("cid"))
+        .drop("_best")
+    )
+
+
 def semantic_dedup(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -947,6 +1010,7 @@ def semantic_dedup(
     n_clusters: int = 8,
     threshold: float = 0.9,
     scale: int = 6,
+    two_level: bool | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
     at web-scale through semantic deduplication"): cluster the
@@ -961,49 +1025,55 @@ def semantic_dedup(
     account for what was dropped and why.
 
     Determinism/exactness: embeddings are quantized to integer micros
-    (:func:`micros_vec`) so dot products are exact; centroids are the
-    first ``n_clusters`` vectors by id (the :func:`ivf_centroids`
-    convention — centroid QUALITY only moves the cluster split, never
-    the keep rule's correctness); assignment ties break to the
-    highest cluster id (the :func:`ivf_assign` struct-max rule).
+    (:func:`micros_vec`) so dot products are exact; centroids and
+    assignment are the shared :func:`ivf_centroids` /
+    :func:`ivf_assign` machinery (first-k-by-id centroids, struct-max
+    ties to the highest cluster id) applied to the micros vectors, so
+    this operator and the ANN family can never drift apart; the keep
+    comparison is floor-half-up integer micros (never ``round()`` —
+    Spark HALF_UP vs DuckDB's float-multiply round can flip a doc at
+    an exact boundary).
 
     Scale shape: assignment is a zero-shuffle in-scan argmax against
-    broadcast centroid literals; the only pairwise work is the
-    within-cluster self-join (one shuffle on cluster_id), whose pair
-    mass is sum(c_i^2) — bounded by cluster granularity, which is the
-    SemDeDup premise: at 100 TB you run 100k clusters so c_i stays
-    ~1e3-1e4, and the join never crosses cluster boundaries.  The
-    driver holds k x d centroid values only.
+    broadcast centroid literals, materialized ONCE with a
+    localCheckpoint (executor-disk, never the driver) so the
+    three consumers — both self-join sides and the final scoreboard —
+    don't re-run quantize+argmax per side; the only pairwise work is
+    the within-cluster self-join (one shuffle on cluster_id), whose
+    pair mass is sum(c_i^2) — bounded by cluster granularity, which
+    is the SemDeDup premise: at 100 TB you run 100k clusters so c_i
+    stays ~1e3-1e4, and the join never crosses cluster boundaries.
+    The driver holds k x d centroid values only.
     """
-    m = (
-        spread_small_input(df.select(id_col, emb_col))
-        .select(F.col(id_col).alias("_id"), micros_vec(emb_col).alias("_m"))
+    if two_level is None:
+        # flat argmax past ~32 centroids both does O(n*k) work and
+        # overflows whole-stage codegen into interpreted eval
+        two_level = n_clusters > 32
+    m = spread_small_input(df.select(id_col, emb_col)).select(
+        F.col(id_col).alias("_id"), micros_vec(emb_col).alias("_m")
     )
-    cent_rows = m.orderBy("_id").limit(n_clusters).collect()
-    centroids = [list(r["_m"]) for r in cent_rows]
-    scored = F.array(
-        *[
-            F.struct(
-                cosine(F.col("_m"), vec_lit(c)).alias("sim"),
-                F.lit(i).alias("cid"),
-            )
-            for i, c in enumerate(centroids)
-        ]
+    centroids = ivf_centroids(m, "_id", "_m", n_clusters)
+    assign = two_level_assign if two_level else (
+        lambda d, i, e, c, alias: ivf_assign(d, e, c, alias=alias)
     )
-    assigned = m.withColumn(
-        "cluster_id", F.array_max(scored).getField("cid")
-    ).select("_id", "cluster_id", "_m")
+    assigned = (
+        assign(m, "_id", "_m", centroids, alias="cluster_id")
+        .select("_id", "cluster_id", "_m")
+        .localCheckpoint()
+    )
+    thr_micros = int(round(threshold * 10 ** scale))
     a = assigned.select(
         F.col("_id").alias("_ida"), F.col("cluster_id").alias("_ca"), F.col("_m").alias("_ma")
     )
     b = assigned.select(
         F.col("_id").alias("_idb"), F.col("cluster_id").alias("_cb"), F.col("_m").alias("_mb")
     )
+    sim_units = F.floor(
+        cosine(F.col("_ma"), F.col("_mb")) * F.lit(float(10 ** scale)) + F.lit(0.5)
+    )
     hits = (
         a.join(b, (F.col("_ca") == F.col("_cb")) & (F.col("_ida") < F.col("_idb")))
-        .filter(
-            F.round(cosine(F.col("_ma"), F.col("_mb")), scale) >= F.lit(threshold)
-        )
+        .filter(sim_units >= F.lit(thr_micros))
         .select(F.col("_idb").alias("_hit"))
         .distinct()
     )

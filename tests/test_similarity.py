@@ -438,3 +438,37 @@ def test_semantic_dedup_drops_within_cluster_near_dups(spark):
     }
     assert out[3]["cluster_id"] == 0 and out[4]["cluster_id"] == 1
     assert out[5]["cluster_id"] == 1
+
+
+def test_semantic_dedup_two_level_matches_flat_on_singleton_groups(spark):
+    """With n_clusters=2 the two-level split has one centroid per
+    group, so the coarse stage IS the flat argmax — outputs must be
+    identical row-for-row.  (At larger k the two paths legitimately
+    split clusters differently; this pins the shared tie/score rules.)
+    """
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.similarity import semantic_dedup
+
+    rows = [
+        (1, [1.0, 0.0]),
+        (2, [0.0, 1.0]),
+        (3, [1.0, 0.01]),
+        (4, [0.01, 1.0]),
+        (5, [0.7, 0.714]),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    flat = sorted(
+        (r["vec_id"], r["cluster_id"], r["keep"])
+        for r in semantic_dedup(
+            df, "vec_id", "embedding", n_clusters=2, threshold=0.9,
+            two_level=False,
+        ).collect()
+    )
+    two = sorted(
+        (r["vec_id"], r["cluster_id"], r["keep"])
+        for r in semantic_dedup(
+            df, "vec_id", "embedding", n_clusters=2, threshold=0.9,
+            two_level=True,
+        ).collect()
+    )
+    assert flat == two
+    assert [k for _, _, k in flat] == [1, 1, 0, 0, 1]

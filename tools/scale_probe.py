@@ -197,7 +197,39 @@ def probes(spark, sf_dir: str, factor: int) -> dict[str, tuple[DataFrame, int]]:
     substr = substring_dup_spans(docs_s, "doc_id", "text", k=8)
     # sample size scales with volume so selection density is constant
     pps = pps_systematic_sample(docs_s, "doc_id", F.length("text"), 50 * factor)
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.dedup import (
+        incremental_neardup,
+        source_overlap_matrix,
+    )
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.sampling import hash_bucket
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.similarity import (
+        semantic_dedup,
+    )
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.text import target_affinity
+
+    # target grows with the corpus (each replica carries src0 docs) —
+    # the weight table stays <= n_buckets rows regardless of factor
+    affinity = target_affinity(
+        docs_s, docs_s.filter(F.col("source") == "src0"), n_buckets=1024
+    )
+    overlap = source_overlap_matrix(docs_s, "source", "text", k=8)
+    # single ingest step at 80/20 corpus/incoming (the production
+    # per-batch shape; the 3-step gate fold is an oracle artifact)
+    bkt = hash_bucket("doc_id", 100, "ingest:v1")
+    neardup = incremental_neardup(
+        docs_s.filter(bkt >= 20), docs_s.filter(bkt < 20)
+    )
+    # the SemDeDup premise IS the knob: cluster count scales with the
+    # corpus so per-cluster pair mass sum(c_i^2) stays ~linear — a
+    # fixed cluster count would measure a by-construction quadratic
+    semdedup = semantic_dedup(
+        emb, "vec_id", "embedding", n_clusters=8 * factor, threshold=0.35
+    )
     return {
+        "target_affinity(documents)": (affinity, n_docs),
+        "source_overlap_matrix(documents)": (overlap, n_docs),
+        "incremental_neardup(documents 80/20)": (neardup, n_docs),
+        "semantic_dedup(embeddings, k=8f)": (semdedup, n_emb),
         "hash_aggregate(events)": (agg, n_events),
         "minhash_lsh_candidates(documents)": (minhash, n_docs),
         "ngram_jaccard_pairs(documents)": (jac_uncapped, n_docs),
@@ -287,7 +319,16 @@ def main() -> None:
         "window sort crossing the in-memory buffer into external spill",
         "at 32 shuffle partitions — then scales LINEARLY 4x->16x",
         "(no superlinear term; raise shuffle partitions with volume and",
-        "the step moves out).",
+        "the step moves out).  `source_overlap_matrix` shows the same",
+        "one-time step (collect_set agg crossing into spill) then flat.",
+        "",
+        "`semantic_dedup` scales cluster count WITH the corpus (k=8f,",
+        "the SemDeDup premise: constant cluster size keeps pair mass",
+        "sum(c_i^2) linear); past k=32 the operator switches to the",
+        "two-level coarse/fine assignment (O(n*2*sqrt(k)) cosines,",
+        "constant-size codegen) — the flat k-wide argmax both does",
+        "O(n*k) work and overflows whole-stage codegen into interpreted",
+        "eval (measured 5x slower at k=128 on 2k vectors).",
         "",
         "| operator | factor | input rows | sec | sec/Mrow |",
         "|---|---|---|---|---|",
