@@ -3432,6 +3432,39 @@ def _q_target_affinity(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_curation_pipeline(spark: SparkSession, sf: str) -> DataFrame:
+    # round-5 composition capstone — the new curation ops chained the
+    # way a real selection run uses them: exact dedup (keep min id per
+    # fingerprint) -> DSIR-style target_affinity over the SURVIVORS
+    # (both corpus df and target distributions shift after dedup — the
+    # oracle must re-derive the whole chain, not the pieces) ->
+    # deterministic PPS sample of 50 docs weighted by affinity
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.dedup import (
+        exact_text_dedup,
+    )
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.sampling import (
+        pps_systematic_sample,
+    )
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.text import (
+        target_affinity,
+    )
+
+    docs = load_table(spark, sf, "documents").filter(F.col("text").isNotNull())
+    survivors = docs.join(
+        exact_text_dedup(docs, "doc_id", "text").select(
+            F.col("survivor_id").alias("doc_id")
+        ),
+        "doc_id",
+        "left_semi",
+    )
+    scored = target_affinity(
+        survivors,
+        survivors.filter(F.col("source") == "src0"),
+        n_buckets=1024,
+    )
+    return pps_systematic_sample(scored, "doc_id", F.col("affinity_micros"), 50)
+
+
 def _q_semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
     # SemDeDup (Abbas et al. 2023): embedding-space near-dups no
     # lexical hash can see — cluster on deterministic centroids, then
@@ -3444,6 +3477,133 @@ def _q_semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
     emb = load_table(spark, sf, "embeddings")
     return semantic_dedup(
         emb, "vec_id", "embedding", n_clusters=8, threshold=0.35
+    )
+
+
+def _q_bigram_lm(spark: SparkSession, sf: str) -> DataFrame:
+    # CCNet-style LM fluency screen: add-one-smoothed bigram
+    # probabilities trained on the src0 reference slice, floor-mean
+    # per doc in integer micros — the log-free exact cousin of
+    # perplexity (see operators/text.py:bigram_lm_score)
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.text import (
+        bigram_lm_score,
+    )
+
+    docs = load_table(spark, sf, "documents").filter(F.col("text").isNotNull())
+    return bigram_lm_score(docs, docs.filter(F.col("source") == "src0"))
+
+
+def _pq_micros_emb(spark: SparkSession, sf: str) -> DataFrame:
+    # shared PQ input: embeddings quantized to integer micros FIRST
+    # (floor(x*1e6+0.5), scalar op) so every squared-L2 below is an
+    # exact integer sum < 2^53 — bit-identical across numpy, Spark
+    # and DuckDB in any summation order (the ivf_topk_recall recipe)
+    return load_table(spark, sf, "embeddings").select(
+        "vec_id",
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x: F.floor(x * F.lit(1000000.0) + F.lit(0.5)),
+        ).alias("embedding"),
+    )
+
+
+def _q_pq_codes(spark: SparkSession, sf: str) -> DataFrame:
+    # product quantization (Jegou et al. 2011) encode step: 8
+    # subspaces x 16 codes from deterministic sampled-init codebooks;
+    # per-subspace argmin is an in-scan JVM expression (zero shuffle).
+    # Long form (vec_id, subspace, code) so the oracle hash pins every
+    # single code assignment, not an aggregate of them.
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.similarity import (
+        pq_codebooks,
+        pq_encode,
+    )
+
+    emb = _pq_micros_emb(spark, sf)
+    cb = pq_codebooks(emb, "vec_id", "embedding", n_subspaces=8, n_codes=16)
+    return pq_encode(emb, "vec_id", "embedding", cb).select(
+        "vec_id", F.posexplode("codes").alias("subspace", "code")
+    )
+
+
+def _pq_gate_queries(emb: DataFrame) -> list[tuple[int, list[float]]]:
+    qrows = (
+        emb.filter(F.col("vec_id") < 5)
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .collect()
+    )
+    return [(int(r["vec_id"]), list(r["embedding"])) for r in qrows]
+
+
+def _q_pq_topk_adc(spark: SparkSession, sf: str) -> DataFrame:
+    # PQ asymmetric-distance top-10 for five query vectors: distance =
+    # sum_j LUT[j][code_j], m integer lookups per row — and because
+    # codes + LUT are deterministic integer math, the APPROXIMATE
+    # result itself is exact-oracle-checkable (unlike float-ranked
+    # ivf_topk/lsh_topk, which stay rows-only).  Batched knn form:
+    # one scan encodes once and ranks all five queries (per-query
+    # TakeOrdered branches would replan+recompile the encode tree 5x)
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.similarity import (
+        pq_adc_knn,
+        pq_codebooks,
+    )
+
+    emb = _pq_micros_emb(spark, sf)
+    cb = pq_codebooks(emb, "vec_id", "embedding", n_subspaces=8, n_codes=16)
+    return pq_adc_knn(emb, "vec_id", "embedding", _pq_gate_queries(emb), cb, k=10)
+
+
+def _q_pq_recall(spark: SparkSession, sf: str) -> DataFrame:
+    # the PQ QUALITY metric under the gate: ADC top-10 vs the exact
+    # squared-L2 top-10 (PQ approximates L2, so L2 — not cosine — is
+    # the fair ground truth), reduced to one hash-checked row
+    from pyspark.sql import Window
+
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.similarity import (
+        pq_adc_knn,
+        pq_codebooks,
+    )
+
+    emb = _pq_micros_emb(spark, sf)
+    cb = pq_codebooks(emb, "vec_id", "embedding", n_subspaces=8, n_codes=16)
+    queries = _pq_gate_queries(emb)
+    adc = pq_adc_knn(emb, "vec_id", "embedding", queries, cb, k=10).select(
+        "qid", "vec_id"
+    )
+    # exact side, batched the same way: all five queries' squared-L2
+    # rank keys in one generated projection — d2 = q.q - 2 q.x + x.x,
+    # and within a query's partition q.q is the constant term, so the
+    # rank key is x.x - 2 q.x (x.x computed ONCE as a shared column);
+    # explode, one window — integers < 2^53, exact in any engine
+    structs = []
+    for qid, qv in queries:
+        dot = " + ".join(f"_pqe[{i}] * {int(qv[i])}D" for i in range(len(qv)))
+        structs.append(
+            f"named_struct('qid', {qid}L, 'd2', _mm - 2.0D * ({dot}))"
+        )
+    dim = len(queries[0][1])
+    mm = " + ".join(f"_pqe[{i}] * _pqe[{i}]" for i in range(dim))
+    stacked = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("_pqe")
+    ).select(
+        "vec_id",
+        F.expr(mm).alias("_mm"),
+        F.col("_pqe"),
+    ).select(
+        "vec_id", F.expr(f"explode(array({', '.join(structs)}))").alias("_q")
+    )
+    w = Window.partitionBy("_q.qid").orderBy(F.asc("_q.d2"), F.asc("vec_id"))
+    exact = (
+        stacked.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= 10)
+        .select(F.col("_q.qid").alias("qid"), "vec_id")
+    )
+    n_q = len(queries)
+    hits = adc.join(exact, ["qid", "vec_id"], "inner")
+    return hits.agg(F.count("*").alias("n_hits")).select(
+        F.lit(n_q).alias("n_queries"),
+        "n_hits",
+        F.expr(f"(n_hits * 1000000) div {10 * n_q}").alias("recall_micros"),
     )
 
 
@@ -3971,6 +4131,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "target_affinity": _q_target_affinity,
         "incremental_neardup": _q_incremental_neardup,
         "semantic_dedup": _q_semantic_dedup,
+        "curation_pipeline": _q_curation_pipeline,
+        "bigram_lm": _q_bigram_lm,
+        "pq_codes": _q_pq_codes,
+        "pq_topk_adc": _q_pq_topk_adc,
+        "pq_recall": _q_pq_recall,
         "pps_sample": _q_pps_sample,
         "retrieval_ndcg": _q_retrieval_ndcg,
         "zorder_pruning": _q_zorder_pruning,
@@ -3985,7 +4150,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- row is CORRECTNESS_r01 — re-gated on current code) -------
         "grouped_stats": _q_grouped_stats,
         "band_distribution": _q_band_distribution,
-        "global_means": _q_global_means,
         "hourly_activity": _q_hourly_activity,
         "multikey_summary": _q_multikey_summary,
         "priority_counts": _q_priority_counts,
@@ -4041,6 +4205,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- count_distinct's path is in-window via dq_report /
         # --- table_profile; it yielded its slot to semantic_dedup
         "count_distinct": _q_count_distinct,
+        # --- global_means' global-agg path is unpivot_means' (in
+        # --- window); it yielded its slot to curation_pipeline
+        "global_means": _q_global_means,
         "salted_revenue_by_segment": _q_salted_revenue_by_segment,
         "order_snapshot_diff": _q_order_snapshot_diff,
         "value_percentiles": _q_value_percentiles,
@@ -4407,6 +4574,68 @@ def _oracle_sql_literal() -> dict[str, str]:
             FROM p a JOIN p b ON a.ph = b.ph AND a.source < b.source
             GROUP BY 1, 2
         """,
+        "curation_pipeline": rf"""
+            WITH fp AS (
+                SELECT doc_id, source, text,
+                       md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+                           AS f
+                FROM documents WHERE text IS NOT NULL
+            ),
+            keep AS (SELECT min(doc_id) AS doc_id FROM fp GROUP BY f),
+            surv AS (
+                SELECT fp.doc_id, fp.source, fp.text
+                FROM fp JOIN keep USING (doc_id)
+            ),
+            t AS (
+                SELECT doc_id, source, {_TOKS} AS toks FROM surv
+            ),
+            feats AS (
+                SELECT doc_id, source,
+                       ('0x' || substr(md5('dsir:v1' || feat), 1, 7))::BIGINT
+                           % 1024 AS b
+                FROM (
+                    SELECT doc_id, source, tt FROM t, UNNEST(toks) AS u(tt)
+                    UNION ALL
+                    SELECT doc_id, source, toks[i+1] || ' ' || toks[i+2]
+                    FROM t, UNNEST(range(0, len(toks) - 1)) AS u(i)
+                ) ff(doc_id, source, feat)
+            ),
+            craw AS (SELECT b, count(*) AS c FROM feats GROUP BY b),
+            ctgt AS (
+                SELECT b, count(*) AS c FROM feats
+                WHERE source = 'src0' GROUP BY b
+            ),
+            w AS (
+                SELECT craw.b,
+                       (coalesce(ctgt.c, 0) * 1000000) // craw.c AS w
+                FROM craw LEFT JOIN ctgt ON craw.b = ctgt.b
+            ),
+            scored AS (
+                SELECT f.doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+                       CAST(sum(w.w) // count(*) AS BIGINT)
+                           AS affinity_micros
+                FROM feats f JOIN w ON f.b = w.b
+                GROUP BY f.doc_id
+            ),
+            wts AS (
+                SELECT doc_id, n_feats, affinity_micros,
+                       md5('pps:v1' || CAST(doc_id AS VARCHAR)) AS h
+                FROM scored
+                WHERE doc_id IS NOT NULL AND affinity_micros > 0
+            ),
+            cc AS (
+                SELECT doc_id, n_feats, affinity_micros,
+                       sum(affinity_micros) OVER (ORDER BY h, doc_id
+                           ROWS UNBOUNDED PRECEDING) AS cum
+                FROM wts
+            ),
+            tot AS (SELECT sum(affinity_micros) AS total FROM wts)
+            SELECT doc_id, n_feats, affinity_micros,
+                   CAST((cum * 50) // total AS BIGINT) AS sample_rank
+            FROM cc, tot
+            WHERE (cum * 50) // total
+                  > ((cum - affinity_micros) * 50) // total
+        """,
         "semantic_dedup": """
             WITH m AS (
                 SELECT vec_id, list_transform(embedding::DOUBLE[],
@@ -4446,6 +4675,206 @@ def _oracle_sql_literal() -> dict[str, str]:
             SELECT a.vec_id, CAST(a.cid AS INTEGER) AS cluster_id,
                    CASE WHEN h.vec_id IS NULL THEN 1 ELSE 0 END AS keep
             FROM assign a LEFT JOIN hits h ON a.vec_id = h.vec_id
+        """,
+        "bigram_lm": rf"""
+            WITH t AS (
+                SELECT doc_id, source, {_TOKS} AS toks
+                FROM documents WHERE text IS NOT NULL
+            ),
+            big AS (
+                SELECT doc_id, source,
+                       toks[i+1] AS w1, toks[i+2] AS w2
+                FROM t, UNNEST(range(0, len(toks) - 1)) AS u(i)
+            ),
+            c12 AS (
+                SELECT w1, w2, count(*) AS c12 FROM big
+                WHERE source = 'src0' GROUP BY w1, w2
+            ),
+            c1 AS (
+                SELECT w1, count(*) AS c1 FROM big
+                WHERE source = 'src0' GROUP BY w1
+            ),
+            v AS (
+                SELECT count(DISTINCT tt) AS v
+                FROM t, UNNEST(toks) AS u(tt)
+                WHERE source = 'src0'
+            )
+            SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+                   CAST(sum(((coalesce(c12.c12, 0) + 1) * 1000000)
+                            // (coalesce(c1.c1, 0) + v.v))
+                        // count(*) AS BIGINT) AS lm_score_micros
+            FROM big b
+            LEFT JOIN c12 ON b.w1 = c12.w1 AND b.w2 = c12.w2
+            LEFT JOIN c1 ON b.w1 = c1.w1
+            CROSS JOIN v
+            GROUP BY b.doc_id
+        """,
+        "pq_codes": """
+            WITH mq AS (
+                SELECT vec_id, list_transform(embedding::DOUBLE[],
+                           x -> floor(x * 1000000.0 + 0.5)) AS me
+                FROM embeddings
+            ),
+            cb AS (
+                SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code,
+                       me AS ce
+                FROM (SELECT * FROM mq ORDER BY vec_id LIMIT 16)
+            ),
+            subs AS (
+                SELECT vec_id, j, list_slice(me, j*8 + 1, j*8 + 8) AS sv
+                FROM mq, UNNEST(range(0, 8)) AS u(j)
+            ),
+            csubs AS (
+                SELECT code, j, list_slice(ce, j*8 + 1, j*8 + 8) AS cv
+                FROM cb, UNNEST(range(0, 8)) AS u(j)
+            )
+            -- pq_encode mirror: argmin squared L2, ties -> LOWEST code
+            -- (array_min over (dist, code) structs); the dot-identity
+            -- form equals Spark's zip_with sum-of-squares exactly
+            -- because every intermediate is an integer < 2^53
+            SELECT vec_id, CAST(j AS INTEGER) AS subspace, code FROM (
+                SELECT s.vec_id, s.j, CAST(c.code AS INTEGER) AS code,
+                       row_number() OVER (
+                           PARTITION BY s.vec_id, s.j ORDER BY
+                               list_dot_product(s.sv, s.sv)
+                               - 2 * list_dot_product(s.sv, c.cv)
+                               + list_dot_product(c.cv, c.cv) ASC,
+                               c.code ASC
+                       ) AS rn
+                FROM subs s JOIN csubs c ON s.j = c.j
+            ) WHERE rn = 1
+        """,
+        "pq_topk_adc": """
+            WITH mq AS (
+                SELECT vec_id, list_transform(embedding::DOUBLE[],
+                           x -> floor(x * 1000000.0 + 0.5)) AS me
+                FROM embeddings
+            ),
+            cb AS (
+                SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code,
+                       me AS ce
+                FROM (SELECT * FROM mq ORDER BY vec_id LIMIT 16)
+            ),
+            subs AS (
+                SELECT vec_id, j, list_slice(me, j*8 + 1, j*8 + 8) AS sv
+                FROM mq, UNNEST(range(0, 8)) AS u(j)
+            ),
+            csubs AS (
+                SELECT code, j, list_slice(ce, j*8 + 1, j*8 + 8) AS cv
+                FROM cb, UNNEST(range(0, 8)) AS u(j)
+            ),
+            enc AS (
+                SELECT vec_id, j, code FROM (
+                    SELECT s.vec_id, s.j, c.code, row_number() OVER (
+                        PARTITION BY s.vec_id, s.j ORDER BY
+                            list_dot_product(s.sv, s.sv)
+                            - 2 * list_dot_product(s.sv, c.cv)
+                            + list_dot_product(c.cv, c.cv) ASC,
+                            c.code ASC
+                    ) AS rn
+                    FROM subs s JOIN csubs c ON s.j = c.j
+                ) WHERE rn = 1
+            ),
+            q AS (
+                SELECT vec_id AS qid, j, sv AS qv FROM subs
+                WHERE vec_id < 5
+            ),
+            lut AS (
+                SELECT q.qid, c.j, c.code,
+                       list_dot_product(q.qv, q.qv)
+                       - 2 * list_dot_product(q.qv, c.cv)
+                       + list_dot_product(c.cv, c.cv) AS d2
+                FROM q JOIN csubs c ON q.j = c.j
+            ),
+            adc AS (
+                SELECT l.qid, e.vec_id, CAST(sum(l.d2) AS BIGINT) AS adc_dist
+                FROM enc e JOIN lut l ON l.j = e.j AND l.code = e.code
+                GROUP BY l.qid, e.vec_id
+            )
+            SELECT qid, vec_id, adc_dist FROM (
+                SELECT qid, vec_id, adc_dist, row_number() OVER (
+                    PARTITION BY qid ORDER BY adc_dist ASC, vec_id ASC
+                ) AS rn
+                FROM adc
+            ) WHERE rn <= 10
+        """,
+        "pq_recall": """
+            WITH mq AS (
+                SELECT vec_id, list_transform(embedding::DOUBLE[],
+                           x -> floor(x * 1000000.0 + 0.5)) AS me
+                FROM embeddings
+            ),
+            cb AS (
+                SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code,
+                       me AS ce
+                FROM (SELECT * FROM mq ORDER BY vec_id LIMIT 16)
+            ),
+            subs AS (
+                SELECT vec_id, j, list_slice(me, j*8 + 1, j*8 + 8) AS sv
+                FROM mq, UNNEST(range(0, 8)) AS u(j)
+            ),
+            csubs AS (
+                SELECT code, j, list_slice(ce, j*8 + 1, j*8 + 8) AS cv
+                FROM cb, UNNEST(range(0, 8)) AS u(j)
+            ),
+            enc AS (
+                SELECT vec_id, j, code FROM (
+                    SELECT s.vec_id, s.j, c.code, row_number() OVER (
+                        PARTITION BY s.vec_id, s.j ORDER BY
+                            list_dot_product(s.sv, s.sv)
+                            - 2 * list_dot_product(s.sv, c.cv)
+                            + list_dot_product(c.cv, c.cv) ASC,
+                            c.code ASC
+                    ) AS rn
+                    FROM subs s JOIN csubs c ON s.j = c.j
+                ) WHERE rn = 1
+            ),
+            qs AS (
+                SELECT vec_id AS qid, j, sv AS qv FROM subs
+                WHERE vec_id < 5
+            ),
+            qfull AS (SELECT vec_id AS qid, me AS qe FROM mq WHERE vec_id < 5),
+            lut AS (
+                SELECT q.qid, c.j, c.code,
+                       list_dot_product(q.qv, q.qv)
+                       - 2 * list_dot_product(q.qv, c.cv)
+                       + list_dot_product(c.cv, c.cv) AS d2
+                FROM qs q JOIN csubs c ON q.j = c.j
+            ),
+            adc AS (
+                SELECT qid, vec_id FROM (
+                    SELECT l.qid, e.vec_id, row_number() OVER (
+                        PARTITION BY l.qid
+                        ORDER BY sum(l.d2) ASC, e.vec_id ASC
+                    ) AS rn
+                    FROM enc e JOIN lut l ON l.j = e.j AND l.code = e.code
+                    GROUP BY l.qid, e.vec_id
+                ) WHERE rn <= 10
+            ),
+            -- exact squared-L2 top-10: the fair ground truth (PQ
+            -- approximates L2, not cosine)
+            bf AS (
+                SELECT qid, vec_id FROM (
+                    SELECT q.qid, e.vec_id, row_number() OVER (
+                        PARTITION BY q.qid ORDER BY
+                            list_dot_product(e.me, e.me)
+                            - 2 * list_dot_product(e.me, q.qe)
+                            + list_dot_product(q.qe, q.qe) ASC,
+                            e.vec_id ASC
+                    ) AS rn
+                    FROM qfull q CROSS JOIN mq e
+                ) WHERE rn <= 10
+            ),
+            h AS (
+                SELECT count(*) AS n_hits
+                FROM adc JOIN bf USING (qid, vec_id)
+            )
+            SELECT (SELECT count(DISTINCT qid) FROM qfull) AS n_queries,
+                   h.n_hits,
+                   (h.n_hits * 1000000)
+                       // ((SELECT count(DISTINCT qid) FROM qfull) * 10)
+                       AS recall_micros
+            FROM h
         """,
         "incremental_neardup": rf"""
             WITH toks AS (

@@ -1062,20 +1062,50 @@ def semantic_dedup(
         .localCheckpoint()
     )
     thr_micros = int(round(threshold * 10 ** scale))
-    a = assigned.select(
-        F.col("_id").alias("_ida"), F.col("cluster_id").alias("_ca"), F.col("_m").alias("_ma")
-    )
-    b = assigned.select(
-        F.col("_id").alias("_idb"), F.col("cluster_id").alias("_cb"), F.col("_m").alias("_mb")
-    )
-    sim_units = F.floor(
-        cosine(F.col("_ma"), F.col("_mb")) * F.lit(float(10 ** scale)) + F.lit(0.5)
+
+    def hit_flag(x):
+        # smaller-id cluster-mate above threshold?  EXISTS
+        # short-circuits, so a doc duplicated early in the member
+        # list stops scanning
+        return F.exists(
+            F.col("_mem"),
+            lambda y: (y.getField("_id") < x.getField("_id"))
+            & (
+                F.floor(
+                    cosine(x.getField("_m"), y.getField("_m"))
+                    * F.lit(float(10 ** scale))
+                    + F.lit(0.5)
+                )
+                >= F.lit(thr_micros)
+            ),
+        )
+
+    # the minhash_lsh_candidates idiom: ONE shuffle of n (id, vec)
+    # rows into per-cluster member lists, pairwise cosines evaluated
+    # IN-expression inside each cluster row — a pair self-join instead
+    # shuffles two d-dim vectors per pair row (sum(c_i^2) * 2d values,
+    # measured spilling at 16x) where this shuffles each vector once.
+    # Memory bound per group is c_i*(d+1) values — the SemDeDup
+    # cluster-granularity premise is what keeps c_i small.
+    clusters = assigned.groupBy("cluster_id").agg(
+        F.collect_list(F.struct("_id", "_m")).alias("_mem")
     )
     hits = (
-        a.join(b, (F.col("_ca") == F.col("_cb")) & (F.col("_ida") < F.col("_idb")))
-        .filter(sim_units >= F.lit(thr_micros))
-        .select(F.col("_idb").alias("_hit"))
-        .distinct()
+        clusters.select(
+            F.explode(
+                F.filter(
+                    F.transform(
+                        "_mem",
+                        lambda x: F.struct(
+                            x.getField("_id").alias("_hit"),
+                            hit_flag(x).alias("_is_hit"),
+                        ),
+                    ),
+                    lambda s: s.getField("_is_hit"),
+                )
+            ).alias("_h")
+        )
+        .select(F.col("_h").getField("_hit").alias("_hit"))
     )
     return (
         assigned.join(hits, assigned["_id"] == hits["_hit"], "left")
@@ -1084,4 +1114,196 @@ def semantic_dedup(
             "cluster_id",
             F.when(F.col("_hit").isNull(), F.lit(1)).otherwise(F.lit(0)).alias("keep"),
         )
+    )
+
+
+def _sq_l2(a: Column, b: Sequence[float]) -> Column:
+    """Squared L2 distance between an array column and a literal
+    vector — one fused ``zip_with``/``aggregate`` pass, pure JVM.
+    On integer-micros components every intermediate (products
+    <= 4e12, sums <= d * 4e12) is an exactly-representable double,
+    so the result is bit-identical to DuckDB's
+    ``dot(a,a) - 2*dot(a,b) + dot(b,b)`` form regardless of
+    summation order."""
+    return F.aggregate(
+        F.zip_with(_as_double_array(a), vec_lit(b), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _dlit(v: float) -> str:
+    """SQL DOUBLE literal (Spark parses bare decimals as DECIMAL)."""
+    f = float(v)
+    return f"{int(f)}D" if f == int(f) else f"{f!r}D"
+
+
+def pq_codebooks(
+    df: DataFrame,
+    id_col: str,
+    emb_col: str,
+    n_subspaces: int = 8,
+    n_codes: int = 16,
+) -> np.ndarray:
+    """Deterministic product-quantization codebooks (Jegou et al.
+    2011, "Product quantization for nearest neighbor search"): split
+    the embedding into ``n_subspaces`` contiguous subvectors; the
+    codebook of subspace ``j`` is the j-th subvector of each of the
+    first ``n_codes`` vectors by id — the same sampled-init rule as
+    :func:`ivf_centroids` (codebook quality shifts the
+    distortion/recall trade-off, never correctness, and Lloyd
+    refinement can be layered on exactly like
+    :func:`ivf_centroids_kmeans`).  Returns shape
+    ``(n_subspaces, n_codes, sub_dim)``; the driver holds
+    ``n_codes x dim`` values only."""
+    base = ivf_centroids(df, id_col, emb_col, n_codes)  # (n_codes, dim)
+    dim = base.shape[1]
+    if dim % n_subspaces:
+        raise ValueError(
+            f"pq_codebooks: dim {dim} not divisible by n_subspaces {n_subspaces}"
+        )
+    sub = dim // n_subspaces
+    # (n_codes, m, sub) -> (m, n_codes, sub)
+    return base.reshape(base.shape[0], n_subspaces, sub).transpose(1, 0, 2)
+
+
+def pq_encode(
+    df: DataFrame,
+    id_col: str,
+    emb_col: str,
+    codebooks: np.ndarray,
+    out_col: str = "codes",
+) -> DataFrame:
+    """Attach each vector's PQ code word: per subspace, the id of the
+    nearest codebook entry by squared L2 (ties -> LOWEST code id via
+    ``array_min`` over (dist, code) structs).
+
+    Scale shape: ZERO shuffle — the per-subspace argmin is an in-scan
+    JVM expression against broadcast codebook literals (m=8 subspaces
+    x 16 codes x 8-dim distances ~ 1k multiply terms, half the
+    expression mass of the flat k=32 IVF argmax that whole-stage
+    codegen still compiles).  At 100 TB the 64-float embedding
+    column (256 B) compresses to m bytes of codes written once as a
+    stored column; every downstream ADC query scans codes only, an
+    ~m/(4d) I/O cut, and never touches the raw vectors."""
+    m, n_codes, sub = codebooks.shape
+    if "_pqe" in df.columns:
+        raise ValueError("pq_encode: input must not carry reserved column _pqe")
+    # argmin_c ||s - c||^2 == argmin_c (c.c - 2 s.c): the s.s term is
+    # constant per subspace, so dropping it preserves the argmin AND
+    # every tie (exact integers, equal shift).  The whole projection
+    # is generated as ONE SQL string per subspace — building 1k
+    # multiply terms as Column objects costs thousands of py4j
+    # round-trips (~5 s of driver time per call, measured); the
+    # parser builds the same tree JVM-side in milliseconds.  The
+    # unrolled scalar multiply-adds stay inside whole-stage codegen.
+    def subspace_expr(j: int) -> str:
+        structs = []
+        for c in range(n_codes):
+            cb = codebooks[j][c]
+            dot = " + ".join(
+                f"_pqe[{j * sub + i}] * {_dlit(cb[i])}" for i in range(sub)
+            )
+            dist = f"{_dlit(np.dot(cb, cb))} - 2.0D * ({dot})"
+            structs.append(f"named_struct('dist', {dist}, 'code', {c})")
+        return f"array_min(array({', '.join(structs)})).code"
+    return (
+        df.withColumn("_pqe", _as_double_array(emb_col))
+        .withColumn(out_col, F.array(*[F.expr(subspace_expr(j)) for j in range(m)]))
+        .drop("_pqe")
+    )
+
+
+def pq_adc_lut(query_vec: Sequence[float], codebooks: np.ndarray) -> np.ndarray:
+    """Asymmetric-distance lookup table for one query: shape
+    ``(m, n_codes)`` of int64 squared-L2 distances between the
+    query's j-th subvector and codebook entry (j, c) — tiny
+    (m x n_codes values) and exact on integer-micros inputs."""
+    m, n_codes, sub = codebooks.shape
+    q = np.asarray(list(query_vec), dtype=np.int64).reshape(m, sub)
+    cb = codebooks.astype(np.int64)
+    d = cb - q[:, None, :]
+    return np.einsum("mcs,mcs->mc", d, d)
+
+
+def pq_adc_topk(
+    df: DataFrame,
+    id_col: str,
+    emb_col: str,
+    query_vec: Sequence[float],
+    codebooks: np.ndarray,
+    k: int = 10,
+    codes_col: str | None = None,
+) -> DataFrame:
+    """Approximate top-k by asymmetric distance computation: encode
+    (or reuse a stored ``codes_col``), then distance(query, doc) =
+    sum_j LUT[j][code_j] — m integer lookups per row, no vector math
+    at query time.  Plan is scan -> project -> TakeOrderedAndProject:
+    zero shuffle, and with codes stored the scan reads m bytes per
+    row instead of the embedding column."""
+    lut = pq_adc_lut(query_vec, codebooks)
+    if codes_col is None:
+        df = pq_encode(df, id_col, emb_col, codebooks, out_col="_pqc")
+        codes_col = "_pqc"
+    # one generated SQL expression (constant-folded literal arrays
+    # indexed by the code column) for the same py4j-chattiness reason
+    # as pq_encode
+    dist = " + ".join(
+        f"(array({', '.join(str(int(v)) + 'L' for v in lut[j])}))"
+        f"[`{codes_col}`[{j}]]"
+        for j in range(lut.shape[0])
+    )
+    scored = df.select(
+        F.col(id_col), F.expr(f"CAST({dist} AS BIGINT)").alias("adc_dist")
+    )
+    return scored.orderBy(F.asc("adc_dist"), F.col(id_col)).limit(k)
+
+
+def pq_adc_knn(
+    df: DataFrame,
+    id_col: str,
+    emb_col: str,
+    queries: Sequence[tuple[int, Sequence[float]]],
+    codebooks: np.ndarray,
+    k: int = 10,
+) -> DataFrame:
+    """Batched ADC top-k for a SMALL query set (the :func:`knn_join`
+    shape, PQ edition): encode the corpus once, evaluate every query's
+    LUT distance in the same scan, explode to (qid, id, dist) triples,
+    rank per query with one window.
+
+    vs per-query :func:`pq_adc_topk` branches: q separate branches
+    replan + recompile the 1k-term encode expression per query
+    (measured ~1.5 s of driver/codegen time EACH), and scan the corpus
+    q times; this form pays all of that once.  The price is one
+    shuffle of q*n skinny triples into q window partitions — right
+    whenever q is small and dwarfed by scan/codegen cost.  For a
+    single ad-hoc query, or q large enough that q*n triples outweigh
+    re-scans, the zero-shuffle per-query TakeOrdered form wins.
+    Returns (qid long, `id_col`, adc_dist long)."""
+    from pyspark.sql import Window
+
+    enc = pq_encode(df, id_col, emb_col, codebooks, out_col="_pqc")
+    m = codebooks.shape[0]
+    structs = []
+    for qid, qv in queries:
+        lut = pq_adc_lut(qv, codebooks)
+        dist = " + ".join(
+            f"(array({', '.join(str(int(v)) + 'L' for v in lut[j])}))"
+            f"[_pqc[{j}]]"
+            for j in range(m)
+        )
+        structs.append(
+            f"named_struct('qid', {int(qid)}L, "
+            f"'adc_dist', CAST({dist} AS BIGINT))"
+        )
+    stacked = enc.select(
+        F.col(id_col),
+        F.expr(f"explode(array({', '.join(structs)}))").alias("_q"),
+    ).select("_q.qid", id_col, "_q.adc_dist")
+    w = Window.partitionBy("qid").orderBy(F.asc("adc_dist"), F.col(id_col))
+    return (
+        stacked.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
     )

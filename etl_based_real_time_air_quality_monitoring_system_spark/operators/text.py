@@ -799,3 +799,91 @@ def target_affinity(
             F.expr("_sw div n_feats").alias("affinity_micros"),
         )
     )
+
+
+def bigram_lm_score(
+    df: DataFrame,
+    ref: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    scale: int = 10 ** 6,
+) -> DataFrame:
+    """Bigram language-model fluency screen — the CCNet quality filter
+    (Wenzek et al. 2020, "CCNet: Extracting High Quality Monolingual
+    Datasets from Web Crawl Data"): train a small LM on a HIGH-QUALITY
+    reference corpus, score every crawl document by how probable its
+    word sequences are under it, and filter/stratify on the score.
+
+    Exactness over perplexity (the ``tfidf_terms`` /
+    ``target_affinity`` precedent): CCNet ranks by the geometric mean
+    of token probabilities, whose ``ln`` is not bit-stable across
+    engines.  Here each adjacent bigram gets an add-one-smoothed
+    conditional probability in EXACT integer micros —
+    ``((c12 + 1) * scale) div (c1 + V)`` with c12 = reference count of
+    the bigram, c1 = reference count of the prefix word, V = reference
+    vocabulary size — and a doc scores the floor-mean of its bigram
+    probabilities.  The arithmetic mean ranks fluent text above
+    gibberish just like the geometric mean (dominated by the same
+    zero-count mass), and every value is BIGINT — deterministic,
+    oracle-checkable, ordering-stable.
+
+    Returns (id_col, n_bigrams, lm_score_micros), one row per doc
+    with >= 1 bigram (sub-2-token docs have no sequence evidence and
+    are emitted by neither engine).
+
+    Plan shape at 100 TB: both corpora are tokenized in-scan and
+    reduced to count tables that are VOCABULARY-sized, not
+    corpus-sized (bigram counts map-side combine before the shuffle);
+    the corpus bigram stream then equi-joins the two count tables on
+    well-spread word keys — broadcastable when the reference is small
+    (the CCNet setup: the optimizer/AQE picks this up from the count
+    table's actual size), plain shuffle joins otherwise — and rolls up
+    per doc.  Raw text never shuffles.  For a bounded-memory variant,
+    cut the reference to its top-K bigrams first (the ``oov_rate``
+    broadcast precedent) — unseen bigrams already take the smoothed
+    floor probability, so a cut only sharpens the screen.
+    """
+    def bigrams(frame: DataFrame, cols: list) -> DataFrame:
+        t = tokens(text)
+        tail = F.greatest(F.size(t) - 1, F.lit(0))
+        pairs = F.zip_with(
+            F.slice(t, 1, tail),
+            F.slice(t, 2, tail),
+            lambda a, b: F.struct(a.alias("_w1"), b.alias("_w2")),
+        )
+        return frame.select(*cols, F.explode(pairs).alias("_p")).select(
+            *cols, F.col("_p._w1").alias("_w1"), F.col("_p._w2").alias("_w2")
+        )
+
+    ref_toks = spread_small_input(ref.select(text))
+    ref_bi = bigrams(ref_toks, [])
+    c12 = ref_bi.groupBy("_w1", "_w2").agg(F.count("*").alias("_c12"))
+    c1 = ref_bi.groupBy("_w1").agg(F.count("*").alias("_c1"))
+    vocab = ref_toks.select(
+        F.explode(tokens(text)).alias("_w")
+    ).agg(F.count_distinct("_w").alias("_v"))
+
+    doc_bi = bigrams(
+        spread_small_input(df.select(id_col, text)), [id_col]
+    )
+    p = (
+        doc_bi.join(c12, ["_w1", "_w2"], "left")
+        .join(c1, "_w1", "left")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            id_col,
+            F.expr(
+                f"((coalesce(_c12, 0L) + 1) * {int(scale)}) "
+                f"div (coalesce(_c1, 0L) + _v)"
+            ).alias("_p"),
+        )
+    )
+    return (
+        p.groupBy(id_col)
+        .agg(F.count("*").alias("n_bigrams"), F.sum("_p").alias("_sp"))
+        .select(
+            id_col,
+            "n_bigrams",
+            F.expr("_sp div n_bigrams").alias("lm_score_micros"),
+        )
+    )

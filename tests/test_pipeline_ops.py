@@ -1099,3 +1099,43 @@ def test_scd2_history_interval_invariants(spark):
                 assert not a["is_current"]
 
     check()
+
+
+def test_bigram_lm_score_hand_computed(spark):
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.text import bigram_lm_score
+
+    ref = spark.createDataFrame(
+        [(100, "a b"), (101, "a b c")], "doc_id long, text string"
+    )
+    corpus = spark.createDataFrame(
+        [(1, "a b z"), (2, "q r"), (3, "solo")],
+        "doc_id long, text string",
+    )
+    got = {
+        int(r["doc_id"]): (int(r["n_bigrams"]), int(r["lm_score_micros"]))
+        for r in bigram_lm_score(corpus, ref).collect()
+    }
+    # ref counts: c12(a,b)=2, c12(b,c)=1; c1(a)=2, c1(b)=1; V=3
+    # doc 1: p(a,b)=(2+1)*1e6//(2+3)=600000, p(b,z)=(0+1)*1e6//(1+3)=250000
+    #        mean = 850000//2 = 425000
+    # doc 2: p(q,r)=(0+1)*1e6//(0+3)=333333
+    # doc 3: single token -> no bigram evidence -> absent
+    assert got == {1: (2, 425000), 2: (1, 333333)}
+
+
+def test_bigram_lm_score_ranks_fluent_above_gibberish(spark):
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.text import bigram_lm_score
+
+    ref = spark.createDataFrame(
+        [(0, "the cat sat on the mat"), (1, "the dog sat on the rug")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [(1, "the cat sat on the rug"), (2, "rug the on cat mat dog")],
+        "doc_id long, text string",
+    )
+    got = {
+        int(r["doc_id"]): int(r["lm_score_micros"])
+        for r in bigram_lm_score(corpus, ref).collect()
+    }
+    assert got[1] > got[2]

@@ -619,3 +619,37 @@ def test_version_guarded_merge_never_shuffles_snapshot(spark, sf_dir, tmp_path):
     assert p.count("BroadcastHashJoin") >= 2
     assert "SortMergeJoin" not in p
     assert n_key_shuffles(p) == 0, f"snapshot shuffled:\n{p[:1500]}"
+
+
+def test_pq_codes_zero_shuffle_no_python(spark, sf_dir):
+    """PQ encode is an in-scan expression against broadcast codebook
+    LITERALS: zero data-volume shuffles (the codes column streams out
+    of the scan), no Python, no join — the shape that lets a 100 TB
+    corpus be quantized in one pass and stored as an m-byte column."""
+    q = entrymod.queries()["pq_codes"](spark, sf_dir)
+    p = plan(q)
+    assert n_key_shuffles(p) == 0, f"expected 0 shuffles: {n_key_shuffles(p)}"
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "Join" not in p
+
+
+def test_pq_adc_knn_single_window_shuffle_no_python(spark, sf_dir):
+    """Batched ADC top-k: encode + all query LUT distances evaluate
+    in the SAME scan; the only exchange is the per-query window rank
+    over (qid, id, dist) triples.  No cartesian, no Python, and no
+    second scan per query."""
+    q = entrymod.queries()["pq_topk_adc"](spark, sf_dir)
+    p = plan(q)
+    assert n_key_shuffles(p) == 1, f"expected 1 shuffle: {n_key_shuffles(p)}"
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "CartesianProduct" not in p and "Join" not in p
+
+
+def test_bigram_lm_no_python_no_cartesian(spark, sf_dir):
+    """CCNet LM screen: count tables are vocabulary-sized equi-join
+    sides (never a cartesian pair expansion), the 1-row vocab total is
+    a broadcast, and everything stays JVM-side."""
+    q = entrymod.queries()["bigram_lm"](spark, sf_dir)
+    p = plan(q)
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "CartesianProduct" not in p

@@ -472,3 +472,130 @@ def test_semantic_dedup_two_level_matches_flat_on_singleton_groups(spark):
     )
     assert flat == two
     assert [k for _, _, k in flat] == [1, 1, 0, 0, 1]
+
+
+# ---------------------------------------------------------------- PQ
+
+
+@pytest.fixture(scope="module")
+def memb(emb):
+    # integer-micros quantization: makes every squared-L2 an exact
+    # integer so the numpy mirrors below are bit-identical
+    return emb.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x: F.floor(x * F.lit(1000000.0) + F.lit(0.5)),
+        ).alias("embedding"),
+    ).cache()
+
+
+def _np_vectors(memb):
+    rows = memb.select("vec_id", "embedding").orderBy("vec_id").collect()
+    ids = [int(r["vec_id"]) for r in rows]
+    mat = np.array([list(r["embedding"]) for r in rows], dtype=np.int64)
+    return ids, mat
+
+
+def _np_codes(mat, cb):
+    m, n_codes, sub = cb.shape
+    codes = np.empty((mat.shape[0], m), dtype=int)
+    for j in range(m):
+        s = mat[:, j * sub : (j + 1) * sub].astype(np.int64)
+        d = ((s[:, None, :] - cb[j][None].astype(np.int64)) ** 2).sum(axis=2)
+        codes[:, j] = d.argmin(axis=1)  # argmin takes FIRST min = lowest code
+    return codes
+
+
+def test_pq_codebooks_shape_and_source(memb):
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.similarity import (
+        pq_codebooks,
+    )
+
+    cb = pq_codebooks(memb, "vec_id", "embedding", n_subspaces=8, n_codes=16)
+    assert cb.shape == (8, 16, 8)
+    ids, mat = _np_vectors(memb)
+    # codebook (j, c) IS the j-th subvector of the c-th first vector
+    first16 = mat[np.argsort(ids)[:16]]
+    np.testing.assert_array_equal(
+        cb.reshape(8, 16, 8).transpose(1, 0, 2).reshape(16, 64), first16
+    )
+
+
+def test_pq_encode_matches_numpy(memb):
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.similarity import (
+        pq_codebooks,
+        pq_encode,
+    )
+
+    cb = pq_codebooks(memb, "vec_id", "embedding", n_subspaces=8, n_codes=16)
+    got = {
+        int(r["vec_id"]): list(r["codes"])
+        for r in pq_encode(memb, "vec_id", "embedding", cb).collect()
+    }
+    ids, mat = _np_vectors(memb)
+    want = _np_codes(mat, cb)
+    assert len(got) == len(ids)
+    for i, vid in enumerate(ids):
+        assert got[vid] == list(want[i]), f"codes differ for vec {vid}"
+
+
+def test_pq_encode_reserved_column_raises(memb):
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.similarity import (
+        pq_codebooks,
+        pq_encode,
+    )
+
+    cb = pq_codebooks(memb, "vec_id", "embedding", n_subspaces=8, n_codes=16)
+    bad = memb.withColumn("_pqe", F.lit(1))
+    with pytest.raises(ValueError, match="_pqe"):
+        pq_encode(bad, "vec_id", "embedding", cb)
+
+
+def test_pq_adc_topk_matches_numpy(memb):
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.similarity import (
+        pq_adc_lut,
+        pq_adc_topk,
+        pq_codebooks,
+    )
+
+    cb = pq_codebooks(memb, "vec_id", "embedding", n_subspaces=8, n_codes=16)
+    ids, mat = _np_vectors(memb)
+    qv = mat[0]
+    lut = pq_adc_lut(qv, cb)
+    codes = _np_codes(mat, cb)
+    dists = lut[np.arange(8)[None, :], codes].sum(axis=1)
+    order = sorted(range(len(ids)), key=lambda i: (dists[i], ids[i]))[:10]
+    want = [(ids[i], int(dists[i])) for i in order]
+    got = [
+        (int(r["vec_id"]), int(r["adc_dist"]))
+        for r in pq_adc_topk(
+            memb, "vec_id", "embedding", [float(x) for x in qv], cb, k=10
+        ).collect()
+    ]
+    assert got == want
+
+
+def test_pq_adc_knn_matches_per_query_operator(memb):
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.similarity import (
+        pq_adc_knn,
+        pq_adc_topk,
+        pq_codebooks,
+    )
+
+    cb = pq_codebooks(memb, "vec_id", "embedding", n_subspaces=8, n_codes=16)
+    ids, mat = _np_vectors(memb)
+    queries = [(ids[i], [float(x) for x in mat[i]]) for i in range(3)]
+    batched = pq_adc_knn(memb, "vec_id", "embedding", queries, cb, k=5)
+    by_q = {}
+    for r in batched.collect():
+        by_q.setdefault(int(r["qid"]), []).append(
+            (int(r["vec_id"]), int(r["adc_dist"]))
+        )
+    for qid, qv in queries:
+        solo = [
+            (int(r["vec_id"]), int(r["adc_dist"]))
+            for r in pq_adc_topk(memb, "vec_id", "embedding", qv, cb, k=5).collect()
+        ]
+        assert sorted(by_q[qid]) == sorted(solo)
+        assert len(by_q[qid]) == 5

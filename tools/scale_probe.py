@@ -203,6 +203,8 @@ def probes(spark, sf_dir: str, factor: int) -> dict[str, tuple[DataFrame, int]]:
     )
     from etl_based_real_time_air_quality_monitoring_system_spark.operators.sampling import hash_bucket
     from etl_based_real_time_air_quality_monitoring_system_spark.operators.similarity import (
+        pq_codebooks,
+        pq_encode,
         semantic_dedup,
     )
     from etl_based_real_time_air_quality_monitoring_system_spark.operators.text import target_affinity
@@ -225,7 +227,22 @@ def probes(spark, sf_dir: str, factor: int) -> dict[str, tuple[DataFrame, int]]:
     semdedup = semantic_dedup(
         emb, "vec_id", "embedding", n_clusters=8 * factor, threshold=0.35
     )
+    # PQ encode: in-scan expression, zero shuffle — the probe measures
+    # raw per-row quantization throughput (fixed plan/codegen cost
+    # amortizes away with volume)
+    membp = emb.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x: F.floor(x * F.lit(1000000.0) + F.lit(0.5)),
+        ).alias("embedding"),
+    )
+    pq = pq_encode(
+        membp, "vec_id", "embedding",
+        pq_codebooks(membp, "vec_id", "embedding", 8, 16),
+    )
     return {
+        "pq_encode(embeddings)": (pq, n_emb),
         "target_affinity(documents)": (affinity, n_docs),
         "source_overlap_matrix(documents)": (overlap, n_docs),
         "incremental_neardup(documents 80/20)": (neardup, n_docs),
@@ -328,7 +345,13 @@ def main() -> None:
         "two-level coarse/fine assignment (O(n*2*sqrt(k)) cosines,",
         "constant-size codegen) — the flat k-wide argmax both does",
         "O(n*k) work and overflows whole-stage codegen into interpreted",
-        "eval (measured 5x slower at k=128 on 2k vectors).",
+        "eval (measured 5x slower at k=128 on 2k vectors).  The",
+        "within-cluster pairwise stage uses the minhash collect-list",
+        "idiom (members gathered per cluster, cosines in-expression):",
+        "a pair SELF-JOIN instead shuffles 2 d-dim vectors per pair",
+        "row and was measured spilling into a 4051 s/Mrow cliff at",
+        "16x; the member-list form shuffles each vector once (5-10x",
+        "faster at 16x, flat curve).",
         "",
         "| operator | factor | input rows | sec | sec/Mrow |",
         "|---|---|---|---|---|",
