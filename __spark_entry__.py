@@ -3607,6 +3607,28 @@ def _q_pq_recall(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_ivfpq_topk(spark: SparkSession, sf: str) -> DataFrame:
+    # IVF-PQ (IVFADC): coarse inverted lists by exact squared-L2,
+    # product quantization of the RESIDUALS, five-query probe-and-ADC
+    # search — the canonical billion-scale ANN index, and because
+    # every stage is integer-micros math (assignment, residuals,
+    # codes, LUTs, probe ranking) the whole approximate pipeline is
+    # exact-oracle-checkable end to end
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.similarity import (
+        ivfpq_adc_knn,
+        ivfpq_codebooks,
+    )
+
+    emb = _pq_micros_emb(spark, sf)
+    coarse, cb = ivfpq_codebooks(
+        emb, "vec_id", "embedding", n_coarse=8, n_subspaces=8, n_codes=16
+    )
+    return ivfpq_adc_knn(
+        emb, "vec_id", "embedding", _pq_gate_queries(emb), coarse, cb,
+        k=10, n_probe=4,
+    )
+
+
 def _q_incremental_neardup(spark: SparkSession, sf: str) -> DataFrame:
     # MinHash-LSH near-dup screen at ingest, folded over three arrival
     # batches (doc_id % 3): each batch is screened against the
@@ -4136,6 +4158,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_codes": _q_pq_codes,
         "pq_topk_adc": _q_pq_topk_adc,
         "pq_recall": _q_pq_recall,
+        "ivfpq_topk": _q_ivfpq_topk,
         "pps_sample": _q_pps_sample,
         "retrieval_ndcg": _q_retrieval_ndcg,
         "zorder_pruning": _q_zorder_pruning,
@@ -4875,6 +4898,98 @@ def _oracle_sql_literal() -> dict[str, str]:
                        // ((SELECT count(DISTINCT qid) FROM qfull) * 10)
                        AS recall_micros
             FROM h
+        """,
+        "ivfpq_topk": """
+            WITH mq AS (
+                SELECT vec_id, list_transform(embedding::DOUBLE[],
+                           x -> floor(x * 1000000.0 + 0.5)) AS me
+                FROM embeddings
+            ),
+            cc AS (
+                SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+                       me AS ce
+                FROM (SELECT * FROM mq ORDER BY vec_id LIMIT 8)
+            ),
+            -- coarse assign: argmin squared L2 (dot identity; the x.x
+            -- term is constant across centroids), ties -> LOWEST cid;
+            -- residual = x - centroid, exact integer components
+            assign AS (
+                SELECT vec_id, cid, re FROM (
+                    SELECT m.vec_id, c.cid,
+                           list_transform(range(1, len(m.me) + 1),
+                               i -> m.me[i] - c.ce[i]) AS re,
+                           row_number() OVER (
+                               PARTITION BY m.vec_id ORDER BY
+                                   list_dot_product(c.ce, c.ce)
+                                   - 2 * list_dot_product(m.me, c.ce) ASC,
+                                   c.cid ASC
+                           ) AS rn
+                    FROM mq m CROSS JOIN cc c
+                ) WHERE rn = 1
+            ),
+            rcb AS (
+                SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code,
+                       re AS ce
+                FROM (SELECT vec_id, re FROM assign ORDER BY vec_id LIMIT 16)
+            ),
+            rsubs AS (
+                SELECT vec_id, j, list_slice(re, j*8 + 1, j*8 + 8) AS sv
+                FROM assign, UNNEST(range(0, 8)) AS u(j)
+            ),
+            csubs AS (
+                SELECT code, j, list_slice(ce, j*8 + 1, j*8 + 8) AS cv
+                FROM rcb, UNNEST(range(0, 8)) AS u(j)
+            ),
+            enc AS (
+                SELECT vec_id, j, code FROM (
+                    SELECT s.vec_id, s.j, c.code, row_number() OVER (
+                        PARTITION BY s.vec_id, s.j ORDER BY
+                            list_dot_product(s.sv, s.sv)
+                            - 2 * list_dot_product(s.sv, c.cv)
+                            + list_dot_product(c.cv, c.cv) ASC,
+                            c.code ASC
+                    ) AS rn
+                    FROM rsubs s JOIN csubs c ON s.j = c.j
+                ) WHERE rn = 1
+            ),
+            q AS (SELECT vec_id AS qid, me AS qe FROM mq WHERE vec_id < 5),
+            probes AS (
+                SELECT qid, cid, ce FROM (
+                    SELECT q.qid, c.cid, c.ce, row_number() OVER (
+                        PARTITION BY q.qid ORDER BY
+                            list_dot_product(c.ce, c.ce)
+                            - 2 * list_dot_product(q.qe, c.ce) ASC,
+                            c.cid ASC
+                    ) AS rn
+                    FROM q CROSS JOIN cc c
+                ) WHERE rn <= 4
+            ),
+            qsubs AS (
+                SELECT p.qid, p.cid, j,
+                       list_slice(list_transform(range(1, len(q.qe) + 1),
+                           i -> q.qe[i] - p.ce[i]), j*8 + 1, j*8 + 8) AS qv
+                FROM probes p JOIN q USING (qid), UNNEST(range(0, 8)) AS u(j)
+            ),
+            lut AS (
+                SELECT qs.qid, qs.cid, cs.j, cs.code,
+                       list_dot_product(qs.qv, qs.qv)
+                       - 2 * list_dot_product(qs.qv, cs.cv)
+                       + list_dot_product(cs.cv, cs.cv) AS d2
+                FROM qsubs qs JOIN csubs cs ON qs.j = cs.j
+            ),
+            adc AS (
+                SELECT l.qid, a.vec_id, CAST(sum(l.d2) AS BIGINT) AS adc_dist
+                FROM assign a
+                JOIN enc e ON e.vec_id = a.vec_id
+                JOIN lut l ON l.cid = a.cid AND l.j = e.j AND l.code = e.code
+                GROUP BY l.qid, a.vec_id
+            )
+            SELECT qid, vec_id, adc_dist FROM (
+                SELECT qid, vec_id, adc_dist, row_number() OVER (
+                    PARTITION BY qid ORDER BY adc_dist ASC, vec_id ASC
+                ) AS rn
+                FROM adc
+            ) WHERE rn <= 10
         """,
         "incremental_neardup": rf"""
             WITH toks AS (

@@ -1307,3 +1307,143 @@ def pq_adc_knn(
         .filter(F.col("_rn") <= k)
         .drop("_rn")
     )
+
+
+def _l2_assign_expr(coarse: np.ndarray, emb_ref: str = "_pqe") -> str:
+    """Generated-SQL argmin-by-squared-L2 over coarse centroid
+    literals (ties -> LOWEST centroid id): the same dot-identity /
+    constant-term-drop trick as :func:`pq_encode`, full-dimension."""
+    structs = []
+    for cid, c in enumerate(coarse):
+        dot = " + ".join(
+            f"{emb_ref}[{i}] * {_dlit(c[i])}" for i in range(len(c))
+        )
+        dist = f"{_dlit(np.dot(c, c))} - 2.0D * ({dot})"
+        structs.append(f"named_struct('dist', {dist}, 'cid', {cid})")
+    return f"array_min(array({', '.join(structs)})).cid"
+
+
+def ivfpq_codebooks(
+    df: DataFrame,
+    id_col: str,
+    emb_col: str,
+    n_coarse: int = 8,
+    n_subspaces: int = 8,
+    n_codes: int = 16,
+) -> tuple[np.ndarray, np.ndarray]:
+    """IVF-PQ (IVFADC, Jegou et al. 2011 §V): a coarse quantizer
+    splits the corpus into inverted lists, and product quantization
+    encodes the RESIDUAL x - coarse(x) — residuals concentrate near
+    zero, so the same code budget spends its resolution where the
+    data actually is.  Returns (coarse centroids (n_coarse, d),
+    residual codebooks (m, n_codes, sub)), both derived
+    deterministically (first-k-by-id sampled init; codebook quality
+    shifts recall only, never correctness).  Coarse assignment is by
+    squared L2 (ties -> lowest id) — consistent with the ADC metric
+    and, on integer-micros inputs, exact in any engine."""
+    coarse = ivf_centroids(df, id_col, emb_col, n_coarse)
+    res = ivfpq_residuals(df, id_col, emb_col, coarse)
+    cb = pq_codebooks(
+        res.select(id_col, "_res"), id_col, "_res", n_subspaces, n_codes
+    )
+    return coarse, cb
+
+
+def ivfpq_residuals(
+    df: DataFrame, id_col: str, emb_col: str, coarse: np.ndarray
+) -> DataFrame:
+    """Attach (cluster_id, _res): nearest-coarse-centroid id by
+    squared L2 and the residual vector.  In-scan: the argmin is a
+    generated scalar expression, the residual one zip_with against
+    the centroid literal selected by cluster id — zero shuffle."""
+    if "_pqe" in df.columns or "_res" in df.columns:
+        raise ValueError("ivfpq_residuals: reserved columns _pqe/_res in input")
+    cc_lit = F.array(*[vec_lit(c) for c in coarse])
+    return (
+        df.withColumn("_pqe", _as_double_array(emb_col))
+        .withColumn("cluster_id", F.expr(_l2_assign_expr(coarse)))
+        .withColumn(
+            "_res",
+            F.zip_with(
+                F.col("_pqe"),
+                F.element_at(cc_lit, F.col("cluster_id") + 1),
+                lambda x, y: x - y,
+            ),
+        )
+        .drop("_pqe")
+    )
+
+
+def ivfpq_encode(
+    df: DataFrame,
+    id_col: str,
+    emb_col: str,
+    coarse: np.ndarray,
+    codebooks: np.ndarray,
+) -> DataFrame:
+    """(id, cluster_id, codes): the stored form of an IVF-PQ index —
+    at 100 TB this is written partitioned BY cluster_id (probes then
+    prune files, the inverted-list analog) with the m-byte code
+    column beside it; the raw embedding column is never read again."""
+    res = ivfpq_residuals(df, id_col, emb_col, coarse)
+    return pq_encode(res, id_col, "_res", codebooks).select(
+        id_col, "cluster_id", "codes"
+    )
+
+
+def ivfpq_adc_knn(
+    df: DataFrame,
+    id_col: str,
+    emb_col: str,
+    queries: Sequence[tuple[int, Sequence[float]]],
+    coarse: np.ndarray,
+    codebooks: np.ndarray,
+    k: int = 10,
+    n_probe: int = 4,
+) -> DataFrame:
+    """Batched IVF-PQ search: for each query, rank coarse centroids
+    by exact squared L2 (integer-micros -> deterministic, ties to the
+    lowest id), probe the ``n_probe`` nearest inverted lists, and
+    score ONLY their members by ADC against the per-(query, cluster)
+    residual LUT — distance(q, x) ~= sum_j LUT_qc[j][code_j] where
+    LUT_qc quantizes (q - centroid_c).  Scan shape mirrors
+    :func:`pq_adc_knn` (encode + every query's CASE-on-cluster LUT in
+    one scan, explode, one window); rows outside every probe emit
+    nothing.  With the index stored partitioned by cluster_id the
+    probe filter becomes partition pruning and the scan itself
+    shrinks by ~n_probe/n_coarse.  Returns (qid, id_col, adc_dist)."""
+    from pyspark.sql import Window
+
+    enc = ivfpq_encode(df, id_col, emb_col, coarse, codebooks)
+    m = codebooks.shape[0]
+    cc = coarse.astype(np.int64)
+    structs = []
+    for qid, qv in queries:
+        q = np.asarray(list(qv), dtype=np.int64)
+        d2c = ((cc - q[None, :]) ** 2).sum(axis=1)
+        probes = sorted(range(len(cc)), key=lambda c: (d2c[c], c))[:n_probe]
+        branches = []
+        for c in probes:
+            lut = pq_adc_lut(q - cc[c], codebooks)
+            dist = " + ".join(
+                f"(array({', '.join(str(int(v)) + 'L' for v in lut[j])}))"
+                f"[codes[{j}]]"
+                for j in range(m)
+            )
+            branches.append(f"WHEN {c} THEN CAST({dist} AS BIGINT)")
+        structs.append(
+            f"named_struct('qid', {int(qid)}L, 'adc_dist', "
+            f"CASE cluster_id {' '.join(branches)} ELSE NULL END)"
+        )
+    stacked = enc.select(
+        F.col(id_col),
+        F.expr(f"explode(array({', '.join(structs)}))").alias("_q"),
+    ).filter(F.col("_q.adc_dist").isNotNull()).select(
+        "_q.qid", id_col, "_q.adc_dist"
+    )
+    w = Window.partitionBy("qid").orderBy(F.asc("adc_dist"), F.col(id_col))
+    return (
+        stacked.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )

@@ -653,3 +653,17 @@ def test_bigram_lm_no_python_no_cartesian(spark, sf_dir):
     p = plan(q)
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
     assert "CartesianProduct" not in p
+
+
+def test_ivfpq_topk_single_window_shuffle_no_join_no_python(spark, sf_dir):
+    """IVF-PQ search: coarse assign, residual, encode and every
+    query's CASE-on-cluster LUT distance all evaluate in the SAME
+    scan (centroids and LUTs are literals, never a joined side); the
+    only exchange is the per-query window rank.  With the index
+    stored partitioned by cluster_id the probe filter becomes
+    partition pruning."""
+    q = entrymod.queries()["ivfpq_topk"](spark, sf_dir)
+    p = plan(q)
+    assert n_key_shuffles(p) == 1, f"expected 1 shuffle: {n_key_shuffles(p)}"
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "CartesianProduct" not in p and "Join" not in p

@@ -599,3 +599,68 @@ def test_pq_adc_knn_matches_per_query_operator(memb):
         ]
         assert sorted(by_q[qid]) == sorted(solo)
         assert len(by_q[qid]) == 5
+
+
+def test_ivfpq_adc_knn_matches_numpy(memb):
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.similarity import (
+        ivfpq_adc_knn,
+        ivfpq_codebooks,
+        pq_adc_lut,
+    )
+
+    coarse, cb = ivfpq_codebooks(
+        memb, "vec_id", "embedding", n_coarse=8, n_subspaces=8, n_codes=16
+    )
+    ids, mat = _np_vectors(memb)
+    cc = coarse.astype(np.int64)
+    # numpy mirror of the full pipeline
+    d2all = ((mat[:, None, :] - cc[None]) ** 2).sum(axis=2)
+    cid = d2all.argmin(axis=1)  # first min = lowest cid
+    resid = mat - cc[cid]
+    codes = _np_codes(resid, cb)
+    queries = [(ids[i], [float(x) for x in mat[i]]) for i in range(3)]
+    got_all = ivfpq_adc_knn(
+        memb, "vec_id", "embedding", queries, coarse, cb, k=10, n_probe=4
+    ).collect()
+    by_q = {}
+    for r in got_all:
+        by_q.setdefault(int(r["qid"]), []).append(
+            (int(r["vec_id"]), int(r["adc_dist"]))
+        )
+    for qi, (qid, _) in enumerate(queries):
+        q = mat[qi]
+        d2c = ((cc - q[None, :]) ** 2).sum(axis=1)
+        probes = sorted(range(len(cc)), key=lambda c: (d2c[c], c))[:4]
+        luts = {c: pq_adc_lut(q - cc[c], cb) for c in probes}
+        cand = [
+            (
+                int(luts[cid[i]][np.arange(8), codes[i]].sum()),
+                ids[i],
+            )
+            for i in range(len(ids))
+            if cid[i] in probes
+        ]
+        want = [(vid, d) for d, vid in sorted(cand)[:10]]
+        assert by_q[qid] == want, f"query {qid} mismatch"
+
+
+def test_ivfpq_residuals_assign_lowest_tie_and_exact(memb):
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.similarity import (
+        ivf_centroids,
+        ivfpq_residuals,
+    )
+
+    coarse = ivf_centroids(memb, "vec_id", "embedding", 8)
+    out = ivfpq_residuals(memb, "vec_id", "embedding", coarse)
+    rows = {int(r["vec_id"]): r for r in out.collect()}
+    ids, mat = _np_vectors(memb)
+    cc = coarse.astype(np.int64)
+    d2all = ((mat[:, None, :] - cc[None]) ** 2).sum(axis=2)
+    cid = d2all.argmin(axis=1)
+    for i in (0, 1, 7, len(ids) - 1):
+        vid = ids[i]
+        assert rows[vid]["cluster_id"] == cid[i]
+        np.testing.assert_array_equal(
+            np.asarray(list(rows[vid]["_res"]), dtype=np.int64),
+            mat[i] - cc[cid[i]],
+        )
