@@ -1447,3 +1447,58 @@ def ivfpq_adc_knn(
         .filter(F.col("_rn") <= k)
         .drop("_rn")
     )
+
+
+def pq_codebooks_kmeans(
+    df: DataFrame,
+    id_col: str,
+    emb_col: str,
+    n_subspaces: int = 8,
+    n_codes: int = 16,
+    iters: int = 3,
+    sample_fraction: float | None = None,
+) -> np.ndarray:
+    """Lloyd-refined PQ codebooks (the :func:`ivf_centroids_kmeans`
+    recipe per subspace): start from the deterministic first-k init
+    and run ``iters`` distributed k-means steps — encode (zero-shuffle
+    in-scan argmin over ALL subspaces at once) then per-(subspace,
+    code) mean via one posexplode -> groupBy aggregate.
+
+    Each iteration is one scan + one narrow (j, code, dim, sum/count)
+    shuffle bounded by m*k*sub cells; only m*k*sub floats reach the
+    driver.  At 100 TB pass ``sample_fraction`` — codebook quality
+    needs a sample, not the corpus.  Refinement shifts the
+    distortion/recall trade-off only, never correctness: ADC ranks
+    whatever codebooks it is given deterministically, so gates keep
+    the sampled-init codebooks (bit-stable) while production can
+    train.  Means are floored to integer micros so refined codebooks
+    stay exactly representable cross-engine."""
+    base = df.select(F.col(id_col), _as_double_array(emb_col).alias("_e"))
+    if sample_fraction is not None:
+        base = base.sample(fraction=sample_fraction, seed=42)
+    cb = pq_codebooks(base, id_col, "_e", n_subspaces, n_codes)
+    m, n_codes_eff, sub = cb.shape
+    for _ in range(iters):
+        enc = pq_encode(base, id_col, "_e", cb, out_col="_c")
+        cells = (
+            enc.select(
+                F.posexplode("_e").alias("_dim", "_v"),
+                F.col("_c"),
+            )
+            .select(
+                (F.col("_dim") / sub).cast("int").alias("_j"),
+                (F.col("_dim") % sub).alias("_d"),
+                F.element_at(F.col("_c"), (F.col("_dim") / sub).cast("int") + 1).alias("_code"),
+                "_v",
+            )
+            .groupBy("_j", "_code", "_d")
+            .agg(F.sum("_v").alias("_s"), F.count("*").alias("_n"))
+            .collect()
+        )
+        nxt = cb.copy()  # codes that lost all members keep position
+        for r in cells:
+            nxt[r["_j"]][r["_code"]][r["_d"]] = float(
+                np.floor(r["_s"] / r["_n"] * 1.0)
+            )
+        cb = nxt
+    return cb

@@ -664,3 +664,26 @@ def test_ivfpq_residuals_assign_lowest_tie_and_exact(memb):
             np.asarray(list(rows[vid]["_res"]), dtype=np.int64),
             mat[i] - cc[cid[i]],
         )
+
+
+def test_pq_codebooks_kmeans_reduces_distortion(memb):
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.similarity import (
+        pq_codebooks,
+        pq_codebooks_kmeans,
+    )
+
+    ids, mat = _np_vectors(memb)
+
+    def distortion(cb):
+        codes = _np_codes(mat, cb)
+        total = 0
+        for j in range(cb.shape[0]):
+            s = mat[:, j * 8 : (j + 1) * 8].astype(np.int64)
+            picked = cb[j][codes[:, j]].astype(np.int64)
+            total += int(((s - picked) ** 2).sum())
+        return total
+
+    init = pq_codebooks(memb, "vec_id", "embedding", 8, 16)
+    trained = pq_codebooks_kmeans(memb, "vec_id", "embedding", 8, 16, iters=2)
+    assert trained.shape == init.shape
+    assert distortion(trained) < distortion(init)

@@ -203,6 +203,8 @@ def probes(spark, sf_dir: str, factor: int) -> dict[str, tuple[DataFrame, int]]:
     )
     from etl_based_real_time_air_quality_monitoring_system_spark.operators.sampling import hash_bucket
     from etl_based_real_time_air_quality_monitoring_system_spark.operators.similarity import (
+        ivfpq_adc_knn,
+        ivfpq_codebooks,
         pq_codebooks,
         pq_encode,
         semantic_dedup,
@@ -241,8 +243,20 @@ def probes(spark, sf_dir: str, factor: int) -> dict[str, tuple[DataFrame, int]]:
         membp, "vec_id", "embedding",
         pq_codebooks(membp, "vec_id", "embedding", 8, 16),
     )
+    # IVF-PQ batched search: coarse assign + residual + encode + 5
+    # CASE-on-cluster LUTs in one scan, one window shuffle
+    ivfpq_coarse, ivfpq_cb = ivfpq_codebooks(membp, "vec_id", "embedding", 8, 8, 16)
+    ivfpq_q = [
+        (int(r["vec_id"]), list(r["embedding"]))
+        for r in membp.filter(F.col("vec_id") < 5).orderBy("vec_id").collect()
+    ]
+    ivfpq = ivfpq_adc_knn(
+        membp, "vec_id", "embedding", ivfpq_q, ivfpq_coarse, ivfpq_cb,
+        k=10, n_probe=4,
+    )
     return {
         "pq_encode(embeddings)": (pq, n_emb),
+        "ivfpq_adc_knn(embeddings, 5q)": (ivfpq, n_emb),
         "target_affinity(documents)": (affinity, n_docs),
         "source_overlap_matrix(documents)": (overlap, n_docs),
         "incremental_neardup(documents 80/20)": (neardup, n_docs),
@@ -352,6 +366,14 @@ def main() -> None:
         "row and was measured spilling into a 4051 s/Mrow cliff at",
         "16x; the member-list form shuffles each vector once (5-10x",
         "faster at 16x, flat curve).",
+        "",
+        "`pq_encode` / `ivfpq_adc_knn` are in-scan generated-SQL",
+        "expression plans (zero data shuffles; the only exchange in",
+        "the knn form is the per-query window rank), so their sec/Mrow",
+        "FALLS with volume — the per-query cost is dominated by fixed",
+        "plan/codegen time that amortizes away; the marginal per-row",
+        "cost is the interpreted expression eval shared by the whole",
+        "embedding family.",
         "",
         "| operator | factor | input rows | sec | sec/Mrow |",
         "|---|---|---|---|---|",
