@@ -3607,6 +3607,71 @@ def _q_pq_recall(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_streaming_pq_index(spark: SparkSession, sf: str) -> DataFrame:
+    # the T-family x ANN composition: PQ index MAINTENANCE as a
+    # stream.  Embeddings arrive as a 3-micro-batch availableNow
+    # stream; each batch is encoded with FIXED codebooks (first-16 by
+    # vec_id — a pure function of the table, so stream split cannot
+    # move them) and appended to a parquet index via foreachBatch.
+    # Because pq_encode is a row-local in-scan expression, the final
+    # index must equal the one-shot batch encode for ANY micro-batch
+    # composition — so this shares pq_codes' exact SQL oracle, and a
+    # batch-dependence bug (codebooks drifting with arrival order,
+    # double- or zero-encoded batches) fails rows+hash.
+    import shutil as _shutil
+
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.similarity import (
+        pq_codebooks,
+        pq_encode,
+    )
+    from etl_based_real_time_air_quality_monitoring_system_spark.streaming.pipeline import (
+        stream_json_records,
+    )
+
+    emb = _pq_micros_emb(spark, sf)
+    cb = pq_codebooks(emb, "vec_id", "embedding", n_subspaces=8, n_codes=16)
+
+    src = _gate_sink(sf, "pq_index_src")
+    idx = _gate_sink(sf, "pq_index_out")
+    ck = idx + "_ck"
+    for p in (src, idx, ck):
+        _shutil.rmtree(p, ignore_errors=True)
+    # raw vectors stream in (doubles roundtrip exactly through JSON);
+    # quantization + encode happen per micro-batch engine-side
+    load_table(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    ).repartition(3).write.mode("overwrite").json(src)
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    stream = stream_json_records(spark, src, schema, max_files_per_trigger=1)
+
+    def encode_batch(batch: DataFrame, epoch_id: int) -> None:
+        micros = batch.select(
+            "vec_id",
+            F.transform(
+                "embedding", lambda x: F.floor(x * F.lit(1000000.0) + F.lit(0.5))
+            ).alias("embedding"),
+        )
+        pq_encode(micros, "vec_id", "embedding", cb).select(
+            "vec_id", "codes"
+        ).write.mode("append").parquet(idx)
+
+    q = (
+        stream.writeStream.foreachBatch(encode_batch)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(idx).select(
+        "vec_id", F.posexplode("codes").alias("subspace", "code")
+    )
+
+
 def _q_ivfpq_topk(spark: SparkSession, sf: str) -> DataFrame:
     # IVF-PQ (IVFADC): coarse inverted lists by exact squared-L2,
     # product quantization of the RESIDUALS, five-query probe-and-ADC
@@ -4159,6 +4224,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_topk_adc": _q_pq_topk_adc,
         "pq_recall": _q_pq_recall,
         "ivfpq_topk": _q_ivfpq_topk,
+        "streaming_pq_index": _q_streaming_pq_index,
         "pps_sample": _q_pps_sample,
         "retrieval_ndcg": _q_retrieval_ndcg,
         "zorder_pruning": _q_zorder_pruning,
@@ -4494,6 +4560,9 @@ def oracle_sql() -> dict[str, str]:
     # the bucketized interval join must agree with the BNLJ plan
     # row-for-row, so it shares the same oracle verbatim
     out["range_band_join_bucketed"] = out["range_band_join"]
+    # the streamed PQ index must equal the one-shot batch encode for
+    # any micro-batch composition, so it shares pq_codes' oracle
+    out["streaming_pq_index"] = out["pq_codes"]
     return out
 
 

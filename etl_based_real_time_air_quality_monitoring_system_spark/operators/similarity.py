@@ -1243,6 +1243,8 @@ def pq_adc_topk(
     row instead of the embedding column."""
     lut = pq_adc_lut(query_vec, codebooks)
     if codes_col is None:
+        if "_pqc" in df.columns:
+            raise ValueError("pq_adc_topk: reserved column _pqc in input")
         df = pq_encode(df, id_col, emb_col, codebooks, out_col="_pqc")
         codes_col = "_pqc"
     # one generated SQL expression (constant-folded literal arrays
@@ -1283,6 +1285,10 @@ def pq_adc_knn(
     Returns (qid long, `id_col`, adc_dist long)."""
     from pyspark.sql import Window
 
+    if not queries:
+        raise ValueError("pq_adc_knn: queries must be non-empty")
+    if "_pqc" in df.columns:
+        raise ValueError("pq_adc_knn: reserved column _pqc in input")
     enc = pq_encode(df, id_col, emb_col, codebooks, out_col="_pqc")
     m = codebooks.shape[0]
     structs = []
@@ -1414,6 +1420,8 @@ def ivfpq_adc_knn(
     shrinks by ~n_probe/n_coarse.  Returns (qid, id_col, adc_dist)."""
     from pyspark.sql import Window
 
+    if not queries:
+        raise ValueError("ivfpq_adc_knn: queries must be non-empty")
     enc = ivfpq_encode(df, id_col, emb_col, coarse, codebooks)
     m = codebooks.shape[0]
     cc = coarse.astype(np.int64)
