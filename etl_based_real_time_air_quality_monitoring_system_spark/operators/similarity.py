@@ -1117,21 +1117,6 @@ def semantic_dedup(
     )
 
 
-def _sq_l2(a: Column, b: Sequence[float]) -> Column:
-    """Squared L2 distance between an array column and a literal
-    vector — one fused ``zip_with``/``aggregate`` pass, pure JVM.
-    On integer-micros components every intermediate (products
-    <= 4e12, sums <= d * 4e12) is an exactly-representable double,
-    so the result is bit-identical to DuckDB's
-    ``dot(a,a) - 2*dot(a,b) + dot(b,b)`` form regardless of
-    summation order."""
-    return F.aggregate(
-        F.zip_with(_as_double_array(a), vec_lit(b), lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-
-
 def _dlit(v: float) -> str:
     """SQL DOUBLE literal (Spark parses bare decimals as DECIMAL)."""
     f = float(v)
@@ -1189,6 +1174,10 @@ def pq_encode(
     m, n_codes, sub = codebooks.shape
     if "_pqe" in df.columns:
         raise ValueError("pq_encode: input must not carry reserved column _pqe")
+    if out_col in df.columns:
+        raise ValueError(
+            f"pq_encode: output column {out_col!r} already exists in input"
+        )
     # argmin_c ||s - c||^2 == argmin_c (c.c - 2 s.c): the s.s term is
     # constant per subspace, so dropping it preserves the argmin AND
     # every tie (exact integers, equal shift).  The whole projection
@@ -1220,10 +1209,28 @@ def pq_adc_lut(query_vec: Sequence[float], codebooks: np.ndarray) -> np.ndarray:
     query's j-th subvector and codebook entry (j, c) — tiny
     (m x n_codes values) and exact on integer-micros inputs."""
     m, n_codes, sub = codebooks.shape
-    q = np.asarray(list(query_vec), dtype=np.int64).reshape(m, sub)
+    qf = np.asarray(list(query_vec), dtype=float)
+    if not np.all(qf == np.floor(qf)):
+        raise ValueError(
+            "pq_adc_lut: query vector has non-integer components — "
+            "quantize with micros_vec first (a silent int64 cast would "
+            "truncate toward zero and rank garbage)"
+        )
+    q = qf.astype(np.int64).reshape(m, sub)
     cb = codebooks.astype(np.int64)
     d = cb - q[:, None, :]
     return np.einsum("mcs,mcs->mc", d, d)
+
+
+def _lut_dist_expr(lut: np.ndarray, codes_ref: str) -> str:
+    """Generated-SQL ADC distance: sum_j (literal LUT row j, constant
+    folded)[codes[j]] — shared by every ADC consumer so a fix to the
+    lookup form lands everywhere at once."""
+    return " + ".join(
+        f"(array({', '.join(str(int(v)) + 'L' for v in lut[j])}))"
+        f"[{codes_ref}[{j}]]"
+        for j in range(lut.shape[0])
+    )
 
 
 def pq_adc_topk(
@@ -1250,11 +1257,7 @@ def pq_adc_topk(
     # one generated SQL expression (constant-folded literal arrays
     # indexed by the code column) for the same py4j-chattiness reason
     # as pq_encode
-    dist = " + ".join(
-        f"(array({', '.join(str(int(v)) + 'L' for v in lut[j])}))"
-        f"[`{codes_col}`[{j}]]"
-        for j in range(lut.shape[0])
-    )
+    dist = _lut_dist_expr(lut, f"`{codes_col}`")
     scored = df.select(
         F.col(id_col), F.expr(f"CAST({dist} AS BIGINT)").alias("adc_dist")
     )
@@ -1290,15 +1293,9 @@ def pq_adc_knn(
     if "_pqc" in df.columns:
         raise ValueError("pq_adc_knn: reserved column _pqc in input")
     enc = pq_encode(df, id_col, emb_col, codebooks, out_col="_pqc")
-    m = codebooks.shape[0]
     structs = []
     for qid, qv in queries:
-        lut = pq_adc_lut(qv, codebooks)
-        dist = " + ".join(
-            f"(array({', '.join(str(int(v)) + 'L' for v in lut[j])}))"
-            f"[_pqc[{j}]]"
-            for j in range(m)
-        )
+        dist = _lut_dist_expr(pq_adc_lut(qv, codebooks), "_pqc")
         structs.append(
             f"named_struct('qid', {int(qid)}L, "
             f"'adc_dist', CAST({dist} AS BIGINT))"
@@ -1343,14 +1340,26 @@ def ivfpq_codebooks(
     zero, so the same code budget spends its resolution where the
     data actually is.  Returns (coarse centroids (n_coarse, d),
     residual codebooks (m, n_codes, sub)), both derived
-    deterministically (first-k-by-id sampled init; codebook quality
-    shifts recall only, never correctness).  Coarse assignment is by
-    squared L2 (ties -> lowest id) — consistent with the ADC metric
-    and, on integer-micros inputs, exact in any engine."""
+    deterministically (sampled init; codebook quality shifts recall
+    only, never correctness).  Coarse assignment is by squared L2
+    (ties -> lowest id) — consistent with the ADC metric and, on
+    integer-micros inputs, exact in any engine.
+
+    The residual codebook samples SKIP the first ``n_coarse`` rows:
+    those rows ARE the coarse centroids, so their residuals are
+    exactly zero — sampling them would spend ``n_coarse`` of the
+    ``n_codes`` budget on identical zero vectors (ties collapsing to
+    code 0), roughly doubling ADC distortion while every gate still
+    passes (the oracle mirrors whatever init is chosen; only recall
+    suffers)."""
     coarse = ivf_centroids(df, id_col, emb_col, n_coarse)
     res = ivfpq_residuals(df, id_col, emb_col, coarse)
     cb = pq_codebooks(
-        res.select(id_col, "_res"), id_col, "_res", n_subspaces, n_codes
+        res.select(id_col, "_res").orderBy(id_col).offset(n_coarse),
+        id_col,
+        "_res",
+        n_subspaces,
+        n_codes,
     )
     return coarse, cb
 
@@ -1364,6 +1373,12 @@ def ivfpq_residuals(
     the centroid literal selected by cluster id — zero shuffle."""
     if "_pqe" in df.columns or "_res" in df.columns:
         raise ValueError("ivfpq_residuals: reserved columns _pqe/_res in input")
+    if "cluster_id" in df.columns:
+        raise ValueError(
+            "ivfpq_residuals: input already carries cluster_id — drop or "
+            "rename it (silently re-assigning a stored index column is "
+            "the bug this guard exists for)"
+        )
     cc_lit = F.array(*[vec_lit(c) for c in coarse])
     return (
         df.withColumn("_pqe", _as_double_array(emb_col))
@@ -1423,7 +1438,6 @@ def ivfpq_adc_knn(
     if not queries:
         raise ValueError("ivfpq_adc_knn: queries must be non-empty")
     enc = ivfpq_encode(df, id_col, emb_col, coarse, codebooks)
-    m = codebooks.shape[0]
     cc = coarse.astype(np.int64)
     structs = []
     for qid, qv in queries:
@@ -1432,12 +1446,7 @@ def ivfpq_adc_knn(
         probes = sorted(range(len(cc)), key=lambda c: (d2c[c], c))[:n_probe]
         branches = []
         for c in probes:
-            lut = pq_adc_lut(q - cc[c], codebooks)
-            dist = " + ".join(
-                f"(array({', '.join(str(int(v)) + 'L' for v in lut[j])}))"
-                f"[codes[{j}]]"
-                for j in range(m)
-            )
+            dist = _lut_dist_expr(pq_adc_lut(q - cc[c], codebooks), "codes")
             branches.append(f"WHEN {c} THEN CAST({dist} AS BIGINT)")
         structs.append(
             f"named_struct('qid', {int(qid)}L, 'adc_dist', "

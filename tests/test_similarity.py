@@ -479,14 +479,15 @@ def test_semantic_dedup_two_level_matches_flat_on_singleton_groups(spark):
 
 @pytest.fixture(scope="module")
 def memb(emb):
-    # integer-micros quantization: makes every squared-L2 an exact
-    # integer so the numpy mirrors below are bit-identical
+    # integer-micros quantization (micros_vec, the repo's single
+    # floor-half-up recipe): makes every squared-L2 an exact integer
+    # so the numpy mirrors below are bit-identical
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.similarity import (
+        micros_vec,
+    )
+
     return emb.select(
-        "vec_id",
-        F.transform(
-            F.col("embedding").cast("array<double>"),
-            lambda x: F.floor(x * F.lit(1000000.0) + F.lit(0.5)),
-        ).alias("embedding"),
+        "vec_id", micros_vec("embedding").alias("embedding")
     ).cache()
 
 
@@ -687,3 +688,37 @@ def test_pq_codebooks_kmeans_reduces_distortion(memb):
     trained = pq_codebooks_kmeans(memb, "vec_id", "embedding", 8, 16, iters=2)
     assert trained.shape == init.shape
     assert distortion(trained) < distortion(init)
+
+
+def test_ivfpq_recall_floor_vs_exact_l2(memb):
+    # everything in the pipeline is deterministic, so recall is a
+    # fixed number per dataset (0.38 at sf0.01, 0.22 at sf0.1 with
+    # 8 coarse lists / 4 probes / 8x16 codes on the synthetic
+    # near-uniform embeddings — PQ's hardest case); the floor guards
+    # against degenerate-codebook regressions (e.g. sampling the
+    # coarse-centroid rows whose residuals are all zero, which this
+    # test was added to catch)
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.similarity import (
+        ivfpq_adc_knn,
+        ivfpq_codebooks,
+    )
+
+    ids, mat = _np_vectors(memb)
+    coarse, cb = ivfpq_codebooks(memb, "vec_id", "embedding", 8, 8, 16)
+    queries = [(ids[i], [float(x) for x in mat[i]]) for i in range(5)]
+    got = ivfpq_adc_knn(
+        memb, "vec_id", "embedding", queries, coarse, cb, k=10, n_probe=4
+    ).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(int(r["qid"]), set()).add(int(r["vec_id"]))
+    hits = 0
+    for qi in range(5):
+        q = mat[qi]
+        d2 = ((mat - q[None]) ** 2).sum(axis=1)
+        exact = {
+            ids[i]
+            for i in sorted(range(len(ids)), key=lambda i: (d2[i], ids[i]))[:10]
+        }
+        hits += len(by_q[ids[qi]] & exact)
+    assert hits / 50 >= 0.15

@@ -205,6 +205,7 @@ def probes(spark, sf_dir: str, factor: int) -> dict[str, tuple[DataFrame, int]]:
     from etl_based_real_time_air_quality_monitoring_system_spark.operators.similarity import (
         ivfpq_adc_knn,
         ivfpq_codebooks,
+        micros_vec,
         pq_codebooks,
         pq_encode,
         semantic_dedup,
@@ -232,13 +233,7 @@ def probes(spark, sf_dir: str, factor: int) -> dict[str, tuple[DataFrame, int]]:
     # PQ encode: in-scan expression, zero shuffle — the probe measures
     # raw per-row quantization throughput (fixed plan/codegen cost
     # amortizes away with volume)
-    membp = emb.select(
-        "vec_id",
-        F.transform(
-            F.col("embedding").cast("array<double>"),
-            lambda x: F.floor(x * F.lit(1000000.0) + F.lit(0.5)),
-        ).alias("embedding"),
-    )
+    membp = emb.select("vec_id", micros_vec("embedding").alias("embedding"))
     pq = pq_encode(
         membp, "vec_id", "embedding",
         pq_codebooks(membp, "vec_id", "embedding", 8, 16),
