@@ -4202,10 +4202,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     entries, so the registry is risk-ordered for round 5 — (1) the
     queries added or changed this round (NEVER-GATED entries always
     outrank re-gates: the curation/PQ/IVF-PQ/bigram-LM/streaming-PQ
-    wave grew to 16 slots by end of round, displacing the tail of
+    wave grew to 22 slots by end of round, displacing the tail of
     cohort 2), (2) as much of the r1 cohort as still fits — its
-    displaced tail (rollup/unpivot/cube set-ops, tpch_q1/q4/q7/q8,
-    flagship...) is FIRST IN LINE for the r6 window, and every
+    displaced tail (rollup_flag_status, unpivot_means, the set-ops
+    remainder, tpch_q1/q4/q7/q8...) is FIRST IN LINE for the r6
+    window, and every
     displaced entry is green in this round's full local sweep on
     current code (ORACLE_SWEEP.md, 189/189 x3 SFs).  Positions 51+
     are ordered oldest-gate-first so wider sweeps cover the
