@@ -3692,6 +3692,23 @@ def _q_ivfpq_topk(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_dup_graph_pagerank(spark: SparkSession, sf: str) -> DataFrame:
+    # iterative-join capability under the gate: PageRank over the
+    # MinHash/LSH candidate graph in EXACT integer micros — three
+    # synchronous updates unrolled as CTEs on the oracle side (the
+    # incremental_neardup sequential-fold precedent).  On a dup graph
+    # this ranks template hubs (boilerplate near-matching thousands
+    # of docs) orders of magnitude above organic near-dups.
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.graph import (
+        pagerank_micros,
+    )
+
+    docs = load_table(spark, sf, "documents")
+    pairs = minhash_lsh_candidates(docs, "doc_id", "text", n=3, k=16, bands=4)
+    pr = pagerank_micros(pairs, "doc_a", "doc_b", iters=3)
+    return pr.select(F.col("vertex").alias("doc_id"), "pr_micros")
+
+
 def _q_incremental_neardup(spark: SparkSession, sf: str) -> DataFrame:
     # MinHash-LSH near-dup screen at ingest, folded over three arrival
     # batches (doc_id % 3): each batch is screened against the
@@ -4227,6 +4244,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_recall": _q_pq_recall,
         "ivfpq_topk": _q_ivfpq_topk,
         "streaming_pq_index": _q_streaming_pq_index,
+        "dup_graph_pagerank": _q_dup_graph_pagerank,
         "pps_sample": _q_pps_sample,
         "retrieval_ndcg": _q_retrieval_ndcg,
         "zorder_pruning": _q_zorder_pruning,
@@ -4479,6 +4497,20 @@ _BAND_SELECTS = "\n            UNION ALL\n            ".join(
         b=b, cols=", ".join(f"h{b * 4 + j}" for j in range(4))
     )
     for b in range(4)
+)
+
+#: PageRank iterations unrolled as CTEs (mirrors graph.pagerank_micros:
+#: pr'(v) = 150000 + (850000 * sum(pr(u) // deg(u))) // 1e6, all BIGINT)
+_PR_CTES = ",\n            ".join(
+    f"""pr{i + 1} AS (
+                SELECT s.b AS v,
+                       CAST(150000 + (850000 * sum(p.pr // d.dg)) // 1000000
+                            AS BIGINT) AS pr
+                FROM sym s JOIN pr{i} p ON p.v = s.a
+                JOIN deg d ON d.a = s.a
+                GROUP BY s.b
+            )"""
+    for i in range(3)
 )
 
 _SIMHASH_BIT_AGGS = ",\n                   ".join(
@@ -4970,6 +5002,32 @@ def _oracle_sql_literal() -> dict[str, str]:
                        // ((SELECT count(DISTINCT qid) FROM qfull) * 10)
                        AS recall_micros
             FROM h
+        """,
+        "dup_graph_pagerank": rf"""
+            WITH {_SHINGLE_CTES},
+            sig AS (
+                SELECT doc_id,
+                   {_MINHASH_AGGS}
+                FROM sh GROUP BY doc_id
+            ),
+            bands AS (
+            {_BAND_SELECTS}
+            ),
+            pairs AS (
+                SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                FROM bands a JOIN bands b
+                  ON a.band = b.band AND a.bucket = b.bucket
+                 AND a.doc_id < b.doc_id
+            ),
+            sym AS (
+                SELECT doc_a AS a, doc_b AS b FROM pairs
+                UNION
+                SELECT doc_b, doc_a FROM pairs
+            ),
+            deg AS (SELECT a, count(*) AS dg FROM sym GROUP BY a),
+            pr0 AS (SELECT a AS v, CAST(1000000 AS BIGINT) AS pr FROM deg),
+            {_PR_CTES}
+            SELECT v AS doc_id, pr AS pr_micros FROM pr3
         """,
         "ivfpq_topk": """
             WITH mq AS (

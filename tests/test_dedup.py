@@ -142,3 +142,37 @@ def test_contamination_check_overlap(spark):
     assert out[3]["n_overlap"] == 1           # "quick brown fox"
     assert out[1]["n_shingles"] == 4
     assert abs(out[1]["overlap_ratio"] - 0.5) < 1e-12
+
+
+def test_pagerank_micros_hand_computed(spark):
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.graph import pagerank_micros
+
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    got = {
+        int(r["vertex"]): int(r["pr_micros"])
+        for r in pagerank_micros(edges, iters=3).collect()
+    }
+    # path graph 1-2-3, uniform 1e6 start, d=0.85 in micros, all DIV:
+    # iter1: pr = {1: 575000, 2: 1850000, 3: 575000}
+    # iter2: pr = {1: 936250, 2: 1127500, 3: 936250}
+    # iter3: pr = {1: 629187, 2: 1741625, 3: 629187}
+    assert got == {1: 629187, 2: 1741625, 3: 629187}
+
+
+def test_pagerank_micros_hub_dominates_and_validates(spark):
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.graph import pagerank_micros
+    import pytest as _pytest
+
+    # star: hub 0 connected to 1..6 — the template-boilerplate shape
+    edges = spark.createDataFrame(
+        [(0, i) for i in range(1, 7)], "src long, dst long"
+    )
+    got = {
+        int(r["vertex"]): int(r["pr_micros"])
+        for r in pagerank_micros(edges, iters=3).collect()
+    }
+    hub, leaves = got[0], [got[i] for i in range(1, 7)]
+    assert len(set(leaves)) == 1  # symmetry
+    assert hub > 3 * leaves[0]  # the hub dominates organic near-dups
+    with _pytest.raises(ValueError, match="iters"):
+        pagerank_micros(edges, iters=0)
