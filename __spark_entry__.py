@@ -3557,8 +3557,6 @@ def _q_pq_recall(spark: SparkSession, sf: str) -> DataFrame:
     # the PQ QUALITY metric under the gate: ADC top-10 vs the exact
     # squared-L2 top-10 (PQ approximates L2, so L2 — not cosine — is
     # the fair ground truth), reduced to one hash-checked row
-    from pyspark.sql import Window
-
     from etl_based_real_time_air_quality_monitoring_system_spark.operators.similarity import (
         pq_adc_knn,
         pq_codebooks,
@@ -3570,41 +3568,7 @@ def _q_pq_recall(spark: SparkSession, sf: str) -> DataFrame:
     adc = pq_adc_knn(emb, "vec_id", "embedding", queries, cb, k=10).select(
         "qid", "vec_id"
     )
-    # exact side, batched the same way: all five queries' squared-L2
-    # rank keys in one generated projection — d2 = q.q - 2 q.x + x.x,
-    # and within a query's partition q.q is the constant term, so the
-    # rank key is x.x - 2 q.x (x.x computed ONCE as a shared column);
-    # explode, one window — integers < 2^53, exact in any engine
-    structs = []
-    for qid, qv in queries:
-        dot = " + ".join(f"_pqe[{i}] * {int(qv[i])}D" for i in range(len(qv)))
-        structs.append(
-            f"named_struct('qid', {qid}L, 'd2', _mm - 2.0D * ({dot}))"
-        )
-    dim = len(queries[0][1])
-    mm = " + ".join(f"_pqe[{i}] * _pqe[{i}]" for i in range(dim))
-    stacked = emb.select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("_pqe")
-    ).select(
-        "vec_id",
-        F.expr(mm).alias("_mm"),
-        F.col("_pqe"),
-    ).select(
-        "vec_id", F.expr(f"explode(array({', '.join(structs)}))").alias("_q")
-    )
-    w = Window.partitionBy("_q.qid").orderBy(F.asc("_q.d2"), F.asc("vec_id"))
-    exact = (
-        stacked.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= 10)
-        .select(F.col("_q.qid").alias("qid"), "vec_id")
-    )
-    n_q = len(queries)
-    hits = adc.join(exact, ["qid", "vec_id"], "inner")
-    return hits.agg(F.count("*").alias("n_hits")).select(
-        F.lit(n_q).alias("n_queries"),
-        "n_hits",
-        F.expr(f"(n_hits * 1000000) div {10 * n_q}").alias("recall_micros"),
-    )
+    return _recall_row(adc, _exact_l2_top10(emb, queries), len(queries))
 
 
 def _q_streaming_pq_index(spark: SparkSession, sf: str) -> DataFrame:
@@ -3690,6 +3654,70 @@ def _q_ivfpq_topk(spark: SparkSession, sf: str) -> DataFrame:
         emb, "vec_id", "embedding", _pq_gate_queries(emb), coarse, cb,
         k=10, n_probe=4,
     )
+
+
+def _exact_l2_top10(emb: DataFrame, queries: list) -> DataFrame:
+    # exact squared-L2 top-10 per query, batched: all queries' rank
+    # keys in one generated projection — d2 = q.q - 2 q.x + x.x, and
+    # within a query's partition q.q is the constant term, so the key
+    # is x.x - 2 q.x (x.x computed ONCE as a shared column); explode,
+    # one window — integers < 2^53, exact in any engine.  The fair
+    # ground truth for both PQ recall gates (PQ approximates L2).
+    from pyspark.sql import Window
+
+    structs = []
+    for qid, qv in queries:
+        dot = " + ".join(f"_pqe[{i}] * {int(qv[i])}D" for i in range(len(qv)))
+        structs.append(
+            f"named_struct('qid', {qid}L, 'd2', _mm - 2.0D * ({dot}))"
+        )
+    dim = len(queries[0][1])
+    mm = " + ".join(f"_pqe[{i}] * _pqe[{i}]" for i in range(dim))
+    stacked = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("_pqe")
+    ).select(
+        "vec_id",
+        F.expr(mm).alias("_mm"),
+        F.col("_pqe"),
+    ).select(
+        "vec_id", F.expr(f"explode(array({', '.join(structs)}))").alias("_q")
+    )
+    w = Window.partitionBy("_q.qid").orderBy(F.asc("_q.d2"), F.asc("vec_id"))
+    return (
+        stacked.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= 10)
+        .select(F.col("_q.qid").alias("qid"), "vec_id")
+    )
+
+
+def _recall_row(adc: DataFrame, exact: DataFrame, n_q: int) -> DataFrame:
+    hits = adc.join(exact, ["qid", "vec_id"], "inner")
+    return hits.agg(F.count("*").alias("n_hits")).select(
+        F.lit(n_q).alias("n_queries"),
+        "n_hits",
+        F.expr(f"(n_hits * 1000000) div {10 * n_q}").alias("recall_micros"),
+    )
+
+
+def _q_ivfpq_recall(spark: SparkSession, sf: str) -> DataFrame:
+    # the IVF-PQ QUALITY metric under the gate (the pq_recall /
+    # ivf_topk_recall pattern): probe-and-ADC top-10 vs the exact
+    # squared-L2 top-10, one hash-checked row — a degenerate-codebook
+    # or probe-selection regression moves recall and fails the hash
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.similarity import (
+        ivfpq_adc_knn,
+        ivfpq_codebooks,
+    )
+
+    emb = _pq_micros_emb(spark, sf)
+    coarse, cb = ivfpq_codebooks(
+        emb, "vec_id", "embedding", n_coarse=8, n_subspaces=8, n_codes=16
+    )
+    queries = _pq_gate_queries(emb)
+    adc = ivfpq_adc_knn(
+        emb, "vec_id", "embedding", queries, coarse, cb, k=10, n_probe=4
+    ).select("qid", "vec_id")
+    return _recall_row(adc, _exact_l2_top10(emb, queries), len(queries))
 
 
 def _q_dup_graph_pagerank(spark: SparkSession, sf: str) -> DataFrame:
@@ -4244,6 +4272,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_recall": _q_pq_recall,
         "ivfpq_topk": _q_ivfpq_topk,
         "streaming_pq_index": _q_streaming_pq_index,
+        "ivfpq_recall": _q_ivfpq_recall,
         "dup_graph_pagerank": _q_dup_graph_pagerank,
         "pps_sample": _q_pps_sample,
         "retrieval_ndcg": _q_retrieval_ndcg,
@@ -4512,6 +4541,101 @@ _PR_CTES = ",\n            ".join(
             )"""
     for i in range(3)
 )
+
+#: shared IVF-PQ oracle chain (micros -> coarse assign -> residual
+#: codebook [skipping the zero-residual centroid rows] -> encode ->
+#: probes -> LUTs -> per-(query, vec) ADC distance); ivfpq_topk and
+#: ivfpq_recall both build on it so the two can never drift apart
+_IVFPQ_CTES = """
+            WITH mq AS (
+                SELECT vec_id, list_transform(embedding::DOUBLE[],
+                           x -> floor(x * 1000000.0 + 0.5)) AS me
+                FROM embeddings
+            ),
+            cc AS (
+                SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+                       me AS ce
+                FROM (SELECT * FROM mq ORDER BY vec_id LIMIT 8)
+            ),
+            -- coarse assign: argmin squared L2 (dot identity; the x.x
+            -- term is constant across centroids), ties -> LOWEST cid;
+            -- residual = x - centroid, exact integer components
+            assign AS (
+                SELECT vec_id, cid, re FROM (
+                    SELECT m.vec_id, c.cid,
+                           list_transform(range(1, len(m.me) + 1),
+                               i -> m.me[i] - c.ce[i]) AS re,
+                           row_number() OVER (
+                               PARTITION BY m.vec_id ORDER BY
+                                   list_dot_product(c.ce, c.ce)
+                                   - 2 * list_dot_product(m.me, c.ce) ASC,
+                                   c.cid ASC
+                           ) AS rn
+                    FROM mq m CROSS JOIN cc c
+                ) WHERE rn = 1
+            ),
+            -- residual codebook SKIPS the first 8 rows: they ARE the
+            -- coarse centroids, so their residuals are exactly zero
+            -- and would waste half the code budget on one point
+            rcb AS (
+                SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code,
+                       re AS ce
+                FROM (SELECT vec_id, re FROM assign
+                      ORDER BY vec_id LIMIT 16 OFFSET 8)
+            ),
+            rsubs AS (
+                SELECT vec_id, j, list_slice(re, j*8 + 1, j*8 + 8) AS sv
+                FROM assign, UNNEST(range(0, 8)) AS u(j)
+            ),
+            csubs AS (
+                SELECT code, j, list_slice(ce, j*8 + 1, j*8 + 8) AS cv
+                FROM rcb, UNNEST(range(0, 8)) AS u(j)
+            ),
+            enc AS (
+                SELECT vec_id, j, code FROM (
+                    SELECT s.vec_id, s.j, c.code, row_number() OVER (
+                        PARTITION BY s.vec_id, s.j ORDER BY
+                            list_dot_product(s.sv, s.sv)
+                            - 2 * list_dot_product(s.sv, c.cv)
+                            + list_dot_product(c.cv, c.cv) ASC,
+                            c.code ASC
+                    ) AS rn
+                    FROM rsubs s JOIN csubs c ON s.j = c.j
+                ) WHERE rn = 1
+            ),
+            q AS (SELECT vec_id AS qid, me AS qe FROM mq WHERE vec_id < 5),
+            probes AS (
+                SELECT qid, cid, ce FROM (
+                    SELECT q.qid, c.cid, c.ce, row_number() OVER (
+                        PARTITION BY q.qid ORDER BY
+                            list_dot_product(c.ce, c.ce)
+                            - 2 * list_dot_product(q.qe, c.ce) ASC,
+                            c.cid ASC
+                    ) AS rn
+                    FROM q CROSS JOIN cc c
+                ) WHERE rn <= 4
+            ),
+            qsubs AS (
+                SELECT p.qid, p.cid, j,
+                       list_slice(list_transform(range(1, len(q.qe) + 1),
+                           i -> q.qe[i] - p.ce[i]), j*8 + 1, j*8 + 8) AS qv
+                FROM probes p JOIN q USING (qid), UNNEST(range(0, 8)) AS u(j)
+            ),
+            lut AS (
+                SELECT qs.qid, qs.cid, cs.j, cs.code,
+                       list_dot_product(qs.qv, qs.qv)
+                       - 2 * list_dot_product(qs.qv, cs.cv)
+                       + list_dot_product(cs.cv, cs.cv) AS d2
+                FROM qsubs qs JOIN csubs cs ON qs.j = cs.j
+            ),
+            adc AS (
+                SELECT l.qid, a.vec_id, CAST(sum(l.d2) AS BIGINT) AS adc_dist
+                FROM assign a
+                JOIN enc e ON e.vec_id = a.vec_id
+                JOIN lut l ON l.cid = a.cid AND l.j = e.j AND l.code = e.code
+                GROUP BY l.qid, a.vec_id
+            )
+"""
 
 _SIMHASH_BIT_AGGS = ",\n                   ".join(
     f"sum(CASE WHEN (h & (1::BIGINT << {j})) != 0 THEN 1 ELSE -1 END) AS b{j}"
@@ -5029,101 +5153,48 @@ def _oracle_sql_literal() -> dict[str, str]:
             {_PR_CTES}
             SELECT v AS doc_id, pr AS pr_micros FROM pr3
         """,
-        "ivfpq_topk": """
-            WITH mq AS (
-                SELECT vec_id, list_transform(embedding::DOUBLE[],
-                           x -> floor(x * 1000000.0 + 0.5)) AS me
-                FROM embeddings
-            ),
-            cc AS (
-                SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
-                       me AS ce
-                FROM (SELECT * FROM mq ORDER BY vec_id LIMIT 8)
-            ),
-            -- coarse assign: argmin squared L2 (dot identity; the x.x
-            -- term is constant across centroids), ties -> LOWEST cid;
-            -- residual = x - centroid, exact integer components
-            assign AS (
-                SELECT vec_id, cid, re FROM (
-                    SELECT m.vec_id, c.cid,
-                           list_transform(range(1, len(m.me) + 1),
-                               i -> m.me[i] - c.ce[i]) AS re,
-                           row_number() OVER (
-                               PARTITION BY m.vec_id ORDER BY
-                                   list_dot_product(c.ce, c.ce)
-                                   - 2 * list_dot_product(m.me, c.ce) ASC,
-                                   c.cid ASC
-                           ) AS rn
-                    FROM mq m CROSS JOIN cc c
-                ) WHERE rn = 1
-            ),
-            -- residual codebook SKIPS the first 8 rows: they ARE the
-            -- coarse centroids, so their residuals are exactly zero
-            -- and would waste half the code budget on one point
-            rcb AS (
-                SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code,
-                       re AS ce
-                FROM (SELECT vec_id, re FROM assign
-                      ORDER BY vec_id LIMIT 16 OFFSET 8)
-            ),
-            rsubs AS (
-                SELECT vec_id, j, list_slice(re, j*8 + 1, j*8 + 8) AS sv
-                FROM assign, UNNEST(range(0, 8)) AS u(j)
-            ),
-            csubs AS (
-                SELECT code, j, list_slice(ce, j*8 + 1, j*8 + 8) AS cv
-                FROM rcb, UNNEST(range(0, 8)) AS u(j)
-            ),
-            enc AS (
-                SELECT vec_id, j, code FROM (
-                    SELECT s.vec_id, s.j, c.code, row_number() OVER (
-                        PARTITION BY s.vec_id, s.j ORDER BY
-                            list_dot_product(s.sv, s.sv)
-                            - 2 * list_dot_product(s.sv, c.cv)
-                            + list_dot_product(c.cv, c.cv) ASC,
-                            c.code ASC
-                    ) AS rn
-                    FROM rsubs s JOIN csubs c ON s.j = c.j
-                ) WHERE rn = 1
-            ),
-            q AS (SELECT vec_id AS qid, me AS qe FROM mq WHERE vec_id < 5),
-            probes AS (
-                SELECT qid, cid, ce FROM (
-                    SELECT q.qid, c.cid, c.ce, row_number() OVER (
-                        PARTITION BY q.qid ORDER BY
-                            list_dot_product(c.ce, c.ce)
-                            - 2 * list_dot_product(q.qe, c.ce) ASC,
-                            c.cid ASC
-                    ) AS rn
-                    FROM q CROSS JOIN cc c
-                ) WHERE rn <= 4
-            ),
-            qsubs AS (
-                SELECT p.qid, p.cid, j,
-                       list_slice(list_transform(range(1, len(q.qe) + 1),
-                           i -> q.qe[i] - p.ce[i]), j*8 + 1, j*8 + 8) AS qv
-                FROM probes p JOIN q USING (qid), UNNEST(range(0, 8)) AS u(j)
-            ),
-            lut AS (
-                SELECT qs.qid, qs.cid, cs.j, cs.code,
-                       list_dot_product(qs.qv, qs.qv)
-                       - 2 * list_dot_product(qs.qv, cs.cv)
-                       + list_dot_product(cs.cv, cs.cv) AS d2
-                FROM qsubs qs JOIN csubs cs ON qs.j = cs.j
-            ),
-            adc AS (
-                SELECT l.qid, a.vec_id, CAST(sum(l.d2) AS BIGINT) AS adc_dist
-                FROM assign a
-                JOIN enc e ON e.vec_id = a.vec_id
-                JOIN lut l ON l.cid = a.cid AND l.j = e.j AND l.code = e.code
-                GROUP BY l.qid, a.vec_id
-            )
+        "ivfpq_topk": _IVFPQ_CTES + """
             SELECT qid, vec_id, adc_dist FROM (
                 SELECT qid, vec_id, adc_dist, row_number() OVER (
                     PARTITION BY qid ORDER BY adc_dist ASC, vec_id ASC
                 ) AS rn
                 FROM adc
             ) WHERE rn <= 10
+        """,
+        "ivfpq_recall": _IVFPQ_CTES + """
+            , ivfpq AS (
+                SELECT qid, vec_id FROM (
+                    SELECT qid, vec_id, row_number() OVER (
+                        PARTITION BY qid ORDER BY adc_dist ASC, vec_id ASC
+                    ) AS rn
+                    FROM adc
+                ) WHERE rn <= 10
+            ),
+            -- exact squared-L2 top-10: the fair ground truth (PQ
+            -- approximates L2, not cosine)
+            qfull AS (SELECT vec_id AS qid, me AS qe FROM mq WHERE vec_id < 5),
+            bf AS (
+                SELECT qid, vec_id FROM (
+                    SELECT qf.qid, e.vec_id, row_number() OVER (
+                        PARTITION BY qf.qid ORDER BY
+                            list_dot_product(e.me, e.me)
+                            - 2 * list_dot_product(e.me, qf.qe)
+                            + list_dot_product(qf.qe, qf.qe) ASC,
+                            e.vec_id ASC
+                    ) AS rn
+                    FROM qfull qf CROSS JOIN mq e
+                ) WHERE rn <= 10
+            ),
+            h AS (
+                SELECT count(*) AS n_hits
+                FROM ivfpq JOIN bf USING (qid, vec_id)
+            )
+            SELECT (SELECT count(DISTINCT qid) FROM qfull) AS n_queries,
+                   h.n_hits,
+                   (h.n_hits * 1000000)
+                       // ((SELECT count(DISTINCT qid) FROM qfull) * 10)
+                       AS recall_micros
+            FROM h
         """,
         "incremental_neardup": rf"""
             WITH toks AS (
