@@ -277,16 +277,18 @@ def probes(spark, sf_dir: str, factor: int) -> dict[str, tuple[DataFrame, int]]:
     }
 
 
-def cc_probe(spark, sf_dir: str, factor: int) -> tuple[int, float, int, int]:
+def cc_probe(spark, sf_dir: str, factor: int) -> tuple[int, float, int, int, float]:
     """Probe the ONE iterative operator: connected components over the
     LSH candidate graph of the salted corpus.  The iterations execute
     inside the call (per-round convergence counts), so this is timed
     inline rather than via the noop sink; the edge list is
     materialized off the clock so the curve measures label
     propagation, not candidate generation.  Returns (n_edges, sec,
-    rounds, n_components)."""
+    rounds, n_components, pagerank_sec)."""
     from etl_based_real_time_air_quality_monitoring_system_spark.operators.dedup import minhash_lsh_candidates
     from etl_based_real_time_air_quality_monitoring_system_spark.operators.graph import connected_components
+
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.graph import pagerank_micros
 
     docs_s = inflate_docs_salted(load_table(spark, sf_dir, "documents"), factor)
     edges = minhash_lsh_candidates(docs_s, "doc_id", "text", n=3, k=16, bands=4).persist()
@@ -296,8 +298,15 @@ def cc_probe(spark, sf_dir: str, factor: int) -> tuple[int, float, int, int]:
     labels = connected_components(edges, "doc_a", "doc_b", stats=stats)
     n_components = labels.select("component").distinct().count()
     sec = time.perf_counter() - t0
+    # the OTHER iterative operator over the same materialized edges:
+    # 3 synchronous integer-micros PageRank updates, timed end-to-end
+    t0 = time.perf_counter()
+    pagerank_micros(edges, "doc_a", "doc_b", iters=3).write.format(
+        "noop"
+    ).mode("overwrite").save()
+    pr_sec = time.perf_counter() - t0
     edges.unpersist()
-    return n_edges, sec, stats.get("rounds", 0), n_components
+    return n_edges, sec, stats.get("rounds", 0), n_components, pr_sec
 
 
 def main() -> None:
@@ -305,7 +314,7 @@ def main() -> None:
     factors = [int(a) for a in sys.argv[2:]] or [1, 4, 16]
     spark = get_session("scale-probe")
     rows: list[tuple[str, int, int, float, float]] = []
-    cc_rows: list[tuple[int, int, float, int, int]] = []
+    cc_rows: list[tuple[int, int, float, int, int, float]] = []
     for factor in factors:
         for name, (df, n_in) in probes(spark, sf_dir, factor).items():
             run_once(df)  # warm: codegen + file listing off the clock
@@ -314,8 +323,8 @@ def main() -> None:
             rows.append((name, factor, n_in, sec, per_mrow))
             print(f"x{factor:>2} {name:38s} {n_in:>10,} rows {sec:7.2f}s "
                   f"{per_mrow:7.3f} s/Mrow", flush=True)
-        n_edges, sec, rounds, n_comp = cc_probe(spark, sf_dir, factor)
-        cc_rows.append((factor, n_edges, sec, rounds, n_comp))
+        n_edges, sec, rounds, n_comp, pr_sec = cc_probe(spark, sf_dir, factor)
+        cc_rows.append((factor, n_edges, sec, rounds, n_comp, pr_sec))
         print(f"x{factor:>2} {'connected_components(lsh graph)':38s} "
               f"{n_edges:>10,} edges {sec:7.2f}s rounds={rounds} "
               f"components={n_comp:,}", flush=True)
@@ -390,11 +399,20 @@ def main() -> None:
         "a path graph of length L needs ~log2(L) rounds, so 25 covers",
         "any graph that fits in storage.",
         "",
-        "| factor | edges | sec | rounds | components |",
-        "|---|---|---|---|---|",
+        "`pagerank_micros` (3 unrolled integer-micros updates) runs",
+        "over the SAME materialized edge list: each update is one",
+        "edge-list equi-join + a map-side-combinable sum, so its sec",
+        "should track edges ~linearly with no round growth (the",
+        "iteration count is fixed by construction).",
+        "",
+        "| factor | edges | cc sec | cc rounds | components | pagerank sec |",
+        "|---|---|---|---|---|---|",
     ]
-    for factor, n_edges, sec, rounds, n_comp in cc_rows:
-        out.append(f"| {factor} | {n_edges:,} | {sec:.2f} | {rounds} | {n_comp:,} |")
+    for factor, n_edges, sec, rounds, n_comp, pr_sec in cc_rows:
+        out.append(
+            f"| {factor} | {n_edges:,} | {sec:.2f} | {rounds} |"
+            f" {n_comp:,} | {pr_sec:.2f} |"
+        )
     out.append("")
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     path = os.path.join(root, "SCALING.md")
