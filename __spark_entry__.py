@@ -3615,12 +3615,19 @@ def _q_streaming_pq_index(spark: SparkSession, sf: str) -> DataFrame:
     stream = stream_json_records(spark, src, schema, max_files_per_trigger=1)
 
     def encode_batch(batch: DataFrame, epoch_id: int) -> None:
+        # replay guard: each epoch OVERWRITES its own partition
+        # directory (epoch=<id>), so a micro-batch retried after a
+        # failure between the write and the checkpoint commit rewrites
+        # identical content instead of double-encoding its rows (a
+        # bare mode('append') would append a second copy and fail the
+        # shared pq_codes oracle spuriously — the run_cdc_apply replay
+        # discipline, parquet-partition edition)
         micros = batch.select(
             "vec_id", micros_vec("embedding").alias("embedding")
         )
         pq_encode(micros, "vec_id", "embedding", cb).select(
             "vec_id", "codes"
-        ).write.mode("append").parquet(idx)
+        ).write.mode("overwrite").parquet(os.path.join(idx, f"epoch={epoch_id}"))
 
     q = (
         stream.writeStream.foreachBatch(encode_batch)

@@ -830,13 +830,25 @@ def retrieval_ndcg(
     label_col: str,
     k: int = 10,
     scale: int = 6,
+    queries_in_corpus: bool = True,
 ) -> DataFrame:
     """NDCG@k of cosine retrieval under binary label relevance — the
     embedding-quality eval run before a corpus ships: for each query
-    vector, retrieve the top-``k`` corpus neighbors (self excluded),
-    score position ``p`` with the standard 1/log2(p+1) discount when
-    the neighbor's label matches the query's, and normalize by the
-    ideal DCG given how many same-label corpus rows exist.
+    vector, retrieve the top-``k`` corpus neighbors (self excluded
+    when ``queries_in_corpus``), score position ``p`` with the
+    standard 1/log2(p+1) discount when the neighbor's label matches
+    the query's, and normalize by the ideal DCG given how many
+    same-label corpus rows exist.
+
+    ``queries_in_corpus`` declares whether the query rows are drawn
+    from ``df`` itself (the default, and what the gate query does):
+    the query's own corpus row is then excluded from both retrieval
+    (``corpus_id != query_id``) and the IDCG candidate count
+    (``label_count - 1``).  Pass ``False`` for an EXTERNAL query set —
+    no id-based exclusion (an unrelated corpus row sharing a query id
+    must not be dropped) and IDCG uses the full label count; queries
+    whose label is absent from the corpus return ``ndcg_micros = 0``
+    rather than being dropped (left label join, count coalesced to 0).
 
     Returns (query_id, label, n_relevant_at_k, dcg_micros,
     idcg_micros, ndcg_micros) — ALL integers: discounts are
@@ -872,9 +884,11 @@ def retrieval_ndcg(
         _as_double_array(emb_col).alias("_qe"),
         F.col(label_col).alias("label"),
     )
+    paired = corpus.crossJoin(F.broadcast(qs))
+    if queries_in_corpus:
+        paired = paired.filter(F.col("corpus_id") != F.col("query_id"))
     scored = (
-        corpus.crossJoin(F.broadcast(qs))
-        .filter(F.col("corpus_id") != F.col("query_id"))
+        paired
         .select(
             "query_id",
             "label",
@@ -899,17 +913,20 @@ def retrieval_ndcg(
         F.sum((F.col("_gain") > 0).cast("long")).alias("n_relevant_at_k"),
         F.sum("_gain").alias("dcg_micros"),
     )
-    # ideal: all of the first min(k, same-label-corpus-rows - self)
-    # positions relevant -> a prefix sum of the same integer weights
+    # ideal: all of the first min(k, same-label corpus rows [- self])
+    # positions relevant -> a prefix sum of the same integer weights;
+    # LEFT join + coalesce so a query label absent from the corpus
+    # yields IDCG 0 (hence ndcg_micros 0), never a dropped row
     label_n = df.groupBy(F.col(label_col).alias("label")).agg(
         F.count("*").alias("_ln")
     )
-    r = F.least(F.lit(k), F.col("_ln") - F.lit(1))
+    ln = F.coalesce(F.col("_ln"), F.lit(0))
+    r = F.least(F.lit(k), ln - F.lit(1) if queries_in_corpus else ln)
     idcg = F.when(
         r > 0, F.element_at(F.array(*[F.lit(x) for x in prefix]), r.cast("int"))
     ).otherwise(F.lit(0)).cast("long")
     return (
-        per_q.join(F.broadcast(label_n), "label")
+        per_q.join(F.broadcast(label_n), "label", "left")
         .withColumn("idcg_micros", idcg)
         .withColumn(
             "ndcg_micros",
@@ -1438,10 +1455,29 @@ def ivfpq_adc_knn(
     if not queries:
         raise ValueError("ivfpq_adc_knn: queries must be non-empty")
     enc = ivfpq_encode(df, id_col, emb_col, coarse, codebooks)
-    cc = coarse.astype(np.int64)
+    # validate integrality BEFORE the int64 casts: a silent cast would
+    # truncate non-integer components toward zero and rank garbage —
+    # and the pq_adc_lut guard downstream would never fire, because
+    # the residual q - cc[c] it receives is already int64 (the
+    # inconsistency with pq_adc_knn, which raises on the same misuse)
+    cf = np.asarray(coarse, dtype=float)
+    if not np.all(cf == np.floor(cf)):
+        raise ValueError(
+            "ivfpq_adc_knn: coarse centroids have non-integer components "
+            "— quantize with micros_vec first (a silent int64 cast would "
+            "truncate toward zero and rank garbage)"
+        )
+    cc = cf.astype(np.int64)
     structs = []
     for qid, qv in queries:
-        q = np.asarray(list(qv), dtype=np.int64)
+        qf = np.asarray(list(qv), dtype=float)
+        if not np.all(qf == np.floor(qf)):
+            raise ValueError(
+                "ivfpq_adc_knn: query vector has non-integer components "
+                "— quantize with micros_vec first (a silent int64 cast "
+                "would truncate toward zero and rank garbage)"
+            )
+        q = qf.astype(np.int64)
         d2c = ((cc - q[None, :]) ** 2).sum(axis=1)
         probes = sorted(range(len(cc)), key=lambda c: (d2c[c], c))[:n_probe]
         branches = []

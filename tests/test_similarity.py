@@ -415,6 +415,50 @@ def test_retrieval_ndcg_no_same_label_is_zero(spark):
     assert r["idcg_micros"] == 0 and r["ndcg_micros"] == 0
 
 
+def test_retrieval_ndcg_external_query_set(spark):
+    """queries_in_corpus=False: no id-based self-exclusion (a corpus
+    row sharing a query id is still retrievable), IDCG counts the FULL
+    label frequency, and a query label absent from the corpus yields
+    an ndcg_micros=0 row instead of being dropped."""
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.similarity import (
+        ndcg_position_weights_micros,
+        retrieval_ndcg,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0], 1),   # id collides with query id 0 — must
+            (1, [1.0, 0.1], 1),   # still be retrieved
+            (2, [0.0, 1.0], 2),
+        ],
+        "vec_id long, embedding array<double>, label int",
+    )
+    queries = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0], 1),   # same id as a corpus row
+            (9, [0.5, 0.5], 7),   # label absent from corpus
+        ],
+        "vec_id long, embedding array<double>, label int",
+    )
+    out = {
+        int(r["query_id"]): r
+        for r in retrieval_ndcg(
+            corpus, queries, "vec_id", "embedding", "label",
+            k=2, queries_in_corpus=False,
+        ).collect()
+    }
+    assert set(out) == {0, 9}, "absent-label query must not be dropped"
+    w = ndcg_position_weights_micros(2)
+    # query 0: top-2 = corpus 0 (sim 1.0, SAME id — retrieved) then 1,
+    # both label 1 -> DCG = w1 + w2; IDCG = full count (2, NOT 2-1)
+    assert out[0]["n_relevant_at_k"] == 2
+    assert out[0]["dcg_micros"] == w[0] + w[1]
+    assert out[0]["idcg_micros"] == w[0] + w[1]
+    assert out[0]["ndcg_micros"] == 1_000_000
+    # query 9: label 7 nowhere in corpus -> all zeros
+    assert out[9]["idcg_micros"] == 0 and out[9]["ndcg_micros"] == 0
+
+
 def test_semantic_dedup_drops_within_cluster_near_dups(spark):
     from etl_based_real_time_air_quality_monitoring_system_spark.operators.similarity import semantic_dedup
 
@@ -643,6 +687,32 @@ def test_ivfpq_adc_knn_matches_numpy(memb):
         ]
         want = [(vid, d) for d, vid in sorted(cand)[:10]]
         assert by_q[qid] == want, f"query {qid} mismatch"
+
+
+def test_ivfpq_adc_knn_rejects_unquantized_inputs(memb):
+    """The batched IVF-PQ entry point must raise on non-integer query
+    vectors and coarse centroids instead of silently truncating them
+    toward zero in the int64 cast (the pq_adc_lut guard downstream
+    can never fire — the residual it receives is already int64)."""
+    import pytest
+
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.similarity import (
+        ivfpq_adc_knn,
+        ivfpq_codebooks,
+    )
+
+    coarse, cb = ivfpq_codebooks(memb, "vec_id", "embedding", 8, 8, 16)
+    ids, mat = _np_vectors(memb)
+    good = [(ids[0], [float(x) for x in mat[0]])]
+    frac = [(ids[0], [float(x) + 0.5 for x in mat[0]])]
+    with pytest.raises(ValueError, match="quantize with micros_vec"):
+        ivfpq_adc_knn(memb, "vec_id", "embedding", frac, coarse, cb)
+    with pytest.raises(ValueError, match="quantize with micros_vec"):
+        ivfpq_adc_knn(memb, "vec_id", "embedding", good, coarse + 0.25, cb)
+    # integral inputs still pass the guard
+    assert ivfpq_adc_knn(
+        memb, "vec_id", "embedding", good, coarse, cb, k=1
+    ).count() == 1
 
 
 def test_ivfpq_residuals_assign_lowest_tie_and_exact(memb):
