@@ -2475,6 +2475,73 @@ def _q_ivf_topk_recall(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+#: LSH recall-gate geometry: 12 hyperplanes over the 64-dim embedding
+#: space, quantized to integer micros so every signature bit is an
+#: exact integer dot-product sign in ANY engine (the planes are
+#: seeded-Gaussian, hence deterministic, and the SAME integer literals
+#: are interpolated into the SQL oracle — precompute-the-constants
+#: rule, no transcendental ever enters a compared value)
+_LSH_GATE_PLANES = 12
+_LSH_GATE_HAMMING = 6
+
+
+def _lsh_gate_planes() -> "np.ndarray":
+    import numpy as np
+
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.similarity import hyperplanes
+
+    return np.floor(hyperplanes(64, _LSH_GATE_PLANES, seed=42) * 1e6 + 0.5)
+
+
+def _lsh_sig_sql(ref: str) -> str:
+    """The packed LSH signature as DuckDB SQL over a micros-vector
+    column ``ref`` — bit i = sign of an exact integer dot product
+    against the SAME plane-micros literals the Spark plan carries."""
+    terms = []
+    for i, p in enumerate(_lsh_gate_planes()):
+        lit = "[" + ", ".join(f"{int(v)}.0" for v in p) + "]"
+        terms.append(
+            f"(CASE WHEN list_dot_product({ref}, {lit}) > 0"
+            f" THEN {1 << i} ELSE 0 END)"
+        )
+    joined = "\n                     + ".join(terms)
+    return f"CAST({joined} AS BIGINT)"
+
+
+def _q_lsh_topk_recall(spark: SparkSession, sf: str) -> DataFrame:
+    # the LAST float-ranked ANN path's quality metric under the gate
+    # (closing the ivf_topk_recall / pq_recall / ivfpq_recall family):
+    # hyperplane-LSH top-10 for five query vectors vs the exact
+    # brute-force cosine top-10, one hash-checked row.  Exactness
+    # recipe = ivf_topk_recall's: embeddings AND hyperplanes quantized
+    # to integer micros first, so the signature bits (sign of an
+    # integer dot < 2^53), the hamming prefilter, and the
+    # rounded-cosine rank are all deterministic mirrors of the SQL
+    # oracle — a banding/threshold regression moves recall and fails
+    # the hash.
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.similarity import (
+        brute_force_topk,
+        lsh_topk,
+    )
+
+    emb = _pq_micros_emb(spark, sf)
+    planes = _lsh_gate_planes()
+    queries = _pq_gate_queries(emb)
+    lsh_all, bf_all = None, None
+    for qid, qv in queries:
+        tag = F.lit(int(qid)).alias("qid")
+        lsh = lsh_topk(
+            emb, "vec_id", "embedding", qv,
+            k=10, max_hamming=_LSH_GATE_HAMMING, planes=planes,
+        ).select(tag, "vec_id")
+        bf = brute_force_topk(emb, "vec_id", "embedding", qv, k=10).select(
+            tag, "vec_id"
+        )
+        lsh_all = lsh if lsh_all is None else lsh_all.unionByName(lsh)
+        bf_all = bf if bf_all is None else bf_all.unionByName(bf)
+    return _recall_row(lsh_all, bf_all, len(queries))
+
+
 def _q_dq_report(spark: SparkSession, sf: str) -> DataFrame:
     # the reference's promised-but-unbuilt "Automated Data Quality
     # Checks" (README.md:46-53) as a one-pass operator: every check is
@@ -4266,6 +4333,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """
     return {
         # === the 50-entry driver-gate window (risk-ordered r5) ========
+        # --- new this round (round 6) ---------------------------------
+        "lsh_topk_recall": _q_lsh_topk_recall,
         # --- new or changed this round (round 5) ----------------------
         "substring_dup_spans": _q_substring_dup_spans,
         "source_overlap": _q_source_overlap,
@@ -6375,6 +6444,63 @@ def _oracle_sql_literal() -> dict[str, str]:
             h AS (
                 SELECT count(*) AS n_hits
                 FROM ivf JOIN bf USING (qid, vec_id)
+            )
+            SELECT (SELECT count(*) FROM q) AS n_queries,
+                   h.n_hits,
+                   (h.n_hits * 1000000) // ((SELECT count(*) FROM q) * 10)
+                       AS recall_micros
+            FROM h
+        """,
+        # lsh_topk_recall: the whole approximate pipeline re-derived —
+        # signature bits are signs of EXACT integer dot products
+        # (micros embeddings x micros plane literals, the same integers
+        # the Spark plan carries), the hamming prefilter is xor +
+        # bit_count on the packed BIGINT, and candidates rank by the
+        # same rounded cosine as the brute-force mirror
+        "lsh_topk_recall": f"""
+            WITH mq AS (
+                SELECT vec_id, list_transform(embedding::DOUBLE[],
+                           x -> floor(x * 1000000.0 + 0.5)) AS me
+                FROM embeddings
+            ),
+            q AS (SELECT vec_id AS qid, me AS qe FROM mq WHERE vec_id < 5),
+            sigs AS (
+                SELECT vec_id, me, {_lsh_sig_sql("me")} AS sig FROM mq
+            ),
+            qsigs AS (
+                SELECT qid, qe, {_lsh_sig_sql("qe")} AS sig FROM q
+            ),
+            cand AS (
+                SELECT qs.qid, s.vec_id,
+                       round(list_dot_product(s.me, qs.qe)
+                             / (sqrt(list_dot_product(s.me, s.me))
+                                * sqrt(list_dot_product(qs.qe, qs.qe))), 6)
+                           AS sim
+                FROM qsigs qs JOIN sigs s
+                  ON bit_count(xor(s.sig, qs.sig)) <= {_LSH_GATE_HAMMING}
+            ),
+            lsh AS (
+                SELECT qid, vec_id FROM (
+                    SELECT qid, vec_id, row_number() OVER (
+                        PARTITION BY qid ORDER BY sim DESC, vec_id ASC
+                    ) AS rn
+                    FROM cand
+                ) WHERE rn <= 10
+            ),
+            bf AS (
+                SELECT qid, vec_id FROM (
+                    SELECT q.qid, e.vec_id, row_number() OVER (
+                        PARTITION BY q.qid ORDER BY
+                            round(list_dot_product(e.me, q.qe)
+                                  / (sqrt(list_dot_product(e.me, e.me))
+                                     * sqrt(list_dot_product(q.qe, q.qe))), 6)
+                            DESC, e.vec_id ASC
+                    ) AS rn
+                    FROM q CROSS JOIN mq e
+                ) WHERE rn <= 10
+            ),
+            h AS (
+                SELECT count(*) AS n_hits FROM lsh JOIN bf USING (qid, vec_id)
             )
             SELECT (SELECT count(*) FROM q) AS n_queries,
                    h.n_hits,

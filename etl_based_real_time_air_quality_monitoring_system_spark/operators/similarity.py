@@ -525,13 +525,22 @@ def lsh_topk(
     max_hamming: int = 2,
     seed: int = 42,
     scale: int = 6,
+    planes: np.ndarray | None = None,
 ) -> DataFrame:
     """Approximate cosine top-k: keep only candidates whose bucket
     signature is within ``max_hamming`` bits of the query's, then score
     exactly.  Scanned fraction ≈ Σ_{i<=h} C(b,i)/2^b; recall rises
-    with ``max_hamming`` (see tests for the measured recall floor)."""
+    with ``max_hamming`` (see tests for the measured recall floor).
+
+    ``planes`` overrides the seeded Gaussian hyperplanes (the
+    ``centroids`` override of :func:`ivf_topk`): pass integer-micros
+    planes over integer-micros embeddings and every signature bit is
+    an exact integer dot-product sign — the recall gate interpolates
+    the SAME plane literals into its SQL oracle so the whole
+    approximate pipeline is hash-checkable."""
     qv = np.asarray(list(query_vec), dtype=float)
-    planes = hyperplanes(len(qv), n_planes, seed)
+    if planes is None:
+        planes = hyperplanes(len(qv), n_planes, seed)
     query_sig = int(sum(1 << i for i, p in enumerate(planes) if float(p @ qv) > 0))
     emb = _as_double_array(emb_col)
     with_sig = df.select(F.col(id_col), emb.alias("_e")).withColumn(

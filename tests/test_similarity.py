@@ -689,6 +689,27 @@ def test_ivfpq_adc_knn_matches_numpy(memb):
         assert by_q[qid] == want, f"query {qid} mismatch"
 
 
+def test_lsh_topk_planes_override(memb):
+    """Explicit planes equal to the seeded default reproduce the
+    default path exactly; the override is what lets the recall gate
+    interpolate the same integer-micros planes into its SQL oracle."""
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.similarity import (
+        hyperplanes,
+        lsh_topk,
+    )
+
+    ids, mat = _np_vectors(memb)
+    qv = [float(x) for x in mat[0]]
+    default = lsh_topk(memb, "vec_id", "embedding", qv, k=10, max_hamming=6)
+    explicit = lsh_topk(
+        memb, "vec_id", "embedding", qv, k=10, max_hamming=6,
+        planes=hyperplanes(len(qv), 12, seed=42),
+    )
+    assert [tuple(r) for r in default.collect()] == [
+        tuple(r) for r in explicit.collect()
+    ]
+
+
 def test_ivfpq_adc_knn_rejects_unquantized_inputs(memb):
     """The batched IVF-PQ entry point must raise on non-integer query
     vectors and coarse centroids instead of silently truncating them
