@@ -4314,6 +4314,118 @@ def _q_sketch_profile(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_sketch_bounds(spark: SparkSession, sf: str) -> DataFrame:
+    # sketch_profile's ERROR BOUNDS under the gate (the recall-gate
+    # recipe applied to sketches): per (event_type, metric) one row of
+    # (exact_val, within_bound) — the exact side is re-derived by the
+    # oracle, and the oracle asserts within_bound = 1, so an HLL or
+    # quantile-sketch regression that breaks the advertised bound
+    # fails rows+hash rather than hiding behind "approximate".
+    #
+    # Bounds checked: |approx_count_distinct - exact| <= max(1,
+    # 15% of exact) (3x the default 5% rsd); percentile_approx at
+    # accuracy 10000 must land between the values at ranks
+    # ceil(q*n) -/+ (ceil(n/10000) + 1) — the sketch's documented
+    # rank-error guarantee with one rank of slack.  exact_val pins the
+    # exact side in the hash (count for distincts, floor-half-up
+    # micros of the rank-ceil(q*n) value for percentiles); determinism
+    # holds because value-at-rank depends only on the group's value
+    # multiset.  The rank windows partition on event_type (tiny
+    # cardinality) — fine for a diagnostic/verification query; the
+    # production sketch path (sketch_profile) never sorts, and at
+    # 100 TB the exact twin would use the coarse-bucket histogram
+    # formulation (equi_depth_bins) instead of a per-group sort.
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf, "events")
+    du = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_val"),
+        F.approx_count_distinct("user_id").alias("_approx"),
+    )
+    distinct_rows = du.select(
+        "event_type",
+        F.lit("distinct_users").alias("metric"),
+        F.col("exact_val").cast("long").alias("exact_val"),
+        (
+            F.abs(F.col("_approx") - F.col("exact_val"))
+            <= F.greatest(
+                F.lit(1).cast("long"),
+                F.floor(F.col("exact_val") * F.lit(0.15)).cast("long"),
+            )
+        )
+        .cast("int")
+        .alias("within_bound"),
+    )
+    vals = ev.filter(F.col("value").isNotNull())
+    w = Window.partitionBy("event_type").orderBy("value")
+    ranked = vals.select(
+        "event_type", "value", F.row_number().over(w).alias("_rn")
+    )
+    appx = vals.groupBy("event_type").agg(
+        F.count("*").alias("_n"),
+        F.percentile_approx("value", 0.5, 10000).alias("_a50"),
+        F.percentile_approx("value", 0.95, 10000).alias("_a95"),
+    )
+    slack = F.ceil(F.col("_n") / F.lit(10000.0)).cast("long") + F.lit(1)
+    targets = appx.select(
+        "event_type",
+        "_n",
+        slack.alias("_slack"),
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("p50").alias("metric"),
+                    F.ceil(F.lit(0.5) * F.col("_n")).cast("long").alias("_rt"),
+                    F.col("_a50").alias("_approx"),
+                ),
+                F.struct(
+                    F.lit("p95").alias("metric"),
+                    F.ceil(F.lit(0.95) * F.col("_n")).cast("long").alias("_rt"),
+                    F.col("_a95").alias("_approx"),
+                ),
+            )
+        ).alias("_m"),
+    ).select(
+        F.col("event_type").alias("_et"),
+        F.col("_m.metric").alias("metric"),
+        F.col("_m._rt").alias("_rt"),
+        F.greatest(F.lit(1).cast("long"), F.col("_m._rt") - F.col("_slack")).alias("_lo"),
+        F.least(F.col("_n"), F.col("_m._rt") + F.col("_slack")).alias("_hi"),
+        F.col("_m._approx").alias("_approx"),
+    )
+    picked = (
+        ranked.join(
+            F.broadcast(targets),
+            on=(F.col("event_type") == F.col("_et"))
+            & (
+                (F.col("_rn") == F.col("_rt"))
+                | (F.col("_rn") == F.col("_lo"))
+                | (F.col("_rn") == F.col("_hi"))
+            ),
+        )
+        .groupBy("event_type", "metric")
+        .agg(
+            F.max(F.when(F.col("_rn") == F.col("_rt"), F.col("value"))).alias("_vt"),
+            F.min(F.when(F.col("_rn") == F.col("_lo"), F.col("value"))).alias("_vlo"),
+            F.max(F.when(F.col("_rn") == F.col("_hi"), F.col("value"))).alias("_vhi"),
+            F.first("_approx").alias("_approx"),
+        )
+    )
+    pct_rows = picked.select(
+        "event_type",
+        "metric",
+        F.floor(F.col("_vt") * F.lit(1000000.0) + F.lit(0.5))
+        .cast("long")
+        .alias("exact_val"),
+        (
+            (F.col("_approx") >= F.col("_vlo")) & (F.col("_approx") <= F.col("_vhi"))
+        )
+        .cast("int")
+        .alias("within_bound"),
+    )
+    return distinct_rows.unionByName(pct_rows)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
@@ -4335,6 +4447,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # === the 50-entry driver-gate window (risk-ordered r5) ========
         # --- new this round (round 6) ---------------------------------
         "lsh_topk_recall": _q_lsh_topk_recall,
+        "sketch_bounds": _q_sketch_bounds,
         # --- new or changed this round (round 5) ----------------------
         "substring_dup_spans": _q_substring_dup_spans,
         "source_overlap": _q_source_overlap,
@@ -8083,6 +8196,48 @@ def _oracle_sql_literal() -> dict[str, str]:
         """,
         "table_profile": rf"""
             {_PROFILE_SQL}
+        """,
+        # sketch_bounds: the oracle re-derives the EXACT side (distinct
+        # counts; value at rank ceil(q*n) per group) and asserts
+        # within_bound = 1 — if a Spark sketch ever violates its
+        # advertised error bound, the Spark side emits 0 there and the
+        # hash fails.  value-at-rank is deterministic because it
+        # depends only on the group's value multiset (row_number tie
+        # order can't change which value sits at a rank).
+        "sketch_bounds": """
+            WITH du AS (
+                SELECT event_type,
+                       CAST(count(DISTINCT user_id) AS BIGINT) AS exact_val
+                FROM events GROUP BY event_type
+            ),
+            nn AS (
+                SELECT event_type, count(*) AS n
+                FROM events WHERE value IS NOT NULL GROUP BY event_type
+            ),
+            ranked AS (
+                SELECT event_type, value, row_number() OVER (
+                    PARTITION BY event_type ORDER BY value
+                ) AS rn
+                FROM events WHERE value IS NOT NULL
+            ),
+            pct AS (
+                SELECT n.event_type, m.metric, r.value
+                FROM nn n
+                JOIN (VALUES ('p50', 0.5), ('p95', 0.95)) m(metric, q)
+                  ON true
+                JOIN ranked r
+                  ON r.event_type = n.event_type
+                 AND r.rn = CAST(ceil(m.q * n.n) AS BIGINT)
+            )
+            SELECT event_type, 'distinct_users' AS metric, exact_val,
+                   1 AS within_bound
+            FROM du
+            UNION ALL
+            SELECT event_type, metric,
+                   CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)
+                       AS exact_val,
+                   1 AS within_bound
+            FROM pct
         """,
         "key_skew_report": """
             WITH counts AS (
