@@ -3794,6 +3794,40 @@ def _q_ivfpq_recall(spark: SparkSession, sf: str) -> DataFrame:
     return _recall_row(adc, _exact_l2_top10(emb, queries), len(queries))
 
 
+def _q_nn_confusion_ivfpq(spark: SparkSession, sf: str) -> DataFrame:
+    # the documented ANN-candidate swap EXERCISED under the gate:
+    # nn_label_confusion's 100 TB path — 1-NN label confusion where
+    # the exact all-pairs scorer is replaced by IVF-PQ candidate
+    # lists (nn_confusion_over_candidates over ivfpq_adc_knn, k=2 so
+    # the best non-self neighbor is always present).  Sixteen query
+    # vectors; the oracle re-derives candidates via the shared
+    # _IVFPQ_CTES chain (n_queries parameterized) + the same
+    # exclude-self/rank-1/label-rollup tail, so a drift in EITHER the
+    # candidate generator or the confusion tail fails rows+hash.
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.similarity import (
+        ivfpq_adc_knn,
+        ivfpq_codebooks,
+        nn_confusion_over_candidates,
+    )
+
+    emb = _pq_micros_emb(spark, sf)
+    labels = load_table(spark, sf, "embeddings").select("vec_id", "label")
+    coarse, cb = ivfpq_codebooks(
+        emb, "vec_id", "embedding", n_coarse=8, n_subspaces=8, n_codes=16
+    )
+    qrows = (
+        emb.filter(F.col("vec_id") < 16)
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .collect()
+    )
+    queries = [(int(r["vec_id"]), list(r["embedding"])) for r in qrows]
+    cand = ivfpq_adc_knn(
+        emb, "vec_id", "embedding", queries, coarse, cb, k=2, n_probe=4
+    )
+    return nn_confusion_over_candidates(cand, labels, "vec_id", "label")
+
+
 def _q_dup_graph_pagerank(spark: SparkSession, sf: str) -> DataFrame:
     # iterative-join capability under the gate: PageRank over the
     # MinHash/LSH candidate graph in EXACT integer micros — three
@@ -4448,6 +4482,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new this round (round 6) ---------------------------------
         "lsh_topk_recall": _q_lsh_topk_recall,
         "sketch_bounds": _q_sketch_bounds,
+        "nn_confusion_ivfpq": _q_nn_confusion_ivfpq,
         # --- new or changed this round (round 5) ----------------------
         "substring_dup_spans": _q_substring_dup_spans,
         "source_overlap": _q_source_overlap,
@@ -4733,9 +4768,11 @@ _PR_CTES = ",\n            ".join(
 
 #: shared IVF-PQ oracle chain (micros -> coarse assign -> residual
 #: codebook [skipping the zero-residual centroid rows] -> encode ->
-#: probes -> LUTs -> per-(query, vec) ADC distance); ivfpq_topk and
-#: ivfpq_recall both build on it so the two can never drift apart
-_IVFPQ_CTES = """
+#: probes -> LUTs -> per-(query, vec) ADC distance); ivfpq_topk,
+#: ivfpq_recall and nn_confusion_ivfpq all build on it so the three
+#: can never drift apart.  The template's only free parameter is the
+#: query-set size (vec_id < {n_queries}).
+_IVFPQ_CTES_TEMPLATE = """
             WITH mq AS (
                 SELECT vec_id, list_transform(embedding::DOUBLE[],
                            x -> floor(x * 1000000.0 + 0.5)) AS me
@@ -4792,7 +4829,8 @@ _IVFPQ_CTES = """
                     FROM rsubs s JOIN csubs c ON s.j = c.j
                 ) WHERE rn = 1
             ),
-            q AS (SELECT vec_id AS qid, me AS qe FROM mq WHERE vec_id < 5),
+            q AS (SELECT vec_id AS qid, me AS qe FROM mq
+                  WHERE vec_id < {n_queries}),
             probes AS (
                 SELECT qid, cid, ce FROM (
                     SELECT q.qid, c.cid, c.ce, row_number() OVER (
@@ -4825,6 +4863,14 @@ _IVFPQ_CTES = """
                 GROUP BY l.qid, a.vec_id
             )
 """
+
+
+def _ivfpq_ctes(n_queries: int = 5) -> str:
+    return _IVFPQ_CTES_TEMPLATE.format(n_queries=n_queries)
+
+
+#: the 5-query instantiation the topk/recall gates use
+_IVFPQ_CTES = _ivfpq_ctes()
 
 _SIMHASH_BIT_AGGS = ",\n                   ".join(
     f"sum(CASE WHEN (h & (1::BIGINT << {j})) != 0 THEN 1 ELSE -1 END) AS b{j}"
@@ -5384,6 +5430,28 @@ def _oracle_sql_literal() -> dict[str, str]:
                        // ((SELECT count(DISTINCT qid) FROM qfull) * 10)
                        AS recall_micros
             FROM h
+        """,
+        # nn_confusion_ivfpq: the shared IVF-PQ chain at n_queries=16,
+        # then the confusion tail — best NON-SELF candidate per query
+        # by (adc_dist, vec_id), label pairs rolled up.  (Spark takes
+        # k=2 then excludes self; at most one self row exists per
+        # query, so rank-1-of-non-self over all candidates is the
+        # identical set.)
+        "nn_confusion_ivfpq": _ivfpq_ctes(16) + """
+            , nn AS (
+                SELECT qid, vec_id FROM (
+                    SELECT qid, vec_id, row_number() OVER (
+                        PARTITION BY qid ORDER BY adc_dist ASC, vec_id ASC
+                    ) AS rn
+                    FROM adc WHERE vec_id != qid
+                ) WHERE rn = 1
+            )
+            SELECT lq.label AS label, ln.label AS nn_label,
+                   count(*) AS pair_count
+            FROM nn
+            JOIN embeddings lq ON lq.vec_id = nn.qid
+            JOIN embeddings ln ON ln.vec_id = nn.vec_id
+            GROUP BY 1, 2
         """,
         "incremental_neardup": rf"""
             WITH toks AS (

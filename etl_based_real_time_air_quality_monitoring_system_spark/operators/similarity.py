@@ -197,6 +197,55 @@ def nn_label_confusion(
     return nn.groupBy("label", "nn_label").agg(F.count("*").alias("pair_count"))
 
 
+def nn_confusion_over_candidates(
+    candidates: DataFrame,
+    labels: DataFrame,
+    id_col: str,
+    label_col: str,
+    qid_col: str = "qid",
+    dist_col: str = "adc_dist",
+    ascending: bool = True,
+) -> DataFrame:
+    """1-NN label confusion over PRE-GENERATED ANN candidate lists —
+    the 100 TB path :func:`nn_label_confusion` documents: swap the
+    exact all-pairs scorer for IVF / PQ / IVF-PQ candidate lists
+    (``candidates`` = (qid, id, distance) triples from e.g.
+    :func:`ivfpq_adc_knn`), and reuse this aggregation tail unchanged.
+    Pass candidates with k >= 2 so the best NON-SELF neighbor is
+    always present: at most one self row exists per query, so the
+    best non-self candidate sits at overall rank <= 2.
+
+    Self-matches (candidate id == query id) are excluded, the best
+    remaining candidate per query by (``dist_col``, id) wins —
+    ``ascending=False`` for similarity-scored candidates — and
+    ``(label, nn_label)`` pairs are counted.  Returns (label,
+    nn_label, pair_count).
+
+    Scale shape: one window shuffle on the (already small) candidate
+    lists plus two label equi-joins — candidate generation, not this
+    tail, carries the scan cost."""
+    from pyspark.sql import Window
+
+    order = F.asc(dist_col) if ascending else F.desc(dist_col)
+    w = Window.partitionBy(qid_col).orderBy(order, F.col(id_col))
+    nn = (
+        candidates.filter(F.col(id_col) != F.col(qid_col))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(qid_col, id_col)
+    )
+    lq = labels.select(
+        F.col(id_col).alias(qid_col), F.col(label_col).alias("label")
+    )
+    ln = labels.select(F.col(id_col), F.col(label_col).alias("nn_label"))
+    return (
+        nn.join(lq, qid_col)
+        .join(ln, id_col)
+        .groupBy("label", "nn_label")
+        .agg(F.count("*").alias("pair_count"))
+    )
+
+
 def _nn_label_confusion_gemm(
     df: DataFrame,
     id_col: str,

@@ -689,6 +689,45 @@ def test_ivfpq_adc_knn_matches_numpy(memb):
         assert by_q[qid] == want, f"query {qid} mismatch"
 
 
+def test_nn_confusion_over_candidates_hand_built(spark):
+    """The ANN-candidate confusion tail on hand-built lists: self rows
+    excluded, best remaining candidate by (dist, id) wins, descending
+    mode flips the order for similarity-scored candidates."""
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.similarity import (
+        nn_confusion_over_candidates,
+    )
+
+    labels = spark.createDataFrame(
+        [(0, "a"), (1, "a"), (2, "b"), (3, "b")], "vec_id long, label string"
+    )
+    cand = spark.createDataFrame(
+        [
+            (0, 0, 0),    # self — must be excluded
+            (0, 2, 5),    # best non-self for q0 -> (a, b)
+            (0, 1, 5),    # tie on dist -> lower id 1 wins -> (a, a)
+            (2, 3, 7),    # q2 -> (b, b)
+            (2, 1, 9),
+        ],
+        "qid long, vec_id long, adc_dist long",
+    )
+    got = {
+        (r["label"], r["nn_label"]): r["pair_count"]
+        for r in nn_confusion_over_candidates(
+            cand, labels, "vec_id", "label"
+        ).collect()
+    }
+    assert got == {("a", "a"): 1, ("b", "b"): 1}
+    # descending: q0's best becomes adc_dist 5 still (tie) but flip
+    # makes 9 beat 7 for q2 -> neighbor 1 (label a)
+    got_desc = {
+        (r["label"], r["nn_label"]): r["pair_count"]
+        for r in nn_confusion_over_candidates(
+            cand, labels, "vec_id", "label", ascending=False
+        ).collect()
+    }
+    assert got_desc == {("a", "a"): 1, ("b", "a"): 1}
+
+
 def test_lsh_topk_planes_override(memb):
     """Explicit planes equal to the seeded default reproduce the
     default path exactly; the override is what lets the recall gate
