@@ -1759,6 +1759,89 @@ def _q_cdc_time_travel(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_cdc_vacuum(spark: SparkSession, sf: str) -> DataFrame:
+    # explicit VACUUM over the CDC snapshot history: build the same
+    # 4-generation snapshot as cdc_time_travel (keep_generations=4),
+    # read latest + asof_commit=3 BEFORE vacuum, prune retention to
+    # the newest 2 generations, read both again AFTER.  The oracle
+    # emits each snapshot twice (pre/post), so the gate proves
+    # in-retention time travel is byte-identical across the vacuum —
+    # a marker-truncation bug (wrong slice kept, re-resolution
+    # drifting to another generation) changes the post rows and fails
+    # rows+hash.  The fail-fast path for out-of-retention reads is
+    # pytest-pinned (vacuum_cdc_snapshots tests).
+    import glob as _glob
+    import shutil as _shutil
+
+    from etl_based_real_time_air_quality_monitoring_system_spark.streaming.pipeline import (
+        read_cdc_snapshot,
+        run_cdc_apply,
+        stream_json_records,
+        vacuum_cdc_snapshots,
+    )
+
+    events = load_table(spark, sf, "events")
+    updates = events.select(
+        "user_id",
+        F.col("event_id").alias("version"),
+        "value",
+        (F.col("event_type") == "error").alias("_deleted"),
+    )
+    root = _gate_sink(sf, "cdc_vac")
+    _shutil.rmtree(root, ignore_errors=True)
+    src = os.path.join(root, "src")
+    os.makedirs(src)
+    for b in range(4):
+        part_dir = os.path.join(root, f"part{b}")
+        (
+            updates.filter(F.col("version") % 4 == b)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .json(part_dir)
+        )
+        (part_file,) = _glob.glob(os.path.join(part_dir, "part-*.json"))
+        dst = os.path.join(src, f"b{b}.json")
+        os.replace(part_file, dst)
+        t0 = os.path.getmtime(os.path.join(src, "b0.json"))
+        os.utime(dst, (t0 + 10 * b, t0 + 10 * b))
+    schema = _cdc_update_schema()
+    stream = stream_json_records(spark, src, schema, max_files_per_trigger=1)
+    snap = os.path.join(root, "snap")
+    q = run_cdc_apply(
+        stream,
+        snap,
+        os.path.join(root, "ck"),
+        key="user_id",
+        version_col="version",
+        keep_generations=4,
+    )
+    q.awaitTermination()
+
+    def reads(phase: str) -> DataFrame:
+        latest = read_cdc_snapshot(spark, snap, "_deleted")
+        asof = read_cdc_snapshot(spark, snap, "_deleted", asof_commit=3)
+        return latest.select(
+            F.lit(phase).alias("phase"),
+            F.lit("latest").alias("snap"),
+            "user_id",
+            "version",
+            "value",
+        ).unionByName(
+            asof.select(
+                F.lit(phase).alias("phase"),
+                F.lit("asof_commit_3").alias("snap"),
+                "user_id",
+                "version",
+                "value",
+            )
+        )
+
+    pre = reads("pre_vacuum")
+    pruned = vacuum_cdc_snapshots(snap, keep_generations=2)
+    assert pruned == ["gen-000002", "gen-000001"], pruned
+    return pre.unionByName(reads("post_vacuum"))
+
+
 def _q_funnel_over_cdc(spark: SparkSession, sf: str) -> DataFrame:
     # the interaction matrix, not operators in isolation: an ordered
     # funnel computed over a CDC-MAINTAINED snapshot.  The event log
@@ -4483,6 +4566,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_topk_recall": _q_lsh_topk_recall,
         "sketch_bounds": _q_sketch_bounds,
         "nn_confusion_ivfpq": _q_nn_confusion_ivfpq,
+        "cdc_vacuum": _q_cdc_vacuum,
         # --- new or changed this round (round 5) ----------------------
         "substring_dup_spans": _q_substring_dup_spans,
         "source_overlap": _q_source_overlap,
@@ -6067,6 +6151,40 @@ def _oracle_sql_literal() -> dict[str, str]:
             SELECT z >> 18 AS cell, count(*) AS n_rows,
                    CAST(sum(z) AS BIGINT) AS z_sum
             FROM zv GROUP BY 1
+        """,
+        # cdc_vacuum: latest + asof_commit=3 re-derived from the
+        # version rule (commit 3 = the first three mtime-ordered
+        # batches, i.e. version%4 <= 2), each emitted for both phases
+        # — in-retention reads must be identical across the vacuum
+        "cdc_vacuum": """
+            WITH u AS (
+                SELECT user_id, event_id AS version, value, event_type
+                FROM events
+            ),
+            l AS (
+                SELECT user_id, version, value, event_type,
+                       row_number() OVER (
+                           PARTITION BY user_id ORDER BY version DESC
+                       ) AS rn
+                FROM u
+            ),
+            c3 AS (
+                SELECT user_id, version, value, event_type,
+                       row_number() OVER (
+                           PARTITION BY user_id ORDER BY version DESC
+                       ) AS rn
+                FROM u WHERE version % 4 <= 2
+            ),
+            snaps AS (
+                SELECT 'latest' AS snap, user_id, version, value
+                FROM l WHERE rn = 1 AND event_type <> 'error'
+                UNION ALL
+                SELECT 'asof_commit_3', user_id, version, value
+                FROM c3 WHERE rn = 1 AND event_type <> 'error'
+            )
+            SELECT p.phase, s.snap, s.user_id, s.version, s.value
+            FROM snaps s
+            CROSS JOIN (VALUES ('pre_vacuum'), ('post_vacuum')) p(phase)
         """,
         "cdc_time_travel": """
             WITH u AS (

@@ -588,6 +588,44 @@ def read_cdc_snapshot(
     return out
 
 
+def vacuum_cdc_snapshots(
+    snapshot_root: str, keep_generations: int
+) -> list[str]:
+    """Prune a CDC snapshot's retained history down to its newest
+    ``keep_generations`` generations — the explicit VACUUM for a
+    snapshot built with a larger retention than it needs (the
+    lakehouse ``VACUUM`` analog; :func:`run_cdc_apply` only ages
+    generations out as new commits land, so shrinking retention on a
+    quiet table needs this).  Returns the pruned generation dirs
+    (relative names), ``[]`` when nothing exceeds retention.
+
+    Crash ordering mirrors the writer: the truncated marker is
+    committed ATOMICALLY first, then the aged-out directories are
+    deleted — a crash between the two leaves orphaned (unreferenced)
+    directories, never a marker pointing at deleted data, so
+    concurrent :func:`read_cdc_snapshot` calls stay correct at every
+    point.  Reads WITHIN the surviving retention are byte-identical
+    before and after (the gate query proves it); reads beyond it fail
+    fast with the oldest-retained-commit message."""
+    import os
+    import shutil
+
+    if keep_generations < 1:
+        raise ValueError("vacuum_cdc_snapshots: keep_generations must be >= 1")
+    history = _read_gen_marker(snapshot_root)
+    if not history:
+        raise FileNotFoundError(
+            f"vacuum_cdc_snapshots: no committed generation under {snapshot_root}"
+        )
+    if len(history) <= keep_generations:
+        return []
+    keep, prune = history[:keep_generations], history[keep_generations:]
+    _write_gen_marker(snapshot_root, keep)
+    for gen, _, _ in prune:
+        shutil.rmtree(os.path.join(snapshot_root, gen), ignore_errors=True)
+    return [gen for gen, _, _ in prune]
+
+
 def stateful_distinct_users_exact(
     df: DataFrame,
     key: str = "event_type",

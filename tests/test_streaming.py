@@ -754,6 +754,57 @@ def test_cdc_apply_replayed_run_is_idempotent(spark, tmp_path):
     assert after == before
 
 
+def test_cdc_vacuum_prunes_and_preserves_in_retention_reads(spark, tmp_path):
+    """vacuum_cdc_snapshots: prunes exactly the generations beyond
+    retention (oldest first in the returned list order: marker order),
+    in-retention time travel returns identical rows before/after, and
+    a read beyond the surviving retention fails fast."""
+    import json as _json
+
+    import pytest
+
+    from etl_based_real_time_air_quality_monitoring_system_spark.streaming.pipeline import (
+        read_cdc_snapshot,
+        vacuum_cdc_snapshots,
+    )
+
+    src = tmp_path / "u"
+    src.mkdir()
+    for i in range(3):
+        p = src / f"b{i}.json"
+        p.write_text(
+            _json.dumps({"k": 1, "version": i + 1, "v": 10.0 * (i + 1),
+                         "_deleted": False})
+        )
+        base = (src / "b0.json").stat().st_mtime
+        import os as _os
+
+        _os.utime(p, (base + 10 * i, base + 10 * i))
+    snap = tmp_path / "snap"
+    _cdc_run(spark, src, snap, tmp_path / "ck", keep_generations=3)
+
+    pre = sorted(
+        tuple(r)
+        for r in read_cdc_snapshot(spark, str(snap), asof_commit=2).collect()
+    )
+    # nothing beyond retention yet -> no-op
+    assert vacuum_cdc_snapshots(str(snap), keep_generations=3) == []
+    assert vacuum_cdc_snapshots(str(snap), keep_generations=2) == ["gen-000001"]
+    assert not (snap / "gen-000001").exists()
+    assert (snap / "gen-000002").exists() and (snap / "gen-000003").exists()
+    post = sorted(
+        tuple(r)
+        for r in read_cdc_snapshot(spark, str(snap), asof_commit=2).collect()
+    )
+    assert post == pre == [(1, 2, 20.0, False)]
+    with pytest.raises(ValueError, match="oldest retained commit is 2"):
+        read_cdc_snapshot(spark, str(snap), asof_commit=1)
+    with pytest.raises(ValueError, match="keep_generations"):
+        vacuum_cdc_snapshots(str(snap), keep_generations=0)
+    with pytest.raises(FileNotFoundError):
+        vacuum_cdc_snapshots(str(tmp_path / "nowhere"), keep_generations=1)
+
+
 def test_cdc_time_travel_asof_epoch(spark, tmp_path):
     """read_cdc_snapshot(asof_epoch=N) returns the committed state as
     of that epoch — identical to replaying updates <= N; generations
