@@ -180,6 +180,8 @@ def pagerank_micros(
     dst: str = "dst",
     iters: int = 3,
     damping_micros: int = 850_000,
+    tol_micros: int | None = None,
+    stats: dict | None = None,
 ) -> DataFrame:
     """PageRank over the (undirected) candidate graph in EXACT integer
     micros — (vertex, pr_micros) after ``iters`` synchronous updates
@@ -205,7 +207,20 @@ def pagerank_micros(
     iteration.  Dangling vertices cannot occur: the symmetric closure
     gives every vertex outdeg >= 1.  Only vertices that appear in an
     edge are returned (isolated docs hold the baseline score by
-    definition)."""
+    definition).
+
+    ``tol_micros`` adds an L1-delta EARLY EXIT: after each update the
+    total |pr' - pr| is measured (one extra join + agg job per round)
+    and iteration stops once mean per-vertex movement <= tol_micros —
+    ``iters`` then acts as the cap, exactly like the
+    ``connected_components`` round limit.  The default (None) runs
+    the fixed ``iters`` with NO extra jobs or plan change — the gate
+    query and its unrolled-CTE oracle pin that behavior, since the
+    trajectory (not just the fixpoint) is what the oracle re-derives.
+    Pass ``stats`` to capture ``iters_run`` and the per-round
+    ``deltas_micros`` trajectory (SCALING.md probes it on the dup
+    graph: deltas fall geometrically, so a production tolerance stops
+    well under the cap)."""
     if iters < 1:
         raise ValueError("pagerank_micros: iters must be >= 1")
     d = int(damping_micros)
@@ -221,7 +236,11 @@ def pagerank_micros(
     deg = sym.groupBy("a").agg(F.count("*").alias("_deg"))
     # uniform start: contribution of the first round is 1e6 DIV deg
     pr = deg.select(F.col("a").alias("v"), F.lit(1_000_000).cast("long").alias("_pr"))
+    track = tol_micros is not None or stats is not None
+    deltas: list[int] = []
+    iters_run = 0
     for _ in range(iters):
+        prev = pr
         contrib = (
             sym.join(pr.withColumnRenamed("v", "a"), "a")
             .join(deg, "a")
@@ -236,4 +255,23 @@ def pagerank_micros(
             )
             .localCheckpoint(eager=False)
         )
+        iters_run += 1
+        if track:
+            row = (
+                pr.join(
+                    prev.select("v", F.col("_pr").alias("_prev")), "v"
+                )
+                .agg(
+                    F.sum(F.abs(F.col("_pr") - F.col("_prev"))).alias("_d"),
+                    F.count("*").alias("_n"),
+                )
+                .first()
+            )
+            delta, n_v = int(row["_d"] or 0), int(row["_n"] or 1)
+            deltas.append(delta)
+            if tol_micros is not None and delta <= tol_micros * n_v:
+                break
+    if stats is not None:
+        stats["iters_run"] = iters_run
+        stats["deltas_micros"] = deltas
     return pr.select(F.col("v").alias("vertex"), F.col("_pr").alias("pr_micros"))

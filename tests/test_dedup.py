@@ -176,3 +176,39 @@ def test_pagerank_micros_hub_dominates_and_validates(spark):
     assert hub > 3 * leaves[0]  # the hub dominates organic near-dups
     with _pytest.raises(ValueError, match="iters"):
         pagerank_micros(edges, iters=0)
+
+
+def test_pagerank_micros_early_exit_and_fixed_iters_unchanged(spark):
+    """tol_micros early exit: (a) the DEFAULT (tol=None) trajectory is
+    untouched — the gate query and its unrolled-CTE oracle depend on
+    the fixed 3-step result; (b) with a tolerance, iteration stops at
+    the cap or earlier and the result equals running exactly that many
+    fixed iterations; (c) stats records a falling delta trajectory."""
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.graph import pagerank_micros
+
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+
+    def run(**kw):
+        return {
+            int(r["vertex"]): int(r["pr_micros"])
+            for r in pagerank_micros(edges, iters=3, **kw).collect()
+        }
+
+    fixed3 = run()
+    assert fixed3 == {1: 629187, 2: 1741625, 3: 629187}
+    # stats tracking alone must not change the result
+    stats: dict = {}
+    assert run(stats=stats) == fixed3
+    assert stats["iters_run"] == 3 and len(stats["deltas_micros"]) == 3
+    # a huge tolerance stops after the FIRST update and equals iters=1
+    stats1: dict = {}
+    got1 = run(tol_micros=10_000_000, stats=stats1)
+    assert stats1["iters_run"] == 1
+    assert got1 == {
+        int(r["vertex"]): int(r["pr_micros"])
+        for r in pagerank_micros(edges, iters=1).collect()
+    }
+    # tol=0 on an oscillating path graph never triggers -> cap of 3
+    stats0: dict = {}
+    assert run(tol_micros=0, stats=stats0) == fixed3
+    assert stats0["iters_run"] == 3
