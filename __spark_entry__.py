@@ -3643,6 +3643,20 @@ def _q_bigram_lm(spark: SparkSession, sf: str) -> DataFrame:
     return bigram_lm_score(docs, docs.filter(F.col("source") == "src0"))
 
 
+def _q_bpe_merges(spark: SparkSession, sf: str) -> DataFrame:
+    # tokenizer-vocabulary induction (BPE merge learning at word
+    # granularity, Sennrich et al. 2016): three rounds of
+    # most-frequent-adjacent-pair fusion, each round's argmax + merged
+    # corpus re-derived by the oracle as unrolled CTEs (the
+    # pagerank_micros sequential-fold recipe).  All counts and string
+    # compares — no floats — and the output carries its own
+    # application invariant (tokens drop by exactly pair_count).
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.text import bpe_word_merges
+
+    docs = load_table(spark, sf, "documents")
+    return bpe_word_merges(docs, "text", n_merges=3)
+
+
 def _pq_micros_emb(spark: SparkSession, sf: str) -> DataFrame:
     # shared PQ input: embeddings quantized to integer micros FIRST
     # (micros_vec — the repo's single floor-half-up recipe) so every
@@ -4551,9 +4565,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     risk-ordered for round 6 — (1) entries that are NEW or whose code
     CHANGED this round (never-gated always outrank re-gates), then
     (2) the least-recently-gated cohorts: every remaining entry whose
-    latest driver gate row is from round 1 or 2, except five
-    stragglers with fresh independent evidence (see the inline note at
-    position 51) that yielded their slots and lead the r7 rotation.
+    latest driver gate row is from round 1 or 2, except six
+    stragglers with fresh independent or twin evidence (see the inline
+    notes at position 51) that yielded their slots and lead the r7
+    rotation.
     Positions 51+ are ordered oldest-gate-first so wider local sweeps
     cover the next-stalest entries.  Every displaced entry is green in
     this round's full local sweep on current code (ORACLE_SWEEP.md,
@@ -4561,13 +4576,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """
     return {
         # === the 50-entry driver-gate window (risk-ordered r6) ========
-        # --- new or code-changed this round (round 6): four new gates
+        # --- new or code-changed this round (round 6): five new gates
         # --- plus the two r5-gated entries whose code the advice fixes
         # --- touched (epoch replay guard / left label join) -----------
         "lsh_topk_recall": _q_lsh_topk_recall,
         "sketch_bounds": _q_sketch_bounds,
         "nn_confusion_ivfpq": _q_nn_confusion_ivfpq,
         "cdc_vacuum": _q_cdc_vacuum,
+        "bpe_merges": _q_bpe_merges,
         "streaming_pq_index": _q_streaming_pq_index,
         "retrieval_ndcg": _q_retrieval_ndcg,
         # --- least-recently-gated: the r1 cohort (latest driver row
@@ -4580,7 +4596,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q4": _q_tpch_q4,
         "tpch_q7": _q_tpch_q7,
         "tpch_q8": _q_tpch_q8,
-        "cube_flag_status": _q_cube_flag_status,
         "value_temp_bands": _q_value_temp_bands,
         "high_value_events": _q_high_value_events,
         "notnull_count": _q_notnull_count,
@@ -4620,7 +4635,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_user_history": _q_scd2_user_history,
         "point_in_time_features": _q_point_in_time_features,
         # ==== end of the 50-entry gate window =========================
-        # --- r1/r2 stragglers that yielded their slots to the four new
+        # --- r1/r2 stragglers that yielded their slots to the five new
         # --- r6 gates + two changed-code re-gates: each has FRESH
         # --- independent evidence — flagship is smoke-run by entry()
         # --- every round and judge-re-run in r5;
@@ -4630,6 +4645,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- round's full 3-SF local sweep; FIRST IN LINE for the r7
         # --- window ---------------------------------------------------
         "flagship": flagship_pipeline,
+        # --- cube_flag_status yielded its window slot to bpe_merges:
+        # --- it shares reshape.py with in-window rollup_flag_status
+        # --- and r4-green grouping_sets_qty (the r5 rationale, renewed)
+        "cube_flag_status": _q_cube_flag_status,
         "asof_purchase_attribution": _q_asof_purchase_attribution,
         "user_sessions": _q_user_sessions,
         "value_percentiles": _q_value_percentiles,
@@ -4847,6 +4866,44 @@ _PR_CTES = ",\n            ".join(
             )"""
     for i in range(3)
 )
+
+def _bpe_round_ctes(n_rounds: int = 3) -> str:
+    """BPE merge rounds unrolled as CTEs (the _PR_CTES sequential-fold
+    recipe): per round, pair counts (self-pairs excluded, mirroring
+    the operator's order-independence restriction), the (count DESC,
+    l, r) argmax, and the merged token arrays.  Generated by loop so
+    the per-round SQL can never drift between rounds."""
+    parts = []
+    for k in range(1, n_rounds + 1):
+        prev = f"t{k - 1}"
+        parts.append(f"""
+            p{k} AS (
+                SELECT t[i] AS l, t[i + 1] AS r
+                FROM {prev}, UNNEST(range(1, greatest(len(t), 1))) AS u(i)
+                WHERE t[i] != t[i + 1]
+            ),
+            m{k} AS (
+                SELECT l, r, c FROM (
+                    SELECT l, r, count(*) AS c, row_number() OVER (
+                        ORDER BY count(*) DESC, l, r
+                    ) AS rn
+                    FROM p{k} GROUP BY l, r
+                ) WHERE rn = 1
+            ),
+            t{k} AS (
+                SELECT list_filter(
+                    list_transform(range(1, len(t) + 1), i ->
+                        CASE WHEN i < len(t) AND t[i] = m.l
+                                  AND t[i + 1] = m.r
+                                 THEN t[i] || chr(1) || t[i + 1]
+                             WHEN i > 1 AND t[i - 1] = m.l AND t[i] = m.r
+                                 THEN NULL
+                             ELSE t[i] END),
+                    x -> x IS NOT NULL) AS t
+                FROM {prev}, m{k} m
+            )""")
+    return ",".join(parts)
+
 
 #: shared IVF-PQ oracle chain (micros -> coarse assign -> residual
 #: codebook [skipping the zero-residual centroid rows] -> encode ->
@@ -5276,6 +5333,30 @@ def _oracle_sql_literal() -> dict[str, str]:
             LEFT JOIN c1 ON b.w1 = c1.w1
             CROSS JOIN v
             GROUP BY b.doc_id
+        """,
+        # bpe_merges: three merge rounds unrolled as CTEs (argmax pair
+        # per round, merged corpus carried forward); each output row
+        # pins the learned rule, its frequency, and the applied
+        # corpus's token total
+        "bpe_merges": rf"""
+            WITH t0 AS (
+                SELECT {_TOKS} AS t
+                FROM documents WHERE text IS NOT NULL
+            ),
+            {_bpe_round_ctes(3)}
+            SELECT 1 AS merge_round, m1.l AS merge_left,
+                   m1.r AS merge_right, m1.c AS pair_count,
+                   (SELECT CAST(sum(len(t)) AS BIGINT) FROM t1)
+                       AS corpus_tokens_after
+            FROM m1
+            UNION ALL
+            SELECT 2, m2.l, m2.r, m2.c,
+                   (SELECT CAST(sum(len(t)) AS BIGINT) FROM t2)
+            FROM m2
+            UNION ALL
+            SELECT 3, m3.l, m3.r, m3.c,
+                   (SELECT CAST(sum(len(t)) AS BIGINT) FROM t3)
+            FROM m3
         """,
         "pq_codes": """
             WITH mq AS (

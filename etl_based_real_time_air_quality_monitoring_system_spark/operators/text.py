@@ -887,3 +887,121 @@ def bigram_lm_score(
             F.expr("_sp div n_bigrams").alias("lm_score_micros"),
         )
     )
+
+
+def bpe_word_merges(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 3,
+    sep: str = "\x01",
+) -> DataFrame:
+    """BPE-style merge-rule LEARNING at word granularity (the
+    tokenizer-vocabulary induction step of Sennrich et al. 2016,
+    "Neural Machine Translation of Rare Words with Subword Units",
+    run over words instead of characters — the word2phrase/phrase-
+    vocabulary variant): repeat ``n_merges`` times — count all
+    adjacent token pairs across the corpus, pick the most frequent
+    (ties: lexicographically smallest pair), fuse every occurrence
+    into a single token, recount on the merged corpus.
+
+    SELF-PAIRS (a, a) are excluded from merge candidates: for a != b
+    the occurrence set of (a, b) is non-overlapping by construction,
+    so "fuse every occurrence" is order-independent — the same result
+    from a parallel scan, a left-to-right fold, or the unrolled SQL
+    mirror (self-pairs in runs like "a a a" would make leftmost-greedy
+    inherently sequential).
+
+    Returns one row per learned rule: (merge_round, merge_left,
+    merge_right, pair_count, corpus_tokens_after) — ``pair_count`` is
+    the pair's corpus frequency when it was chosen, and because every
+    occurrence fuses exactly two tokens into one,
+    ``corpus_tokens_after`` must drop by exactly ``pair_count`` each
+    round: the output carries its own application-correctness
+    invariant, and the gate oracle re-derives the whole trajectory
+    (argmax CTE per round, the pagerank_micros unrolled-fold recipe —
+    all counts and string compares, no floats anywhere).
+
+    Scale shape: each round is one tokenize-free pair explode over the
+    (checkpointed) token arrays -> one map-side-combinable count
+    shuffle -> a 1-row driver argmax -> an in-scan merge expression
+    (the learned pair is a broadcast literal, like PQ codebooks).
+    Rounds checkpoint their merged arrays so round r's plan does not
+    re-embed rounds 1..r-1 (the iterative-fold lineage cut).  Only
+    ``n_merges`` (pair, count) rows ever reach the driver."""
+    if n_merges < 1:
+        raise ValueError("bpe_word_merges: n_merges must be >= 1")
+    spark = df.sparkSession
+    cur = (
+        spread_small_input(df.select(F.col(text_col).alias("_txt")))
+        .filter(F.col("_txt").isNotNull())
+        .select(tokens("_txt").alias("_t"))
+        .localCheckpoint(eager=False)
+    )
+    out_rows: list[tuple] = []
+    for rnd in range(1, n_merges + 1):
+        pairs = (
+            cur.filter(F.size("_t") >= 2)
+            .select(
+                F.explode(
+                    F.expr(
+                        "transform(sequence(0, size(_t) - 2), "
+                        "i -> struct(_t[i] AS l, _t[i + 1] AS r))"
+                    )
+                ).alias("_p")
+            )
+            .select("_p.l", "_p.r")
+            .filter(F.col("l") != F.col("r"))
+        )
+        top = (
+            pairs.groupBy("l", "r")
+            .agg(F.count("*").alias("c"))
+            .orderBy(F.desc("c"), "l", "r")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        left, right = top[0]["l"], top[0]["r"]
+        count = int(top[0]["c"])
+        fused = left + sep + right
+
+        def merge_expr(t: Column) -> Column:
+            n = F.size(t)
+
+            def cell(i: Column) -> Column:
+                at = lambda j: F.element_at(t, j + 1)  # noqa: E731 — 0-based
+                return (
+                    F.when(
+                        (i < n - 1)
+                        & (at(i) == F.lit(left))
+                        & (at(i + 1) == F.lit(right)),
+                        F.lit(fused),
+                    )
+                    .when(
+                        (i > 0)
+                        & (at(i - 1) == F.lit(left))
+                        & (at(i) == F.lit(right)),
+                        F.lit(None).cast("string"),
+                    )
+                    .otherwise(at(i))
+                )
+
+            # sequence(a, b) DESCENDS when a > b — guard the (never
+            # produced by split, but API-reachable) empty-array case
+            return F.when(n <= 0, F.array().cast("array<string>")).otherwise(
+                F.filter(
+                    F.transform(F.sequence(F.lit(0), n - 1), cell),
+                    lambda x: x.isNotNull(),
+                )
+            )
+
+        cur = cur.select(merge_expr(F.col("_t")).alias("_t")).localCheckpoint(
+            eager=False
+        )
+        tokens_after = int(cur.agg(F.sum(F.size("_t"))).first()[0])
+        out_rows.append((rnd, left, right, count, tokens_after))
+    return spark.createDataFrame(
+        out_rows,
+        "merge_round int, merge_left string, merge_right string, "
+        "pair_count bigint, corpus_tokens_after bigint",
+    )

@@ -1139,3 +1139,45 @@ def test_bigram_lm_score_ranks_fluent_above_gibberish(spark):
         for r in bigram_lm_score(corpus, ref).collect()
     }
     assert got[1] > got[2]
+
+
+def test_bpe_word_merges_hand_computed(spark):
+    """Three merge rounds on a corpus whose trajectory is known by
+    hand: frequency argmax with lexicographic ties, self-pair
+    exclusion, every-occurrence fusion, and the tokens-drop-by-count
+    invariant."""
+    import pytest
+
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.text import bpe_word_merges
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b c"), (2, "a b x"), (3, "c c c")], ["doc_id", "text"]
+    )
+    rows = bpe_word_merges(docs, "text", n_merges=3).orderBy("merge_round").collect()
+    S = "\x01"
+    # round 1: (a,b) x3 wins; 11 tokens -> 8.  round 2: fused self-pair
+    # (a+b, a+b) is EXCLUDED, tie between (a+b, c) and (a+b, x) -> 'c'
+    # lexicographically.  round 3: (a+b, a+b+c) beats (a+b, x) on the
+    # separator byte (\x01 < 'x').
+    assert [tuple(r) for r in rows] == [
+        (1, "a", "b", 3, 8),
+        (2, f"a{S}b", "c", 1, 7),
+        (3, f"a{S}b", f"a{S}b{S}c", 1, 6),
+    ]
+    # invariant: tokens drop by exactly pair_count each round
+    totals = [11] + [r["corpus_tokens_after"] for r in rows]
+    for r, (before, after) in zip(rows, zip(totals, totals[1:])):
+        assert before - after == r["pair_count"]
+    with pytest.raises(ValueError, match="n_merges"):
+        bpe_word_merges(docs, "text", n_merges=0)
+
+
+def test_bpe_word_merges_degenerate_corpora(spark):
+    """Sub-2-token docs contribute no pairs; a corpus with ONLY
+    self-pairs learns nothing (empty result, not a crash)."""
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.text import bpe_word_merges
+
+    only_self = spark.createDataFrame(
+        [(1, "a a a"), (2, "b"), (3, None)], ["doc_id", "text"]
+    )
+    assert bpe_word_merges(only_self, "text", n_merges=2).count() == 0
