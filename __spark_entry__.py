@@ -1762,8 +1762,9 @@ def _q_cdc_time_travel(spark: SparkSession, sf: str) -> DataFrame:
 def _q_cdc_vacuum(spark: SparkSession, sf: str) -> DataFrame:
     # explicit VACUUM over the CDC snapshot history: build the same
     # 4-generation snapshot as cdc_time_travel (keep_generations=4),
-    # read latest + asof_commit=3 BEFORE vacuum, prune retention to
-    # the newest 2 generations, read both again AFTER.  The oracle
+    # read latest + asof_commit=3 and MATERIALIZE the rows BEFORE
+    # vacuum, prune retention to the newest 2 generations, read both
+    # again AFTER.  The oracle
     # emits each snapshot twice (pre/post), so the gate proves
     # in-retention time travel is byte-identical across the vacuum —
     # a marker-truncation bug (wrong slice kept, re-resolution
@@ -1836,7 +1837,13 @@ def _q_cdc_vacuum(spark: SparkSession, sf: str) -> DataFrame:
             )
         )
 
-    pre = reads("pre_vacuum")
+    # MATERIALIZE the pre-vacuum reads before pruning (eager
+    # localCheckpoint): the generations they happen to resolve to
+    # (gen-4, gen-3) survive this particular vacuum, but a lazy `pre`
+    # would silently become a read-after-delete trap for anyone
+    # widening the prune — the checkpoint pins actual pre-vacuum DATA,
+    # not just pre-vacuum resolution
+    pre = reads("pre_vacuum").localCheckpoint()
     pruned = vacuum_cdc_snapshots(snap, keep_generations=2)
     assert pruned == ["gen-000002", "gen-000001"], pruned
     return pre.unionByName(reads("post_vacuum"))

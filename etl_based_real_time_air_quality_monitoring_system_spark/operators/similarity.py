@@ -223,9 +223,23 @@ def nn_confusion_over_candidates(
 
     Scale shape: one window shuffle on the (already small) candidate
     lists plus two label equi-joins — candidate generation, not this
-    tail, carries the scan cost."""
+    tail, carries the scan cost.  The k >= 2 precondition is enforced
+    cheaply: if EVERY query's candidate list has a single row, the
+    caller passed k=1 lists (the contract is non-self 1-NN, so k=1 is
+    always misuse — queries whose lone candidate is themselves would
+    silently vanish from the matrix); the check is one aggregate over
+    the already-small candidate table."""
     from pyspark.sql import Window
 
+    max_list = candidates.groupBy(qid_col).count().agg(F.max("count")).first()[0]
+    if max_list is not None and int(max_list) < 2:
+        raise ValueError(
+            "nn_confusion_over_candidates: every candidate list has a "
+            "single row — generate candidates with k >= 2 so the best "
+            "NON-SELF neighbor is always present (self rows are "
+            "excluded here; k=1 lists silently drop queries whose "
+            "lone candidate is themselves)"
+        )
     order = F.asc(dist_col) if ascending else F.desc(dist_col)
     w = Window.partitionBy(qid_col).orderBy(order, F.col(id_col))
     nn = (
@@ -972,9 +986,13 @@ def retrieval_ndcg(
         F.sum("_gain").alias("dcg_micros"),
     )
     # ideal: all of the first min(k, same-label corpus rows [- self])
-    # positions relevant -> a prefix sum of the same integer weights;
-    # LEFT join + coalesce so a query label absent from the corpus
-    # yields IDCG 0 (hence ndcg_micros 0), never a dropped row
+    # positions relevant -> a prefix sum of the same integer weights.
+    # External query sets (queries_in_corpus=False) LEFT-join +
+    # coalesce so a query label absent from the corpus yields IDCG 0
+    # (hence ndcg_micros 0), never a dropped row; the in-corpus
+    # default keeps the original INNER join so its row set (including
+    # the treatment of NULL-label rows, which an equi-join drops) is
+    # bit-identical to what the gate oracle has always pinned.
     label_n = df.groupBy(F.col(label_col).alias("label")).agg(
         F.count("*").alias("_ln")
     )
@@ -984,7 +1002,11 @@ def retrieval_ndcg(
         r > 0, F.element_at(F.array(*[F.lit(x) for x in prefix]), r.cast("int"))
     ).otherwise(F.lit(0)).cast("long")
     return (
-        per_q.join(F.broadcast(label_n), "label", "left")
+        per_q.join(
+            F.broadcast(label_n),
+            "label",
+            "inner" if queries_in_corpus else "left",
+        )
         .withColumn("idcg_micros", idcg)
         .withColumn(
             "ndcg_micros",
@@ -1278,21 +1300,42 @@ def pq_encode(
     )
 
 
+def _require_integral_micros(arr, what: str, where: str) -> np.ndarray:
+    """Validate-and-cast to int64 for the ADC integer-math seams: a
+    silent ``astype(np.int64)`` on non-integer values truncates toward
+    zero and ranks garbage, so every ADC input funnels through this
+    single check (one fix lands everywhere).  Also rejects magnitudes
+    at or beyond 2^53, where float equality with ``floor`` stops being
+    able to certify integrality."""
+    a = np.asarray(arr, dtype=float)
+    if not np.all(a == np.floor(a)):
+        raise ValueError(
+            f"{where}: {what} has non-integer components — quantize "
+            "with micros_vec first (a silent int64 cast would truncate "
+            "toward zero and rank garbage)"
+        )
+    if a.size and float(np.abs(a).max()) >= 2.0 ** 53:
+        raise ValueError(
+            f"{where}: {what} has components >= 2^53 — float math can "
+            "no longer certify integrality (and downstream integer "
+            "sums would overflow exactness anyway)"
+        )
+    return a.astype(np.int64)
+
+
 def pq_adc_lut(query_vec: Sequence[float], codebooks: np.ndarray) -> np.ndarray:
     """Asymmetric-distance lookup table for one query: shape
     ``(m, n_codes)`` of int64 squared-L2 distances between the
     query's j-th subvector and codebook entry (j, c) — tiny
-    (m x n_codes values) and exact on integer-micros inputs."""
+    (m x n_codes values) and exact on integer-micros inputs (both the
+    query AND the codebooks are integrality-checked: un-floored
+    k-means codebooks are the same silent-truncation hazard as raw
+    query vectors)."""
     m, n_codes, sub = codebooks.shape
-    qf = np.asarray(list(query_vec), dtype=float)
-    if not np.all(qf == np.floor(qf)):
-        raise ValueError(
-            "pq_adc_lut: query vector has non-integer components — "
-            "quantize with micros_vec first (a silent int64 cast would "
-            "truncate toward zero and rank garbage)"
-        )
-    q = qf.astype(np.int64).reshape(m, sub)
-    cb = codebooks.astype(np.int64)
+    q = _require_integral_micros(
+        list(query_vec), "query vector", "pq_adc_lut"
+    ).reshape(m, sub)
+    cb = _require_integral_micros(codebooks, "codebooks", "pq_adc_lut")
     d = cb - q[:, None, :]
     return np.einsum("mcs,mcs->mc", d, d)
 
@@ -1513,29 +1556,16 @@ def ivfpq_adc_knn(
     if not queries:
         raise ValueError("ivfpq_adc_knn: queries must be non-empty")
     enc = ivfpq_encode(df, id_col, emb_col, coarse, codebooks)
-    # validate integrality BEFORE the int64 casts: a silent cast would
-    # truncate non-integer components toward zero and rank garbage —
-    # and the pq_adc_lut guard downstream would never fire, because
-    # the residual q - cc[c] it receives is already int64 (the
-    # inconsistency with pq_adc_knn, which raises on the same misuse)
-    cf = np.asarray(coarse, dtype=float)
-    if not np.all(cf == np.floor(cf)):
-        raise ValueError(
-            "ivfpq_adc_knn: coarse centroids have non-integer components "
-            "— quantize with micros_vec first (a silent int64 cast would "
-            "truncate toward zero and rank garbage)"
-        )
-    cc = cf.astype(np.int64)
+    # validate integrality BEFORE the int64 casts (shared helper —
+    # codebooks are checked inside pq_adc_lut, where every ADC LUT is
+    # built): a silent cast would truncate non-integer components
+    # toward zero and rank garbage, and the pq_adc_lut guard can't
+    # catch THESE inputs because the residual q - cc[c] it receives
+    # is already int64
+    cc = _require_integral_micros(coarse, "coarse centroids", "ivfpq_adc_knn")
     structs = []
     for qid, qv in queries:
-        qf = np.asarray(list(qv), dtype=float)
-        if not np.all(qf == np.floor(qf)):
-            raise ValueError(
-                "ivfpq_adc_knn: query vector has non-integer components "
-                "— quantize with micros_vec first (a silent int64 cast "
-                "would truncate toward zero and rank garbage)"
-            )
-        q = qf.astype(np.int64)
+        q = _require_integral_micros(list(qv), "query vector", "ivfpq_adc_knn")
         d2c = ((cc - q[None, :]) ** 2).sum(axis=1)
         probes = sorted(range(len(cc)), key=lambda c: (d2c[c], c))[:n_probe]
         branches = []

@@ -37,6 +37,8 @@ a 1000-executor streaming job.
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming import StreamingQuery
@@ -378,6 +380,56 @@ def _read_gen_marker(snapshot_root: str) -> list[tuple[str, int, str]]:
     return out
 
 
+@contextmanager
+def _marker_lock(
+    snapshot_root: str,
+    timeout_seconds: float = 60.0,
+    stale_seconds: float = 600.0,
+):
+    """Advisory inter-process mutex for ``_GEN`` read-modify-write
+    sections — the local-fs analog of the lock service / table-format
+    commit protocol a real lakehouse deploy uses.  Both the writer's
+    marker commit (:func:`run_cdc_apply`) and
+    :func:`vacuum_cdc_snapshots` take it, so a vacuum can never erase
+    a generation the writer is about to re-list, and the writer can
+    never resurrect directories the vacuum just pruned.  O_EXCL
+    lockfile; a holder dead longer than ``stale_seconds`` is stolen
+    (the unlink+retry race between two stealers resolves at O_EXCL).
+    Only marker metadata updates run under the lock — parquet writes
+    stay outside — so hold times are milliseconds."""
+    import os
+    import time
+
+    os.makedirs(snapshot_root, exist_ok=True)
+    path = os.path.join(snapshot_root, "_GEN.lock")
+    deadline = time.monotonic() + timeout_seconds
+    while True:
+        try:
+            os.close(os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY))
+            break
+        except FileExistsError:
+            try:
+                if time.time() - os.path.getmtime(path) > stale_seconds:
+                    os.unlink(path)
+                    continue
+            except FileNotFoundError:
+                continue
+            if time.monotonic() > deadline:
+                raise TimeoutError(
+                    f"_GEN lock at {path} held past {timeout_seconds}s — "
+                    "another maintenance process is stuck (or raise "
+                    "stale_seconds if its work is legitimately long)"
+                )
+            time.sleep(0.05)
+    try:
+        yield
+    finally:
+        try:
+            os.unlink(path)
+        except FileNotFoundError:
+            pass
+
+
 def _write_gen_marker(
     snapshot_root: str, history: list[tuple[str, int, str]]
 ) -> None:
@@ -491,8 +543,19 @@ def run_cdc_apply(
                 seq = 1
             gen = f"gen-{seq:06d}"
             merged.write.mode("overwrite").parquet(os.path.join(snapshot_root, gen))
-            new_hist = [(gen, int(epoch_id), run_token)] + history
-            _write_gen_marker(snapshot_root, new_hist[:keep_generations])
+            # marker commit under the _GEN lock, against FRESHLY-read
+            # history: a concurrent vacuum_cdc_snapshots may have
+            # truncated retention since the batch started, and
+            # re-listing its pruned generations would hand readers a
+            # marker pointing at deleted directories.  The base/seq
+            # chosen above stay valid regardless — vacuum never
+            # touches the newest generation (keep_generations >= 1).
+            # Only metadata moves under the lock; the parquet write
+            # above is outside it.
+            with _marker_lock(snapshot_root):
+                fresh = _read_gen_marker(snapshot_root)
+                new_hist = [(gen, int(epoch_id), run_token)] + fresh
+                _write_gen_marker(snapshot_root, new_hist[:keep_generations])
             for old_gen, _, _ in new_hist[keep_generations:]:
                 shutil.rmtree(
                     os.path.join(snapshot_root, old_gen), ignore_errors=True
@@ -597,30 +660,42 @@ def vacuum_cdc_snapshots(
     lakehouse ``VACUUM`` analog; :func:`run_cdc_apply` only ages
     generations out as new commits land, so shrinking retention on a
     quiet table needs this).  Returns the pruned generation dirs
-    (relative names), ``[]`` when nothing exceeds retention.
+    (relative names, NEWEST-FIRST — marker order), ``[]`` when
+    nothing exceeds retention.
 
     Crash ordering mirrors the writer: the truncated marker is
     committed ATOMICALLY first, then the aged-out directories are
     deleted — a crash between the two leaves orphaned (unreferenced)
     directories, never a marker pointing at deleted data, so
     concurrent :func:`read_cdc_snapshot` calls stay correct at every
-    point.  Reads WITHIN the surviving retention are byte-identical
-    before and after (the gate query proves it); reads beyond it fail
-    fast with the oldest-retained-commit message."""
+    point.  The marker read-modify-write runs under the ``_GEN``
+    lock shared with the writer's commit section, so vacuuming WHILE
+    a stream is applying batches is safe: neither side can erase or
+    resurrect the other's marker entries (the writer re-reads fresh
+    history under the same lock before committing).  Reads WITHIN the
+    surviving retention are byte-identical before and after (the gate
+    query proves it); reads beyond it fail fast with the
+    oldest-retained-commit message."""
     import os
     import shutil
 
     if keep_generations < 1:
         raise ValueError("vacuum_cdc_snapshots: keep_generations must be >= 1")
-    history = _read_gen_marker(snapshot_root)
-    if not history:
+    if not os.path.exists(os.path.join(snapshot_root, "_GEN")):
         raise FileNotFoundError(
             f"vacuum_cdc_snapshots: no committed generation under {snapshot_root}"
         )
-    if len(history) <= keep_generations:
-        return []
-    keep, prune = history[:keep_generations], history[keep_generations:]
-    _write_gen_marker(snapshot_root, keep)
+    with _marker_lock(snapshot_root):
+        history = _read_gen_marker(snapshot_root)
+        if not history:
+            raise FileNotFoundError(
+                f"vacuum_cdc_snapshots: no committed generation under "
+                f"{snapshot_root}"
+            )
+        if len(history) <= keep_generations:
+            return []
+        keep, prune = history[:keep_generations], history[keep_generations:]
+        _write_gen_marker(snapshot_root, keep)
     for gen, _, _ in prune:
         shutil.rmtree(os.path.join(snapshot_root, gen), ignore_errors=True)
     return [gen for gen, _, _ in prune]

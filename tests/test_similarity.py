@@ -726,6 +726,15 @@ def test_nn_confusion_over_candidates_hand_built(spark):
         ).collect()
     }
     assert got_desc == {("a", "a"): 1, ("b", "a"): 1}
+    # k=1 candidate lists are always misuse (queries whose lone
+    # candidate is themselves would silently vanish) — loud failure
+    import pytest
+
+    k1 = spark.createDataFrame(
+        [(0, 0, 0), (2, 3, 7)], "qid long, vec_id long, adc_dist long"
+    )
+    with pytest.raises(ValueError, match="k >= 2"):
+        nn_confusion_over_candidates(k1, labels, "vec_id", "label")
 
 
 def test_lsh_topk_planes_override(memb):
@@ -769,6 +778,11 @@ def test_ivfpq_adc_knn_rejects_unquantized_inputs(memb):
         ivfpq_adc_knn(memb, "vec_id", "embedding", frac, coarse, cb)
     with pytest.raises(ValueError, match="quantize with micros_vec"):
         ivfpq_adc_knn(memb, "vec_id", "embedding", good, coarse + 0.25, cb)
+    # un-floored CODEBOOKS (e.g. k-means means without the micros
+    # floor) must raise too — checked at the pq_adc_lut seam every
+    # ADC path funnels through
+    with pytest.raises(ValueError, match="codebooks"):
+        ivfpq_adc_knn(memb, "vec_id", "embedding", good, coarse, cb + 0.5)
     # integral inputs still pass the guard
     assert ivfpq_adc_knn(
         memb, "vec_id", "embedding", good, coarse, cb, k=1

@@ -756,9 +756,10 @@ def test_cdc_apply_replayed_run_is_idempotent(spark, tmp_path):
 
 def test_cdc_vacuum_prunes_and_preserves_in_retention_reads(spark, tmp_path):
     """vacuum_cdc_snapshots: prunes exactly the generations beyond
-    retention (oldest first in the returned list order: marker order),
-    in-retention time travel returns identical rows before/after, and
-    a read beyond the surviving retention fails fast."""
+    retention (returned NEWEST-first — marker order; the gate asserts
+    ['gen-000002', 'gen-000001'] on a two-element prune), in-retention
+    time travel returns identical rows before/after, and a read
+    beyond the surviving retention fails fast."""
     import json as _json
 
     import pytest
@@ -803,6 +804,34 @@ def test_cdc_vacuum_prunes_and_preserves_in_retention_reads(spark, tmp_path):
         vacuum_cdc_snapshots(str(snap), keep_generations=0)
     with pytest.raises(FileNotFoundError):
         vacuum_cdc_snapshots(str(tmp_path / "nowhere"), keep_generations=1)
+
+
+def test_cdc_marker_lock_mutual_exclusion_and_stale_steal(tmp_path):
+    """The _GEN lock serializing vacuum against the writer's marker
+    commit: held -> a second acquirer times out; stale (dead holder)
+    -> stolen; released on exit (including the vacuum path)."""
+    import os
+    import time
+
+    import pytest
+
+    from etl_based_real_time_air_quality_monitoring_system_spark.streaming.pipeline import _marker_lock
+
+    root = str(tmp_path / "snap")
+    with _marker_lock(root):
+        assert os.path.exists(os.path.join(root, "_GEN.lock"))
+        with pytest.raises(TimeoutError, match="_GEN lock"):
+            with _marker_lock(root, timeout_seconds=0.3):
+                pass
+    assert not os.path.exists(os.path.join(root, "_GEN.lock"))
+    # stale holder: backdate the lockfile past stale_seconds -> stolen
+    lock = os.path.join(root, "_GEN.lock")
+    open(lock, "w").close()
+    old = time.time() - 10_000
+    os.utime(lock, (old, old))
+    with _marker_lock(root, timeout_seconds=1.0, stale_seconds=600.0):
+        pass
+    assert not os.path.exists(lock)
 
 
 def test_cdc_time_travel_asof_epoch(spark, tmp_path):

@@ -367,10 +367,13 @@ def main() -> None:
         print(f"x{factor:>2} {'connected_components(lsh graph)':38s} "
               f"{n_edges:>10,} edges {sec:7.2f}s rounds={rounds} "
               f"components={n_comp:,} pr_deltas={pr_deltas}", flush=True)
-    if 64 not in factors:
-        # dedicated 64x push for the postings-heaviest operator: the
-        # full suite at 64x is prohibitive, but the substring postings
-        # sort is the one path whose headroom is worth probing deeper
+    if factors == [1, 4, 16]:
+        # dedicated 64x push for the postings-heaviest operator, only
+        # on the DEFAULT full run (an explicit quick probe like
+        # `scale_probe.py dir 1` must not pay the minutes-scale 64x
+        # inflation): the full suite at 64x is prohibitive, but the
+        # substring postings sort is the one path whose headroom is
+        # worth probing deeper
         from etl_based_real_time_air_quality_monitoring_system_spark.operators.dedup import substring_dup_spans
 
         docs64 = inflate_docs_salted(
