@@ -2609,7 +2609,7 @@ def _q_lsh_topk_recall(spark: SparkSession, sf: str) -> DataFrame:
     # rounded-cosine rank are all deterministic mirrors of the SQL
     # oracle — a banding/threshold regression moves recall and fails
     # the hash.
-    # Batched one-scan form (the pq_adc_knn shape; measured 2.4x over
+    # Batched one-scan form (the pq_adc_knn shape; measured 3.6x over
     # 5 lsh_topk + 5 brute_force_topk branches, which scan the corpus
     # 10x and recompute the 12-plane signature 5x): signatures once,
     # every query's (hamming, rounded cosine) in the same projection,
