@@ -834,6 +834,25 @@ def test_pq_codebooks_kmeans_reduces_distortion(memb):
     assert distortion(trained) < distortion(init)
 
 
+def test_pq_adc_accepts_kmeans_trained_codebooks(memb):
+    """The new codebook integrality guard must NOT reject the
+    documented training path: pq_codebooks_kmeans floors refined means
+    to integer micros, so ADC search over trained codebooks works."""
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_codebooks_kmeans,
+    )
+
+    trained = pq_codebooks_kmeans(memb, "vec_id", "embedding", 8, 16, iters=1)
+    assert np.all(trained == np.floor(trained))
+    ids, mat = _np_vectors(memb)
+    out = pq_adc_topk(
+        memb, "vec_id", "embedding", [float(x) for x in mat[0]], trained, k=5
+    ).collect()
+    assert len(out) == 5
+    assert out[0]["vec_id"] == ids[0]  # self is its own ADC-nearest here
+
+
 def test_ivfpq_recall_floor_vs_exact_l2(memb):
     # everything in the pipeline is deterministic, so recall is a
     # fixed number per dataset (0.38 at sf0.01, 0.22 at sf0.1 with
