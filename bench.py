@@ -162,6 +162,12 @@ HEADLINE = [
     "cdc_time_travel",
     "ivf_topk_recall",
     "funnel_over_cdc",
+    # round-6 additions
+    "lsh_topk_recall",
+    "sketch_bounds",
+    "nn_confusion_ivfpq",
+    "cdc_vacuum",
+    "bpe_merges",
 ]
 
 

@@ -368,26 +368,51 @@ def main() -> None:
               f"{n_edges:>10,} edges {sec:7.2f}s rounds={rounds} "
               f"components={n_comp:,} pr_deltas={pr_deltas}", flush=True)
     if factors == [1, 4, 16]:
-        # dedicated 64x push for the postings-heaviest operator, only
-        # on the DEFAULT full run (an explicit quick probe like
+        # dedicated 64x push for the heaviest pair-expansion paths,
+        # only on the DEFAULT full run (an explicit quick probe like
         # `scale_probe.py dir 1` must not pay the minutes-scale 64x
         # inflation): the full suite at 64x is prohibitive, but the
-        # substring postings sort is the one path whose headroom is
-        # worth probing deeper
-        from etl_based_real_time_air_quality_monitoring_system_spark.operators.dedup import substring_dup_spans
+        # substring postings sort, the MinHash banding pipeline and
+        # the SemDeDup member-list stage are the three paths whose
+        # headroom is worth probing deeper
+        from etl_based_real_time_air_quality_monitoring_system_spark.operators.dedup import (
+            minhash_lsh_candidates,
+            substring_dup_spans,
+        )
+        from etl_based_real_time_air_quality_monitoring_system_spark.operators.similarity import semantic_dedup
 
         docs64 = inflate_docs_salted(
             load_table(spark, sf_dir, "documents"), 64
         ).localCheckpoint(eager=False)
         n64 = docs64.count()
-        sub64 = substring_dup_spans(docs64, "doc_id", "text", k=8)
-        run_once(sub64)
-        sec64 = run_once(sub64)
-        rows.append(
-            ("substring_dup_spans(documents)", 64, n64, sec64, sec64 / (n64 / 1e6))
-        )
-        print(f"x64 {'substring_dup_spans(documents)':38s} {n64:>10,} rows "
-              f"{sec64:7.2f}s {sec64 / (n64 / 1e6):7.3f} s/Mrow", flush=True)
+        emb64 = inflate_embeddings(
+            load_table(spark, sf_dir, "embeddings"), 64
+        ).localCheckpoint(eager=False)
+        n64e = emb64.count()
+        deep = {
+            "substring_dup_spans(documents)": (
+                substring_dup_spans(docs64, "doc_id", "text", k=8), n64
+            ),
+            "minhash_lsh_candidates(documents)": (
+                minhash_lsh_candidates(docs64, "doc_id", "text", n=3, k=16, bands=4),
+                n64,
+            ),
+            # cluster count keeps scaling with the corpus (k=8f) — at
+            # 64x this exercises the two-level coarse/fine assignment
+            "semantic_dedup(embeddings, k=8f)": (
+                semantic_dedup(
+                    emb64, "vec_id", "embedding",
+                    n_clusters=8 * 64, threshold=0.35,
+                ),
+                n64e,
+            ),
+        }
+        for name, (df64, n_in) in deep.items():
+            run_once(df64)
+            sec64 = run_once(df64)
+            rows.append((name, 64, n_in, sec64, sec64 / (n_in / 1e6)))
+            print(f"x64 {name:38s} {n_in:>10,} rows "
+                  f"{sec64:7.2f}s {sec64 / (n_in / 1e6):7.3f} s/Mrow", flush=True)
     out = [
         "# SCALING — measured operator scaling curves",
         "",
