@@ -2630,6 +2630,13 @@ def _q_lsh_topk_recall(spark: SparkSession, sf: str) -> DataFrame:
     emb = _pq_micros_emb(spark, sf)
     planes = _lsh_gate_planes()
     queries = _pq_gate_queries(emb)
+    # the 64-dim plane table is interpolated into the SQL oracle — a
+    # dimension drift would silently zero signature bits Spark-side
+    # (zip_with pads with null) while the oracle errors; fail loudly
+    assert len(queries[0][1]) == planes.shape[1], (
+        f"lsh_topk_recall: embedding dim {len(queries[0][1])} != plane "
+        f"dim {planes.shape[1]}"
+    )
     structs = []
     for qid, qv in queries:
         qsig = int(
