@@ -212,3 +212,62 @@ def test_pagerank_micros_early_exit_and_fixed_iters_unchanged(spark):
     stats0: dict = {}
     assert run(tol_micros=0, stats=stats0) == fixed3
     assert stats0["iters_run"] == 3
+
+
+def test_substring_dup_spans_property_vs_bruteforce(spark):
+    """Property check: the interval-union lead()-window math must
+    equal brute-force per-token coverage marking on random corpora (a
+    tiny alphabet forces heavy k-gram collisions, overlapping and
+    adjacent spans, and whole-doc coverage)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.dedup import substring_dup_spans
+
+    def ref(docs: dict[int, list[str]], k: int) -> dict[int, tuple]:
+        grams: dict[tuple, set] = {}
+        for i, toks in docs.items():
+            for p in range(max(len(toks) - k + 1, 0)):
+                grams.setdefault(tuple(toks[p : p + k]), set()).add(i)
+        out = {}
+        for i, toks in docs.items():
+            covered = [False] * len(toks)
+            dup = 0
+            for p in range(max(len(toks) - k + 1, 0)):
+                if len(grams[tuple(toks[p : p + k])]) >= 2:
+                    dup += 1
+                    for j in range(p, p + k):
+                        covered[j] = True
+            n_tok = len(toks)
+            cov = sum(covered)
+            micros = (
+                int((cov / n_tok) * 1_000_000 + 0.5) if n_tok else 0
+            )
+            out[i] = (n_tok, max(n_tok - k + 1, 0), dup, cov, micros)
+        return out
+
+    token = st.sampled_from(["x", "y", "z"])
+    corpus = st.lists(
+        st.lists(token, min_size=1, max_size=10), min_size=2, max_size=6
+    )
+
+    @settings(max_examples=8, deadline=None)
+    @given(docs_list=corpus, k=st.integers(2, 3))
+    def case(docs_list, k):
+        docs = dict(enumerate(docs_list))
+        df = spark.createDataFrame(
+            [(i, " ".join(t)) for i, t in docs.items()], ["doc_id", "text"]
+        )
+        got = {
+            int(r["doc_id"]): (
+                r["n_tokens"],
+                r["n_grams"],
+                r["dup_grams"],
+                r["covered_tokens"],
+                r["dup_cover_micros"],
+            )
+            for r in substring_dup_spans(df, k=k).collect()
+        }
+        assert got == ref(docs, k)
+
+    case()

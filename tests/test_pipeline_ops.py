@@ -1181,3 +1181,71 @@ def test_bpe_word_merges_degenerate_corpora(spark):
         [(1, "a a a"), (2, "b"), (3, None)], ["doc_id", "text"]
     )
     assert bpe_word_merges(only_self, "text", n_merges=2).count() == 0
+
+
+def test_bpe_word_merges_property_vs_sequential_fold(spark):
+    """Property check: the operator's PARALLEL every-occurrence fusion
+    must equal a pure-Python LEFT-TO-RIGHT greedy fold on random
+    corpora — the order-independence claim the self-pair exclusion
+    exists to guarantee (small alphabet with runs stresses adjacency,
+    ties and self-pair cases)."""
+    from collections import Counter
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.text import bpe_word_merges
+
+    SEP = "\x01"
+
+    def ref_fold(docs: list[list[str]], n_merges: int) -> list[tuple]:
+        cur = [list(t) for t in docs]
+        out = []
+        for rnd in range(1, n_merges + 1):
+            counts: Counter = Counter()
+            for t in cur:
+                for a, b in zip(t, t[1:]):
+                    if a != b:
+                        counts[(a, b)] += 1
+            if not counts:
+                break
+            (left, right), cnt = min(
+                counts.items(), key=lambda kv: (-kv[1], kv[0])
+            )
+            fused = left + SEP + right
+            nxt = []
+            for t in cur:
+                m, i = [], 0
+                while i < len(t):
+                    if i + 1 < len(t) and t[i] == left and t[i + 1] == right:
+                        m.append(fused)
+                        i += 2
+                    else:
+                        m.append(t[i])
+                        i += 1
+                nxt.append(m)
+            cur = nxt
+            out.append((rnd, left, right, cnt, sum(len(t) for t in cur)))
+        return out
+
+    token = st.sampled_from(["a", "b", "c", "d"])
+    corpus = st.lists(
+        st.lists(token, min_size=1, max_size=12), min_size=1, max_size=6
+    )
+
+    @settings(max_examples=8, deadline=None)
+    @given(docs=corpus)
+    def case(docs):
+        df = spark.createDataFrame(
+            [(i, " ".join(t)) for i, t in enumerate(docs)],
+            ["doc_id", "text"],
+        )
+        got = [
+            tuple(r)
+            for r in bpe_word_merges(df, "text", n_merges=2)
+            .orderBy("merge_round")
+            .collect()
+        ]
+        assert got == ref_fold(docs, 2)
+
+    case()

@@ -885,3 +885,41 @@ def test_ivfpq_recall_floor_vs_exact_l2(memb):
         }
         hits += len(by_q[ids[qi]] & exact)
     assert hits / 50 >= 0.15
+
+
+def test_require_integral_micros_property():
+    """The shared ADC integrality guard: integral inputs round-trip to
+    int64 exactly; any fractional component raises; magnitudes at or
+    beyond 2^53 raise (float floor-equality can no longer certify
+    integrality there)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.similarity import (
+        _require_integral_micros,
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        ints=st.lists(
+            st.integers(-(2**52), 2**52), min_size=1, max_size=8
+        ),
+        frac=st.floats(0.001, 0.999),
+        idx=st.integers(0, 7),
+    )
+    def case(ints, frac, idx):
+        out = _require_integral_micros(ints, "v", "t")
+        assert out.dtype == np.int64 and list(out) == ints
+        bad = [float(x) for x in ints]
+        bad[idx % len(bad)] += frac
+        # adding the fraction may be absorbed by float rounding on
+        # huge values — only assert the raise when it survived
+        if bad[idx % len(bad)] != np.floor(bad[idx % len(bad)]):
+            with np.testing.assert_raises(ValueError):
+                _require_integral_micros(bad, "v", "t")
+
+    case()
+    import pytest
+
+    with pytest.raises(ValueError, match="2\\^53"):
+        _require_integral_micros([2.0**53], "v", "t")
