@@ -2633,10 +2633,14 @@ def _q_lsh_topk_recall(spark: SparkSession, sf: str) -> DataFrame:
     # the 64-dim plane table is interpolated into the SQL oracle — a
     # dimension drift would silently zero signature bits Spark-side
     # (zip_with pads with null) while the oracle errors; fail loudly
-    assert len(queries[0][1]) == planes.shape[1], (
-        f"lsh_topk_recall: embedding dim {len(queries[0][1])} != plane "
-        f"dim {planes.shape[1]}"
-    )
+    # (ValueError, not assert: the guard must survive python -O)
+    if not queries:
+        raise ValueError("lsh_topk_recall: empty query set (no vec_id < 5)")
+    if len(queries[0][1]) != planes.shape[1]:
+        raise ValueError(
+            f"lsh_topk_recall: embedding dim {len(queries[0][1])} != "
+            f"plane dim {planes.shape[1]}"
+        )
     structs = []
     for qid, qv in queries:
         qsig = int(

@@ -32,6 +32,15 @@ from etl_based_real_time_air_quality_monitoring_system_spark.sources.readers imp
 
 KEY_SHIFT = 10_000_000_000
 
+#: shared parameterizations for operators probed at BOTH the standard
+#: factors (probes()) and the dedicated 64x deep block (main) — one
+#: source of truth so the 1/4/16 and 64 rows can never silently mix
+#: two parameterizations under the same SCALING.md row name
+SUBSTR_K = 8
+MINHASH_KW = dict(n=3, k=16, bands=4)
+SEMDEDUP_THRESHOLD = 0.35
+SEMDEDUP_CLUSTERS_PER_FACTOR = 8
+
 
 def inflate(df: DataFrame, factor: int, shift_cols: tuple[str, ...]) -> DataFrame:
     """factor copies of df, id-like columns shifted per replica so key
@@ -184,7 +193,7 @@ def probes(spark, sf_dir: str, factor: int) -> dict[str, tuple[DataFrame, int]]:
         load_table(spark, sf_dir, "embeddings"), factor
     ).localCheckpoint(eager=False)
     n_emb = emb.count()
-    minhash = minhash_lsh_candidates(docs_s, "doc_id", "text", n=3, k=16, bands=4)
+    minhash = minhash_lsh_candidates(docs_s, "doc_id", "text", **MINHASH_KW)
     jac_uncapped = ngram_jaccard_pairs(docs_s, "doc_id", "text", n=3, threshold=0.1)
     jac_capped = ngram_jaccard_pairs(
         docs_s, "doc_id", "text", n=3, threshold=0.1, max_shingle_docs=8
@@ -215,7 +224,7 @@ def probes(spark, sf_dir: str, factor: int) -> dict[str, tuple[DataFrame, int]]:
 
     # salted docs: per-window df stays constant per replica, so the
     # postings volume (and the probe) scales linearly by construction
-    substr = substring_dup_spans(docs_s, "doc_id", "text", k=8)
+    substr = substring_dup_spans(docs_s, "doc_id", "text", k=SUBSTR_K)
     # sample size scales with volume so selection density is constant
     pps = pps_systematic_sample(docs_s, "doc_id", F.length("text"), 50 * factor)
     from etl_based_real_time_air_quality_monitoring_system_spark.operators.dedup import (
@@ -249,7 +258,9 @@ def probes(spark, sf_dir: str, factor: int) -> dict[str, tuple[DataFrame, int]]:
     # corpus so per-cluster pair mass sum(c_i^2) stays ~linear — a
     # fixed cluster count would measure a by-construction quadratic
     semdedup = semantic_dedup(
-        emb, "vec_id", "embedding", n_clusters=8 * factor, threshold=0.35
+        emb, "vec_id", "embedding",
+        n_clusters=SEMDEDUP_CLUSTERS_PER_FACTOR * factor,
+        threshold=SEMDEDUP_THRESHOLD,
     )
     # PQ encode: in-scan expression, zero shuffle — the probe measures
     # raw per-row quantization throughput (fixed plan/codegen cost
@@ -391,10 +402,11 @@ def main() -> None:
         n64e = emb64.count()
         deep = {
             "substring_dup_spans(documents)": (
-                substring_dup_spans(docs64, "doc_id", "text", k=8), n64
+                substring_dup_spans(docs64, "doc_id", "text", k=SUBSTR_K),
+                n64,
             ),
             "minhash_lsh_candidates(documents)": (
-                minhash_lsh_candidates(docs64, "doc_id", "text", n=3, k=16, bands=4),
+                minhash_lsh_candidates(docs64, "doc_id", "text", **MINHASH_KW),
                 n64,
             ),
             # cluster count keeps scaling with the corpus (k=8f) — at
@@ -402,7 +414,8 @@ def main() -> None:
             "semantic_dedup(embeddings, k=8f)": (
                 semantic_dedup(
                     emb64, "vec_id", "embedding",
-                    n_clusters=8 * 64, threshold=0.35,
+                    n_clusters=SEMDEDUP_CLUSTERS_PER_FACTOR * 64,
+                    threshold=SEMDEDUP_THRESHOLD,
                 ),
                 n64e,
             ),
