@@ -3956,6 +3956,16 @@ def _q_nn_confusion_ivfpq(spark: SparkSession, sf: str) -> DataFrame:
     # _IVFPQ_CTES chain (n_queries parameterized) + the same
     # exclude-self/rank-1/label-rollup tail, so a drift in EITHER the
     # candidate generator or the confusion tail fails rows+hash.
+    #
+    # Known-benign codegen note: 16 queries x 4-probe CASE LUTs plus
+    # the encode expression push the fused stage past janino's 64 KB
+    # method limit — Spark logs a CodeGenerator ERROR and falls back
+    # to interpreted eval (execution and results are unaffected; the
+    # pq_codes precedent: fixed plan cost dominates at gate scale and
+    # sec/Mrow still falls with volume).  At production query volumes
+    # the candidate lists come from the STORED cluster-partitioned
+    # index, not an in-scan encode, so the expression never grows
+    # with the query set there.
     from etl_based_real_time_air_quality_monitoring_system_spark.operators.similarity import (
         ivfpq_adc_knn,
         ivfpq_codebooks,
