@@ -426,6 +426,16 @@ def main() -> None:
             rows.append((name, 64, n_in, sec64, sec64 / (n_in / 1e6)))
             print(f"x64 {name:38s} {n_in:>10,} rows "
                   f"{sec64:7.2f}s {sec64 / (n_in / 1e6):7.3f} s/Mrow", flush=True)
+        # the iterative operators at 64x too: rounds must stay flat
+        # (near-clique dup graphs converge in O(1) rounds regardless
+        # of volume) and pagerank deltas volume-proportional
+        n_edges, sec, rounds_, n_comp, pr_sec, pr_deltas = cc_probe(
+            spark, sf_dir, 64
+        )
+        cc_rows.append((64, n_edges, sec, rounds_, n_comp, pr_sec, pr_deltas))
+        print(f"x64 {'connected_components(lsh graph)':38s} "
+              f"{n_edges:>10,} edges {sec:7.2f}s rounds={rounds_} "
+              f"components={n_comp:,} pr_deltas={pr_deltas}", flush=True)
     out = [
         "# SCALING — measured operator scaling curves",
         "",
