@@ -271,3 +271,55 @@ def test_substring_dup_spans_property_vs_bruteforce(spark):
         assert got == ref(docs, k)
 
     case()
+
+
+def test_pagerank_micros_property_vs_python_reference(spark):
+    """Property check: the distributed integer-micros PageRank must
+    equal a pure-Python reference (same DIV arithmetic, symmetric
+    closure, uniform start) on random graphs — the gate oracle only
+    covers the dup graph's specific topology."""
+    from collections import defaultdict
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.graph import pagerank_micros
+
+    def ref(edge_list, iters=3, d=850_000):
+        sym = set()
+        for a, b in edge_list:
+            sym.add((a, b))
+            sym.add((b, a))
+        adj = defaultdict(list)
+        for a, b in sym:
+            adj[a].append(b)
+        deg = {v: len(ns) for v, ns in adj.items()}
+        pr = {v: 1_000_000 for v in adj}
+        for _ in range(iters):
+            incoming = defaultdict(int)
+            for a, ns in adj.items():
+                c = pr[a] // deg[a]
+                for b in ns:
+                    incoming[b] += c
+            pr = {
+                v: (1_000_000 - d) + (d * s) // 1_000_000
+                for v, s in incoming.items()
+            }
+        return pr
+
+    edge = st.tuples(st.integers(0, 7), st.integers(0, 7)).filter(
+        lambda e: e[0] != e[1]
+    )
+    graph = st.lists(edge, min_size=1, max_size=12)
+
+    @settings(max_examples=6, deadline=None)
+    @given(edge_list=graph)
+    def case(edge_list):
+        edges = spark.createDataFrame(edge_list, "src long, dst long")
+        got = {
+            int(r["vertex"]): int(r["pr_micros"])
+            for r in pagerank_micros(edges, iters=3).collect()
+        }
+        assert got == ref(edge_list)
+
+    case()
