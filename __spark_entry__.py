@@ -4519,7 +4519,17 @@ def _q_sketch_bounds(spark: SparkSession, sf: str) -> DataFrame:
     # fails rows+hash rather than hiding behind "approximate".
     #
     # Bounds checked: |approx_count_distinct - exact| <= max(1,
-    # 15% of exact) (3x the default 5% rsd); percentile_approx at
+    # 15% of exact).  NOTE the asymmetry between the two bound
+    # families: HLL++'s 5% rsd is a STANDARD error, not a hard
+    # guarantee, so 15% (3 sigma) is a probabilistic envelope — on
+    # the pinned test datasets it holds deterministically (verified
+    # at sf0.001/0.01/0.1 and hash-frozen by the gate), but a NEW
+    # dataset or scale factor can legitimately land a group outside
+    # 3 sigma; a distinct_users failure on fresh data is therefore
+    # triaged as a probe artifact (re-pin the bound), not a sketch
+    # regression.  The percentile rows, by contrast, check
+    # percentile_approx's DOCUMENTED deterministic rank-error
+    # guarantee and must hold on any dataset; percentile_approx at
     # accuracy 10000 must land between the values at ranks
     # ceil(q*n) -/+ (ceil(n/10000) + 1) — the sketch's documented
     # rank-error guarantee with one rank of slack.  exact_val pins the

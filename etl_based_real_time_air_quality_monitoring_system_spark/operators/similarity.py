@@ -223,22 +223,34 @@ def nn_confusion_over_candidates(
 
     Scale shape: one window shuffle on the (already small) candidate
     lists plus two label equi-joins — candidate generation, not this
-    tail, carries the scan cost.  The k >= 2 precondition is enforced
-    cheaply: if EVERY query's candidate list has a single row, the
-    caller passed k=1 lists (the contract is non-self 1-NN, so k=1 is
-    always misuse — queries whose lone candidate is themselves would
-    silently vanish from the matrix); the check is one aggregate over
-    the already-small candidate table."""
+    tail, carries the scan cost.  The precondition is enforced
+    directly on its failure mode: any query whose candidate set
+    becomes EMPTY after self-exclusion would silently vanish from the
+    matrix, so those queries are counted (one aggregate over the
+    already-small candidate table) and the call raises if any exist —
+    this catches k=1 lists whose lone candidate is the query itself
+    even when other queries have longer lists, while legitimately
+    sparse 1-row NON-self lists pass."""
     from pyspark.sql import Window
 
-    max_list = candidates.groupBy(qid_col).count().agg(F.max("count")).first()[0]
-    if max_list is not None and int(max_list) < 2:
+    dropped = (
+        candidates.groupBy(qid_col)
+        .agg(
+            F.max((F.col(id_col) != F.col(qid_col)).cast("int")).alias(
+                "_has_nonself"
+            )
+        )
+        .filter(F.col("_has_nonself") == 0)
+        .count()
+    )
+    if dropped:
         raise ValueError(
-            "nn_confusion_over_candidates: every candidate list has a "
-            "single row — generate candidates with k >= 2 so the best "
-            "NON-SELF neighbor is always present (self rows are "
-            "excluded here; k=1 lists silently drop queries whose "
-            "lone candidate is themselves)"
+            f"nn_confusion_over_candidates: {dropped} quer"
+            f"{'y' if dropped == 1 else 'ies'} have no NON-SELF "
+            "candidate (self rows are excluded here, so these queries "
+            "would silently vanish from the confusion matrix) — "
+            "generate candidates with k >= 2 so the best non-self "
+            "neighbor is always present"
         )
     order = F.asc(dist_col) if ascending else F.desc(dist_col)
     w = Window.partitionBy(qid_col).orderBy(order, F.col(id_col))

@@ -381,53 +381,54 @@ def _read_gen_marker(snapshot_root: str) -> list[tuple[str, int, str]]:
 
 
 @contextmanager
-def _marker_lock(
-    snapshot_root: str,
-    timeout_seconds: float = 60.0,
-    stale_seconds: float = 600.0,
-):
+def _marker_lock(snapshot_root: str, timeout_seconds: float = 60.0):
     """Advisory inter-process mutex for ``_GEN`` read-modify-write
     sections — the local-fs analog of the lock service / table-format
     commit protocol a real lakehouse deploy uses.  Both the writer's
     marker commit (:func:`run_cdc_apply`) and
     :func:`vacuum_cdc_snapshots` take it, so a vacuum can never erase
     a generation the writer is about to re-list, and the writer can
-    never resurrect directories the vacuum just pruned.  O_EXCL
-    lockfile; a holder dead longer than ``stale_seconds`` is stolen
-    (the unlink+retry race between two stealers resolves at O_EXCL).
+    never resurrect directories the vacuum just pruned.
+
+    ``fcntl.flock`` on a PERSISTENT lock file (never unlinked): the
+    kernel releases a dead holder's lock automatically, so there is no
+    stale-mtime steal path at all — the earlier O_EXCL+steal design
+    had a check-then-unlink race where two waiters observing the same
+    stale lock could both end up inside the critical section (one
+    unlinks+recreates, the other unlinks the fresh lock).  Unlinking
+    on release would reintroduce an inode race (holder locks inode A
+    then unlinks it; a waiter creates+locks inode B concurrently), so
+    the file stays; its existence carries no state, only its flock.
     Only marker metadata updates run under the lock — parquet writes
     stay outside — so hold times are milliseconds."""
+    import fcntl
     import os
     import time
 
     os.makedirs(snapshot_root, exist_ok=True)
     path = os.path.join(snapshot_root, "_GEN.lock")
     deadline = time.monotonic() + timeout_seconds
-    while True:
-        try:
-            os.close(os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY))
-            break
-        except FileExistsError:
-            try:
-                if time.time() - os.path.getmtime(path) > stale_seconds:
-                    os.unlink(path)
-                    continue
-            except FileNotFoundError:
-                continue
-            if time.monotonic() > deadline:
-                raise TimeoutError(
-                    f"_GEN lock at {path} held past {timeout_seconds}s — "
-                    "another maintenance process is stuck (or raise "
-                    "stale_seconds if its work is legitimately long)"
-                )
-            time.sleep(0.05)
+    fd = os.open(path, os.O_CREAT | os.O_RDWR)
     try:
-        yield
-    finally:
+        while True:
+            try:
+                fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+                break
+            except (BlockingIOError, InterruptedError, PermissionError):
+                if time.monotonic() > deadline:
+                    raise TimeoutError(
+                        f"_GEN lock at {path} held past "
+                        f"{timeout_seconds}s — another maintenance "
+                        "process is stuck (a DEAD holder cannot cause "
+                        "this: the kernel drops its flock)"
+                    )
+                time.sleep(0.05)
         try:
-            os.unlink(path)
-        except FileNotFoundError:
-            pass
+            yield
+        finally:
+            fcntl.flock(fd, fcntl.LOCK_UN)
+    finally:
+        os.close(fd)
 
 
 def _write_gen_marker(

@@ -735,6 +735,28 @@ def test_nn_confusion_over_candidates_hand_built(spark):
     )
     with pytest.raises(ValueError, match="k >= 2"):
         nn_confusion_over_candidates(k1, labels, "vec_id", "label")
+    # MIXED list sizes: q2 has a long list but q0's lone candidate is
+    # itself — q0 would silently vanish, so this must raise too (the
+    # old global max-list-length guard missed exactly this case)
+    mixed = spark.createDataFrame(
+        [(0, 0, 0), (2, 3, 7), (2, 1, 9), (2, 0, 11)],
+        "qid long, vec_id long, adc_dist long",
+    )
+    with pytest.raises(ValueError, match="no NON-SELF"):
+        nn_confusion_over_candidates(mixed, labels, "vec_id", "label")
+    # legitimately sparse 1-row NON-self lists pass (e.g. a low-probe
+    # IVF query whose visited cells held a single foreign vector)
+    sparse = spark.createDataFrame(
+        [(0, 2, 5), (2, 3, 7), (2, 1, 9)],
+        "qid long, vec_id long, adc_dist long",
+    )
+    got_sparse = {
+        (r["label"], r["nn_label"]): r["pair_count"]
+        for r in nn_confusion_over_candidates(
+            sparse, labels, "vec_id", "label"
+        ).collect()
+    }
+    assert got_sparse == {("a", "b"): 1, ("b", "b"): 1}
 
 
 def test_lsh_topk_planes_override(memb):

@@ -806,11 +806,18 @@ def test_cdc_vacuum_prunes_and_preserves_in_retention_reads(spark, tmp_path):
         vacuum_cdc_snapshots(str(tmp_path / "nowhere"), keep_generations=1)
 
 
-def test_cdc_marker_lock_mutual_exclusion_and_stale_steal(tmp_path):
+def test_cdc_marker_lock_mutual_exclusion_and_dead_holder_release(tmp_path):
     """The _GEN lock serializing vacuum against the writer's marker
-    commit: held -> a second acquirer times out; stale (dead holder)
-    -> stolen; released on exit (including the vacuum path)."""
+    commit: held -> a second acquirer times out; a DEAD holder's lock
+    is released by the kernel (flock semantics — no stale-mtime steal
+    path, so the two-waiters-both-steal race of the old O_EXCL design
+    cannot occur); the lock FILE persists across release by design
+    (unlinking would reintroduce an inode race) and a leftover file
+    from a crashed process never blocks acquisition."""
+    import fcntl
     import os
+    import subprocess
+    import sys
     import time
 
     import pytest
@@ -818,20 +825,50 @@ def test_cdc_marker_lock_mutual_exclusion_and_stale_steal(tmp_path):
     from etl_based_real_time_air_quality_monitoring_system_spark.streaming.pipeline import _marker_lock
 
     root = str(tmp_path / "snap")
+    lock = os.path.join(root, "_GEN.lock")
     with _marker_lock(root):
-        assert os.path.exists(os.path.join(root, "_GEN.lock"))
+        assert os.path.exists(lock)
         with pytest.raises(TimeoutError, match="_GEN lock"):
             with _marker_lock(root, timeout_seconds=0.3):
                 pass
-    assert not os.path.exists(os.path.join(root, "_GEN.lock"))
-    # stale holder: backdate the lockfile past stale_seconds -> stolen
-    lock = os.path.join(root, "_GEN.lock")
-    open(lock, "w").close()
-    old = time.time() - 10_000
-    os.utime(lock, (old, old))
-    with _marker_lock(root, timeout_seconds=1.0, stale_seconds=600.0):
+    # persistent lock file: survives release, carries no state
+    assert os.path.exists(lock)
+    with _marker_lock(root, timeout_seconds=1.0):
         pass
-    assert not os.path.exists(lock)
+    # dead holder: a subprocess takes the flock and is SIGKILLed while
+    # holding it — the kernel drops the lock, so acquisition succeeds
+    # immediately (no 600 s staleness window, no steal race)
+    child = subprocess.Popen(
+        [
+            sys.executable,
+            "-c",
+            "import fcntl, os, sys, time\n"
+            f"fd = os.open({lock!r}, os.O_CREAT | os.O_RDWR)\n"
+            "fcntl.flock(fd, fcntl.LOCK_EX)\n"
+            "print('held', flush=True)\n"
+            "time.sleep(60)\n",
+        ],
+        stdout=subprocess.PIPE,
+        text=True,
+    )
+    try:
+        assert child.stdout.readline().strip() == "held"
+        fd = os.open(lock, os.O_CREAT | os.O_RDWR)
+        try:  # child alive -> lock genuinely contended
+            with pytest.raises(OSError):
+                fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+        finally:
+            os.close(fd)
+        child.kill()
+        child.wait()
+        t0 = time.monotonic()
+        with _marker_lock(root, timeout_seconds=5.0):
+            pass
+        assert time.monotonic() - t0 < 2.0
+    finally:
+        if child.poll() is None:
+            child.kill()
+            child.wait()
 
 
 def test_cdc_time_travel_asof_epoch(spark, tmp_path):
