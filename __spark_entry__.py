@@ -3712,6 +3712,32 @@ def _q_bpe_merges(spark: SparkSession, sf: str) -> DataFrame:
     return bpe_word_merges(docs, "text", n_merges=3)
 
 
+def _q_bpe_encode(spark: SparkSession, sf: str) -> DataFrame:
+    # the tokenize step a pretraining pipeline runs PER DOCUMENT with
+    # the learned vocabulary: learn 3 merge rules (bpe_merges'
+    # trajectory — the oracle re-derives it through the SAME
+    # _bpe_round_ctes chain, carry="doc_id, "), replay them in rank
+    # order as in-scan folds, then assign frequency-ranked 0-based
+    # token ids over the closed vocab.  Output is the token STREAM
+    # (doc_id, pos, token, token_id) — one row per corpus token, so
+    # the hash pins every document's exact tokenization end-to-end.
+    # Like bpe_merges/corpus_assembly, the learning fold runs at
+    # DataFrame-BUILD time (3 argmax collects, each 1 row).
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.text import (
+        bpe_encode,
+        bpe_word_merges,
+    )
+
+    docs = load_table(spark, sf, "documents")
+    learned = [
+        (r["merge_left"], r["merge_right"])
+        for r in bpe_word_merges(docs, "text", n_merges=3)
+        .orderBy("merge_round")
+        .collect()
+    ]
+    return bpe_encode(docs, learned)
+
+
 def _pq_micros_emb(spark: SparkSession, sf: str) -> DataFrame:
     # shared PQ input: embeddings quantized to integer micros FIRST
     # (micros_vec — the repo's single floor-half-up recipe) so every
@@ -4650,7 +4676,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     3 SFs).
     """
     return {
-        # === the 50-entry driver-gate window (risk-ordered r6) ========
+        # === the 50-entry driver-gate window (risk-ordered r7) ========
+        # --- new this round -------------------------------------------
+        "bpe_encode": _q_bpe_encode,
         # --- new or code-changed this round (round 6): five new gates
         # --- plus the two r5-gated entries whose code the advice fixes
         # --- touched (epoch replay guard / left label join) -----------
@@ -4942,12 +4970,15 @@ _PR_CTES = ",\n            ".join(
     for i in range(3)
 )
 
-def _bpe_round_ctes(n_rounds: int = 3) -> str:
+def _bpe_round_ctes(n_rounds: int = 3, carry: str = "") -> str:
     """BPE merge rounds unrolled as CTEs (the _PR_CTES sequential-fold
     recipe): per round, pair counts (self-pairs excluded, mirroring
     the operator's order-independence restriction), the (count DESC,
     l, r) argmax, and the merged token arrays.  Generated by loop so
-    the per-round SQL can never drift between rounds."""
+    the per-round SQL can never drift between rounds.  ``carry``
+    (e.g. ``"doc_id, "``) threads identity columns through the merged
+    arrays so bpe_encode's oracle shares the SAME learn+apply chain
+    as bpe_merges' — the two can't drift apart."""
     parts = []
     for k in range(1, n_rounds + 1):
         prev = f"t{k - 1}"
@@ -4966,7 +4997,7 @@ def _bpe_round_ctes(n_rounds: int = 3) -> str:
                 ) WHERE rn = 1
             ),
             t{k} AS (
-                SELECT list_filter(
+                SELECT {carry}list_filter(
                     list_transform(range(1, len(t) + 1), i ->
                         CASE WHEN i < len(t) AND t[i] = m.l
                                   AND t[i + 1] = m.r
@@ -5432,6 +5463,30 @@ def _oracle_sql_literal() -> dict[str, str]:
             SELECT 3, m3.l, m3.r, m3.c,
                    (SELECT CAST(sum(len(t)) AS BIGINT) FROM t3)
             FROM m3
+        """,
+        # bpe_encode: the SAME learn chain (carry="doc_id, " threads
+        # identity through the merged arrays), then the apply tail —
+        # explode t3 to the token stream and rank the closed vocab by
+        # (count DESC, token ASC), 0-based.  Binary collation makes
+        # the tie order engine-exact (the bpe_merges argmax rule).
+        "bpe_encode": rf"""
+            WITH t0 AS (
+                SELECT doc_id, {_TOKS} AS t
+                FROM documents WHERE text IS NOT NULL
+            ),
+            {_bpe_round_ctes(3, carry="doc_id, ")},
+            ex AS (
+                SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos, t[i] AS token
+                FROM t3, UNNEST(range(1, len(t) + 1)) AS u(i)
+            ),
+            v AS (
+                SELECT token, CAST(row_number() OVER (
+                           ORDER BY count(*) DESC, token
+                       ) - 1 AS INTEGER) AS token_id
+                FROM ex GROUP BY token
+            )
+            SELECT e.doc_id, e.pos, e.token, v.token_id
+            FROM ex e JOIN v USING (token)
         """,
         "pq_codes": """
             WITH mq AS (

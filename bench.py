@@ -168,6 +168,8 @@ HEADLINE = [
     "nn_confusion_ivfpq",
     "cdc_vacuum",
     "bpe_merges",
+    # round-7 additions
+    "bpe_encode",
 ]
 
 

@@ -889,6 +889,42 @@ def bigram_lm_score(
     )
 
 
+def _fuse_pair_expr(t: Column, left: str, right: str, sep: str) -> Column:
+    """In-scan array fold fusing every (``left``, ``right``) adjacency
+    in token array ``t`` into one ``left+sep+right`` token — the merge
+    pair is a broadcast LITERAL in the plan (the PQ-codebook idiom).
+    Requires ``left != right`` (self-pairs would make leftmost-greedy
+    fusion sequential; see :func:`bpe_word_merges`), which makes the
+    occurrence set non-overlapping and the fold order-independent."""
+    fused = left + sep + right
+    n = F.size(t)
+
+    def cell(i: Column) -> Column:
+        at = lambda j: F.element_at(t, j + 1)  # noqa: E731 — 0-based
+        return (
+            F.when(
+                (i < n - 1)
+                & (at(i) == F.lit(left))
+                & (at(i + 1) == F.lit(right)),
+                F.lit(fused),
+            )
+            .when(
+                (i > 0) & (at(i - 1) == F.lit(left)) & (at(i) == F.lit(right)),
+                F.lit(None).cast("string"),
+            )
+            .otherwise(at(i))
+        )
+
+    # sequence(a, b) DESCENDS when a > b — guard the (never produced
+    # by split, but API-reachable) empty-array case
+    return F.when(n <= 0, F.array().cast("array<string>")).otherwise(
+        F.filter(
+            F.transform(F.sequence(F.lit(0), n - 1), cell),
+            lambda x: x.isNotNull(),
+        )
+    )
+
+
 def bpe_word_merges(
     df: DataFrame,
     text_col: str = "text",
@@ -963,45 +999,99 @@ def bpe_word_merges(
             break
         left, right = top[0]["l"], top[0]["r"]
         count = int(top[0]["c"])
-        fused = left + sep + right
-
-        def merge_expr(t: Column) -> Column:
-            n = F.size(t)
-
-            def cell(i: Column) -> Column:
-                at = lambda j: F.element_at(t, j + 1)  # noqa: E731 — 0-based
-                return (
-                    F.when(
-                        (i < n - 1)
-                        & (at(i) == F.lit(left))
-                        & (at(i + 1) == F.lit(right)),
-                        F.lit(fused),
-                    )
-                    .when(
-                        (i > 0)
-                        & (at(i - 1) == F.lit(left))
-                        & (at(i) == F.lit(right)),
-                        F.lit(None).cast("string"),
-                    )
-                    .otherwise(at(i))
-                )
-
-            # sequence(a, b) DESCENDS when a > b — guard the (never
-            # produced by split, but API-reachable) empty-array case
-            return F.when(n <= 0, F.array().cast("array<string>")).otherwise(
-                F.filter(
-                    F.transform(F.sequence(F.lit(0), n - 1), cell),
-                    lambda x: x.isNotNull(),
-                )
-            )
-
-        cur = cur.select(merge_expr(F.col("_t")).alias("_t")).localCheckpoint(
-            eager=False
-        )
+        cur = cur.select(
+            _fuse_pair_expr(F.col("_t"), left, right, sep).alias("_t")
+        ).localCheckpoint(eager=False)
         tokens_after = int(cur.agg(F.sum(F.size("_t"))).first()[0])
         out_rows.append((rnd, left, right, count, tokens_after))
     return spark.createDataFrame(
         out_rows,
         "merge_round int, merge_left string, merge_right string, "
         "pair_count bigint, corpus_tokens_after bigint",
+    )
+
+
+def bpe_apply_merges(
+    df: DataFrame,
+    merges: Sequence[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\x01",
+) -> DataFrame:
+    """APPLY a ranked merge table to every document — the tokenize
+    step a pretraining pipeline actually runs per document with the
+    vocabulary :func:`bpe_word_merges` learned (Sennrich et al. 2016
+    §3: merges are replayed in learned rank order at encode time).
+
+    ``merges`` is the learned ``[(left, right), ...]`` list in rank
+    order (a tiny driver-side literal, exactly like PQ codebooks —
+    ``n_merges`` string pairs, never data).  Each rank is one in-scan
+    array fold (:func:`_fuse_pair_expr`); ranks ``localCheckpoint``
+    between folds so rank r's plan doesn't re-embed ranks 1..r-1 (the
+    same iterative-fold lineage cut the learner uses).  Self-pair
+    rules are rejected, mirroring the learner's order-independence
+    restriction.
+
+    Returns (``id_col``, tokens array<string>) — whitespace words
+    with every learned adjacency fused to ``left+sep+right``."""
+    for left, right in merges:
+        if left == right:
+            raise ValueError(
+                "bpe_apply_merges: self-pair rule "
+                f"({left!r}, {right!r}) — the learner never emits "
+                "these (fusion would be order-dependent)"
+            )
+    cur = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col), tokens(text_col).alias("_t"))
+        .localCheckpoint(eager=False)
+    )
+    for left, right in merges:
+        cur = cur.select(
+            id_col, _fuse_pair_expr(F.col("_t"), left, right, sep).alias("_t")
+        ).localCheckpoint(eager=False)
+    return cur.select(id_col, F.col("_t").alias("tokens"))
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: Sequence[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\x01",
+) -> DataFrame:
+    """Encode documents to integer token ids under a learned merge
+    table: :func:`bpe_apply_merges`, then assign each vocabulary
+    token an id by corpus frequency (count DESC, token ASC — the
+    conventional frequency-ranked vocabulary order), 0-based.  The
+    vocabulary is CLOSED by construction (built from the encoded
+    corpus itself), so there is no OOV path; ``size`` of a document's
+    id list is its EXACT token count under the learned vocabulary —
+    the number :func:`bpe_ish_token_count` only estimates.
+
+    Returns the token STREAM form — one row per (``id_col``, pos,
+    token, token_id), pos 0-based within the document — the natural
+    distributed representation (no corpus-wide arrays; downstream
+    packing/counting aggregates it directly).
+
+    Scale shape: the fold is in-scan; the vocabulary rank is one
+    count shuffle plus a window over VOCABULARY-sized data (distinct
+    merged words — a tokenizer artifact, not corpus-scale; were the
+    vocab itself huge, the coarse-bucket prefix-sum rank recipe from
+    ``sampling.py`` applies), then one vocab-sized broadcast join
+    back onto the stream."""
+    from pyspark.sql import Window
+
+    applied = bpe_apply_merges(df, merges, text_col, id_col, sep)
+    stream = applied.select(
+        id_col, F.posexplode("tokens").alias("pos", "token")
+    )
+    w = Window.orderBy(F.desc("_c"), "token")
+    vocab = (
+        stream.groupBy("token")
+        .agg(F.count("*").alias("_c"))
+        .select("token", (F.row_number().over(w) - F.lit(1)).alias("token_id"))
+    )
+    return stream.join(F.broadcast(vocab), "token").select(
+        id_col, "pos", "token", "token_id"
     )

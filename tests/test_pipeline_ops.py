@@ -1172,6 +1172,80 @@ def test_bpe_word_merges_hand_computed(spark):
         bpe_word_merges(docs, "text", n_merges=0)
 
 
+def test_bpe_apply_and_encode_hand_computed(spark):
+    """bpe_apply_merges replays the learned rank order (later rules
+    fuse EARLIER fused tokens); bpe_encode assigns frequency-ranked
+    0-based ids over the closed vocabulary; and the resulting counts
+    are EXACT — superseding bpe_ish_token_count, which only estimates
+    subword counts from the raw text."""
+    import pytest
+
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.text import (
+        bpe_apply_merges,
+        bpe_encode,
+        bpe_ish_token_count,
+        bpe_word_merges,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b c"), (2, "a b x"), (3, "c c c")], ["doc_id", "text"]
+    )
+    S = "\x01"
+    learned = [
+        (r["merge_left"], r["merge_right"])
+        for r in bpe_word_merges(docs, "text", n_merges=3)
+        .orderBy("merge_round")
+        .collect()
+    ]
+    assert learned == [("a", "b"), (f"a{S}b", "c"), (f"a{S}b", f"a{S}b{S}c")]
+    applied = {
+        r["doc_id"]: r["tokens"]
+        for r in bpe_apply_merges(docs, learned).collect()
+    }
+    # rank 3 fuses rank 1's output with rank 2's output — the replay
+    # must be in rank order for doc 1 to collapse to a single token
+    assert applied == {
+        1: [f"a{S}b{S}a{S}b{S}c"],
+        2: [f"a{S}b", "x"],
+        3: ["c", "c", "c"],
+    }
+    enc = bpe_encode(docs, learned)
+    stream = sorted(tuple(r) for r in enc.collect())
+    # vocab by (count DESC, token ASC): c x3 -> 0; ties at 1 break
+    # lexicographically: a.b -> 1, a.b.a.b.c -> 2, x -> 3
+    assert stream == [
+        (1, 0, f"a{S}b{S}a{S}b{S}c", 2),
+        (2, 0, f"a{S}b", 1),
+        (2, 1, "x", 3),
+        (3, 0, "c", 0),
+        (3, 1, "c", 0),
+        (3, 2, "c", 0),
+    ]
+    # EXACT token accounting under the learned vocab (1, 2, 3 tokens)
+    # vs the bpe_ish regex ESTIMATE on raw text (5, 3, 3) — the
+    # encode path supersedes the estimate wherever merges are known
+    exact = {
+        r["doc_id"]: r["n"]
+        for r in enc.groupBy("doc_id").count().withColumnRenamed("count", "n").collect()
+    }
+    assert exact == {1: 1, 2: 2, 3: 3}
+    est = {
+        r["doc_id"]: r["est"]
+        for r in docs.select(
+            "doc_id", bpe_ish_token_count("text").alias("est")
+        ).collect()
+    }
+    assert est == {1: 5, 2: 3, 3: 3}
+    assert exact != est
+    with pytest.raises(ValueError, match="self-pair"):
+        bpe_apply_merges(docs, [("a", "a")])
+    # null text drops out of the stream, like every text operator
+    with_null = spark.createDataFrame(
+        [(1, "a b"), (2, None)], ["doc_id", "text"]
+    )
+    assert bpe_encode(with_null, [("a", "b")]).count() == 1
+
+
 def test_bpe_word_merges_degenerate_corpora(spark):
     """Sub-2-token docs contribute no pairs; a corpus with ONLY
     self-pairs learns nothing (empty result, not a crash)."""
