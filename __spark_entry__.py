@@ -3738,6 +3738,41 @@ def _q_bpe_encode(spark: SparkSession, sf: str) -> DataFrame:
     return bpe_encode(docs, learned)
 
 
+def _qcls_gate_weights(n_buckets: int = 256) -> list[int]:
+    """The gate's stand-in TRAINED weight table: one integer-micros
+    weight per hash bucket, derived from md5 so it is reproducible
+    without an RNG and identical in the Spark literal and the SQL
+    oracle.  (A real deployment plugs in offline-trained weights; the
+    gate checks the inference plumbing, which is weight-agnostic.)"""
+    import hashlib
+
+    return [
+        int(hashlib.md5(f"qclsw:v1:{b}".encode()).hexdigest()[:6], 16)
+        % 1_000_001
+        for b in range(n_buckets)
+    ]
+
+
+def _q_quality_classifier(spark: SparkSession, sf: str) -> DataFrame:
+    # fastText-style linear quality-classifier INFERENCE (Joulin et
+    # al. 2016) — the third public quality screen after Gopher rules
+    # (gopher_quality) and the CCNet bigram LM (lm_fluency): hashed
+    # unigram+bigram features, literal integer-micros weight table,
+    # floor-mean score, threshold keep/drop.  Pure map over the
+    # corpus — no shuffle, no join, no Python — so the plan is a
+    # single scan at any scale.  Exact BIGINT math end to end makes
+    # the score hash-checkable; the oracle re-derives it via
+    # explode + weight-table join (same sum, different plan shape).
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.text import (
+        quality_classifier_score,
+    )
+
+    docs = load_table(spark, sf, "documents")
+    return quality_classifier_score(
+        docs, _qcls_gate_weights(), threshold_micros=500_000
+    )
+
+
 def _pq_micros_emb(spark: SparkSession, sf: str) -> DataFrame:
     # shared PQ input: embeddings quantized to integer micros FIRST
     # (micros_vec — the repo's single floor-half-up recipe) so every
@@ -4679,6 +4714,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # === the 50-entry driver-gate window (risk-ordered r7) ========
         # --- new this round -------------------------------------------
         "bpe_encode": _q_bpe_encode,
+        "quality_classifier": _q_quality_classifier,
         # --- new or code-changed this round (round 6): five new gates
         # --- plus the two r5-gated entries whose code the advice fixes
         # --- touched (epoch replay guard / left label join) -----------
@@ -5487,6 +5523,42 @@ def _oracle_sql_literal() -> dict[str, str]:
             )
             SELECT e.doc_id, e.pos, e.token, v.token_id
             FROM ex e JOIN v USING (token)
+        """,
+        # quality_classifier: re-derive the in-scan dot product as
+        # explode + weight-table join (same exact BIGINT sum, a
+        # deliberately different plan shape); weights interpolated
+        # from the same _qcls_gate_weights literal as the Spark side
+        "quality_classifier": f"""
+            WITH toks AS (
+                SELECT doc_id, {_TOKS} AS t
+                FROM documents WHERE text IS NOT NULL
+            ),
+            feats AS (
+                SELECT doc_id, unnest(list_concat(
+                    t, list_transform(range(1, len(t)),
+                                      i -> t[i] || ' ' || t[i + 1])
+                )) AS f
+                FROM toks
+            ),
+            fb AS (
+                SELECT doc_id,
+                       CAST(('0x' || substr(md5('qcls:v1' || f), 1, 7))
+                            ::BIGINT % 256 AS INTEGER) AS b
+                FROM feats
+            ),
+            w AS (
+                SELECT CAST(unnest(range(0, 256)) AS INTEGER) AS b,
+                       unnest([{",".join(str(w) for w in _qcls_gate_weights())}]) AS wt
+            )
+            SELECT fb.doc_id,
+                   CAST(count(*) AS INTEGER) AS n_feats,
+                   CAST(CAST(sum(wt) AS BIGINT) // count(*) AS BIGINT)
+                       AS score_micros,
+                   CAST(CASE WHEN CAST(sum(wt) AS BIGINT) // count(*)
+                                  >= 500000
+                             THEN 1 ELSE 0 END AS INTEGER) AS keep
+            FROM fb JOIN w USING (b)
+            GROUP BY fb.doc_id
         """,
         "pq_codes": """
             WITH mq AS (

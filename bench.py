@@ -170,6 +170,7 @@ HEADLINE = [
     "bpe_merges",
     # round-7 additions
     "bpe_encode",
+    "quality_classifier",
 ]
 
 

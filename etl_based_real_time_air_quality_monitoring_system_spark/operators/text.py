@@ -715,6 +715,123 @@ def oov_rate(
     )
 
 
+def hashed_ngram_buckets(
+    toks_col: Column, n_buckets: int, salt: str
+) -> Column:
+    """Hashed n-gram featurization (word unigrams + adjacent bigrams
+    -> bucket ids in [0, n_buckets)) — the fastText / DSIR feature
+    map, as one in-scan array expression.  md5 on purpose: available
+    and bit-identical in every engine, so the bucket ids are
+    oracle-exact (the MinHash rationale, ``dedup.py``).  The bigram
+    slice pair is empty for single-token docs."""
+    tail_len = F.greatest(F.size(toks_col) - 1, F.lit(0))
+    bis = F.zip_with(
+        F.slice(toks_col, 1, tail_len),
+        F.slice(toks_col, 2, tail_len),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    return F.transform(
+        F.concat(toks_col, bis),
+        lambda t: (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(salt), t).cast("binary")), 1, 7
+                ),
+                16,
+                10,
+            ).cast("long")
+            % n_buckets
+        ).cast("int"),
+    )
+
+
+def quality_classifier_score(
+    df: DataFrame,
+    weights_micros: Sequence[int],
+    id_col: str = "doc_id",
+    text: str = "text",
+    bias_micros: int = 0,
+    threshold_micros: int = 500_000,
+    salt: str = "qcls:v1",
+) -> DataFrame:
+    """Deterministic linear quality-classifier INFERENCE — the third
+    public quality screen after the Gopher heuristics
+    (:func:`gopher_quality_flags`) and the CCNet bigram LM
+    (:func:`bigram_lm_score`): a fastText-style linear model (Joulin
+    et al. 2016, "Bag of Tricks for Efficient Text Classification")
+    over hashed unigram+bigram features, the architecture of the
+    quality filters used for GPT-3/LLaMA-class corpus curation (CC vs
+    reference-corpus logistic screens).
+
+    ``weights_micros`` is the TRAINED-OFFLINE weight table, one
+    integer-micros weight per hash bucket, passed as a plan literal
+    (training happens wherever it happens; inference at corpus scale
+    is this operator).  A document scores the floor-mean of its
+    features' weights plus ``bias_micros`` — an EXACT integer dot
+    product, evaluated entirely in-scan: featurize (one array
+    expression), look each bucket up in the literal weight array,
+    fold.  No shuffle, no join, no Python — at 100 TB this is a pure
+    map over the corpus, the cheapest possible plan shape.
+
+    NON-NEGATIVE weights are required and WLOG: the score is a mean
+    over features, so shifting every weight (and the threshold) by a
+    constant is the SAME classifier — shift any trained table to
+    min >= 0.  This sidesteps the one cross-engine hazard, negative
+    integer-division semantics (trunc vs floor).
+
+    Returns (``id_col``, n_feats, score_micros, keep) — ``keep`` is
+    the 0/1 threshold decision, composable as an optional
+    ``corpus_filter`` stage."""
+    feats = df.filter(F.col(text).isNotNull()).select(
+        F.col(id_col),
+        hashed_ngram_buckets(tokens(text), len(weights_micros), salt).alias(
+            "_f"
+        ),
+    )
+    return feats.select(
+        id_col,
+        F.size("_f").alias("n_feats"),
+        qcls_score_expr("_f", weights_micros, bias_micros).alias(
+            "score_micros"
+        ),
+    ).select(
+        id_col,
+        "n_feats",
+        "score_micros",
+        (F.col("score_micros") >= F.lit(int(threshold_micros)))
+        .cast("int")
+        .alias("keep"),
+    )
+
+
+def qcls_score_expr(
+    feats_col: str, weights_micros: Sequence[int], bias_micros: int = 0
+) -> Column:
+    """The classifier dot product over a NAMED hashed-feature array
+    column, as one generated-SQL expression (the k*d-term rule: one
+    string, not k Column objects): floor-mean of the literal weight
+    array indexed by each bucket, plus bias — exact BIGINT end to
+    end.  Shared by :func:`quality_classifier_score` and the optional
+    ``prepare_corpus`` classifier stage so the two can't drift."""
+    n_buckets = len(weights_micros)
+    if n_buckets < 1:
+        raise ValueError("quality classifier: empty weight table")
+    bad = [w for w in weights_micros if w < 0]
+    if bad:
+        raise ValueError(
+            "quality classifier: negative weights "
+            f"(e.g. {bad[0]}) — shift the trained table so min >= 0 "
+            "(shift-invariant: the mean shifts by the same constant; "
+            "shift threshold_micros along with it)"
+        )
+    arr = "array(" + ",".join(f"{int(w)}L" for w in weights_micros) + ")"
+    return F.expr(
+        f"(aggregate({feats_col}, 0L, (acc, b) -> "
+        f"acc + element_at({arr}, b + 1)) div size({feats_col})) "
+        f"+ {int(bias_micros)}L"
+    )
+
+
 def target_affinity(
     df: DataFrame,
     target: DataFrame,
@@ -755,27 +872,7 @@ def target_affinity(
     text itself never shuffles and nothing collects to the driver.
     """
     def feat_buckets(toks_col: Column) -> Column:
-        # unigrams + adjacent bigrams, hashed to [0, n_buckets); the
-        # bigram slice pair is empty for single-token docs
-        tail_len = F.greatest(F.size(toks_col) - 1, F.lit(0))
-        bis = F.zip_with(
-            F.slice(toks_col, 1, tail_len),
-            F.slice(toks_col, 2, tail_len),
-            lambda a, b: F.concat(a, F.lit(" "), b),
-        )
-        return F.transform(
-            F.concat(toks_col, bis),
-            lambda t: (
-                F.conv(
-                    F.substring(
-                        F.md5(F.concat(F.lit(salt), t).cast("binary")), 1, 7
-                    ),
-                    16,
-                    10,
-                ).cast("long")
-                % n_buckets
-            ).cast("int"),
-        )
+        return hashed_ngram_buckets(toks_col, n_buckets, salt)
 
     corpus_feats = spread_small_input(df.select(id_col, text)).select(
         id_col, F.explode(feat_buckets(tokens(text))).alias("_b")

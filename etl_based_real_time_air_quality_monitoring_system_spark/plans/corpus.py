@@ -24,6 +24,8 @@ Scale shape (the 100 TB reading):
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import DataFrame, Window, functions as F
 
 from ..operators.text import (
@@ -43,10 +45,22 @@ def prepare_corpus(
     lang: str = "en",
     min_tokens: int = 20,
     max_tokens: int = 2000,
+    classifier_weights: Sequence[int] | None = None,
+    classifier_threshold_micros: int = 500_000,
+    classifier_bias_micros: int = 0,
+    classifier_salt: str = "qcls:v1",
 ) -> DataFrame:
     """Deduplicated, filtered corpus: survivor rows (min ``id_col`` per
     exact-text fingerprint) that clear the quality / language /
-    token-count bar, with profile columns attached."""
+    token-count bar, with profile columns attached.
+
+    ``classifier_weights`` adds the OPTIONAL model-based screen on top
+    of the heuristic one (the GPT-3/LLaMA curation shape: heuristics
+    first, then a trained linear classifier): the fastText-style
+    integer-micros score (``operators.text.qcls_score_expr``) is
+    computed in the same scan — no extra shuffle — exposed as
+    ``qcls_micros``, and rows below ``classifier_threshold_micros``
+    are dropped."""
     w = Window.partitionBy(fingerprint(text_col)).orderBy(F.col(id_col))
     survivors = (
         docs.withColumn("_rn", F.row_number().over(w))
@@ -65,10 +79,28 @@ def prepare_corpus(
         )
         .drop("_toks", "_ltoks")
     )
-    return profiled.filter(
+    kept = profiled.filter(
         (F.col("quality") >= min_quality)
         & (F.col("lang_pred") == lang)
         & F.col("n_tokens").between(min_tokens, max_tokens)
+    )
+    if classifier_weights is None:
+        return kept
+    from ..operators.text import hashed_ngram_buckets, qcls_score_expr
+
+    return (
+        kept.withColumn(
+            "_qf",
+            hashed_ngram_buckets(
+                tokens(text_col), len(classifier_weights), classifier_salt
+            ),
+        )
+        .withColumn(
+            "qcls_micros",
+            qcls_score_expr("_qf", classifier_weights, classifier_bias_micros),
+        )
+        .drop("_qf")
+        .filter(F.col("qcls_micros") >= int(classifier_threshold_micros))
     )
 
 

@@ -1246,6 +1246,92 @@ def test_bpe_apply_and_encode_hand_computed(spark):
     assert bpe_encode(with_null, [("a", "b")]).count() == 1
 
 
+def test_quality_classifier_score_vs_python_reference(spark):
+    """The fastText-style linear screen must equal a pure-Python
+    reference (md5-hashed unigram+bigram buckets, floor-mean of
+    integer-micros weights, bias, threshold) exactly; negative
+    weights are rejected with the shift-invariance hint; the optional
+    prepare_corpus stage applies the same score as a filter."""
+    import hashlib
+
+    import pytest
+
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.text import (
+        quality_classifier_score,
+    )
+
+    weights = [
+        int(hashlib.md5(f"qclsw:test:{b}".encode()).hexdigest()[:6], 16)
+        % 1_000_001
+        for b in range(64)
+    ]
+    docs = [
+        (1, "the cat sat on the mat"),
+        (2, "zzz"),
+        (3, "a b a b c"),
+        (4, None),
+    ]
+
+    def ref(text: str) -> tuple[int, int]:
+        toks = text.strip().split()
+        feats = toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        bs = [
+            int(hashlib.md5(("qcls:v1" + f).encode()).hexdigest()[:7], 16)
+            % 64
+            for f in feats
+        ]
+        return len(feats), sum(weights[b] for b in bs) // len(feats) + 7
+
+    got = {
+        r["doc_id"]: (r["n_feats"], r["score_micros"], r["keep"])
+        for r in quality_classifier_score(
+            spark.createDataFrame(docs, ["doc_id", "text"]),
+            weights,
+            bias_micros=7,
+            threshold_micros=500_000,
+        ).collect()
+    }
+    assert set(got) == {1, 2, 3}  # null text drops
+    for doc_id, text in docs[:3]:
+        n, s = ref(text)
+        assert got[doc_id] == (n, s, int(s >= 500_000)), doc_id
+    with pytest.raises(ValueError, match="shift"):
+        quality_classifier_score(
+            spark.createDataFrame(docs, ["doc_id", "text"]), [5, -1]
+        )
+    # optional prepare_corpus stage: same score, applied as a filter
+    from etl_based_real_time_air_quality_monitoring_system_spark.plans.corpus import prepare_corpus
+
+    corpus = spark.createDataFrame(
+        [
+            (i, "the quick brown fox jumps over the lazy dog " * 3 + f"v{i}")
+            for i in range(20)
+        ],
+        ["doc_id", "text"],
+    )
+    base = prepare_corpus(corpus, min_tokens=1, min_quality=0.0)
+    n_base = base.count()
+    assert n_base == 20
+    scored = {
+        r["doc_id"]: r["score_micros"]
+        for r in quality_classifier_score(corpus, weights).collect()
+    }
+    cut = sorted(scored.values())[len(scored) // 2]
+    screened = prepare_corpus(
+        corpus,
+        min_tokens=1,
+        min_quality=0.0,
+        classifier_weights=weights,
+        classifier_threshold_micros=cut,
+    )
+    rows = screened.collect()
+    assert {r["doc_id"] for r in rows} == {
+        d for d, s in scored.items() if s >= cut
+    }
+    assert all(r["qcls_micros"] == scored[r["doc_id"]] for r in rows)
+    assert 0 < len(rows) < n_base
+
+
 def test_bpe_word_merges_degenerate_corpora(spark):
     """Sub-2-token docs contribute no pairs; a corpus with ONLY
     self-pairs learns nothing (empty result, not a crash)."""
