@@ -3773,6 +3773,56 @@ def _q_quality_classifier(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_domain_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    # URL/domain curation (the C4/RefinedWeb provenance stage): per
+    # REGISTERED domain (public-suffix rules — subdomains of co.uk /
+    # github.io collapse correctly) doc, distinct-host and exact
+    # token accounting, plus the blocklist membership flag the
+    # curation run filters on.  The documents table has no URL
+    # column, so the gate synthesizes one per doc from md5(doc_id)
+    # (the http_ingest_simulated recipe: every derived field is
+    # bit-identical in the oracle): ~50 sites x 6 TLD shapes x 3
+    # subdomain prefixes.  The operator itself takes any URL column.
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.web import domain_rollup
+
+    docs = load_table(spark, sf, "documents")
+    h = F.md5(
+        F.concat(F.lit("url:v1:"), F.col("doc_id").cast("string")).cast(
+            "binary"
+        )
+    )
+    n1 = F.conv(F.substring(h, 1, 6), 16, 10).cast("long") % 50
+    n2 = (F.conv(F.substring(h, 7, 6), 16, 10).cast("long") % 6).cast("int")
+    n3 = F.conv(F.substring(h, 13, 6), 16, 10).cast("long") % 3
+    tlds = ["com", "org", "co.uk", "github.io", "net", "ac.jp"]
+    sub = (
+        F.when(n3 == 0, F.lit("www."))
+        .when(n3 == 1, F.lit("cdn.edge."))
+        .otherwise(F.lit(""))
+    )
+    url = F.concat(
+        F.lit("https://"),
+        sub,
+        F.lit("site"),
+        n1.cast("string"),
+        F.lit("."),
+        F.element_at(F.lit(tlds), n2 + 1),
+        F.lit("/d/"),
+        F.col("doc_id").cast("string"),
+    )
+    rolled = domain_rollup(docs.withColumn("url", url), "url", "text")
+    blocked = ["site7.com", "site13.co.uk"]
+    return rolled.select(
+        "domain",
+        "n_docs",
+        "n_hosts",
+        "n_tokens",
+        F.coalesce(
+            F.col("domain").isin(blocked).cast("int"), F.lit(0)
+        ).alias("blocked"),
+    )
+
+
 def _pq_micros_emb(spark: SparkSession, sf: str) -> DataFrame:
     # shared PQ input: embeddings quantized to integer micros FIRST
     # (micros_vec — the repo's single floor-half-up recipe) so every
@@ -4715,6 +4765,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new this round -------------------------------------------
         "bpe_encode": _q_bpe_encode,
         "quality_classifier": _q_quality_classifier,
+        "domain_rollup": _q_domain_rollup,
         # --- new or code-changed this round (round 6): five new gates
         # --- plus the two r5-gated entries whose code the advice fixes
         # --- touched (epoch replay guard / left label join) -----------
@@ -5559,6 +5610,78 @@ def _oracle_sql_literal() -> dict[str, str]:
                              THEN 1 ELSE 0 END AS INTEGER) AS keep
             FROM fb JOIN w USING (b)
             GROUP BY fb.doc_id
+        """,
+        # domain_rollup: same md5-synthesized URLs, host regex, and
+        # public-suffix semantics (longest proper-suffix rule via a
+        # rules join + length-ranked window; bare-suffix -> NULL;
+        # last-two-labels fallback), then the per-domain accounting
+        "domain_rollup": f"""
+            WITH u AS (
+                SELECT doc_id, text,
+                       md5('url:v1:' || CAST(doc_id AS VARCHAR)) AS h
+                FROM documents
+            ),
+            urls AS (
+                SELECT doc_id, text,
+                       'https://'
+                       || CASE ('0x' || substr(h, 13, 6))::BIGINT % 3
+                              WHEN 0 THEN 'www.'
+                              WHEN 1 THEN 'cdn.edge.'
+                              ELSE '' END
+                       || 'site'
+                       || CAST(('0x' || substr(h, 1, 6))::BIGINT % 50
+                               AS VARCHAR)
+                       || '.'
+                       || (['com','org','co.uk','github.io','net','ac.jp'])
+                          [CAST(('0x' || substr(h, 7, 6))::BIGINT % 6
+                                AS INTEGER) + 1]
+                       || '/d/' || CAST(doc_id AS VARCHAR) AS url
+                FROM u
+            ),
+            hosts AS (
+                SELECT doc_id, text,
+                       lower(regexp_extract(url,
+                           '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/:?#@]+)',
+                           1)) AS host
+                FROM urls
+            ),
+            rules AS (
+                SELECT unnest(['com','org','net','edu','gov','io','dev',
+                               'app','uk','co.uk','ac.uk','jp','co.jp',
+                               'ac.jp','au','com.au','github.io']) AS r
+            ),
+            best AS (
+                SELECT doc_id, r FROM (
+                    SELECT h.doc_id, r.r, row_number() OVER (
+                               PARTITION BY h.doc_id
+                               ORDER BY length(r.r) DESC
+                           ) AS rn
+                    FROM hosts h JOIN rules r ON h.host LIKE '%.' || r.r
+                ) WHERE rn = 1
+            ),
+            dom AS (
+                SELECT h.doc_id, h.host, h.text,
+                       CASE WHEN h.host IN (SELECT r FROM rules) THEN NULL
+                            WHEN b.r IS NULL THEN
+                                CASE WHEN len(string_split(h.host, '.')) >= 2
+                                     THEN string_split(h.host, '.')[-2]
+                                          || '.'
+                                          || string_split(h.host, '.')[-1]
+                                     ELSE NULL END
+                            ELSE string_split(
+                                     substr(h.host, 1,
+                                            length(h.host) - length(b.r) - 1),
+                                     '.')[-1] || '.' || b.r
+                       END AS domain
+                FROM hosts h LEFT JOIN best b USING (doc_id)
+            )
+            SELECT domain,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(count(DISTINCT host) AS BIGINT) AS n_hosts,
+                   CAST(sum(len({_TOKS})) AS BIGINT) AS n_tokens,
+                   CAST(CASE WHEN domain IN ('site7.com', 'site13.co.uk')
+                             THEN 1 ELSE 0 END AS INTEGER) AS blocked
+            FROM dom GROUP BY domain
         """,
         "pq_codes": """
             WITH mq AS (

@@ -171,6 +171,7 @@ HEADLINE = [
     # round-7 additions
     "bpe_encode",
     "quality_classifier",
+    "domain_rollup",
 ]
 
 

@@ -1,0 +1,160 @@
+"""URL / domain curation operators — the CommonCrawl-style provenance
+stage of a pretraining pipeline (the one common public-pipeline stage
+the text/dedup families didn't yet cover): hostname extraction,
+registered-domain rollup under a public-suffix rule table, per-domain
+document/token accounting, and domain blocklist filtering (the
+URL-level filters of C4 [Raffel et al. 2020 §2.2] and RefinedWeb
+[Penedo et al. 2023 §3.1]).
+
+Everything is exact string arithmetic on JVM-side built-ins (regex,
+split, endswith, higher-order array folds) — no Python, no UDF, and
+trivially DuckDB-oracle-able.  The suffix-rule table is a broadcast
+LITERAL (the PQ-codebook idiom): real deployments interpolate the
+public-suffix list (publicsuffix.org) — plain rules only; its
+wildcard/exception entries pre-expand to plain rules offline.
+
+Scale shape: host/domain extraction is in-scan (pure map);
+``domain_rollup`` is one map-side-combinable aggregation keyed on the
+registered domain (web corpora have ~1e7 registered domains — a small
+shuffle at any corpus size); ``blocklist_filter`` with a literal list
+is in-scan, and a DataFrame-sized blocklist becomes a broadcast
+anti-join.  Composes with ``dedup.source_overlap_matrix`` for
+cross-source provenance.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from .text import token_count
+
+#: Starter suffix-rule table (a deployment interpolates the full
+#: public-suffix list).  Multi-label rules MUST be listed alongside
+#: their parent TLD ("co.uk" and "uk") for PSL semantics.
+DEFAULT_SUFFIX_RULES: tuple[str, ...] = (
+    "com", "org", "net", "edu", "gov", "io", "dev", "app",
+    "uk", "co.uk", "ac.uk", "jp", "co.jp", "ac.jp", "au", "com.au",
+    "github.io",
+)
+
+#: host grabber: scheme '://' then everything up to / : ? # — the
+#: authority's host for well-formed http(s) URLs (userinfo/port are
+#: cut by the ':'/'@'-free character class; see url tests)
+_HOST_RE = "^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/:?#@]+)"
+
+
+def host_of(url: Column | str) -> Column:
+    """Lowercased hostname of a URL (exact regex extraction — the
+    same pattern string the oracle runs; empty match -> NULL)."""
+    c = F.col(url) if isinstance(url, str) else url
+    h = F.lower(F.regexp_extract(c, _HOST_RE, 1))
+    return F.when(h == "", F.lit(None).cast("string")).otherwise(h)
+
+
+def registered_domain_of(
+    host: Column, rules: Sequence[str] = DEFAULT_SUFFIX_RULES
+) -> Column:
+    """Registered (pay-level) domain of a hostname under a plain
+    public-suffix rule table: the longest rule that is a PROPER
+    suffix of the host wins, and the registered domain is the label
+    left of it plus the suffix.  A host that IS a public suffix has
+    no registered domain (NULL, PSL semantics); a host matching no
+    rule falls back to its last two labels (the PSL's implicit ``*``
+    default rule), NULL for single-label hosts.
+
+    No tie-break is needed: two equal-length proper suffixes of the
+    same host are the same string, so the longest match is unique —
+    the higher-order fold is order-independent."""
+    rlit = F.lit(list(rules)).cast("array<string>")
+    suffix = F.aggregate(
+        F.filter(
+            rlit, lambda r: F.endswith(host, F.concat(F.lit("."), r))
+        ),
+        F.lit("").cast("string"),
+        lambda acc, r: F.when(F.length(r) > F.length(acc), r).otherwise(acc),
+    )
+    labels = F.split(host, r"\.")
+    fallback = F.when(
+        F.size(labels) >= 2,
+        F.concat_ws(
+            ".", F.element_at(labels, -2), F.element_at(labels, -1)
+        ),
+    ).otherwise(F.lit(None).cast("string"))
+    prefix = host.substr(
+        F.lit(1), F.length(host) - F.length(suffix) - F.lit(1)
+    )
+    last_label = F.element_at(F.split(prefix, r"\."), -1)
+    return (
+        F.when(host.isNull(), F.lit(None).cast("string"))
+        .when(host.isin(*rules), F.lit(None).cast("string"))
+        .when(suffix == "", fallback)
+        .otherwise(F.concat(last_label, F.lit("."), suffix))
+    )
+
+
+def domain_rollup(
+    df: DataFrame,
+    url_col: str = "url",
+    text_col: str | None = "text",
+    rules: Sequence[str] = DEFAULT_SUFFIX_RULES,
+) -> DataFrame:
+    """Per-registered-domain corpus accounting: documents, distinct
+    hosts, and (when ``text_col`` is given) exact token totals — the
+    table a curation run reads to decide per-domain caps and to spot
+    a single domain dominating the mixture (the C4/RefinedWeb
+    provenance report).  Rows whose URL yields no registered domain
+    (bare public suffixes, unparseable URLs) roll up under NULL so
+    nothing is silently dropped."""
+    host = host_of(url_col)
+    base = df.select(
+        registered_domain_of(host, rules).alias("domain"),
+        host.alias("_host"),
+        *(
+            [token_count(text_col).alias("_n_tok")]
+            if text_col is not None
+            else []
+        ),
+    )
+    aggs = [
+        F.count("*").alias("n_docs"),
+        F.count_distinct("_host").alias("n_hosts"),
+    ]
+    if text_col is not None:
+        aggs.append(F.sum("_n_tok").alias("n_tokens"))
+    return base.groupBy("domain").agg(*aggs)
+
+
+def blocklist_filter(
+    df: DataFrame,
+    blocked: Sequence[str] | DataFrame,
+    url_col: str = "url",
+    rules: Sequence[str] = DEFAULT_SUFFIX_RULES,
+    keep_unresolved: bool = False,
+) -> DataFrame:
+    """Drop documents whose REGISTERED DOMAIN is blocklisted (the C4
+    "bad domains" screen) — blocking at the registered-domain level
+    catches every subdomain of a blocked site, which host-string
+    matching misses.  ``blocked`` as a literal list stays in-scan;
+    as a DataFrame (column ``domain``) it becomes a broadcast
+    LEFT ANTI join — use that form for real blocklists (1e5+ rows).
+    Documents with NO resolvable registered domain are dropped by
+    default (the conservative curation posture); pass
+    ``keep_unresolved=True`` to retain them."""
+    dom = registered_domain_of(host_of(url_col), rules)
+    if isinstance(blocked, DataFrame):
+        tagged = df.withColumn("_dom", dom)
+        kept = tagged.join(
+            F.broadcast(blocked.select(F.col("domain").alias("_dom"))),
+            "_dom",
+            "left_anti",
+        )
+        if not keep_unresolved:
+            kept = kept.filter(F.col("_dom").isNotNull())
+        return kept.drop("_dom")
+    unresolved = dom.isNull()
+    not_blocked = ~F.coalesce(dom.isin(*list(blocked)), F.lit(False))
+    if keep_unresolved:
+        return df.filter(unresolved | not_blocked)
+    return df.filter(~unresolved & not_blocked)

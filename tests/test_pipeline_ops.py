@@ -1332,6 +1332,78 @@ def test_quality_classifier_score_vs_python_reference(spark):
     assert 0 < len(rows) < n_base
 
 
+def test_url_domain_operators_hand_computed(spark):
+    """host_of strips scheme/userinfo/port/path; registered_domain_of
+    implements plain public-suffix semantics (longest proper suffix
+    wins, bare suffix -> NULL, unknown TLD -> last-two-labels
+    fallback, single label -> NULL); domain_rollup accounts exactly;
+    blocklist_filter blocks at registered-domain level (subdomains
+    included) in both literal and DataFrame forms."""
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.web import (
+        blocklist_filter,
+        domain_rollup,
+        host_of,
+        registered_domain_of,
+    )
+
+    rows = [
+        (1, "https://www.example.co.uk/a?b=1", "x y"),
+        (2, "http://cdn.media.example.co.uk:8080/img", "x"),
+        (3, "https://user:pw@Example.COM/path#f", "x y z"),
+        (4, "https://sub.pages.github.io/repo", "x"),
+        (5, "https://github.io/", "x"),           # bare public suffix
+        (6, "https://foo.unknowntld/", "x y"),    # fallback rule
+        (7, "https://localhost/", "x"),           # single label
+        (8, "not a url at all", "x"),
+        (9, "https://evil.com/spam", "x"),
+        (10, "https://tracker.evil.com/px", "x"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "url", "text"])
+    got = {
+        r["doc_id"]: (r["h"], r["d"])
+        for r in df.select(
+            "doc_id",
+            host_of("url").alias("h"),
+            registered_domain_of(host_of("url")).alias("d"),
+        ).collect()
+    }
+    assert got == {
+        1: ("www.example.co.uk", "example.co.uk"),
+        2: ("cdn.media.example.co.uk", "example.co.uk"),
+        3: ("example.com", "example.com"),
+        4: ("sub.pages.github.io", "pages.github.io"),
+        5: ("github.io", None),
+        6: ("foo.unknowntld", "foo.unknowntld"),
+        7: ("localhost", None),
+        8: (None, None),
+        9: ("evil.com", "evil.com"),
+        10: ("tracker.evil.com", "evil.com"),
+    }
+    roll = {
+        r["domain"]: (r["n_docs"], r["n_hosts"], r["n_tokens"])
+        for r in domain_rollup(df).collect()
+    }
+    assert roll["example.co.uk"] == (2, 2, 3)
+    assert roll["evil.com"] == (2, 2, 2)
+    assert roll[None] == (3, 2, 3)  # 5, 7 (hosts) + 8 (no host)
+    # literal blocklist: both evil.com docs go, including the
+    # subdomain; unresolved rows drop by default
+    kept = {r["doc_id"] for r in blocklist_filter(df, ["evil.com"]).collect()}
+    assert kept == {1, 2, 3, 4, 6}
+    kept_u = {
+        r["doc_id"]
+        for r in blocklist_filter(
+            df, ["evil.com"], keep_unresolved=True
+        ).collect()
+    }
+    assert kept_u == {1, 2, 3, 4, 5, 6, 7, 8}
+    # DataFrame blocklist: broadcast anti-join, same result set
+    bl = spark.createDataFrame([("evil.com",)], ["domain"])
+    kept_df = {r["doc_id"] for r in blocklist_filter(df, bl).collect()}
+    assert kept_df == {1, 2, 3, 4, 6}
+    assert set(blocklist_filter(df, bl).columns) == set(df.columns)
+
+
 def test_bpe_word_merges_degenerate_corpora(spark):
     """Sub-2-token docs contribute no pairs; a corpus with ONLY
     self-pairs learns nothing (empty result, not a crash)."""
