@@ -4101,6 +4101,44 @@ def _q_nn_confusion_ivfpq(spark: SparkSession, sf: str) -> DataFrame:
     return nn_confusion_over_candidates(cand, labels, "vec_id", "label")
 
 
+def _q_nn_confusion_ivfpq_stored(spark: SparkSession, sf: str) -> DataFrame:
+    # the PRODUCTION IVF-PQ shape under the gate (closing the r6
+    # codegen note): the encoded index is WRITTEN partitioned by
+    # cluster_id, and the same 16-query confusion runs as a
+    # partition-pruned read of the stored codes — probes become
+    # directory skips (plan-pinned in test_plan_shapes), the raw
+    # embedding column is never rescanned, and without the in-scan
+    # encode the generated stage stays under janino's 64 KB limit
+    # (pinned by test with spark.sql.codegen.fallback=false).
+    # Search-equivalent to nn_confusion_ivfpq by construction, so it
+    # shares that oracle verbatim.
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.similarity import (
+        ivfpq_adc_knn_stored,
+        ivfpq_codebooks,
+        ivfpq_write_index,
+        nn_confusion_over_candidates,
+    )
+
+    emb = _pq_micros_emb(spark, sf)
+    labels = load_table(spark, sf, "embeddings").select("vec_id", "label")
+    coarse, cb = ivfpq_codebooks(
+        emb, "vec_id", "embedding", n_coarse=8, n_subspaces=8, n_codes=16
+    )
+    qrows = (
+        emb.filter(F.col("vec_id") < 16)
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .collect()
+    )
+    queries = [(int(r["vec_id"]), list(r["embedding"])) for r in qrows]
+    path = _gate_sink(sf, "ivfpq_index")
+    ivfpq_write_index(emb, "vec_id", "embedding", coarse, cb, path)
+    cand = ivfpq_adc_knn_stored(
+        spark, path, queries, coarse, cb, id_col="vec_id", k=2, n_probe=4
+    )
+    return nn_confusion_over_candidates(cand, labels, "vec_id", "label")
+
+
 def _q_dup_graph_pagerank(spark: SparkSession, sf: str) -> DataFrame:
     # iterative-join capability under the gate: PageRank over the
     # MinHash/LSH candidate graph in EXACT integer micros — three
@@ -4766,6 +4804,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_encode": _q_bpe_encode,
         "quality_classifier": _q_quality_classifier,
         "domain_rollup": _q_domain_rollup,
+        "nn_confusion_ivfpq_stored": _q_nn_confusion_ivfpq_stored,
         # --- new or code-changed this round (round 6): five new gates
         # --- plus the two r5-gated entries whose code the advice fixes
         # --- touched (epoch replay guard / left label join) -----------
@@ -5195,6 +5234,29 @@ _IVFPQ_CTES_TEMPLATE = """
                 GROUP BY l.qid, a.vec_id
             )
 """
+
+
+#: confusion tail shared by nn_confusion_ivfpq AND its stored-index
+#: twin: best NON-SELF candidate per query by (adc_dist, vec_id),
+#: label pairs rolled up.  (Spark takes k=2 then excludes self; at
+#: most one self row exists per query, so rank-1-of-non-self over all
+#: candidates is the identical set.)
+_NN_CONFUSION_TAIL = """
+            , nn AS (
+                SELECT qid, vec_id FROM (
+                    SELECT qid, vec_id, row_number() OVER (
+                        PARTITION BY qid ORDER BY adc_dist ASC, vec_id ASC
+                    ) AS rn
+                    FROM adc WHERE vec_id != qid
+                ) WHERE rn = 1
+            )
+            SELECT lq.label AS label, ln.label AS nn_label,
+                   count(*) AS pair_count
+            FROM nn
+            JOIN embeddings lq ON lq.vec_id = nn.qid
+            JOIN embeddings ln ON ln.vec_id = nn.vec_id
+            GROUP BY 1, 2
+        """
 
 
 def _ivfpq_ctes(n_queries: int = 5) -> str:
@@ -5925,22 +5987,12 @@ def _oracle_sql_literal() -> dict[str, str]:
         # k=2 then excludes self; at most one self row exists per
         # query, so rank-1-of-non-self over all candidates is the
         # identical set.)
-        "nn_confusion_ivfpq": _ivfpq_ctes(16) + """
-            , nn AS (
-                SELECT qid, vec_id FROM (
-                    SELECT qid, vec_id, row_number() OVER (
-                        PARTITION BY qid ORDER BY adc_dist ASC, vec_id ASC
-                    ) AS rn
-                    FROM adc WHERE vec_id != qid
-                ) WHERE rn = 1
-            )
-            SELECT lq.label AS label, ln.label AS nn_label,
-                   count(*) AS pair_count
-            FROM nn
-            JOIN embeddings lq ON lq.vec_id = nn.qid
-            JOIN embeddings ln ON ln.vec_id = nn.vec_id
-            GROUP BY 1, 2
-        """,
+        "nn_confusion_ivfpq": _ivfpq_ctes(16) + _NN_CONFUSION_TAIL,
+        # nn_confusion_ivfpq_stored: the STORED-index production shape
+        # must be search-equivalent to the in-scan form, so it shares
+        # the oracle VERBATIM — any divergence between the two Spark
+        # paths (or either path and the chain) fails rows+hash
+        "nn_confusion_ivfpq_stored": _ivfpq_ctes(16) + _NN_CONFUSION_TAIL,
         "incremental_neardup": rf"""
             WITH toks AS (
                 SELECT doc_id, CAST(doc_id % 3 AS INTEGER) AS batch,

@@ -172,6 +172,7 @@ HEADLINE = [
     "bpe_encode",
     "quality_classifier",
     "domain_rollup",
+    "nn_confusion_ivfpq_stored",
 ]
 
 

@@ -1602,6 +1602,95 @@ def ivfpq_adc_knn(
     )
 
 
+def ivfpq_write_index(
+    df: DataFrame,
+    id_col: str,
+    emb_col: str,
+    coarse: np.ndarray,
+    codebooks: np.ndarray,
+    path: str,
+) -> None:
+    """Materialize the IVF-PQ index in its PRODUCTION layout: encode
+    once (:func:`ivfpq_encode`), write parquet partitioned by
+    ``cluster_id`` — each coarse cell becomes a directory, the
+    inverted-list analog.  Searches then read m code bytes per row
+    from ONLY the probed directories; the embedding column is never
+    scanned again.  Encode cost is paid once per index build, not
+    per query batch — the shape :func:`ivfpq_adc_knn`'s in-scan
+    encode documents as its 100 TB successor."""
+    ivfpq_encode(df, id_col, emb_col, coarse, codebooks).write.mode(
+        "overwrite"
+    ).partitionBy("cluster_id").parquet(path)
+
+
+def ivfpq_adc_knn_stored(
+    spark,
+    index_path: str,
+    queries: Sequence[tuple[int, Sequence[float]]],
+    coarse: np.ndarray,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    k: int = 10,
+    n_probe: int = 4,
+) -> DataFrame:
+    """Batched IVF-PQ search over a STORED cluster-partitioned index
+    (:func:`ivfpq_write_index`): probe sets are computed driver-side
+    from the tiny coarse table (exact integer-micros L2, ties to the
+    lowest cluster id — identical to :func:`ivfpq_adc_knn`), the scan
+    filters ``cluster_id`` to the UNION of all probe sets — pure
+    partition pruning, no data read outside probed cells — and the
+    per-(query, cluster) residual LUTs ship as a BROADCAST TABLE
+    (q x n_probe rows, each an m*n_codes flattened int64 array)
+    joined on ``cluster_id``, not as compiled literals: LUTs are
+    per-query-batch DATA, so the in-scan form's CASE-of-literals
+    (which overflows janino's 64 KB method limit past ~a dozen
+    queries and recompiles on every batch — the nn_confusion_ivfpq
+    codegen note) becomes a plan whose generated code is CONSTANT in
+    the query count.  The join fans each stored row out to exactly
+    the queries probing its cell, and the ADC distance is m indexed
+    lookups into the joined lut column — fully codegen'd.  Returns
+    (qid, ``id_col``, adc_dist)."""
+    from pyspark.sql import Window
+
+    if not queries:
+        raise ValueError("ivfpq_adc_knn_stored: queries must be non-empty")
+    cc = _require_integral_micros(
+        coarse, "coarse centroids", "ivfpq_adc_knn_stored"
+    )
+    m, n_codes, _sub = codebooks.shape
+    lut_rows = []
+    for qid, qv in queries:
+        q = _require_integral_micros(
+            list(qv), "query vector", "ivfpq_adc_knn_stored"
+        )
+        d2c = ((cc - q[None, :]) ** 2).sum(axis=1)
+        probes = sorted(range(len(cc)), key=lambda c: (d2c[c], c))[:n_probe]
+        for c in probes:
+            lut = pq_adc_lut(q - cc[c], codebooks)
+            lut_rows.append(
+                (int(qid), int(c), [int(v) for v in lut.reshape(-1)])
+            )
+    luts = spark.createDataFrame(
+        lut_rows, "qid long, cluster_id int, _lut array<bigint>"
+    )
+    probe_union = sorted({c for _, c, _ in lut_rows})
+    enc = spark.read.parquet(index_path).filter(
+        F.col("cluster_id").isin(*probe_union)
+    )
+    dist = " + ".join(
+        f"_lut[{j} * {int(n_codes)} + codes[{j}]]" for j in range(int(m))
+    )
+    scored = enc.join(F.broadcast(luts), "cluster_id").select(
+        "qid", id_col, F.expr(f"CAST({dist} AS BIGINT)").alias("adc_dist")
+    )
+    w = Window.partitionBy("qid").orderBy(F.asc("adc_dist"), F.col(id_col))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
 def pq_codebooks_kmeans(
     df: DataFrame,
     id_col: str,

