@@ -357,12 +357,40 @@ def cc_probe(
     )
 
 
+def bpe_probe(spark, sf_dir: str, factor: int) -> tuple[int, float, float]:
+    """Probe the newest iterative operator: BPE merge learning is n
+    rounds of (pair-explode -> map-side-combinable count shuffle ->
+    1-row driver argmax -> in-scan fuse + localCheckpoint).  The
+    rounds execute at DataFrame-BUILD time, so the timing wraps the
+    call itself (the cc_probe discipline); input inflated UNSALTED
+    (doc_id shift only) so every replica shares the vocabulary — the
+    learned rules are identical across factors and only the volume
+    grows.  Returns (n_docs, sec for 1 round, sec for 3 rounds):
+    flat per-round cost and a working checkpoint-per-round lineage
+    cut show as sec3 staying near 3 * sec1 at every factor (round
+    3's plan re-embedding rounds 1-2 would curve it upward)."""
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.text import bpe_word_merges
+
+    docs = inflate(
+        load_table(spark, sf_dir, "documents"), factor, ("doc_id",)
+    ).localCheckpoint(eager=False)
+    n_docs = docs.count()
+    t0 = time.perf_counter()
+    bpe_word_merges(docs, "text", n_merges=1).collect()
+    sec1 = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    bpe_word_merges(docs, "text", n_merges=3).collect()
+    sec3 = time.perf_counter() - t0
+    return n_docs, sec1, sec3
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     factors = [int(a) for a in sys.argv[2:]] or [1, 4, 16]
     spark = get_session("scale-probe")
     rows: list[tuple[str, int, int, float, float]] = []
     cc_rows: list[tuple[int, int, float, int, int, float]] = []
+    bpe_rows: list[tuple[int, int, float, float]] = []
     for factor in factors:
         for name, (df, n_in) in probes(spark, sf_dir, factor).items():
             run_once(df)  # warm: codegen + file listing off the clock
@@ -378,6 +406,10 @@ def main() -> None:
         print(f"x{factor:>2} {'connected_components(lsh graph)':38s} "
               f"{n_edges:>10,} edges {sec:7.2f}s rounds={rounds} "
               f"components={n_comp:,} pr_deltas={pr_deltas}", flush=True)
+        bn, b1, b3 = bpe_probe(spark, sf_dir, factor)
+        bpe_rows.append((factor, bn, b1, b3))
+        print(f"x{factor:>2} {'bpe_word_merges(documents)':38s} "
+              f"{bn:>10,} rows {b1:7.2f}s/1rd {b3:7.2f}s/3rd", flush=True)
     if factors == [1, 4, 16]:
         # dedicated 64x push for the heaviest pair-expansion paths,
         # only on the DEFAULT full run (an explicit quick probe like
@@ -388,9 +420,13 @@ def main() -> None:
         # headroom is worth probing deeper
         from etl_based_real_time_air_quality_monitoring_system_spark.operators.dedup import (
             minhash_lsh_candidates,
+            source_overlap_matrix,
             substring_dup_spans,
         )
-        from etl_based_real_time_air_quality_monitoring_system_spark.operators.similarity import semantic_dedup
+        from etl_based_real_time_air_quality_monitoring_system_spark.operators.similarity import (
+            cosine_near_dup_lsh,
+            semantic_dedup,
+        )
 
         docs64 = inflate_docs_salted(
             load_table(spark, sf_dir, "documents"), 64
@@ -400,6 +436,7 @@ def main() -> None:
             load_table(spark, sf_dir, "embeddings"), 64
         ).localCheckpoint(eager=False)
         n64e = emb64.count()
+        bits64 = max(4, math.ceil(math.log2(max(n64e, 2))))
         deep = {
             "substring_dup_spans(documents)": (
                 substring_dup_spans(docs64, "doc_id", "text", k=SUBSTR_K),
@@ -416,6 +453,21 @@ def main() -> None:
                     emb64, "vec_id", "embedding",
                     n_clusters=SEMDEDUP_CLUSTERS_PER_FACTOR * 64,
                     threshold=SEMDEDUP_THRESHOLD,
+                ),
+                n64e,
+            ),
+            # the two heaviest probes that previously stopped at 16x:
+            # the per-hash source-SET rollup (postings bounded by
+            # source cardinality) and the log2(n)-plane cosine LSH
+            # (the sizing rule must hold bucket collisions flat here)
+            "source_overlap_matrix(documents)": (
+                source_overlap_matrix(docs64, "source", "text", k=8),
+                n64,
+            ),
+            "cosine_near_dup_lsh(embeddings)": (
+                cosine_near_dup_lsh(
+                    emb64, "vec_id", "embedding", 0.9,
+                    n_planes=min(4 * bits64, 60), bands=4,
                 ),
                 n64e,
             ),
@@ -537,6 +589,29 @@ def main() -> None:
         out.append(
             f"| {factor} | {n_edges:,} | {sec:.2f} | {rounds} |"
             f" {n_comp:,} | {pr_sec:.2f} | {dl} |"
+        )
+    out += [
+        "",
+        "## bpe_word_merges (the driver-argmax iterative operator)",
+        "",
+        "Each learning round is one pair-explode over the checkpointed",
+        "token arrays -> a map-side-combinable count shuffle -> a 1-row",
+        "driver argmax -> an in-scan fuse, then localCheckpoint (the",
+        "lineage cut).  Input inflated UNSALTED so every factor learns",
+        "the SAME rules and only volume grows.  Scale-safe = sec for 1",
+        "round grows ~linearly with docs AND 3 rounds stay near 3x the",
+        "1-round cost at every factor — a 3/1 ratio curving upward",
+        "with factor would mean round 3's plan re-embeds rounds 1-2",
+        "(a broken lineage cut), the failure mode the per-round",
+        "localCheckpoint exists to prevent.",
+        "",
+        "| factor | docs | sec (1 round) | sec (3 rounds) | 3rd/1st ratio |",
+        "|---|---|---|---|---|",
+    ]
+    for factor, n_docs, b1, b3 in bpe_rows:
+        out.append(
+            f"| {factor} | {n_docs:,} | {b1:.2f} | {b3:.2f} |"
+            f" {b3 / max(b1, 1e-9):.2f} |"
         )
     out.append("")
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
