@@ -443,6 +443,7 @@ def pack_sequences(
     text: str = "text",
     capacity: int = 512,
     partition_cols: Sequence[str] = ("lang",),
+    n_tokens_col: str | None = None,
 ) -> DataFrame:
     """Concat-then-chunk sequence packing: documents are laid out in
     ``id_col`` order within each partition group and split into
@@ -450,6 +451,13 @@ def pack_sequences(
     count (a document starts a new sequence when the running total
     crosses a capacity boundary).  Returns one row per (group,
     seq_id): how many documents and tokens it packs.
+
+    ``n_tokens_col`` packs by a PRECOMPUTED per-document token count
+    instead of the whitespace ``token_count(text)`` — pass the exact
+    per-doc counts from :func:`bpe_encode` (``groupBy(id).count()``)
+    to pack by the learned vocabulary's REAL token ids rather than
+    the word-count proxy (capacity is a model-context budget, so the
+    count that matters is the tokenizer's, not the whitespace one).
 
     The running sum is a window per ``partition_cols`` group — at
     100 TB you pack per shard (language, source bucket, ...) exactly
@@ -463,10 +471,13 @@ def pack_sequences(
         .orderBy(F.col(id_col))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    n_tok = (
+        F.col(n_tokens_col) if n_tokens_col is not None else token_count(text)
+    )
     toks = df.select(
         *[F.col(c) for c in partition_cols],
         F.col(id_col),
-        token_count(text).alias("_n_tok"),
+        n_tok.alias("_n_tok"),
     )
     packed = toks.withColumn("_cum", F.sum("_n_tok").over(w)).withColumn(
         "seq_id", F.floor((F.col("_cum") - 1) / F.lit(capacity))

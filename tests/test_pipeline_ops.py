@@ -1332,6 +1332,51 @@ def test_quality_classifier_score_vs_python_reference(spark):
     assert 0 < len(rows) < n_base
 
 
+def test_pack_sequences_by_exact_bpe_counts(spark):
+    """The bpe_encode -> pack_sequences composition: packing by the
+    learned vocabulary's EXACT per-doc counts (n_tokens_col) instead
+    of the whitespace proxy changes seq boundaries exactly where the
+    counts diverge — pinned against a hand-packed layout."""
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.text import (
+        bpe_encode,
+        pack_sequences,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "en", "a b a b"),
+            (2, "en", "a b c"),
+            (3, "en", "c c a b"),
+        ],
+        ["doc_id", "lang", "text"],
+    )
+    enc_counts = (
+        bpe_encode(docs, [("a", "b")])
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_bpe"))
+    )
+    # exact counts under the merge: doc1 [ab, ab] = 2, doc2 [ab, c]
+    # = 2, doc3 [c, c, ab] = 3; whitespace counts are 4, 3, 4
+    packed = pack_sequences(
+        docs.join(enc_counts, "doc_id"),
+        capacity=4,
+        n_tokens_col="n_bpe",
+    )
+    got = sorted(
+        (r["seq_id"], r["n_docs"], r["n_tokens"], r["first_doc"], r["last_doc"])
+        for r in packed.collect()
+    )
+    # cumulative 2, 4, 7 at capacity 4 -> docs 1+2 pack into seq 0,
+    # doc 3 starts seq 1; the whitespace proxy (4, 7, 11) would have
+    # split docs 1 and 2 apart
+    assert got == [(0, 2, 4, 1, 2), (1, 1, 3, 3, 3)]
+    ws = sorted(
+        (r["seq_id"], r["n_docs"])
+        for r in pack_sequences(docs, capacity=4).collect()
+    )
+    assert ws == [(0, 1), (1, 1), (2, 1)]
+
+
 def test_url_domain_operators_hand_computed(spark):
     """host_of strips scheme/userinfo/port/path; registered_domain_of
     implements plain public-suffix semantics (longest proper suffix
