@@ -4788,10 +4788,10 @@ def _q_sketch_bounds(spark: SparkSession, sf: str) -> DataFrame:
 #: nn_confusion guard / pack_sequences / hashed_ngram_buckets /
 #: prepare_corpus / _marker_lock edits), (3) the six r1/r2
 #: stragglers the r6 verdict queued first, (4) the stale-since-r3
-#: TPC-H cohort in full, (5) twelve more r3-stale entries
-#: (sinks/streaming/serving).  The 16 r3-stale entries that did not
-#: fit are _R8_QUEUE — first in line next round, per the two-round
-#: burn-down plan (54 stale > 50 slots).
+#: TPC-H cohort in full, (5) fifteen more r3-stale entries
+#: (sinks/streaming/serving/stats).  The 13 r3-stale entries that did
+#: not fit are _R8_QUEUE — first in line next round, per the
+#: two-round burn-down plan (54 stale > 50 slots).
 _R7_WINDOW: tuple[str, ...] = (
     # new in round 7
     "bpe_encode",
@@ -4840,7 +4840,8 @@ _R7_WINDOW: tuple[str, ...] = (
     "tpch_q20",
     "tpch_q21",
     "tpch_q22",
-    # twelve more r3-stale entries (serving, sources/sinks, streaming)
+    # fifteen more r3-stale entries (serving, sources/sinks,
+    # streaming, stats)
     "serving_tiles",
     "multimodal_features",
     "corpus_datacard",
@@ -4858,10 +4859,10 @@ _R7_WINDOW: tuple[str, ...] = (
     "mad_outliers",
 )
 
-#: r3-stale entries displaced from the r7 window by its 50-slot cap —
-#: positions 51-66 so local sweeps cover them, and FIRST IN LINE for
-#: the r8 window (each is green in this round's full 3-SF local sweep
-#: on final code; see ORACLE_SWEEP.md)
+#: the 13 r3-stale entries displaced from the r7 window by its
+#: 50-slot cap — positions 51-63 so local sweeps cover them, and
+#: FIRST IN LINE for the r8 window (each is green in this round's
+#: full 3-SF local sweep on final code; see ORACLE_SWEEP.md)
 _R8_QUEUE: tuple[str, ...] = (
     "streaming_enriched_counts",
     "fuzzy_dedup_corpus",
@@ -5224,6 +5225,11 @@ def _bpe_round_ctes(n_rounds: int = 3, carry: str = "") -> str:
                 ) WHERE rn = 1
             ),
             t{k} AS (
+                -- LEFT JOIN ON TRUE: when fewer than {k} merges are
+                -- learnable (m{k} empty) the corpus passes through
+                -- unchanged — matching the operator, which stops
+                -- merging when no pair remains (a plain cross join
+                -- would zero out the corpus and every later round)
                 SELECT {carry}list_filter(
                     list_transform(range(1, len(t) + 1), i ->
                         CASE WHEN i < len(t) AND t[i] = m.l
@@ -5233,7 +5239,7 @@ def _bpe_round_ctes(n_rounds: int = 3, carry: str = "") -> str:
                                  THEN NULL
                              ELSE t[i] END),
                     x -> x IS NOT NULL) AS t
-                FROM {prev}, m{k} m
+                FROM {prev} LEFT JOIN m{k} m ON TRUE
             )""")
     return ",".join(parts)
 

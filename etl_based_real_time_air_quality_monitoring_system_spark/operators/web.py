@@ -49,8 +49,11 @@ def host_of(url: Column | str) -> Column:
     """Lowercased hostname of a URL (exact regex extraction — the
     same pattern string the oracle runs; empty match -> NULL)."""
     c = F.col(url) if isinstance(url, str) else url
-    h = F.lower(F.regexp_extract(c, _HOST_RE, 1))
-    return F.when(h == "", F.lit(None).cast("string")).otherwise(h)
+    # nullif, not when(h=='')/otherwise(h): the latter embeds the
+    # regex twice and both copies execute per row (no CSE)
+    return F.nullif(
+        F.lower(F.regexp_extract(c, _HOST_RE, 1)), F.lit("")
+    )
 
 
 def registered_domain_of(
@@ -66,7 +69,15 @@ def registered_domain_of(
 
     No tie-break is needed: two equal-length proper suffixes of the
     same host are the same string, so the longest match is unique —
-    the higher-order fold is order-independent."""
+    the higher-order fold is order-independent.
+
+    Pass a MATERIALIZED column (project ``host_of(url)`` under an
+    alias first, the ``token_count_of`` idiom), not the extraction
+    expression itself: higher-order functions are CodegenFallback
+    with no common-subexpression elimination, so an embedded regex
+    host expression would re-execute once per suffix rule per row —
+    a ~rule-count multiplier on the dominant per-row cost of a
+    pure-map curation stage."""
     rlit = F.lit(list(rules)).cast("array<string>")
     suffix = F.aggregate(
         F.filter(
@@ -107,15 +118,18 @@ def domain_rollup(
     provenance report).  Rows whose URL yields no registered domain
     (bare public suffixes, unparseable URLs) roll up under NULL so
     nothing is silently dropped."""
-    host = host_of(url_col)
-    base = df.select(
-        registered_domain_of(host, rules).alias("domain"),
-        host.alias("_host"),
+    hosts = df.select(
+        host_of(url_col).alias("_host"),
         *(
             [token_count(text_col).alias("_n_tok")]
             if text_col is not None
             else []
         ),
+    )
+    base = hosts.select(
+        registered_domain_of(F.col("_host"), rules).alias("domain"),
+        "_host",
+        *(["_n_tok"] if text_col is not None else []),
     )
     aggs = [
         F.count("*").alias("n_docs"),
@@ -142,9 +156,12 @@ def blocklist_filter(
     Documents with NO resolvable registered domain are dropped by
     default (the conservative curation posture); pass
     ``keep_unresolved=True`` to retain them."""
-    dom = registered_domain_of(host_of(url_col), rules)
+    # _host materialized under an alias before the suffix fold — see
+    # registered_domain_of's CodegenFallback/no-CSE note
+    tagged = df.withColumn("_host", host_of(url_col)).withColumn(
+        "_dom", registered_domain_of(F.col("_host"), rules)
+    )
     if isinstance(blocked, DataFrame):
-        tagged = df.withColumn("_dom", dom)
         kept = tagged.join(
             F.broadcast(blocked.select(F.col("domain").alias("_dom"))),
             "_dom",
@@ -152,9 +169,13 @@ def blocklist_filter(
         )
         if not keep_unresolved:
             kept = kept.filter(F.col("_dom").isNotNull())
-        return kept.drop("_dom")
-    unresolved = dom.isNull()
-    not_blocked = ~F.coalesce(dom.isin(*list(blocked)), F.lit(False))
+        return kept.drop("_host", "_dom")
+    unresolved = F.col("_dom").isNull()
+    not_blocked = ~F.coalesce(
+        F.col("_dom").isin(*list(blocked)), F.lit(False)
+    )
     if keep_unresolved:
-        return df.filter(unresolved | not_blocked)
-    return df.filter(~unresolved & not_blocked)
+        kept = tagged.filter(unresolved | not_blocked)
+    else:
+        kept = tagged.filter(~unresolved & not_blocked)
+    return kept.drop("_host", "_dom")

@@ -1449,6 +1449,43 @@ def test_url_domain_operators_hand_computed(spark):
     assert set(blocklist_filter(df, bl).columns) == set(df.columns)
 
 
+def test_bpe_encode_oracle_agrees_on_sub_3_merge_corpus(spark):
+    """The bpe_encode ORACLE unrolls exactly 3 merge rounds; on a
+    corpus with fewer than 3 learnable merges the per-round LEFT JOIN
+    must pass the corpus through unchanged (a cross join would zero
+    out every later round and empty the token stream) — pinned by
+    running the actual oracle SQL in DuckDB on a 1-merge corpus and
+    comparing to the Spark side row-for-row."""
+    import duckdb
+    import pandas as pd
+
+    import __spark_entry__ as entrymod
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.text import (
+        bpe_encode,
+        bpe_word_merges,
+    )
+
+    rows = [(1, "a b"), (2, "a b"), (3, "c")]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    learned = [
+        (r["merge_left"], r["merge_right"])
+        for r in bpe_word_merges(docs, "text", n_merges=3)
+        .orderBy("merge_round")
+        .collect()
+    ]
+    assert len(learned) == 1  # only (a, b) is learnable
+    got = sorted(tuple(r) for r in bpe_encode(docs, learned).collect())
+    con = duckdb.connect()
+    con.register(
+        "documents", pd.DataFrame(rows, columns=["doc_id", "text"])
+    )
+    want = sorted(
+        tuple(r)
+        for r in con.execute(entrymod.oracle_sql()["bpe_encode"]).fetchall()
+    )
+    assert got == want and len(got) == 3
+
+
 def test_bpe_word_merges_degenerate_corpora(spark):
     """Sub-2-token docs contribute no pairs; a corpus with ONLY
     self-pairs learns nothing (empty result, not a crash)."""
