@@ -4139,6 +4139,27 @@ def _q_nn_confusion_ivfpq_stored(spark: SparkSession, sf: str) -> DataFrame:
     return nn_confusion_over_candidates(cand, labels, "vec_id", "label")
 
 
+def _q_cluster_balanced_sample(spark: SparkSession, sf: str) -> DataFrame:
+    # embedding-space diversification (D4 / SSL-prototype pruning):
+    # nearest-centroid assignment in exact integer-micros squared L2
+    # (the shared _l2_assign_expr / IVFPQ "assign" recipe, ties to
+    # the lowest cid), then an EXACT md5-ranked quota of 25 per
+    # cluster — caps any one region of embedding space in the final
+    # mixture, the axis per-source quotas can't see.  Assignment is
+    # in-scan (zero shuffle); the rank is one cluster_id shuffle with
+    # a literal bound, so WindowGroupLimit caps what reaches the
+    # exchange.  The kept SET is engine-exact, so the oracle pins
+    # membership, not just counts.
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.similarity import (
+        cluster_balanced_sample,
+    )
+
+    emb = _pq_micros_emb(spark, sf)
+    return cluster_balanced_sample(
+        emb, "vec_id", "embedding", n_clusters=8, quota=25, salt="cbal:v1"
+    )
+
+
 def _q_dup_graph_pagerank(spark: SparkSession, sf: str) -> DataFrame:
     # iterative-join capability under the gate: PageRank over the
     # MinHash/LSH candidate graph in EXACT integer micros — three
@@ -4783,13 +4804,13 @@ def _q_sketch_bounds(spark: SparkSession, sf: str) -> DataFrame:
 
 #: The driver's correctness gate samples the FIRST 50 queries()
 #: entries, so the window is an explicit, auditable list (r7) —
-#: risk-ordered: (1) the four operators NEW this round, (2) every
+#: risk-ordered: (1) the five operators NEW this round, (2) every
 #: entry whose code changed this round (the _fuse_pair_expr /
 #: nn_confusion guard / pack_sequences / hashed_ngram_buckets /
 #: prepare_corpus / _marker_lock edits), (3) the six r1/r2
 #: stragglers the r6 verdict queued first, (4) the stale-since-r3
-#: TPC-H cohort in full, (5) fifteen more r3-stale entries
-#: (sinks/streaming/serving/stats).  The 13 r3-stale entries that did
+#: TPC-H cohort in full, (5) fourteen more r3-stale entries
+#: (sinks/streaming/serving/stats).  The 14 r3-stale entries that did
 #: not fit are _R8_QUEUE — first in line next round, per the
 #: two-round burn-down plan (54 stale > 50 slots).
 _R7_WINDOW: tuple[str, ...] = (
@@ -4798,6 +4819,7 @@ _R7_WINDOW: tuple[str, ...] = (
     "quality_classifier",
     "domain_rollup",
     "nn_confusion_ivfpq_stored",
+    "cluster_balanced_sample",
     # code changed in round 7 -> re-gate the DIRECT exerciser of each
     # changed seam (_fuse_pair_expr -> bpe_merges; the nn-confusion
     # guard -> nn_confusion_ivfpq; pack_sequences -> sequence_packing;
@@ -4840,7 +4862,7 @@ _R7_WINDOW: tuple[str, ...] = (
     "tpch_q20",
     "tpch_q21",
     "tpch_q22",
-    # fifteen more r3-stale entries (serving, sources/sinks,
+    # fourteen more r3-stale entries (serving, sources/sinks,
     # streaming, stats)
     "serving_tiles",
     "multimodal_features",
@@ -4856,14 +4878,14 @@ _R7_WINDOW: tuple[str, ...] = (
     "dead_letter_split",
     "repetition_stats",
     "benchmark_contamination",
-    "mad_outliers",
 )
 
-#: the 13 r3-stale entries displaced from the r7 window by its
-#: 50-slot cap — positions 51-63 so local sweeps cover them, and
+#: the 14 r3-stale entries displaced from the r7 window by its
+#: 50-slot cap — positions 51-64 so local sweeps cover them, and
 #: FIRST IN LINE for the r8 window (each is green in this round's
 #: full 3-SF local sweep on final code; see ORACLE_SWEEP.md)
 _R8_QUEUE: tuple[str, ...] = (
+    "mad_outliers",
     "streaming_enriched_counts",
     "fuzzy_dedup_corpus",
     "stratified_sample",
@@ -4900,6 +4922,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_classifier": _q_quality_classifier,
         "domain_rollup": _q_domain_rollup,
         "nn_confusion_ivfpq_stored": _q_nn_confusion_ivfpq_stored,
+        "cluster_balanced_sample": _q_cluster_balanced_sample,
         # --- new or code-changed this round (round 6): five new gates
         # --- plus the two r5-gated entries whose code the advice fixes
         # --- touched (epoch replay guard / left label join) -----------
@@ -5779,6 +5802,43 @@ def _oracle_sql_literal() -> dict[str, str]:
                              THEN 1 ELSE 0 END AS INTEGER) AS keep
             FROM fb JOIN w USING (b)
             GROUP BY fb.doc_id
+        """,
+        # cluster_balanced_sample: the IVFPQ "assign" recipe (integer
+        # squared-L2 argmin via the dot identity, ties lowest cid)
+        # then an md5-ranked exact quota of 25 per cluster — membership
+        # pinned, not just counts
+        "cluster_balanced_sample": """
+            WITH mq AS (
+                SELECT vec_id, list_transform(embedding::DOUBLE[],
+                           x -> floor(x * 1000000.0 + 0.5)) AS me
+                FROM embeddings
+            ),
+            cc AS (
+                SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+                       me AS ce
+                FROM (SELECT * FROM mq ORDER BY vec_id LIMIT 8)
+            ),
+            assign AS (
+                SELECT vec_id, cid FROM (
+                    SELECT m.vec_id, c.cid, row_number() OVER (
+                        PARTITION BY m.vec_id ORDER BY
+                            list_dot_product(c.ce, c.ce)
+                            - 2 * list_dot_product(m.me, c.ce) ASC,
+                            c.cid ASC
+                    ) AS rn
+                    FROM mq m CROSS JOIN cc c
+                ) WHERE rn = 1
+            ),
+            ranked AS (
+                SELECT vec_id, cid, row_number() OVER (
+                    PARTITION BY cid
+                    ORDER BY md5('cbal:v1' || CAST(vec_id AS VARCHAR)),
+                             vec_id
+                ) AS r
+                FROM assign
+            )
+            SELECT vec_id, CAST(cid AS INTEGER) AS cluster_id
+            FROM ranked WHERE r <= 25
         """,
         # domain_rollup: same md5-synthesized URLs, host regex, and
         # public-suffix semantics (longest proper-suffix rule via a

@@ -173,6 +173,7 @@ HEADLINE = [
     "quality_classifier",
     "domain_rollup",
     "nn_confusion_ivfpq_stored",
+    "cluster_balanced_sample",
 ]
 
 

@@ -1691,6 +1691,72 @@ def ivfpq_adc_knn_stored(
     )
 
 
+def cluster_balanced_sample(
+    df: DataFrame,
+    id_col: str,
+    emb_col: str,
+    n_clusters: int = 8,
+    quota: int = 25,
+    salt: str = "cbal:v1",
+) -> DataFrame:
+    """Cluster-balanced sampling — the embedding-space DIVERSIFICATION
+    pass of modern data curation (D4, Tirumala et al. 2023: cluster
+    then sample per cluster; SSL-prototype pruning, Sorscher et al.
+    2022): assign every vector to its nearest centroid by EXACT
+    integer-micros squared L2 (ties to the lowest cluster id — the
+    shared :func:`_l2_assign_expr` the IVF-PQ family uses), then keep
+    an EXACT per-cluster quota ranked by content hash (the
+    ``stratified_quota_sample`` recipe keyed on the learned cluster
+    instead of a metadata column).  Caps how much any one region of
+    embedding space contributes to the final mixture — the failure
+    mode being a corpus dominated by one template/topic that
+    per-SOURCE quotas cannot see.
+
+    Requires integer-micros embeddings (:func:`micros_vec`;
+    integrality-guarded) so the assignment — and therefore the kept
+    SET — is engine-exact and oracle-checkable.  Centroids are the
+    first ``n_clusters`` vectors by id (the :func:`ivf_centroids`
+    sampled-init rationale: centroid quality shifts the split, never
+    the quota rule's correctness).
+
+    Scale shape: assignment is one in-scan generated-SQL argmin (zero
+    shuffle); the quota rank is ONE shuffle on cluster_id, and the
+    literal rank bound compiles a map-side WindowGroupLimit so only
+    ~quota rows per cluster per partition reach the exchange.
+    Returns (``id_col``, cluster_id) of kept rows."""
+    from pyspark.sql import Window
+
+    from .sampling import salted_hash
+
+    if quota < 1:
+        raise ValueError("cluster_balanced_sample: quota must be >= 1")
+    rows = (
+        df.select(F.col(id_col), F.col(emb_col))
+        .orderBy(id_col)
+        .limit(n_clusters)
+        .collect()
+    )
+    if not rows:
+        raise ValueError("cluster_balanced_sample: empty input")
+    coarse = _require_integral_micros(
+        np.array([list(r[emb_col]) for r in rows], dtype=float),
+        "centroids",
+        "cluster_balanced_sample",
+    )
+    assigned = df.select(
+        F.col(id_col),
+        F.expr(_l2_assign_expr(coarse, f"`{emb_col}`")).alias("cluster_id"),
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        salted_hash(id_col, salt), F.col(id_col)
+    )
+    return (
+        assigned.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= F.lit(int(quota)))
+        .drop("_r")
+    )
+
+
 def pq_codebooks_kmeans(
     df: DataFrame,
     id_col: str,

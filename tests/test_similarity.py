@@ -817,6 +817,64 @@ def test_ivfpq_stored_index_search_matches_in_scan(memb, tmp_path):
         ivfpq_adc_knn_stored(spark, path, [], coarse, cb)
 
 
+def test_cluster_balanced_sample_matches_python_reference(memb):
+    """Cluster-balanced sampling: nearest-centroid assignment by exact
+    integer squared L2 (ties -> lowest cid), md5-ranked exact quota per
+    cluster — the whole kept SET must equal a pure-Python reference;
+    quota >= cluster size keeps the full cluster; unquantized
+    embeddings are rejected."""
+    import hashlib
+
+    import numpy as np
+    import pytest
+
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.similarity import (
+        cluster_balanced_sample,
+    )
+
+    rows = memb.select("vec_id", "embedding").collect()
+    ids = [int(r["vec_id"]) for r in rows]
+    mat = {int(r["vec_id"]): np.array(r["embedding"], dtype=np.int64) for r in rows}
+    k, quota, salt = 4, 5, "cbal:test"
+    cc = [mat[i] for i in sorted(ids)[:k]]
+
+    def assign(v):
+        d = [(int(((v - c) ** 2).sum()), cid) for cid, c in enumerate(cc)]
+        return min(d)[1]
+
+    by_cluster: dict[int, list] = {}
+    for i in ids:
+        by_cluster.setdefault(assign(mat[i]), []).append(i)
+    want = set()
+    for cid, members in by_cluster.items():
+        ranked = sorted(
+            members,
+            key=lambda i: (hashlib.md5(f"{salt}{i}".encode()).hexdigest(), i),
+        )
+        want.update((i, cid) for i in ranked[:quota])
+    got = {
+        (int(r["vec_id"]), int(r["cluster_id"]))
+        for r in cluster_balanced_sample(
+            memb, "vec_id", "embedding", n_clusters=k, quota=quota, salt=salt
+        ).collect()
+    }
+    assert got == want
+    assert len(got) <= k * quota
+    # quota >= corpus: everything kept, clusters intact
+    all_kept = cluster_balanced_sample(
+        memb, "vec_id", "embedding", n_clusters=k, quota=10**6, salt=salt
+    )
+    assert all_kept.count() == len(ids)
+    with pytest.raises(ValueError, match="quota"):
+        cluster_balanced_sample(memb, "vec_id", "embedding", quota=0)
+    frac = memb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x + F.lit(0.25)).alias("embedding"),
+    )
+    with pytest.raises(ValueError, match="non-integer"):
+        cluster_balanced_sample(frac, "vec_id", "embedding")
+
+
 def test_ivfpq_adc_knn_rejects_unquantized_inputs(memb):
     """The batched IVF-PQ entry point must raise on non-integer query
     vectors and coarse centroids instead of silently truncating them
