@@ -281,7 +281,87 @@ def probes(spark, sf_dir: str, factor: int) -> dict[str, tuple[DataFrame, int]]:
         membp, "vec_id", "embedding", ivfpq_q, ivfpq_coarse, ivfpq_cb,
         k=10, n_probe=4,
     )
+    # --- round-7 operators -------------------------------------------
+    # quality classifier: pure map (in-scan literal-weight dot
+    # product) — sec/Mrow should FALL as fixed plan cost amortizes
+    import hashlib
+
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.text import (
+        bpe_encode,
+        bpe_word_merges,
+        quality_classifier_score,
+    )
+
+    qcls_w = [
+        int(hashlib.md5(f"qclsw:v1:{b}".encode()).hexdigest()[:6], 16)
+        % 1_000_001
+        for b in range(256)
+    ]
+    qcls = quality_classifier_score(docs, qcls_w)
+    # domain rollup: md5-synthesized URLs (the gate recipe) over the
+    # inflated corpus — host regex once per row, one domain agg
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.web import domain_rollup
+
+    h_url = F.md5(
+        F.concat(F.lit("url:v1:"), F.col("doc_id").cast("string")).cast(
+            "binary"
+        )
+    )
+    tlds = ["com", "org", "co.uk", "github.io", "net", "ac.jp"]
+    url = F.concat(
+        F.lit("https://"),
+        F.when(
+            F.conv(F.substring(h_url, 13, 6), 16, 10).cast("long") % 3 == 0,
+            F.lit("www."),
+        )
+        .when(
+            F.conv(F.substring(h_url, 13, 6), 16, 10).cast("long") % 3 == 1,
+            F.lit("cdn.edge."),
+        )
+        .otherwise(F.lit("")),
+        F.lit("site"),
+        (F.conv(F.substring(h_url, 1, 6), 16, 10).cast("long") % 50).cast(
+            "string"
+        ),
+        F.lit("."),
+        F.element_at(
+            F.lit(tlds),
+            (F.conv(F.substring(h_url, 7, 6), 16, 10).cast("long") % 6).cast(
+                "int"
+            )
+            + 1,
+        ),
+        F.lit("/d/"),
+        F.col("doc_id").cast("string"),
+    )
+    domains = domain_rollup(docs.withColumn("url", url), "url", "text")
+    # BPE encode: merges learned ONCE on the base table (construct
+    # time, off the clock) then applied to the inflated corpus — the
+    # timed part is the 3 in-scan folds + vocab rank + broadcast join
+    base_docs = load_table(spark, sf_dir, "documents")
+    merges = [
+        (r["merge_left"], r["merge_right"])
+        for r in bpe_word_merges(base_docs, "text", n_merges=3)
+        .orderBy("merge_round")
+        .collect()
+    ]
+    bpe_enc = bpe_encode(docs, merges)
+    # cluster-balanced sample: fixed k=16 (the flat in-scan argmin
+    # primitive — large k goes through two_level_assign instead, rule
+    # (e)); quota scales with volume so selection density is constant
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.similarity import (
+        cluster_balanced_sample,
+    )
+
+    memb_inf = emb.select("vec_id", micros_vec("embedding").alias("embedding"))
+    cbal = cluster_balanced_sample(
+        memb_inf, "vec_id", "embedding", n_clusters=16, quota=25 * factor
+    )
     return {
+        "quality_classifier_score(documents)": (qcls, n_docs),
+        "domain_rollup(documents)": (domains, n_docs),
+        "bpe_encode(documents, 3 rules)": (bpe_enc, n_docs),
+        "cluster_balanced_sample(embeddings)": (cbal, n_emb),
         "pq_encode(embeddings)": (pq, n_emb),
         "ivfpq_adc_knn(embeddings, 5q)": (ivfpq, n_emb),
         "target_affinity(documents)": (affinity, n_docs),
