@@ -1486,6 +1486,112 @@ def test_bpe_encode_oracle_agrees_on_sub_3_merge_corpus(spark):
     assert got == want and len(got) == 3
 
 
+def test_registered_domain_property_vs_python(spark):
+    """Property check: registered_domain_of must equal a pure-Python
+    public-suffix reference on random hosts (random label counts over
+    a small alphabet that collides with the rule table, exercising
+    longest-proper-suffix, bare-suffix-NULL and the last-two-labels
+    fallback) for a random plain-rule table."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.web import registered_domain_of
+
+    labels = st.sampled_from(["a", "bb", "co", "uk", "io", "x9"])
+    hosts = st.lists(labels, min_size=1, max_size=5).map(".".join)
+    rule_pool = ["uk", "co.uk", "io", "bb.io", "x9", "a"]
+
+    def ref(host: str, rules: list[str]) -> str | None:
+        if host in rules:
+            return None
+        cands = [r for r in rules if host.endswith("." + r)]
+        if not cands:
+            parts = host.split(".")
+            return ".".join(parts[-2:]) if len(parts) >= 2 else None
+        suf = max(cands, key=len)
+        prefix = host[: -len(suf) - 1]
+        return prefix.split(".")[-1] + "." + suf
+
+    @given(
+        st.lists(st.sampled_from(rule_pool), min_size=1, max_size=6, unique=True),
+        st.lists(hosts, min_size=1, max_size=12),
+    )
+    @settings(max_examples=8, deadline=None)
+    def check(rules, hs):
+        df = spark.createDataFrame(
+            [(i, h) for i, h in enumerate(hs)], ["i", "h"]
+        )
+        got = {
+            r["i"]: r["d"]
+            for r in df.select(
+                "i", registered_domain_of(F.col("h"), rules).alias("d")
+            ).collect()
+        }
+        assert got == {i: ref(h, rules) for i, h in enumerate(hs)}
+
+    check()
+
+
+def test_bpe_apply_property_vs_python_replay(spark):
+    """Property check: bpe_apply_merges must equal a pure-Python
+    rank-ordered replay (every-occurrence fusion per rank) of the
+    merge table LEARNED from the same random corpus — small alphabet
+    with runs stresses adjacency, fused-token reuse across ranks, and
+    the self-pair exclusion the order-independence relies on."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.text import (
+        bpe_apply_merges,
+        bpe_word_merges,
+    )
+
+    SEP = "\x01"
+    word = st.sampled_from(["a", "b", "c"])
+    doc = st.lists(word, min_size=1, max_size=8).map(" ".join)
+
+    def fuse(tokens: list[str], left: str, right: str) -> list[str]:
+        out, i = [], 0
+        while i < len(tokens):
+            if (
+                i + 1 < len(tokens)
+                and tokens[i] == left
+                and tokens[i + 1] == right
+            ):
+                out.append(left + SEP + right)
+                i += 2
+            else:
+                out.append(tokens[i])
+                i += 1
+        return out
+
+    @given(st.lists(doc, min_size=1, max_size=10))
+    @settings(max_examples=8, deadline=None)
+    def check(texts):
+        docs = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+        )
+        learned = [
+            (r["merge_left"], r["merge_right"])
+            for r in bpe_word_merges(docs, "text", n_merges=2)
+            .orderBy("merge_round")
+            .collect()
+        ]
+        got = {
+            r["doc_id"]: r["tokens"]
+            for r in bpe_apply_merges(docs, learned).collect()
+        }
+        want = {}
+        for i, t in enumerate(texts):
+            toks = t.strip().split()
+            for left, right in learned:
+                toks = fuse(toks, left, right)
+            want[i] = toks
+        assert got == want
+
+    check()
+
+
 def test_bpe_word_merges_degenerate_corpora(spark):
     """Sub-2-token docs contribute no pairs; a corpus with ONLY
     self-pairs learns nothing (empty result, not a crash)."""
