@@ -707,3 +707,30 @@ def test_ivfpq_stored_index_prunes_partitions_and_compiles(spark, sf_dir, tmp_pa
         assert conf.count() > 0
     finally:
         spark.conf.set("spark.sql.codegen.fallback", old)
+
+
+def test_quality_classifier_single_scan_no_exchange(spark, sf_dir):
+    """The classifier is a pure map: 0 exchanges, no Python nodes,
+    filter pushdown intact, and the literal weight array constant-
+    folds (no per-row array construction)."""
+    q = entrymod.queries()["quality_classifier"](spark, sf_dir)
+    p = plan(q)
+    assert n_key_shuffles(p) == 0
+    assert "Exchange" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_blocklist_filter_dataframe_form_broadcast_anti_join(spark):
+    """A DataFrame blocklist must compile to a BROADCAST left-anti
+    join (never a shuffled join: the blocklist is small by contract,
+    the corpus is not)."""
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.web import blocklist_filter
+
+    docs = spark.createDataFrame(
+        [(1, "https://a.evil.com/x"), (2, "https://ok.org/y")],
+        ["doc_id", "url"],
+    )
+    bl = spark.createDataFrame([("evil.com",)], ["domain"])
+    p = plan(blocklist_filter(docs, bl))
+    assert "BroadcastHashJoin" in p and "LeftAnti" in p
+    assert "SortMergeJoin" not in p
