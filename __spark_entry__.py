@@ -5870,7 +5870,7 @@ def _oracle_sql_literal() -> dict[str, str]:
             hosts AS (
                 SELECT doc_id, text,
                        lower(regexp_extract(url,
-                           '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/:?#@]+)',
+                           '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?(\[[^\]/?#]+\]|[^/:?#@]+)',
                            1)) AS host
                 FROM urls
             ),
@@ -5890,7 +5890,9 @@ def _oracle_sql_literal() -> dict[str, str]:
             ),
             dom AS (
                 SELECT h.doc_id, h.host, h.text,
-                       CASE WHEN h.host IN (SELECT r FROM rules) THEN NULL
+                       CASE WHEN regexp_matches(h.host, '^(\[.*|[0-9.]+)$')
+                                 THEN NULL
+                            WHEN h.host IN (SELECT r FROM rules) THEN NULL
                             WHEN b.r IS NULL THEN
                                 CASE WHEN len(string_split(h.host, '.')) >= 2
                                      THEN string_split(h.host, '.')[-2]

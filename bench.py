@@ -220,12 +220,15 @@ def main() -> None:
         with open(out_path, "w") as fh:
             json.dump(full, fh)
             fh.write("\n")
-    # The driver records only the TAIL of stdout (~3.6 KB observed);
-    # a line longer than that loses its head and fails to parse
-    # (BENCH_r0{4,5,6}.json all shipped "parsed": null).  Cap the
-    # stdout line: keep the slowest queries (the ones worth reading)
-    # at 2 decimals, fold the rest into queries_omitted/omitted_sec.
-    cap = int(os.environ.get("BENCH_LINE_CAP", "2800"))
+    # The driver records only the TAIL of stdout — measured at exactly
+    # 2000 bytes in round 7 (BENCH_r07.json "tail" length; the r6
+    # estimate of ~3.6 KB was too generous, so the 2800-byte cap still
+    # shipped "parsed": null).  A longer line loses its HEAD — which
+    # holds metric/value — and fails to parse.  Cap the stdout line
+    # comfortably under 2000: keep the slowest queries (the ones worth
+    # reading) at 2 decimals, fold the rest into
+    # queries_omitted/omitted_sec.  Totals stay FIRST in the payload.
+    cap = int(os.environ.get("BENCH_LINE_CAP", "1800"))
     payload = dict(full)
     payload["queries"] = {k: round(v, 2) for k, v in timings.items()}
     line = json.dumps(payload, separators=(",", ":"))

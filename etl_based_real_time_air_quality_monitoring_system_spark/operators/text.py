@@ -799,13 +799,19 @@ def quality_classifier_score(
             "_f"
         ),
     )
-    return feats.select(
-        id_col,
-        F.size("_f").alias("n_feats"),
-        qcls_score_expr("_f", weights_micros, bias_micros).alias(
-            "score_micros"
-        ),
-    ).select(
+    if len(weights_micros) > QCLS_LITERAL_MAX_BUCKETS:
+        scored = qcls_score_joined(
+            feats, weights_micros, id_col=id_col, bias_micros=bias_micros
+        )
+    else:
+        scored = feats.select(
+            id_col,
+            F.size("_f").alias("n_feats"),
+            qcls_score_expr("_f", weights_micros, bias_micros).alias(
+                "score_micros"
+            ),
+        )
+    return scored.select(
         id_col,
         "n_feats",
         "score_micros",
@@ -813,6 +819,30 @@ def quality_classifier_score(
         .cast("int")
         .alias("keep"),
     )
+
+
+#: Hard cap on the LITERAL-weight-array form: the generated SQL embeds
+#: ~10 bytes per bucket inside one janino method, and the 64 KB
+#: generated-method limit is a real ceiling (the repo hit it with the
+#: in-scan IVF-PQ LUTs, ``similarity.py`` r6→r7).  1024 buckets keeps
+#: the literal well under the limit even stacked alongside other
+#: expressions in one stage; real fastText tables (1e5–2e6 buckets)
+#: take the broadcast-LUT-table form (:func:`qcls_score_joined`), the
+#: same idiom that fixed IVF-PQ (``ivfpq_adc_knn_stored``).
+QCLS_LITERAL_MAX_BUCKETS = 1024
+
+
+def _qcls_validate(weights_micros: Sequence[int]) -> None:
+    if len(weights_micros) < 1:
+        raise ValueError("quality classifier: empty weight table")
+    bad = [w for w in weights_micros if w < 0]
+    if bad:
+        raise ValueError(
+            "quality classifier: negative weights "
+            f"(e.g. {bad[0]}) — shift the trained table so min >= 0 "
+            "(shift-invariant: the mean shifts by the same constant; "
+            "shift threshold_micros along with it)"
+        )
 
 
 def qcls_score_expr(
@@ -823,23 +853,86 @@ def qcls_score_expr(
     string, not k Column objects): floor-mean of the literal weight
     array indexed by each bucket, plus bias — exact BIGINT end to
     end.  Shared by :func:`quality_classifier_score` and the optional
-    ``prepare_corpus`` classifier stage so the two can't drift."""
+    ``prepare_corpus`` classifier stage so the two can't drift.
+
+    LITERAL form only — refuses tables past
+    ``QCLS_LITERAL_MAX_BUCKETS`` (janino's 64 KB generated-method
+    limit; per-model data belongs in a broadcast TABLE once it is
+    big, not in compiled literals).  Use :func:`qcls_score_joined`
+    for production-sized tables."""
     n_buckets = len(weights_micros)
-    if n_buckets < 1:
-        raise ValueError("quality classifier: empty weight table")
-    bad = [w for w in weights_micros if w < 0]
-    if bad:
+    _qcls_validate(weights_micros)
+    if n_buckets > QCLS_LITERAL_MAX_BUCKETS:
         raise ValueError(
-            "quality classifier: negative weights "
-            f"(e.g. {bad[0]}) — shift the trained table so min >= 0 "
-            "(shift-invariant: the mean shifts by the same constant; "
-            "shift threshold_micros along with it)"
+            f"quality classifier: {n_buckets} buckets exceeds the "
+            f"literal-expression cap ({QCLS_LITERAL_MAX_BUCKETS}) — a "
+            "weight array this large belongs in a broadcast table, "
+            "not generated code (janino 64 KB method limit); use "
+            "qcls_score_joined / quality_classifier_score, which "
+            "switch to the broadcast-LUT form automatically"
         )
     arr = "array(" + ",".join(f"{int(w)}L" for w in weights_micros) + ")"
+    # the CASE guard (not bare div): an EMPTY feature array scores
+    # NULL under both ANSI (where div 0 throws) and legacy modes
     return F.expr(
+        f"if(size({feats_col}) = 0, CAST(NULL AS BIGINT), "
         f"(aggregate({feats_col}, 0L, (acc, b) -> "
         f"acc + element_at({arr}, b + 1)) div size({feats_col})) "
-        f"+ {int(bias_micros)}L"
+        f"+ {int(bias_micros)}L)"
+    )
+
+
+def qcls_score_joined(
+    feats: DataFrame,
+    weights_micros: Sequence[int],
+    id_col: str = "doc_id",
+    feats_col: str = "_f",
+    bias_micros: int = 0,
+) -> DataFrame:
+    """The SAME classifier dot product for production-sized weight
+    tables (1e5–2e6 buckets): explode the hashed-feature array and
+    broadcast-join a (bucket, weight) table — the stored-LUT idiom
+    (``ivfpq_adc_knn_stored``), so generated code stays CONSTANT in
+    table size.  Bit-identical to :func:`qcls_score_expr` (pinned by
+    test): floor-mean of matched weights plus bias, exact BIGINT; a
+    doc with an empty feature array keeps its row (explode_outer)
+    and scores NULL, exactly as ``x div 0`` does in the literal form.
+
+    Plan at 100 TB: one narrow scan -> explode (no shuffle) ->
+    broadcast hash join (weight table ~16 MB at 2e6 buckets) -> one
+    map-side-combinable groupBy on ``id_col``.  One shuffle total,
+    carrying (id, n, sum) — never text."""
+    import pandas as pd
+
+    _qcls_validate(weights_micros)
+    spark = feats.sparkSession
+    wdf = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "_bucket": range(len(weights_micros)),
+                "_w": [int(w) for w in weights_micros],
+            }
+        ),
+        schema="_bucket int, _w long",
+    )
+    exploded = feats.select(
+        id_col,
+        F.size(feats_col).alias("_nf"),
+        F.explode_outer(feats_col).alias("_bucket"),
+    )
+    return (
+        exploded.join(F.broadcast(wdf), "_bucket", "left")
+        .groupBy(id_col, "_nf")
+        .agg(F.sum("_w").alias("_sw"))
+        .select(
+            id_col,
+            F.col("_nf").alias("n_feats"),
+            # same empty-array guard as the literal form (ANSI-safe)
+            F.expr(
+                f"if(_nf = 0, CAST(NULL AS BIGINT), "
+                f"(_sw div _nf) + {int(bias_micros)}L)"
+            ).alias("score_micros"),
+        )
     )
 
 

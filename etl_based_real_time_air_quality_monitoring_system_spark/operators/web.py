@@ -39,15 +39,31 @@ DEFAULT_SUFFIX_RULES: tuple[str, ...] = (
     "github.io",
 )
 
-#: host grabber: scheme '://' then everything up to / : ? # — the
-#: authority's host for well-formed http(s) URLs (userinfo/port are
-#: cut by the ':'/'@'-free character class; see url tests)
-_HOST_RE = "^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/:?#@]+)"
+#: host grabber: scheme '://' then either a bracketed IPv6 literal
+#: (kept whole — '[2001:db8::1]'; without the alternative the ':'
+#: in the address would truncate it to '[2001') or everything up to
+#: / : ? # — the authority's host for well-formed http(s) URLs
+#: (userinfo/port are cut by the ':'/'@'-free character class; see
+#: url tests)
+_HOST_RE = (
+    "^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?"
+    "(\\[[^\\]/?#]+\\]|[^/:?#@]+)"
+)
+
+#: IP-shaped hosts carry no registrable domain: bracketed IPv6
+#: literals, or all-digits-and-dots (IPv4 and friends — without this
+#: guard 1.2.3.4 falls through the last-two-labels fallback to a
+#: bogus "registered domain" of '3.4')
+_IP_HOST_RE = "^(\\[.*|[0-9.]+)$"
 
 
 def host_of(url: Column | str) -> Column:
     """Lowercased hostname of a URL (exact regex extraction — the
-    same pattern string the oracle runs; empty match -> NULL)."""
+    same pattern string the oracle runs; empty match -> NULL).
+    Bracketed IPv6 literals come back whole, brackets included
+    ('[2001:db8::1]') — ``registered_domain_of`` maps them (and
+    all-numeric IPv4 hosts) to NULL rather than inventing a
+    registered domain."""
     c = F.col(url) if isinstance(url, str) else url
     # nullif, not when(h=='')/otherwise(h): the latter embeds the
     # regex twice and both copies execute per row (no CSE)
@@ -99,6 +115,10 @@ def registered_domain_of(
     last_label = F.element_at(F.split(prefix, r"\."), -1)
     return (
         F.when(host.isNull(), F.lit(None).cast("string"))
+        # IP hosts (bracketed IPv6, all-numeric IPv4) have no
+        # registrable domain — guard BEFORE the suffix rules so they
+        # can't leak through the last-two-labels fallback
+        .when(host.rlike(_IP_HOST_RE), F.lit(None).cast("string"))
         .when(host.isin(*rules), F.lit(None).cast("string"))
         .when(suffix == "", fallback)
         .otherwise(F.concat(last_label, F.lit("."), suffix))

@@ -86,8 +86,37 @@ def prepare_corpus(
     )
     if classifier_weights is None:
         return kept
-    from ..operators.text import hashed_ngram_buckets, qcls_score_expr
+    from ..operators.text import (
+        QCLS_LITERAL_MAX_BUCKETS,
+        hashed_ngram_buckets,
+        qcls_score_expr,
+        qcls_score_joined,
+    )
 
+    if len(classifier_weights) > QCLS_LITERAL_MAX_BUCKETS:
+        # production-sized weight table (1e5+ buckets): the literal
+        # form would overflow janino's 64 KB generated-method limit,
+        # so score on a NARROW (id, features) projection via the
+        # broadcast-LUT join and join the micros back by id — the
+        # wide text/profile columns never ride through the explode
+        # (the no-wide-payloads-through-pair-expansion rule)
+        scored = qcls_score_joined(
+            kept.select(
+                id_col,
+                hashed_ngram_buckets(
+                    tokens(text_col),
+                    len(classifier_weights),
+                    classifier_salt,
+                ).alias("_qf"),
+            ),
+            classifier_weights,
+            id_col=id_col,
+            feats_col="_qf",
+            bias_micros=classifier_bias_micros,
+        ).select(id_col, F.col("score_micros").alias("qcls_micros"))
+        return kept.join(scored, id_col).filter(
+            F.col("qcls_micros") >= int(classifier_threshold_micros)
+        )
     return (
         kept.withColumn(
             "_qf",

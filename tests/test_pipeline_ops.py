@@ -1332,6 +1332,113 @@ def test_quality_classifier_score_vs_python_reference(spark):
     assert 0 < len(rows) < n_base
 
 
+def test_qcls_broadcast_lut_form_matches_literal_form(spark):
+    """Production-sized weight tables take the broadcast-LUT join
+    form (janino's 64 KB generated-method limit rules out the literal
+    array past QCLS_LITERAL_MAX_BUCKETS).  Pins: (a) the joined form
+    is BIT-IDENTICAL to the literal form on the same table, including
+    the empty-feature-array NULL-score edge; (b) qcls_score_expr
+    REFUSES over-cap tables; (c) quality_classifier_score
+    auto-switches and still matches a pure-Python reference on a
+    4096-bucket table; (d) prepare_corpus's big-table path keeps the
+    same rows/scores as its literal path does on a small table."""
+    import hashlib
+
+    import pytest
+
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.text import (
+        QCLS_LITERAL_MAX_BUCKETS,
+        hashed_ngram_buckets,
+        qcls_score_expr,
+        qcls_score_joined,
+        quality_classifier_score,
+        tokens,
+    )
+
+    docs = [
+        (1, "the cat sat on the mat"),
+        (2, "zzz"),
+        (3, "a b a b c"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    small = [
+        int(hashlib.md5(f"qclsw:test:{b}".encode()).hexdigest()[:6], 16)
+        % 1_000_001
+        for b in range(64)
+    ]
+    # row 4: an explicitly EMPTY feature array (tokens('') is [''],
+    # one hashable token — so the empty array must be constructed)
+    feats = df.select(
+        "doc_id", hashed_ngram_buckets(tokens("text"), 64, "s:v1").alias("_f")
+    ).unionByName(
+        spark.createDataFrame([(4,)], ["doc_id"]).select(
+            "doc_id", F.array().cast("array<int>").alias("_f")
+        )
+    )
+    lit_rows = {
+        r["doc_id"]: (r["n_feats"], r["score_micros"])
+        for r in feats.select(
+            "doc_id",
+            F.size("_f").alias("n_feats"),
+            qcls_score_expr("_f", small, 7).alias("score_micros"),
+        ).collect()
+    }
+    join_rows = {
+        r["doc_id"]: (r["n_feats"], r["score_micros"])
+        for r in qcls_score_joined(feats, small, bias_micros=7).collect()
+    }
+    assert lit_rows == join_rows
+    assert lit_rows[4] == (0, None)  # div-0 -> NULL in both forms
+    # (b) the literal form refuses over-cap tables outright
+    big = [(b * 2654435761) % 1_000_001 for b in range(4096)]
+    assert len(big) > QCLS_LITERAL_MAX_BUCKETS
+    with pytest.raises(ValueError, match="broadcast"):
+        qcls_score_expr("_f", big)
+    # (c) the public operator auto-switches; Python reference check
+    def ref(text: str) -> tuple[int, int]:
+        toks = text.strip().split()
+        fs = toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        bs = [
+            int(hashlib.md5(("qcls:v1" + f).encode()).hexdigest()[:7], 16)
+            % 4096
+            for f in fs
+        ]
+        return len(fs), sum(big[b] for b in bs) // len(fs)
+
+    got = {
+        r["doc_id"]: (r["n_feats"], r["score_micros"])
+        for r in quality_classifier_score(df, big).collect()
+    }
+    for doc_id, text in docs[:3]:
+        assert got[doc_id] == ref(text), doc_id
+    # (d) prepare_corpus big-table path == direct operator scores
+    from etl_based_real_time_air_quality_monitoring_system_spark.plans.corpus import prepare_corpus
+
+    corpus = spark.createDataFrame(
+        [
+            (i, "the quick brown fox jumps over the lazy dog " * 3 + f"v{i}")
+            for i in range(20)
+        ],
+        ["doc_id", "text"],
+    )
+    direct = {
+        r["doc_id"]: r["score_micros"]
+        for r in quality_classifier_score(corpus, big).collect()
+    }
+    cut = sorted(direct.values())[10]
+    screened = prepare_corpus(
+        corpus,
+        min_tokens=1,
+        min_quality=0.0,
+        classifier_weights=big,
+        classifier_threshold_micros=cut,
+    ).collect()
+    assert {r["doc_id"] for r in screened} == {
+        d for d, s in direct.items() if s >= cut
+    }
+    assert all(r["qcls_micros"] == direct[r["doc_id"]] for r in screened)
+
+
 def test_pack_sequences_by_exact_bpe_counts(spark):
     """The bpe_encode -> pack_sequences composition: packing by the
     learned vocabulary's EXACT per-doc counts (n_tokens_col) instead
@@ -1402,6 +1509,9 @@ def test_url_domain_operators_hand_computed(spark):
         (8, "not a url at all", "x"),
         (9, "https://evil.com/spam", "x"),
         (10, "https://tracker.evil.com/px", "x"),
+        (11, "https://[2001:db8::1]/index", "x"),   # bracketed IPv6
+        (12, "http://192.168.3.4:8080/admin", "x"), # IPv4 + port
+        (13, "https://user@[::1]:443/q?k=v", "x"),  # userinfo + IPv6
     ]
     df = spark.createDataFrame(rows, ["doc_id", "url", "text"])
     got = {
@@ -1423,6 +1533,13 @@ def test_url_domain_operators_hand_computed(spark):
         8: (None, None),
         9: ("evil.com", "evil.com"),
         10: ("tracker.evil.com", "evil.com"),
+        # IP hosts: the full (bracketed) literal comes back as the
+        # host; NO registered domain is invented — before the r8
+        # guard, 11 extracted '[2001' and 12 fell through the
+        # last-two-labels fallback to a bogus '3.4'
+        11: ("[2001:db8::1]", None),
+        12: ("192.168.3.4", None),
+        13: ("[::1]", None),
     }
     roll = {
         r["domain"]: (r["n_docs"], r["n_hosts"], r["n_tokens"])
@@ -1430,9 +1547,11 @@ def test_url_domain_operators_hand_computed(spark):
     }
     assert roll["example.co.uk"] == (2, 2, 3)
     assert roll["evil.com"] == (2, 2, 2)
-    assert roll[None] == (3, 2, 3)  # 5, 7 (hosts) + 8 (no host)
+    # NULL bucket: 5, 7 (bare suffix / single label), 8 (no host),
+    # 11-13 (IP hosts); n_hosts counts the 5 distinct non-null hosts
+    assert roll[None] == (6, 5, 6)
     # literal blocklist: both evil.com docs go, including the
-    # subdomain; unresolved rows drop by default
+    # subdomain; unresolved rows (incl. IP hosts) drop by default
     kept = {r["doc_id"] for r in blocklist_filter(df, ["evil.com"]).collect()}
     assert kept == {1, 2, 3, 4, 6}
     kept_u = {
@@ -1441,7 +1560,7 @@ def test_url_domain_operators_hand_computed(spark):
             df, ["evil.com"], keep_unresolved=True
         ).collect()
     }
-    assert kept_u == {1, 2, 3, 4, 5, 6, 7, 8}
+    assert kept_u == {1, 2, 3, 4, 5, 6, 7, 8, 11, 12, 13}
     # DataFrame blocklist: broadcast anti-join, same result set
     bl = spark.createDataFrame([("evil.com",)], ["domain"])
     kept_df = {r["doc_id"] for r in blocklist_filter(df, bl).collect()}
