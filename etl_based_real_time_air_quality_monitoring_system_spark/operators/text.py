@@ -1254,6 +1254,103 @@ def bpe_apply_merges(
     return cur.select(id_col, F.col("_t").alias("tokens"))
 
 
+def frequency_rank_vocab(
+    counts: DataFrame,
+    token_col: str = "token",
+    count_col: str = "_c",
+    prefix_len: int = 1,
+) -> DataFrame:
+    """EXACT 0-based frequency rank (``count`` DESC, ``token`` ASC)
+    over a (token, count) table of ANY cardinality — the vocabulary
+    id assignment of :func:`bpe_encode`, without the one plan shape
+    that dies first at corpus scale: a single-partition global
+    ``Window.orderBy``.  With word-level merges the "vocabulary" is
+    the corpus's distinct words — corpus-cardinality (1e8+ for web
+    text), NOT tokenizer-sized — so the rank must distribute.
+
+    The coarse-bucket prefix-sum recipe (``sampling.py``), adapted to
+    an ORDER-ALIGNED bucket key: every bucket is an exact
+    ``(count, token-prefix)`` tie range, so bucket order (count DESC,
+    prefix ASC) is a contiguous slice of the global sort order —
+    within a fixed count, byte-prefix order agrees with full-string
+    order under binary collation (UTF-8 preserves codepoint order).
+
+    Three bounded levels, no data-sized window anywhere:
+
+    1. bucket histogram: rows-per-(count, prefix) — map-side
+       combinable, cardinality <= vocab (metadata rows, never text);
+    2. bucket offsets: per-LOG-BIN running sum over the histogram
+       (window partitions = histogram rows per count-octave), with
+       the <= 64 log-bin totals — the only driver collect, hard-
+       bounded by int64 width — broadcast back as bin base offsets;
+    3. in-bucket rank: row_number per (count, prefix) partition
+       ordered by token alone (count is constant inside a bucket).
+
+    ``prefix_len`` widens in-bucket parallelism for tie-heavy Zipf
+    tails (count=1 holds ~half a web vocab; one leading char splits
+    it ~alphabet-ways; raise to 2 with the cluster).
+
+    Returns (``token_col``, token_id) — join it back on the token
+    (hash shuffle join at corpus scale; Spark auto-broadcasts it
+    when a learned vocabulary is actually tokenizer-sized)."""
+    from pyspark.sql import Window
+
+    c = F.col(count_col)
+    tok = F.col(token_col)
+    vocab = counts.select(
+        tok.alias("_vtok"),
+        c.cast("long").alias("_vc"),
+        F.substring(tok, 1, prefix_len).alias("_vp"),
+    )
+    # 1. (count, prefix) bucket histogram — bucket sizes only
+    hist = vocab.groupBy("_vc", "_vp").agg(F.count("*").alias("_n"))
+    # 2a. log2 bins: length of the count's binary form — integer-
+    #     exact octaves, <= 64 of them, ordered DESC = count DESC
+    lb = F.length(F.bin(F.col("_vc"))).alias("_lb")
+    hist = hist.select("*", lb)
+    bins = {
+        r["_lb"]: r["_s"]
+        for r in hist.groupBy("_lb").agg(F.sum("_n").alias("_s")).collect()
+    }
+    running = 0
+    bin_offsets = []
+    for b in sorted(bins, reverse=True):  # longer binary = higher count
+        bin_offsets.append((b, running))
+        running += int(bins[b])
+    spark = counts.sparkSession
+    boff = F.broadcast(
+        spark.createDataFrame(bin_offsets or [(1, 0)], "_lb int, _boff long")
+    )
+    # 2b. bucket base offsets: per-bin running sum over HISTOGRAM
+    #     rows (count DESC, prefix ASC — the aligned bucket order)
+    wh = (
+        Window.partitionBy("_lb")
+        .orderBy(F.desc("_vc"), "_vp")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offs = (
+        hist.join(boff, "_lb")
+        .withColumn("_cum", F.sum("_n").over(wh))
+        .select(
+            "_vc",
+            "_vp",
+            (F.col("_boff") + F.col("_cum") - F.col("_n")).alias("_off"),
+        )
+    )
+    # 3. in-bucket rank: count is CONSTANT within a bucket, so token
+    #    ASC alone completes the (count DESC, token ASC) order
+    wv = Window.partitionBy("_vc", "_vp").orderBy("_vtok")
+    return (
+        vocab.join(offs, ["_vc", "_vp"])
+        .select(
+            F.col("_vtok").alias(token_col),
+            (F.row_number().over(wv) - F.lit(1) + F.col("_off")).alias(
+                "token_id"
+            ),
+        )
+    )
+
+
 def bpe_encode(
     df: DataFrame,
     merges: Sequence[tuple[str, str]],
@@ -1275,24 +1372,21 @@ def bpe_encode(
     distributed representation (no corpus-wide arrays; downstream
     packing/counting aggregates it directly).
 
-    Scale shape: the fold is in-scan; the vocabulary rank is one
-    count shuffle plus a window over VOCABULARY-sized data (distinct
-    merged words — a tokenizer artifact, not corpus-scale; were the
-    vocab itself huge, the coarse-bucket prefix-sum rank recipe from
-    ``sampling.py`` applies), then one vocab-sized broadcast join
-    back onto the stream."""
-    from pyspark.sql import Window
-
+    Scale shape: the fold is in-scan; the vocabulary with WORD-level
+    merges is the corpus's distinct words — CORPUS-cardinality (1e8+
+    for web text), not tokenizer-sized — so the rank runs as
+    :func:`frequency_rank_vocab`'s order-aligned coarse-bucket
+    prefix sum (no single-partition window, no data-sized broadcast)
+    and the id table joins back onto the stream as a hash shuffle
+    join on the token (Spark still auto-broadcasts genuinely small
+    vocabularies under the default 10 MB threshold)."""
     applied = bpe_apply_merges(df, merges, text_col, id_col, sep)
     stream = applied.select(
         id_col, F.posexplode("tokens").alias("pos", "token")
     )
-    w = Window.orderBy(F.desc("_c"), "token")
-    vocab = (
-        stream.groupBy("token")
-        .agg(F.count("*").alias("_c"))
-        .select("token", (F.row_number().over(w) - F.lit(1)).alias("token_id"))
+    vocab = frequency_rank_vocab(
+        stream.groupBy("token").agg(F.count("*").alias("_c"))
     )
-    return stream.join(F.broadcast(vocab), "token").select(
+    return stream.join(vocab, "token").select(
         id_col, "pos", "token", "token_id"
     )

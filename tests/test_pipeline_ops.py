@@ -1711,6 +1711,61 @@ def test_bpe_apply_property_vs_python_replay(spark):
     check()
 
 
+def test_frequency_rank_vocab_matches_naive_global_window(spark):
+    """The distributed vocab rank (order-aligned (count, prefix)
+    buckets + per-log-bin prefix sums; no single-partition window)
+    must equal the naive global row_number OVER (count DESC, token
+    ASC) bit-for-bit — exercised on a vocabulary that spans several
+    log2 count bins, has tie groups crossing prefix-bucket
+    boundaries (same count, many first letters), multi-token
+    prefixes, sub-prefix-length tokens, and empty-string tokens;
+    at prefix_len 1 and 2."""
+    import random
+
+    from pyspark.sql import Window
+
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.text import (
+        frequency_rank_vocab,
+    )
+
+    rng = random.Random(8)
+    toks = set()
+    rows = []
+    for i in range(400):
+        t = "".join(
+            rng.choice("abcxyz")
+            for _ in range(rng.randint(1, 4))
+        ) + (str(i % 7) if rng.random() < 0.5 else "")
+        if t in toks:
+            continue
+        toks.add(t)
+        # counts spanning bins 1..2^10, with heavy ties at 1 and 3
+        c = rng.choice([1, 1, 1, 3, 3, 7, 8, 64, 65, 1000, 1023, 1024])
+        rows.append((t, c))
+    rows.append(("", 3))  # empty token, mid tie group
+    if "a" not in toks:  # shorter than prefix_len=2
+        rows.append(("a", 3))
+    counts = spark.createDataFrame(rows, ["token", "_c"])
+    naive = {
+        r["token"]: r["rid"]
+        for r in counts.select(
+            "token",
+            (
+                F.row_number().over(
+                    Window.orderBy(F.desc("_c"), "token")
+                )
+                - 1
+            ).alias("rid"),
+        ).collect()
+    }
+    for plen in (1, 2):
+        got = {
+            r["token"]: r["token_id"]
+            for r in frequency_rank_vocab(counts, prefix_len=plen).collect()
+        }
+        assert got == naive, f"prefix_len={plen}"
+
+
 def test_bpe_word_merges_degenerate_corpora(spark):
     """Sub-2-token docs contribute no pairs; a corpus with ONLY
     self-pairs learns nothing (empty result, not a crash)."""
