@@ -3738,6 +3738,33 @@ def _q_bpe_encode(spark: SparkSession, sf: str) -> DataFrame:
     return bpe_encode(docs, learned)
 
 
+def _q_bpe_subword_encode(spark: SparkSession, sf: str) -> DataFrame:
+    # CHARACTER-level BPE (Sennrich et al. 2016 proper — the r7
+    # bpe_encode operates at word granularity): learn 3 within-word
+    # character-pair merges under the </w> end-of-word marker over
+    # the word-TYPE table (frequency-weighted pair counts), replay
+    # them per word, join encoded types back onto the (doc, word)
+    # stream, and assign frequency-ranked 0-based subword ids.  The
+    # oracle re-derives the whole trajectory through the
+    # _bpe_sub_round_ctes chain (the _bpe_round_ctes recipe with
+    # freq-weighted counts and no separator byte).  Like
+    # bpe_merges/bpe_encode, the learning fold runs at DataFrame-
+    # BUILD time (3 argmax collects, each 1 row).
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.text import (
+        bpe_subword_encode,
+        bpe_subword_merges,
+    )
+
+    docs = load_table(spark, sf, "documents")
+    learned = [
+        (r["merge_left"], r["merge_right"])
+        for r in bpe_subword_merges(docs, "text", n_merges=3)
+        .orderBy("merge_round")
+        .collect()
+    ]
+    return bpe_subword_encode(docs, learned)
+
+
 def _qcls_gate_weights(n_buckets: int = 256) -> list[int]:
     """The gate's stand-in TRAINED weight table: one integer-micros
     weight per hash bucket, derived from md5 so it is reproducible
@@ -4918,6 +4945,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # === DECLARATION order only — gate order lives in _R7_WINDOW
         # === / _R8_QUEUE above (historical r6 grouping comments kept
         # === where they still aid navigation) =========================
+        # --- new in round 8 ------------------------------------------
+        "bpe_subword_encode": _q_bpe_subword_encode,
+        # --- new or code-changed in round 7 ---------------------------
         "bpe_encode": _q_bpe_encode,
         "quality_classifier": _q_quality_classifier,
         "domain_rollup": _q_domain_rollup,
@@ -5258,6 +5288,47 @@ def _bpe_round_ctes(n_rounds: int = 3, carry: str = "") -> str:
                         CASE WHEN i < len(t) AND t[i] = m.l
                                   AND t[i + 1] = m.r
                                  THEN t[i] || chr(1) || t[i + 1]
+                             WHEN i > 1 AND t[i - 1] = m.l AND t[i] = m.r
+                                 THEN NULL
+                             ELSE t[i] END),
+                    x -> x IS NOT NULL) AS t
+                FROM {prev} LEFT JOIN m{k} m ON TRUE
+            )""")
+    return ",".join(parts)
+
+
+def _bpe_sub_round_ctes(n_rounds: int = 3) -> str:
+    """Character-level BPE rounds unrolled as CTEs — the
+    ``_bpe_round_ctes`` recipe over the word-TYPE symbol table
+    (w, f, t): pair counts are FREQUENCY-WEIGHTED sums, the fused
+    symbol is the plain concatenation (no separator byte — subword
+    symbols are character strings), and the LEFT JOIN ON TRUE keeps
+    sub-``n_rounds``-learnable corpora flowing through unchanged
+    (the empty-round pass-through lesson)."""
+    parts = []
+    for k in range(1, n_rounds + 1):
+        prev = f"s{k - 1}"
+        parts.append(f"""
+            p{k} AS (
+                SELECT t[i] AS l, t[i + 1] AS r, f
+                FROM {prev}, UNNEST(range(1, greatest(len(t), 1))) AS u(i)
+                WHERE t[i] != t[i + 1]
+            ),
+            m{k} AS (
+                SELECT l, r, c FROM (
+                    SELECT l, r, CAST(sum(f) AS BIGINT) AS c,
+                           row_number() OVER (
+                               ORDER BY sum(f) DESC, l, r
+                           ) AS rn
+                    FROM p{k} GROUP BY l, r
+                ) WHERE rn = 1
+            ),
+            s{k} AS (
+                SELECT w, f, list_filter(
+                    list_transform(range(1, len(t) + 1), i ->
+                        CASE WHEN i < len(t) AND t[i] = m.l
+                                  AND t[i + 1] = m.r
+                                 THEN t[i] || t[i + 1]
                              WHEN i > 1 AND t[i - 1] = m.l AND t[i] = m.r
                                  THEN NULL
                              ELSE t[i] END),
@@ -5766,6 +5837,56 @@ def _oracle_sql_literal() -> dict[str, str]:
             )
             SELECT e.doc_id, e.pos, e.token, v.token_id
             FROM ex e JOIN v USING (token)
+        """,
+        # bpe_subword_encode: character-level learn chain over word
+        # TYPES (frequency-weighted pair argmax per round, no
+        # separator byte), then the apply tail — encoded types join
+        # back onto the (doc, word) stream, per-doc positions by
+        # (word pos, symbol pos), ids by (count DESC, token ASC).
+        # string_split(w, '') on '' yields [''] in DuckDB but [] in
+        # Spark — the CASE aligns the empty-word edge.
+        "bpe_subword_encode": rf"""
+            WITH wt AS (
+                SELECT w, CAST(count(*) AS BIGINT) AS f FROM (
+                    SELECT unnest({_TOKS}) AS w
+                    FROM documents WHERE text IS NOT NULL
+                ) GROUP BY w
+            ),
+            s0 AS (
+                SELECT w, f, list_concat(
+                    CASE WHEN w = '' THEN []::VARCHAR[]
+                         ELSE string_split(w, '') END,
+                    ['</w>']) AS t
+                FROM wt
+            ),
+            {_bpe_sub_round_ctes(3)},
+            dw AS (
+                SELECT doc_id, CAST(i AS INTEGER) AS wpos, t[i] AS w
+                FROM (SELECT doc_id, {_TOKS} AS t
+                      FROM documents WHERE text IS NOT NULL) dt,
+                     UNNEST(range(1, len(t) + 1)) AS u(i)
+            ),
+            sub AS (
+                SELECT d.doc_id, d.wpos, CAST(j AS INTEGER) AS spos,
+                       s.t[j] AS token
+                FROM dw d JOIN s3 s USING (w),
+                     UNNEST(range(1, len(s.t) + 1)) AS u(j)
+            ),
+            st AS (
+                SELECT doc_id,
+                       CAST(row_number() OVER (
+                           PARTITION BY doc_id ORDER BY wpos, spos
+                       ) - 1 AS INTEGER) AS pos, token
+                FROM sub
+            ),
+            v AS (
+                SELECT token, CAST(row_number() OVER (
+                           ORDER BY count(*) DESC, token
+                       ) - 1 AS INTEGER) AS token_id
+                FROM st GROUP BY token
+            )
+            SELECT s.doc_id, s.pos, s.token, v.token_id
+            FROM st s JOIN v USING (token)
         """,
         # quality_classifier: re-derive the in-scan dot product as
         # explode + weight-table join (same exact BIGINT sum, a

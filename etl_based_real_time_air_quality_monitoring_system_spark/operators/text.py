@@ -1254,6 +1254,173 @@ def bpe_apply_merges(
     return cur.select(id_col, F.col("_t").alias("tokens"))
 
 
+def _word_symbols(word: Column, eow: str) -> Column:
+    """A word's initial subword-symbol sequence: its characters plus
+    a separate end-of-word marker symbol (Sennrich et al. 2016 §3.2).
+    ``split(w, '')`` yields clean single-character arrays in Spark
+    ('' -> empty array), so '' -> [eow] alone."""
+    return F.concat(F.split(word, ""), F.array(F.lit(eow)))
+
+
+def bpe_subword_merges(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 3,
+    eow: str = "</w>",
+) -> DataFrame:
+    """CHARACTER-level BPE merge learning — the actual subword
+    tokenizer induction of Sennrich et al. 2016 ("Neural Machine
+    Translation of Rare Words with Subword Units"), where
+    :func:`bpe_word_merges` is the word-granularity
+    (word2phrase-style) variant: each word becomes its character
+    sequence plus an end-of-word marker symbol, and each round fuses
+    the corpus-most-frequent adjacent SYMBOL pair — strictly within
+    words, never across a boundary (the marker is the last symbol of
+    every word, so per-word arrays make cross-word pairs
+    unrepresentable).
+
+    The decisive scale property over the word-level learner: rounds
+    run over the WORD-TYPE table (word, corpus_frequency), not the
+    corpus — pair counts are frequency-weighted sums, so a 100 TB
+    corpus costs one word-count shuffle up front and then
+    vocabulary-sized work per round (exactly how reference BPE
+    implementations operate on word-frequency dictionaries).
+
+    Self-pairs (a, a) are excluded, the same order-independence
+    restriction as the word-level learner (leftmost-greedy fusion of
+    runs like "aaa" is inherently sequential; excluding them keeps
+    "fuse every occurrence" a parallel in-scan expression).  This is
+    the one documented deviation from Sennrich's reference
+    implementation, which merges self-pairs leftmost-greedily.
+
+    Returns one row per learned rule: (merge_round, merge_left,
+    merge_right, pair_count, corpus_symbols_after) — ``pair_count``
+    is the pair's CORPUS frequency (type count x word frequency), and
+    ``corpus_symbols_after`` drops by exactly ``pair_count`` each
+    round (the self-checking invariant of :func:`bpe_word_merges`).
+
+    Ref: reference repo has no tokenizer surface; this extends the
+    LLM-pipeline family (SURVEY.md §6) past word-level merges."""
+    if n_merges < 1:
+        raise ValueError("bpe_subword_merges: n_merges must be >= 1")
+    spark = df.sparkSession
+    wt = (
+        spread_small_input(df.select(F.col(text_col).alias("_txt")))
+        .filter(F.col("_txt").isNotNull())
+        .select(F.explode(tokens("_txt")).alias("_w"))
+        .groupBy("_w")
+        .agg(F.count("*").alias("_f"))
+    )
+    cur = wt.select(
+        _word_symbols(F.col("_w"), eow).alias("_s"), "_f"
+    ).localCheckpoint(eager=False)
+    out_rows: list[tuple] = []
+    for rnd in range(1, n_merges + 1):
+        pairs = (
+            cur.filter(F.size("_s") >= 2)
+            .select(
+                F.explode(
+                    F.expr(
+                        "transform(sequence(0, size(_s) - 2), "
+                        "i -> struct(_s[i] AS l, _s[i + 1] AS r))"
+                    )
+                ).alias("_p"),
+                "_f",
+            )
+            .select("_p.l", "_p.r", "_f")
+            .filter(F.col("l") != F.col("r"))
+        )
+        top = (
+            pairs.groupBy("l", "r")
+            .agg(F.sum("_f").alias("c"))
+            .orderBy(F.desc("c"), "l", "r")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        left, right = top[0]["l"], top[0]["r"]
+        count = int(top[0]["c"])
+        # fused symbol is the plain concatenation (no separator):
+        # subword symbols are character strings, 'w' + '</w>' ->
+        # 'w</w>', 'e' + 's' -> 'es'
+        cur = cur.select(
+            _fuse_pair_expr(F.col("_s"), left, right, "").alias("_s"), "_f"
+        ).localCheckpoint(eager=False)
+        symbols_after = int(
+            cur.agg(F.sum(F.col("_f") * F.size("_s"))).first()[0]
+        )
+        out_rows.append((rnd, left, right, count, symbols_after))
+    return spark.createDataFrame(
+        out_rows,
+        "merge_round int, merge_left string, merge_right string, "
+        "pair_count bigint, corpus_symbols_after bigint",
+    )
+
+
+def bpe_subword_encode(
+    df: DataFrame,
+    merges: Sequence[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    eow: str = "</w>",
+) -> DataFrame:
+    """Encode documents to subword token ids under a learned
+    character-level merge table — the tokenizer a pretraining
+    pipeline actually ships: replay :func:`bpe_subword_merges` rules
+    in rank order within each word, then assign frequency-ranked
+    0-based ids over the closed subword vocabulary.
+
+    Scale shape: the merge folds run over DISTINCT words (one
+    distinct shuffle, then vocabulary-sized in-scan folds with the
+    per-rank ``localCheckpoint`` lineage cut), the encoded word
+    types hash-join back onto the (doc, word) stream, per-document
+    positions come from a doc-partitioned window, and ids from
+    :func:`frequency_rank_vocab` (no single-partition window, no
+    data-sized broadcast anywhere).
+
+    Returns the token STREAM form (``id_col``, pos, token, token_id),
+    pos 0-based across the whole document — ``size`` of a document's
+    stream is its EXACT subword count, the number sequence packing
+    should pack by (``pack_sequences(n_tokens_col=...)``)."""
+    from pyspark.sql import Window
+
+    for left, right in merges:
+        if left == right:
+            raise ValueError(
+                "bpe_subword_encode: self-pair rule "
+                f"({left!r}, {right!r}) — the learner never emits these"
+            )
+    words = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col), F.posexplode(tokens(text_col)).alias("_wpos", "_w")
+    )
+    cur = (
+        words.select("_w")
+        .distinct()
+        .select("_w", _word_symbols(F.col("_w"), eow).alias("_s"))
+        .localCheckpoint(eager=False)
+    )
+    for left, right in merges:
+        cur = cur.select(
+            "_w", _fuse_pair_expr(F.col("_s"), left, right, "").alias("_s")
+        ).localCheckpoint(eager=False)
+    sub = words.join(cur, "_w").select(
+        id_col, "_wpos", F.posexplode("_s").alias("_spos", "token")
+    )
+    wpos = Window.partitionBy(id_col).orderBy("_wpos", "_spos")
+    stream = sub.select(
+        id_col,
+        (F.row_number().over(wpos) - F.lit(1)).cast("int").alias("pos"),
+        "token",
+    )
+    vocab = frequency_rank_vocab(
+        stream.groupBy("token").agg(F.count("*").alias("_c"))
+    )
+    return stream.join(vocab, "token").select(
+        id_col, "pos", "token", "token_id"
+    )
+
+
 def frequency_rank_vocab(
     counts: DataFrame,
     token_col: str = "token",
@@ -1344,9 +1511,11 @@ def frequency_rank_vocab(
         vocab.join(offs, ["_vc", "_vp"])
         .select(
             F.col("_vtok").alias(token_col),
-            (F.row_number().over(wv) - F.lit(1) + F.col("_off")).alias(
-                "token_id"
-            ),
+            # INTEGER ids (the pre-r8 schema; int32 holds any real
+            # vocabulary — 2^31 distinct words needs >100 TB of text)
+            (F.row_number().over(wv) - F.lit(1) + F.col("_off"))
+            .cast("int")
+            .alias("token_id"),
         )
     )
 

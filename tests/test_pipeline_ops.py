@@ -1484,6 +1484,41 @@ def test_pack_sequences_by_exact_bpe_counts(spark):
     assert ws == [(0, 1), (1, 1), (2, 1)]
 
 
+def test_pack_sequences_by_exact_subword_counts(spark):
+    """The reference-class composition for the SHIPPED tokenizer:
+    bpe_subword_encode -> per-doc exact subword counts ->
+    pack_sequences(n_tokens_col) — boundaries follow the true
+    subword counts, not the whitespace proxy."""
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.text import (
+        bpe_subword_encode,
+        pack_sequences,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "en", "low low"), (2, "en", "low"), (3, "en", "lowest low")],
+        ["doc_id", "lang", "text"],
+    )
+    # merges (l,o), (lo,w): low -> [low, </w>] (2 subwords);
+    # lowest -> [low, e, s, t, </w>] (5)
+    counts = (
+        bpe_subword_encode(docs, [("l", "o"), ("lo", "w")])
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_sub"))
+    )
+    got = {
+        r["doc_id"]: r["n_sub"] for r in counts.collect()
+    }
+    assert got == {1: 4, 2: 2, 3: 7}
+    packed = sorted(
+        (r["seq_id"], r["n_docs"], r["n_tokens"])
+        for r in pack_sequences(
+            docs.join(counts, "doc_id"), capacity=7, n_tokens_col="n_sub"
+        ).collect()
+    )
+    # cumulative 4, 6, 13 at capacity 7: docs 1+2 pack, doc 3 alone
+    assert packed == [(0, 2, 6), (1, 1, 7)]
+
+
 def test_url_domain_operators_hand_computed(spark):
     """host_of strips scheme/userinfo/port/path; registered_domain_of
     implements plain public-suffix semantics (longest proper suffix
@@ -1711,6 +1746,71 @@ def test_bpe_apply_property_vs_python_replay(spark):
     check()
 
 
+def test_bpe_subword_merges_and_encode_hand_computed(spark):
+    """Character-level BPE (Sennrich et al. 2016 proper): merges are
+    WITHIN words under an end-of-word marker, pair counts are
+    word-frequency-weighted (the learner runs over word TYPES), the
+    symbols-drop-by-pair-count invariant holds, and encode replays
+    the rules then assigns frequency-ranked ids — all checked
+    against a hand-derived trajectory on the classic low/lower/
+    newest/widest corpus."""
+    import pytest
+
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.text import (
+        bpe_subword_encode,
+        bpe_subword_merges,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "low low low lower"), (2, "newest widest")],
+        ["doc_id", "text"],
+    )
+    rows = (
+        bpe_subword_merges(docs, "text", n_merges=3)
+        .orderBy("merge_round")
+        .collect()
+    )
+    # r1: (l,o) x4 (ties (o,w) on count, wins lexicographically);
+    # r2: (lo,w) x4; r3: (low,</w>) x3 — 'low' as a full word
+    assert [tuple(r) for r in rows] == [
+        (1, "l", "o", 4, 28),
+        (2, "lo", "w", 4, 24),
+        (3, "low", "</w>", 3, 21),
+    ]
+    totals = [32] + [r["corpus_symbols_after"] for r in rows]
+    for r, (before, after) in zip(rows, zip(totals, totals[1:])):
+        assert before - after == r["pair_count"]
+    with pytest.raises(ValueError, match="n_merges"):
+        bpe_subword_merges(docs, "text", n_merges=0)
+    # encode: replay on a different doc set; hand-derived stream
+    enc_docs = spark.createDataFrame(
+        [(1, "low low lower"), (2, "newest")], ["doc_id", "text"]
+    )
+    learned = [(r["merge_left"], r["merge_right"]) for r in rows]
+    got = {
+        (r["doc_id"], r["pos"]): (r["token"], r["token_id"])
+        for r in bpe_subword_encode(enc_docs, learned).collect()
+    }
+    # low -> [low</w>]; lower -> [low, e, r, </w>];
+    # newest -> [n, e, w, e, s, t, </w>]
+    # vocab: e x3 -> 0; count 2: '</w>' < 'low</w>' -> 1, 2;
+    # count 1: low, n, r, s, t, w -> 3..8
+    E, W, LW = "e", "</w>", "low</w>"
+    expect_tokens = {
+        (1, 0): LW, (1, 1): LW, (1, 2): "low", (1, 3): E, (1, 4): "r",
+        (1, 5): W,
+        (2, 0): "n", (2, 1): E, (2, 2): "w", (2, 3): E, (2, 4): "s",
+        (2, 5): "t", (2, 6): W,
+    }
+    ids = {E: 0, W: 1, LW: 2, "low": 3, "n": 4, "r": 5, "s": 6, "t": 7,
+           "w": 8}
+    assert got == {
+        k: (t, ids[t]) for k, t in expect_tokens.items()
+    }
+    with pytest.raises(ValueError, match="self-pair"):
+        bpe_subword_encode(enc_docs, [("a", "a")])
+
+
 def test_frequency_rank_vocab_matches_naive_global_window(spark):
     """The distributed vocab rank (order-aligned (count, prefix)
     buckets + per-log-bin prefix sums; no single-partition window)
@@ -1764,6 +1864,100 @@ def test_frequency_rank_vocab_matches_naive_global_window(spark):
             for r in frequency_rank_vocab(counts, prefix_len=plen).collect()
         }
         assert got == naive, f"prefix_len={plen}"
+
+
+def test_bpe_subword_property_vs_python_reference(spark):
+    """Property check for character-level BPE: learn + encode must
+    equal a pure-Python reference (word-type dict, frequency-weighted
+    pair counts with (count DESC, l, r) argmax and self-pair
+    exclusion, parallel fusion per rule, frequency-ranked ids) on
+    random small-alphabet corpora — runs, repeated words, and
+    single-char words stress marker handling and tie order."""
+    import random
+    from collections import Counter
+
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.text import (
+        bpe_subword_encode,
+        bpe_subword_merges,
+    )
+
+    EOW = "</w>"
+
+    def fuse(seq: list[str], l: str, r: str) -> list[str]:
+        out, i = [], 0
+        while i < len(seq):
+            if i + 1 < len(seq) and seq[i] == l and seq[i + 1] == r:
+                out.append(l + r)
+                i += 2
+            else:
+                out.append(seq[i])
+                i += 1
+        return out
+
+    def ref(docs: list[str], n_merges: int):
+        wt = Counter(w for d in docs for w in d.split())
+        syms = {w: list(w) + [EOW] for w in wt}
+        rules = []
+        for _ in range(n_merges):
+            pc: Counter = Counter()
+            for w, f in wt.items():
+                s = syms[w]
+                for a, b in zip(s, s[1:]):
+                    if a != b:
+                        pc[(a, b)] += f
+            if not pc:
+                break
+            best = min(pc, key=lambda p: (-pc[p], p[0], p[1]))
+            rules.append(best)
+            for w in syms:
+                syms[w] = fuse(syms[w], *best)
+        return rules, syms
+
+    rng = random.Random(88)
+    for trial in range(4):
+        docs = [
+            " ".join(
+                "".join(
+                    rng.choice("ab c")[:1] or "a"
+                    for _ in range(rng.randint(1, 5))
+                ).strip() or "a"
+                for _ in range(rng.randint(1, 8))
+            )
+            for _ in range(6)
+        ]
+        # normalize: collapse accidental empties
+        docs = [" ".join(d.split()) or "a" for d in docs]
+        sdf = spark.createDataFrame(
+            list(enumerate(docs)), ["doc_id", "text"]
+        )
+        n_merges = rng.randint(1, 4)
+        rules, syms = ref(docs, n_merges)
+        got_rules = [
+            (r["merge_left"], r["merge_right"])
+            for r in bpe_subword_merges(sdf, "text", n_merges=n_merges)
+            .orderBy("merge_round")
+            .collect()
+        ]
+        assert got_rules == rules, f"trial {trial}: rules"
+        if not rules:
+            continue
+        # encode vs reference: replay + frequency-ranked ids
+        stream_ref = []
+        for doc_id, d in enumerate(docs):
+            pos = 0
+            for w in d.split():
+                for t in syms[w]:
+                    stream_ref.append((doc_id, pos, t))
+                    pos += 1
+        vc = Counter(t for _, _, t in stream_ref)
+        order = sorted(vc, key=lambda t: (-vc[t], t))
+        ids = {t: i for i, t in enumerate(order)}
+        expect = {(d, p): (t, ids[t]) for d, p, t in stream_ref}
+        got = {
+            (r["doc_id"], r["pos"]): (r["token"], r["token_id"])
+            for r in bpe_subword_encode(sdf, rules).collect()
+        }
+        assert got == expect, f"trial {trial}: stream"
 
 
 def test_bpe_word_merges_degenerate_corpora(spark):
