@@ -16,7 +16,7 @@ from __future__ import annotations
 import os
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 from pyspark.sql import types as T
 
 from etl_based_real_time_air_quality_monitoring_system_spark.functions.banding import (
@@ -3800,19 +3800,13 @@ def _q_quality_classifier(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def _q_domain_rollup(spark: SparkSession, sf: str) -> DataFrame:
-    # URL/domain curation (the C4/RefinedWeb provenance stage): per
-    # REGISTERED domain (public-suffix rules — subdomains of co.uk /
-    # github.io collapse correctly) doc, distinct-host and exact
-    # token accounting, plus the blocklist membership flag the
-    # curation run filters on.  The documents table has no URL
-    # column, so the gate synthesizes one per doc from md5(doc_id)
-    # (the http_ingest_simulated recipe: every derived field is
-    # bit-identical in the oracle): ~50 sites x 6 TLD shapes x 3
-    # subdomain prefixes.  The operator itself takes any URL column.
-    from etl_based_real_time_air_quality_monitoring_system_spark.operators.web import domain_rollup
-
-    docs = load_table(spark, sf, "documents")
+def _gate_url_expr() -> Column:
+    """The curation gates' synthesized URL column — one per doc from
+    md5(doc_id) (the http_ingest_simulated recipe: every derived
+    field is bit-identical in the oracle's ``_URL_DOM_CTES`` chain):
+    ~50 sites x 6 TLD shapes x 3 subdomain prefixes.  Shared by
+    domain_rollup / domain_capped_sample / blocklist_filter_df so
+    the three gates and their oracles can never drift."""
     h = F.md5(
         F.concat(F.lit("url:v1:"), F.col("doc_id").cast("string")).cast(
             "binary"
@@ -3827,7 +3821,7 @@ def _q_domain_rollup(spark: SparkSession, sf: str) -> DataFrame:
         .when(n3 == 1, F.lit("cdn.edge."))
         .otherwise(F.lit(""))
     )
-    url = F.concat(
+    return F.concat(
         F.lit("https://"),
         sub,
         F.lit("site"),
@@ -3837,7 +3831,24 @@ def _q_domain_rollup(spark: SparkSession, sf: str) -> DataFrame:
         F.lit("/d/"),
         F.col("doc_id").cast("string"),
     )
-    rolled = domain_rollup(docs.withColumn("url", url), "url", "text")
+
+
+def _q_domain_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    # URL/domain curation (the C4/RefinedWeb provenance stage): per
+    # REGISTERED domain (public-suffix rules — subdomains of co.uk /
+    # github.io collapse correctly) doc, distinct-host and exact
+    # token accounting, plus the blocklist membership flag the
+    # curation run filters on.  The documents table has no URL
+    # column, so the gate synthesizes one per doc from md5(doc_id)
+    # (the http_ingest_simulated recipe: every derived field is
+    # bit-identical in the oracle): ~50 sites x 6 TLD shapes x 3
+    # subdomain prefixes.  The operator itself takes any URL column.
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.web import domain_rollup
+
+    docs = load_table(spark, sf, "documents")
+    rolled = domain_rollup(
+        docs.withColumn("url", _gate_url_expr()), "url", "text"
+    )
     blocked = ["site7.com", "site13.co.uk"]
     return rolled.select(
         "domain",
@@ -3848,6 +3859,56 @@ def _q_domain_rollup(spark: SparkSession, sf: str) -> DataFrame:
             F.col("domain").isin(blocked).cast("int"), F.lit(0)
         ).alias("blocked"),
     )
+
+
+def _q_domain_capped_sample(spark: SparkSession, sf: str) -> DataFrame:
+    # per-domain cap ENFORCEMENT — the action a C4/RefinedWeb run
+    # takes from domain_rollup's report: no registered domain
+    # contributes more than `cap` docs, membership 100% deterministic
+    # (salted-hash rank within domain, the stratified_quota_sample
+    # recipe), kept SET pinned (not counts — the
+    # cluster_balanced_sample precedent).  Same md5-synthesized URLs
+    # as domain_rollup; the oracle shares the _URL_DOM_CTES chain
+    # verbatim, then re-derives rank + cap.  domain_key re-derived on
+    # the kept rows so the output also pins the grouping unit
+    # (registered domain, else host).
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.web import (
+        domain_capped_sample,
+        host_of,
+        registered_domain_of,
+    )
+
+    docs = load_table(spark, sf, "documents")
+    kept = domain_capped_sample(
+        docs.withColumn("url", _gate_url_expr()), cap=2
+    )
+    h = host_of("url")
+    return kept.select(
+        "doc_id",
+        F.coalesce(
+            registered_domain_of(host_of("url")), h
+        ).alias("domain_key"),
+    )
+
+
+def _q_blocklist_filter_df(spark: SparkSession, sf: str) -> DataFrame:
+    # the DataFrame-blocklist form of blocklist_filter (a real
+    # blocklist is 1e5+ rows — a broadcast LEFT ANTI join, not an
+    # isin literal; the literal form is domain_rollup's gate).  The
+    # kept set value-checks against a DuckDB anti-join oracle over
+    # the shared _URL_DOM_CTES chain; plan shape (broadcast
+    # anti-join) is pinned in test_plan_shapes.
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.web import blocklist_filter
+
+    docs = load_table(spark, sf, "documents")
+    bl = spark.createDataFrame(
+        [("site7.com",), ("site13.co.uk",), ("site21.github.io",)],
+        ["domain"],
+    )
+    kept = blocklist_filter(
+        docs.withColumn("url", _gate_url_expr()), bl
+    )
+    return kept.select("doc_id")
 
 
 def _pq_micros_emb(spark: SparkSession, sf: str) -> DataFrame:
@@ -4947,6 +5008,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # === where they still aid navigation) =========================
         # --- new in round 8 ------------------------------------------
         "bpe_subword_encode": _q_bpe_subword_encode,
+        "domain_capped_sample": _q_domain_capped_sample,
+        "blocklist_filter_df": _q_blocklist_filter_df,
         # --- new or code-changed in round 7 ---------------------------
         "bpe_encode": _q_bpe_encode,
         "quality_classifier": _q_quality_classifier,
@@ -5295,6 +5358,79 @@ def _bpe_round_ctes(n_rounds: int = 3, carry: str = "") -> str:
                 FROM {prev} LEFT JOIN m{k} m ON TRUE
             )""")
     return ",".join(parts)
+
+
+#: shared URL/domain oracle chain for the curation gates
+#: (domain_rollup, domain_capped_sample, blocklist_filter_df): the
+#: md5-synthesized URLs, the exact host regex (bracketed-IPv6
+#: alternative included), the public-suffix semantics (IP-host
+#: guard; longest proper-suffix rule via a length-ranked rules
+#: join; bare-suffix -> NULL; last-two-labels fallback).  One
+#: definition so the three gates can never drift apart.  Ends at
+#: the ``dom`` CTE: (doc_id, host, text, domain).
+_URL_DOM_CTES = r"""
+            u AS (
+                SELECT doc_id, text,
+                       md5('url:v1:' || CAST(doc_id AS VARCHAR)) AS h
+                FROM documents
+            ),
+            urls AS (
+                SELECT doc_id, text,
+                       'https://'
+                       || CASE ('0x' || substr(h, 13, 6))::BIGINT % 3
+                              WHEN 0 THEN 'www.'
+                              WHEN 1 THEN 'cdn.edge.'
+                              ELSE '' END
+                       || 'site'
+                       || CAST(('0x' || substr(h, 1, 6))::BIGINT % 50
+                               AS VARCHAR)
+                       || '.'
+                       || (['com','org','co.uk','github.io','net','ac.jp'])
+                          [CAST(('0x' || substr(h, 7, 6))::BIGINT % 6
+                                AS INTEGER) + 1]
+                       || '/d/' || CAST(doc_id AS VARCHAR) AS url
+                FROM u
+            ),
+            hosts AS (
+                SELECT doc_id, text,
+                       lower(regexp_extract(url,
+                           '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?(\[[^\]/?#]+\]|[^/:?#@]+)',
+                           1)) AS host
+                FROM urls
+            ),
+            rules AS (
+                SELECT unnest(['com','org','net','edu','gov','io','dev',
+                               'app','uk','co.uk','ac.uk','jp','co.jp',
+                               'ac.jp','au','com.au','github.io']) AS r
+            ),
+            best AS (
+                SELECT doc_id, r FROM (
+                    SELECT h.doc_id, r.r, row_number() OVER (
+                               PARTITION BY h.doc_id
+                               ORDER BY length(r.r) DESC
+                           ) AS rn
+                    FROM hosts h JOIN rules r ON h.host LIKE '%.' || r.r
+                ) WHERE rn = 1
+            ),
+            dom AS (
+                SELECT h.doc_id, h.host, h.text,
+                       CASE WHEN regexp_matches(h.host, '^(\[.*|[0-9.]+)$')
+                                 THEN NULL
+                            WHEN h.host IN (SELECT r FROM rules) THEN NULL
+                            WHEN b.r IS NULL THEN
+                                CASE WHEN len(string_split(h.host, '.')) >= 2
+                                     THEN string_split(h.host, '.')[-2]
+                                          || '.'
+                                          || string_split(h.host, '.')[-1]
+                                     ELSE NULL END
+                            ELSE string_split(
+                                     substr(h.host, 1,
+                                            length(h.host) - length(b.r) - 1),
+                                     '.')[-1] || '.' || b.r
+                       END AS domain
+                FROM hosts h LEFT JOIN best b USING (doc_id)
+            )
+"""
 
 
 def _bpe_sub_round_ctes(n_rounds: int = 3) -> str:
@@ -5966,67 +6102,7 @@ def _oracle_sql_literal() -> dict[str, str]:
         # rules join + length-ranked window; bare-suffix -> NULL;
         # last-two-labels fallback), then the per-domain accounting
         "domain_rollup": f"""
-            WITH u AS (
-                SELECT doc_id, text,
-                       md5('url:v1:' || CAST(doc_id AS VARCHAR)) AS h
-                FROM documents
-            ),
-            urls AS (
-                SELECT doc_id, text,
-                       'https://'
-                       || CASE ('0x' || substr(h, 13, 6))::BIGINT % 3
-                              WHEN 0 THEN 'www.'
-                              WHEN 1 THEN 'cdn.edge.'
-                              ELSE '' END
-                       || 'site'
-                       || CAST(('0x' || substr(h, 1, 6))::BIGINT % 50
-                               AS VARCHAR)
-                       || '.'
-                       || (['com','org','co.uk','github.io','net','ac.jp'])
-                          [CAST(('0x' || substr(h, 7, 6))::BIGINT % 6
-                                AS INTEGER) + 1]
-                       || '/d/' || CAST(doc_id AS VARCHAR) AS url
-                FROM u
-            ),
-            hosts AS (
-                SELECT doc_id, text,
-                       lower(regexp_extract(url,
-                           '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?(\[[^\]/?#]+\]|[^/:?#@]+)',
-                           1)) AS host
-                FROM urls
-            ),
-            rules AS (
-                SELECT unnest(['com','org','net','edu','gov','io','dev',
-                               'app','uk','co.uk','ac.uk','jp','co.jp',
-                               'ac.jp','au','com.au','github.io']) AS r
-            ),
-            best AS (
-                SELECT doc_id, r FROM (
-                    SELECT h.doc_id, r.r, row_number() OVER (
-                               PARTITION BY h.doc_id
-                               ORDER BY length(r.r) DESC
-                           ) AS rn
-                    FROM hosts h JOIN rules r ON h.host LIKE '%.' || r.r
-                ) WHERE rn = 1
-            ),
-            dom AS (
-                SELECT h.doc_id, h.host, h.text,
-                       CASE WHEN regexp_matches(h.host, '^(\[.*|[0-9.]+)$')
-                                 THEN NULL
-                            WHEN h.host IN (SELECT r FROM rules) THEN NULL
-                            WHEN b.r IS NULL THEN
-                                CASE WHEN len(string_split(h.host, '.')) >= 2
-                                     THEN string_split(h.host, '.')[-2]
-                                          || '.'
-                                          || string_split(h.host, '.')[-1]
-                                     ELSE NULL END
-                            ELSE string_split(
-                                     substr(h.host, 1,
-                                            length(h.host) - length(b.r) - 1),
-                                     '.')[-1] || '.' || b.r
-                       END AS domain
-                FROM hosts h LEFT JOIN best b USING (doc_id)
-            )
+            WITH {_URL_DOM_CTES}
             SELECT domain,
                    CAST(count(*) AS BIGINT) AS n_docs,
                    CAST(count(DISTINCT host) AS BIGINT) AS n_hosts,
@@ -6034,6 +6110,36 @@ def _oracle_sql_literal() -> dict[str, str]:
                    CAST(CASE WHEN domain IN ('site7.com', 'site13.co.uk')
                              THEN 1 ELSE 0 END AS INTEGER) AS blocked
             FROM dom GROUP BY domain
+        """,
+        # domain_capped_sample: same chain, then the enforcement —
+        # per-(registered domain, else host) deterministic hash rank,
+        # first cap kept; membership (the doc_id set) is the check
+        "domain_capped_sample": f"""
+            WITH {_URL_DOM_CTES},
+            grp AS (
+                SELECT doc_id, coalesce(domain, host) AS g
+                FROM dom WHERE host IS NOT NULL
+            ),
+            ranked AS (
+                SELECT doc_id, g, row_number() OVER (
+                           PARTITION BY g
+                           ORDER BY md5('domcap:v1' || doc_id::VARCHAR),
+                                    doc_id
+                       ) AS rn
+                FROM grp
+            )
+            SELECT doc_id, g AS domain_key FROM ranked WHERE rn <= 2
+        """,
+        # blocklist_filter_df: same chain, DataFrame-blocklist form —
+        # the kept set is an ANTI JOIN on the registered domain
+        # (unresolved rows drop, the conservative default)
+        "blocklist_filter_df": f"""
+            WITH {_URL_DOM_CTES}
+            SELECT d.doc_id
+            FROM dom d
+            WHERE d.domain IS NOT NULL
+              AND d.domain NOT IN ('site7.com', 'site13.co.uk',
+                                   'site21.github.io')
         """,
         "pq_codes": """
             WITH mq AS (

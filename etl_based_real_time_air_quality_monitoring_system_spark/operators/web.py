@@ -160,6 +160,76 @@ def domain_rollup(
     return base.groupBy("domain").agg(*aggs)
 
 
+def domain_capped_sample(
+    df: DataFrame,
+    cap: int,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    rules: Sequence[str] = DEFAULT_SUFFIX_RULES,
+    salt: str = "domcap:v1",
+    keep_unhosted: bool = False,
+) -> DataFrame:
+    """ENFORCE a per-registered-domain contribution cap — the action
+    a C4/RefinedWeb curation run takes from :func:`domain_rollup`'s
+    report: no single registered domain may contribute more than
+    ``cap`` documents to the mixture (subdomains count against their
+    parent — blocking-level granularity, same as
+    :func:`blocklist_filter`).
+
+    Membership is 100% deterministic (the
+    ``stratified_quota_sample`` recipe): rows within a domain are
+    ranked by salted content hash of the id with the id as
+    tie-break, first ``cap`` kept — a pure function of (content,
+    cap), reproducible across runs, partitionings, and engines.
+
+    Rows whose URL yields NO registered domain but does have a host
+    (bare public suffixes, IP hosts) are capped PER HOST — the best
+    provenance unit available.  Rows with no parseable host at all
+    have no provenance and are dropped by default (the conservative
+    curation posture, as in :func:`blocklist_filter`); pass
+    ``keep_unhosted=True`` to retain them uncapped.
+
+    Plan at 100 TB: host/domain extraction in-scan (projected once —
+    the CodegenFallback/no-CSE rule), then ONE shuffle on the
+    ~1e7-cardinality domain key whose window compiles with a
+    map-side WindowGroupLimit (the literal rank bound), so only
+    ~cap rows per domain per input partition reach the exchange."""
+    from pyspark.sql import Window
+
+    from .sampling import salted_hash
+
+    if cap < 1:
+        raise ValueError("domain_capped_sample: cap must be >= 1")
+    reserved = ("_host", "_dom", "_grp", "_crank")
+    for r in reserved:
+        if r in df.columns:
+            raise ValueError(
+                f"domain_capped_sample: input already has column {r}"
+            )
+    tagged = df.withColumn("_host", host_of(url_col)).withColumn(
+        "_dom", registered_domain_of(F.col("_host"), rules)
+    )
+    grp = F.coalesce(F.col("_dom"), F.col("_host"))
+    unhosted = tagged.filter(F.col("_host").isNull()).drop("_host", "_dom")
+    capped = (
+        tagged.filter(F.col("_host").isNotNull())
+        .withColumn("_grp", grp)
+        .withColumn(
+            "_crank",
+            F.row_number().over(
+                Window.partitionBy("_grp").orderBy(
+                    salted_hash(id_col, salt), F.col(id_col)
+                )
+            ),
+        )
+        .filter(F.col("_crank") <= F.lit(int(cap)))
+        .drop("_host", "_dom", "_grp", "_crank")
+    )
+    if keep_unhosted:
+        return capped.unionByName(unhosted)
+    return capped
+
+
 def blocklist_filter(
     df: DataFrame,
     blocked: Sequence[str] | DataFrame,

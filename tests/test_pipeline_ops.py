@@ -1603,6 +1603,51 @@ def test_url_domain_operators_hand_computed(spark):
     assert set(blocklist_filter(df, bl).columns) == set(df.columns)
 
 
+def test_domain_capped_sample_hand_computed(spark):
+    """Per-registered-domain cap enforcement: subdomains count
+    against their parent; membership is the salted-md5 rank within
+    the domain (verified against hashlib); NULL-domain rows with a
+    host are capped per host; unhosted rows drop by default and pass
+    through uncapped with keep_unhosted=True."""
+    import hashlib
+
+    import pytest
+
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.web import (
+        domain_capped_sample,
+    )
+
+    rows = [
+        (1, "https://a.example.com/x"),
+        (2, "https://b.example.com/x"),
+        (3, "https://example.com/x"),
+        (4, "https://other.org/x"),
+        (5, "https://github.io/x"),      # bare suffix -> host group
+        (6, "https://github.io/y"),
+        (7, "https://github.io/z"),
+        (8, "not a url"),                # unhosted
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "url"])
+
+    def rank_key(i: int) -> str:
+        return hashlib.md5(f"domcap:v1{i}".encode()).hexdigest()
+
+    exp_example = sorted([1, 2, 3], key=lambda i: (rank_key(i), i))[:2]
+    exp_ghio = sorted([5, 6, 7], key=lambda i: (rank_key(i), i))[:2]
+    kept = {r["doc_id"] for r in domain_capped_sample(df, cap=2).collect()}
+    assert kept == {*exp_example, *exp_ghio, 4}
+    kept_u = {
+        r["doc_id"]
+        for r in domain_capped_sample(df, cap=2, keep_unhosted=True).collect()
+    }
+    assert kept_u == kept | {8}
+    assert set(domain_capped_sample(df, cap=2).columns) == set(df.columns)
+    with pytest.raises(ValueError, match="cap"):
+        domain_capped_sample(df, cap=0)
+    with pytest.raises(ValueError, match="_grp"):
+        domain_capped_sample(df.withColumn("_grp", F.lit(1)), cap=2)
+
+
 def test_bpe_encode_oracle_agrees_on_sub_3_merge_corpus(spark):
     """The bpe_encode ORACLE unrolls exactly 3 merge rounds; on a
     corpus with fewer than 3 learnable merges the per-round LEFT JOIN

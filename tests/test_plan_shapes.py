@@ -734,3 +734,27 @@ def test_blocklist_filter_dataframe_form_broadcast_anti_join(spark):
     p = plan(blocklist_filter(docs, bl))
     assert "BroadcastHashJoin" in p and "LeftAnti" in p
     assert "SortMergeJoin" not in p
+
+
+def test_blocklist_filter_df_gate_broadcast_anti_join(spark, sf_dir):
+    """The GATE query for the DataFrame-blocklist form must keep the
+    broadcast left-anti shape over the real documents scan (one
+    corpus-side shuffle-free screen), with no Python nodes."""
+    q = entrymod.queries()["blocklist_filter_df"](spark, sf_dir)
+    p = plan(q)
+    assert "BroadcastHashJoin" in p and "LeftAnti" in p
+    assert "SortMergeJoin" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_domain_capped_sample_windowgrouplimit(spark, sf_dir):
+    """Per-domain cap enforcement: the literal rank bound must
+    compile the map-side WindowGroupLimit (only ~cap rows per domain
+    per input partition reach the exchange — at 100 TB the shuffle
+    carries O(domains x cap), not the corpus), one key shuffle, no
+    Python nodes."""
+    q = entrymod.queries()["domain_capped_sample"](spark, sf_dir)
+    p = plan(q)
+    assert "WindowGroupLimit" in p
+    assert n_key_shuffles(p) == 1, f"expected 1 key shuffle: {n_key_shuffles(p)}"
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
