@@ -4227,6 +4227,91 @@ def _q_nn_confusion_ivfpq_stored(spark: SparkSession, sf: str) -> DataFrame:
     return nn_confusion_over_candidates(cand, labels, "vec_id", "label")
 
 
+def _q_streaming_ivfpq_index(spark: SparkSession, sf: str) -> DataFrame:
+    # STREAMING maintenance of the stored (production) IVF-PQ index —
+    # the T-family composition over ivfpq_write_index's cluster-
+    # partitioned layout: raw vectors arrive as a 3-micro-batch
+    # availableNow stream; each batch is encoded with FIXED
+    # coarse/codebooks (pure functions of the table, so stream split
+    # cannot move them) and written under its own replay-guard
+    # epoch=<id> partition (partitionBy cluster_id beneath it — the
+    # index is searchable while accreting); ivfpq_compact_index then
+    # collapses the epoch accretion into the canonical one-dir-per-
+    # cluster layout.  Because encode is row-local, the compacted
+    # index must equal the ONE-SHOT batch index for any micro-batch
+    # composition — so the same 16-query stored search runs over it
+    # and this shares nn_confusion_ivfpq's oracle verbatim.  Any
+    # batch-dependence bug (codebooks drifting with arrival order,
+    # double-/zero-encoded epochs, compaction dropping a cluster)
+    # fails rows+hash.
+    import shutil as _shutil
+
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.similarity import (
+        ivfpq_adc_knn_stored,
+        ivfpq_codebooks,
+        ivfpq_compact_index,
+        ivfpq_encode,
+        micros_vec,
+        nn_confusion_over_candidates,
+    )
+    from etl_based_real_time_air_quality_monitoring_system_spark.streaming.pipeline import (
+        stream_json_records,
+    )
+
+    emb = _pq_micros_emb(spark, sf)
+    labels = load_table(spark, sf, "embeddings").select("vec_id", "label")
+    coarse, cb = ivfpq_codebooks(
+        emb, "vec_id", "embedding", n_coarse=8, n_subspaces=8, n_codes=16
+    )
+    qrows = (
+        emb.filter(F.col("vec_id") < 16)
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .collect()
+    )
+    queries = [(int(r["vec_id"]), list(r["embedding"])) for r in qrows]
+
+    src = _gate_sink(sf, "ivfpq_stream_src")
+    raw = _gate_sink(sf, "ivfpq_stream_raw")
+    idx = _gate_sink(sf, "ivfpq_stream_idx")
+    ck = raw + "_ck"
+    for p in (src, raw, idx, ck):
+        _shutil.rmtree(p, ignore_errors=True)
+    load_table(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    ).repartition(3).write.mode("overwrite").json(src)
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    stream = stream_json_records(spark, src, schema, max_files_per_trigger=1)
+
+    def encode_batch(batch: DataFrame, epoch_id: int) -> None:
+        micros = batch.select(
+            "vec_id", micros_vec("embedding").alias("embedding")
+        )
+        ivfpq_encode(micros, "vec_id", "embedding", coarse, cb).write.mode(
+            "overwrite"
+        ).partitionBy("cluster_id").parquet(
+            os.path.join(raw, f"epoch={epoch_id}")
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(encode_batch)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    ivfpq_compact_index(spark, raw, idx)
+    cand = ivfpq_adc_knn_stored(
+        spark, idx, queries, coarse, cb, id_col="vec_id", k=2, n_probe=4
+    )
+    return nn_confusion_over_candidates(cand, labels, "vec_id", "label")
+
+
 def _q_cluster_balanced_sample(spark: SparkSession, sf: str) -> DataFrame:
     # embedding-space diversification (D4 / SSL-prototype pruning):
     # nearest-centroid assignment in exact integer-micros squared L2
@@ -5010,6 +5095,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_subword_encode": _q_bpe_subword_encode,
         "domain_capped_sample": _q_domain_capped_sample,
         "blocklist_filter_df": _q_blocklist_filter_df,
+        "streaming_ivfpq_index": _q_streaming_ivfpq_index,
         # --- new or code-changed in round 7 ---------------------------
         "bpe_encode": _q_bpe_encode,
         "quality_classifier": _q_quality_classifier,
@@ -6389,6 +6475,11 @@ def _oracle_sql_literal() -> dict[str, str]:
         # the oracle VERBATIM — any divergence between the two Spark
         # paths (or either path and the chain) fails rows+hash
         "nn_confusion_ivfpq_stored": _ivfpq_ctes(16) + _NN_CONFUSION_TAIL,
+        # streaming_ivfpq_index: encode is row-local, so the streamed
+        # + compacted index searches identically to the one-shot
+        # batch index — same oracle verbatim (the streaming_pq_index
+        # rationale, stored-layout edition)
+        "streaming_ivfpq_index": _ivfpq_ctes(16) + _NN_CONFUSION_TAIL,
         "incremental_neardup": rf"""
             WITH toks AS (
                 SELECT doc_id, CAST(doc_id % 3 AS INTEGER) AS batch,

@@ -1623,6 +1623,34 @@ def ivfpq_write_index(
     ).partitionBy("cluster_id").parquet(path)
 
 
+def ivfpq_compact_index(spark, src_path: str, dst_path: str) -> None:
+    """Compact a STREAMED (epoch-accreted) IVF-PQ index into the
+    canonical cluster-partitioned layout of
+    :func:`ivfpq_write_index`.
+
+    A streaming maintainer (foreachBatch) appends each micro-batch
+    under its own replay-guard ``epoch=<id>`` partition (the
+    streaming_pq_index discipline: a retried epoch OVERWRITES its own
+    directory instead of double-encoding), so the live index accretes
+    one file per (epoch, cluster) — searchable immediately, but
+    listing-dominated over time (the reference's file-per-record sink
+    pathology in slow motion, consumer.py:66-77).  Compaction drops
+    the epoch column and rewrites with ``repartition(cluster_id)``,
+    so each cluster directory collapses to one file per owning task —
+    O(clusters) files total, and :func:`ivfpq_adc_knn_stored`'s
+    partition pruning sees the identical row set before and after
+    (test-pinned)."""
+    df = spark.read.parquet(src_path)
+    cols = [c for c in df.columns if c != "epoch"]
+    (
+        df.select(*cols)
+        .repartition("cluster_id")
+        .write.mode("overwrite")
+        .partitionBy("cluster_id")
+        .parquet(dst_path)
+    )
+
+
 def ivfpq_adc_knn_stored(
     spark,
     index_path: str,
@@ -1698,6 +1726,7 @@ def cluster_balanced_sample(
     n_clusters: int = 8,
     quota: int = 25,
     salt: str = "cbal:v1",
+    centroids: np.ndarray | None = None,
 ) -> DataFrame:
     """Cluster-balanced sampling — the embedding-space DIVERSIFICATION
     pass of modern data curation (D4, Tirumala et al. 2023: cluster
@@ -1714,10 +1743,17 @@ def cluster_balanced_sample(
 
     Requires integer-micros embeddings (:func:`micros_vec`;
     integrality-guarded) so the assignment — and therefore the kept
-    SET — is engine-exact and oracle-checkable.  Centroids are the
-    first ``n_clusters`` vectors by id (the :func:`ivf_centroids`
-    sampled-init rationale: centroid quality shifts the split, never
-    the quota rule's correctness).
+    SET — is engine-exact and oracle-checkable.  By default centroids
+    are the first ``n_clusters`` vectors by id (the
+    :func:`ivf_centroids` sampled-init rationale: centroid quality
+    shifts the split, never the quota rule's correctness — so the
+    GATE keeps this bit-stable init).  Pass ``centroids`` to use a
+    TRAINED table instead — e.g.
+    ``np.floor(ivf_centroids_kmeans(...))`` — the
+    :func:`pq_codebooks_kmeans` precedent: training tightens the
+    clusters (lower distortion, better-balanced quotas) while the
+    quota rule and exactness guarantees are untouched; the table must
+    still be integral micros (floor Lloyd means; guarded).
 
     Scale shape: assignment is one in-scan generated-SQL argmin (zero
     shuffle); the quota rank is ONE shuffle on cluster_id, and the
@@ -1730,19 +1766,26 @@ def cluster_balanced_sample(
 
     if quota < 1:
         raise ValueError("cluster_balanced_sample: quota must be >= 1")
-    rows = (
-        df.select(F.col(id_col), F.col(emb_col))
-        .orderBy(id_col)
-        .limit(n_clusters)
-        .collect()
-    )
-    if not rows:
-        raise ValueError("cluster_balanced_sample: empty input")
-    coarse = _require_integral_micros(
-        np.array([list(r[emb_col]) for r in rows], dtype=float),
-        "centroids",
-        "cluster_balanced_sample",
-    )
+    if centroids is not None:
+        coarse = _require_integral_micros(
+            np.asarray(centroids, dtype=float),
+            "centroids",
+            "cluster_balanced_sample",
+        )
+    else:
+        rows = (
+            df.select(F.col(id_col), F.col(emb_col))
+            .orderBy(id_col)
+            .limit(n_clusters)
+            .collect()
+        )
+        if not rows:
+            raise ValueError("cluster_balanced_sample: empty input")
+        coarse = _require_integral_micros(
+            np.array([list(r[emb_col]) for r in rows], dtype=float),
+            "centroids",
+            "cluster_balanced_sample",
+        )
     assigned = df.select(
         F.col(id_col),
         F.expr(_l2_assign_expr(coarse, f"`{emb_col}`")).alias("cluster_id"),

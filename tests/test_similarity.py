@@ -817,6 +817,122 @@ def test_ivfpq_stored_index_search_matches_in_scan(memb, tmp_path):
         ivfpq_adc_knn_stored(spark, path, [], coarse, cb)
 
 
+def test_cluster_balanced_sample_learned_centroids(memb):
+    """The learned-centroid option (floored Lloyd means, the
+    pq_codebooks_kmeans precedent): training must DECREASE total
+    assignment distortion vs the first-k init, SHIFT the kept set
+    (centroid quality changes the split), keep the per-cluster quota
+    rule intact, and reject non-integral centroid tables.  The gate
+    keeps the first-k init (bit-stable) — this pins the production
+    path."""
+    import numpy as np
+    import pytest
+
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.similarity import (
+        cluster_balanced_sample,
+        ivf_centroids_kmeans,
+    )
+
+    spark = memb.sparkSession
+
+    def distortion(cent: np.ndarray) -> int:
+        ids, mat = _np_vectors(memb)
+        d2 = ((mat[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        return int(d2.min(axis=1).sum())
+
+    first_k = np.array(
+        [
+            list(r["embedding"])
+            for r in memb.orderBy("vec_id").limit(8).collect()
+        ],
+        dtype=float,
+    )
+    learned = np.floor(
+        ivf_centroids_kmeans(memb, "vec_id", "embedding", n_centroids=8)
+    )
+    assert distortion(learned) < distortion(first_k)
+    base_kept = {
+        r["vec_id"]
+        for r in cluster_balanced_sample(
+            memb, "vec_id", "embedding", n_clusters=8, quota=10
+        ).collect()
+    }
+    learned_rows = cluster_balanced_sample(
+        memb, "vec_id", "embedding", quota=10, centroids=learned
+    ).collect()
+    learned_kept = {r["vec_id"] for r in learned_rows}
+    assert learned_kept != base_kept  # training moves the split
+    from collections import Counter
+
+    per_cluster = Counter(r["cluster_id"] for r in learned_rows)
+    assert all(v <= 10 for v in per_cluster.values())
+    with pytest.raises(ValueError, match="integ"):
+        cluster_balanced_sample(
+            memb, "vec_id", "embedding", quota=10,
+            centroids=learned + 0.5,
+        )
+
+
+def test_ivfpq_streamed_index_compaction_equals_one_shot(memb, tmp_path):
+    """A streaming maintainer accretes the index as replay-guarded
+    epoch=<id> partitions; ivfpq_compact_index must collapse that
+    accretion into the canonical cluster-partitioned layout with the
+    IDENTICAL row set as a one-shot ivfpq_write_index build, the
+    epoch column gone, and one file per cluster directory."""
+    import os
+
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.similarity import (
+        ivfpq_codebooks,
+        ivfpq_compact_index,
+        ivfpq_encode,
+        ivfpq_write_index,
+    )
+
+    spark = memb.sparkSession
+    coarse, cb = ivfpq_codebooks(
+        memb, "vec_id", "embedding", n_coarse=8, n_subspaces=8, n_codes=16
+    )
+    raw = str(tmp_path / "raw")
+    idx = str(tmp_path / "idx")
+    once = str(tmp_path / "once")
+    # three "micro-batches" by vec_id ranges, each its own epoch dir
+    # (epoch 1 written twice — the replay-overwrite discipline)
+    for epoch, cond in [
+        (0, F.col("vec_id") % 3 == 0),
+        (1, F.col("vec_id") % 3 == 1),
+        (2, F.col("vec_id") % 3 == 2),
+    ]:
+        batch = memb.filter(cond)
+        for _ in range(2 if epoch == 1 else 1):
+            ivfpq_encode(batch, "vec_id", "embedding", coarse, cb).write.mode(
+                "overwrite"
+            ).partitionBy("cluster_id").parquet(
+                os.path.join(raw, f"epoch={epoch}")
+            )
+    ivfpq_compact_index(spark, raw, idx)
+    ivfpq_write_index(memb, "vec_id", "embedding", coarse, cb, once)
+    compacted = spark.read.parquet(idx)
+    assert "epoch" not in compacted.columns
+    got = sorted(
+        (r["vec_id"], r["cluster_id"], tuple(r["codes"]))
+        for r in compacted.collect()
+    )
+    want = sorted(
+        (r["vec_id"], r["cluster_id"], tuple(r["codes"]))
+        for r in spark.read.parquet(once).collect()
+    )
+    assert got == want
+    # one parquet file per cluster directory after compaction
+    for d in os.listdir(idx):
+        if d.startswith("cluster_id="):
+            files = [
+                f
+                for f in os.listdir(os.path.join(idx, d))
+                if f.endswith(".parquet")
+            ]
+            assert len(files) == 1, d
+
+
 def test_cluster_balanced_sample_matches_python_reference(memb):
     """Cluster-balanced sampling: nearest-centroid assignment by exact
     integer squared L2 (ties -> lowest cid), md5-ranked exact quota per
