@@ -42,6 +42,82 @@ SEMDEDUP_THRESHOLD = 0.35
 SEMDEDUP_CLUSTERS_PER_FACTOR = 8
 
 
+def probe_url_expr() -> F.Column:
+    """The curation probes' synthesized URL column (the gate recipe:
+    md5-deterministic, ~50 sites x 6 TLDs x 3 subdomain prefixes) —
+    one builder shared by the standard and 64x blocks so the same
+    SCALING.md row name can never mix parameterizations."""
+    h_url = F.md5(
+        F.concat(F.lit("url:v1:"), F.col("doc_id").cast("string")).cast(
+            "binary"
+        )
+    )
+    tlds = ["com", "org", "co.uk", "github.io", "net", "ac.jp"]
+    return F.concat(
+        F.lit("https://"),
+        F.when(
+            F.conv(F.substring(h_url, 13, 6), 16, 10).cast("long") % 3 == 0,
+            F.lit("www."),
+        )
+        .when(
+            F.conv(F.substring(h_url, 13, 6), 16, 10).cast("long") % 3 == 1,
+            F.lit("cdn.edge."),
+        )
+        .otherwise(F.lit("")),
+        F.lit("site"),
+        (F.conv(F.substring(h_url, 1, 6), 16, 10).cast("long") % 50).cast(
+            "string"
+        ),
+        F.lit("."),
+        F.element_at(
+            F.lit(tlds),
+            (F.conv(F.substring(h_url, 7, 6), 16, 10).cast("long") % 6).cast(
+                "int"
+            )
+            + 1,
+        ),
+        F.lit("/d/"),
+        F.col("doc_id").cast("string"),
+    )
+
+
+def qcls_probe_weights() -> list[int]:
+    import hashlib
+
+    return [
+        int(hashlib.md5(f"qclsw:v1:{b}".encode()).hexdigest()[:6], 16)
+        % 1_000_001
+        for b in range(256)
+    ]
+
+
+def learned_word_merges(spark, sf_dir: str) -> list[tuple[str, str]]:
+    """3 word-level merge rules learned ONCE on the base table
+    (construct time, off the clock)."""
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.text import bpe_word_merges
+
+    base_docs = load_table(spark, sf_dir, "documents")
+    return [
+        (r["merge_left"], r["merge_right"])
+        for r in bpe_word_merges(base_docs, "text", n_merges=3)
+        .orderBy("merge_round")
+        .collect()
+    ]
+
+
+def learned_subword_merges(spark, sf_dir: str) -> list[tuple[str, str]]:
+    """3 character-level merge rules learned ONCE on the base table."""
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.text import bpe_subword_merges
+
+    base_docs = load_table(spark, sf_dir, "documents")
+    return [
+        (r["merge_left"], r["merge_right"])
+        for r in bpe_subword_merges(base_docs, "text", n_merges=3)
+        .orderBy("merge_round")
+        .collect()
+    ]
+
+
 def inflate(df: DataFrame, factor: int, shift_cols: tuple[str, ...]) -> DataFrame:
     """factor copies of df, id-like columns shifted per replica so key
     cardinality scales with volume (no artificial hot keys)."""
@@ -284,68 +360,37 @@ def probes(spark, sf_dir: str, factor: int) -> dict[str, tuple[DataFrame, int]]:
     # --- round-7 operators -------------------------------------------
     # quality classifier: pure map (in-scan literal-weight dot
     # product) — sec/Mrow should FALL as fixed plan cost amortizes
-    import hashlib
-
     from etl_based_real_time_air_quality_monitoring_system_spark.operators.text import (
         bpe_encode,
-        bpe_word_merges,
         quality_classifier_score,
     )
 
-    qcls_w = [
-        int(hashlib.md5(f"qclsw:v1:{b}".encode()).hexdigest()[:6], 16)
-        % 1_000_001
-        for b in range(256)
-    ]
-    qcls = quality_classifier_score(docs, qcls_w)
+    qcls = quality_classifier_score(docs, qcls_probe_weights())
     # domain rollup: md5-synthesized URLs (the gate recipe) over the
     # inflated corpus — host regex once per row, one domain agg
-    from etl_based_real_time_air_quality_monitoring_system_spark.operators.web import domain_rollup
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.web import (
+        domain_capped_sample,
+        domain_rollup,
+    )
 
-    h_url = F.md5(
-        F.concat(F.lit("url:v1:"), F.col("doc_id").cast("string")).cast(
-            "binary"
-        )
-    )
-    tlds = ["com", "org", "co.uk", "github.io", "net", "ac.jp"]
-    url = F.concat(
-        F.lit("https://"),
-        F.when(
-            F.conv(F.substring(h_url, 13, 6), 16, 10).cast("long") % 3 == 0,
-            F.lit("www."),
-        )
-        .when(
-            F.conv(F.substring(h_url, 13, 6), 16, 10).cast("long") % 3 == 1,
-            F.lit("cdn.edge."),
-        )
-        .otherwise(F.lit("")),
-        F.lit("site"),
-        (F.conv(F.substring(h_url, 1, 6), 16, 10).cast("long") % 50).cast(
-            "string"
-        ),
-        F.lit("."),
-        F.element_at(
-            F.lit(tlds),
-            (F.conv(F.substring(h_url, 7, 6), 16, 10).cast("long") % 6).cast(
-                "int"
-            )
-            + 1,
-        ),
-        F.lit("/d/"),
-        F.col("doc_id").cast("string"),
-    )
+    url = probe_url_expr()
     domains = domain_rollup(docs.withColumn("url", url), "url", "text")
+    # per-domain cap enforcement (r8): cap scales with volume so
+    # selection density stays constant — the curve measures the
+    # WindowGroupLimit shuffle, not a shrinking output
+    capped = domain_capped_sample(docs.withColumn("url", url), cap=8 * factor)
     # BPE encode: merges learned ONCE on the base table (construct
     # time, off the clock) then applied to the inflated corpus — the
-    # timed part is the 3 in-scan folds + vocab rank + broadcast join
-    base_docs = load_table(spark, sf_dir, "documents")
-    merges = [
-        (r["merge_left"], r["merge_right"])
-        for r in bpe_word_merges(base_docs, "text", n_merges=3)
-        .orderBy("merge_round")
-        .collect()
-    ]
+    # timed part is the 3 in-scan folds + the distributed frequency
+    # rank + the id join back onto the stream
+    merges = learned_word_merges(spark, sf_dir)
     bpe_enc = bpe_encode(docs, merges)
+    # character-level BPE encode (r8): rules learned once on the base
+    # table; timed part = distinct-word folds + type join-back +
+    # per-doc position window + distributed frequency rank
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.text import bpe_subword_encode
+
+    sub_enc = bpe_subword_encode(docs, learned_subword_merges(spark, sf_dir))
     # cluster-balanced sample: fixed k=16 (the flat in-scan argmin
     # primitive — large k goes through two_level_assign instead, rule
     # (e)); quota scales with volume so selection density is constant
@@ -361,6 +406,8 @@ def probes(spark, sf_dir: str, factor: int) -> dict[str, tuple[DataFrame, int]]:
         "quality_classifier_score(documents)": (qcls, n_docs),
         "domain_rollup(documents)": (domains, n_docs),
         "bpe_encode(documents, 3 rules)": (bpe_enc, n_docs),
+        "bpe_subword_encode(documents, 3 rules)": (sub_enc, n_docs),
+        "domain_capped_sample(documents)": (capped, n_docs),
         "cluster_balanced_sample(embeddings)": (cbal, n_emb),
         "pq_encode(embeddings)": (pq, n_emb),
         "ivfpq_adc_knn(embeddings, 5q)": (ivfpq, n_emb),
@@ -552,6 +599,70 @@ def main() -> None:
                 n64e,
             ),
         }
+        # the four round-7 operators at 64x (the r7 verdict ask —
+        # their 16x curves were falling; confirm at depth).  SAME
+        # parameterization as the standard rows: plain id-shifted
+        # docs (not token-salted), gate-recipe URLs/weights, rules
+        # learned on the base table, quota/cap scaling with volume.
+        from etl_based_real_time_air_quality_monitoring_system_spark.operators.similarity import (
+            cluster_balanced_sample,
+            micros_vec,
+        )
+        from etl_based_real_time_air_quality_monitoring_system_spark.operators.text import (
+            bpe_encode,
+            bpe_subword_encode,
+            quality_classifier_score,
+        )
+        from etl_based_real_time_air_quality_monitoring_system_spark.operators.web import (
+            domain_capped_sample,
+            domain_rollup,
+        )
+
+        docs64p = inflate(
+            load_table(spark, sf_dir, "documents"), 64, ("doc_id",)
+        ).localCheckpoint(eager=False)
+        n64p = docs64p.count()
+        url64 = probe_url_expr()
+        memb64 = emb64.select(
+            "vec_id", micros_vec("embedding").alias("embedding")
+        )
+        deep.update(
+            {
+                "quality_classifier_score(documents)": (
+                    quality_classifier_score(docs64p, qcls_probe_weights()),
+                    n64p,
+                ),
+                "domain_rollup(documents)": (
+                    domain_rollup(
+                        docs64p.withColumn("url", url64), "url", "text"
+                    ),
+                    n64p,
+                ),
+                "domain_capped_sample(documents)": (
+                    domain_capped_sample(
+                        docs64p.withColumn("url", url64), cap=8 * 64
+                    ),
+                    n64p,
+                ),
+                "bpe_encode(documents, 3 rules)": (
+                    bpe_encode(docs64p, learned_word_merges(spark, sf_dir)),
+                    n64p,
+                ),
+                "bpe_subword_encode(documents, 3 rules)": (
+                    bpe_subword_encode(
+                        docs64p, learned_subword_merges(spark, sf_dir)
+                    ),
+                    n64p,
+                ),
+                "cluster_balanced_sample(embeddings)": (
+                    cluster_balanced_sample(
+                        memb64, "vec_id", "embedding",
+                        n_clusters=16, quota=25 * 64,
+                    ),
+                    n64e,
+                ),
+            }
+        )
         for name, (df64, n_in) in deep.items():
             run_once(df64)
             sec64 = run_once(df64)
