@@ -3882,11 +3882,13 @@ def _q_domain_capped_sample(spark: SparkSession, sf: str) -> DataFrame:
     kept = domain_capped_sample(
         docs.withColumn("url", _gate_url_expr()), cap=2
     )
-    h = host_of("url")
-    return kept.select(
+    # host materialized under an alias FIRST (the no-CSE rule: the
+    # suffix fold and the coalesce reference it ~6 times; an inline
+    # host_of would re-run the authority regex per reference per row)
+    return kept.withColumn("_h", host_of("url")).select(
         "doc_id",
         F.coalesce(
-            registered_domain_of(host_of("url")), h
+            registered_domain_of(F.col("_h")), F.col("_h")
         ).alias("domain_key"),
     )
 
@@ -4987,7 +4989,7 @@ def _q_sketch_bounds(spark: SparkSession, sf: str) -> DataFrame:
 #: distributed frequency_rank_vocab + hash join -> bpe_encode; the
 #: cluster_balanced_sample centroids param -> its gate), (3) the 14
 #: r3-stale entries the r7 window displaced (_R8_QUEUE, promised
-#: first-in-line), (4) the heaviest 27 of the 47 r4-stale entries,
+#: first-in-line), (4) the heaviest 29 of the 47 r4-stale entries,
 #: pair-expansion family first (the r7 verdict's ask).  The 18
 #: r4-stale entries that did not fit are _R9_QUEUE — first in line
 #: next round, which zeroes the >3-round staleness backlog

@@ -920,10 +920,30 @@ def qcls_score_joined(
         F.size(feats_col).alias("_nf"),
         F.explode_outer(feats_col).alias("_bucket"),
     )
+    # an out-of-range bucket (featurizer/table size mismatch) must
+    # fail LOUDLY, as the literal form's element_at does under ANSI —
+    # a silent left-join drop would produce a plausible-looking but
+    # wrong floor-mean (sum skips the bucket, n stays full)
+    matched = F.when(
+        F.col("_bucket").isNotNull() & F.col("_w").isNull(),
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "qcls_score_joined: feature bucket outside the "
+                    "weight table (got bucket "
+                ),
+                F.col("_bucket").cast("string"),
+                F.lit(
+                    f", table has {len(weights_micros)} buckets) — "
+                    "featurize with n_buckets == len(weights_micros)"
+                ),
+            )
+        ).cast("long"),
+    ).otherwise(F.col("_w"))
     return (
         exploded.join(F.broadcast(wdf), "_bucket", "left")
         .groupBy(id_col, "_nf")
-        .agg(F.sum("_w").alias("_sw"))
+        .agg(F.sum(matched).alias("_sw"))
         .select(
             id_col,
             F.col("_nf").alias("n_feats"),
@@ -1257,9 +1277,15 @@ def bpe_apply_merges(
 def _word_symbols(word: Column, eow: str) -> Column:
     """A word's initial subword-symbol sequence: its characters plus
     a separate end-of-word marker symbol (Sennrich et al. 2016 §3.2).
-    ``split(w, '')`` yields clean single-character arrays in Spark
-    ('' -> empty array), so '' -> [eow] alone."""
-    return F.concat(F.split(word, ""), F.array(F.lit(eow)))
+    The empty word (an all-whitespace document tokenizes to [''])
+    is guarded explicitly to [eow] alone: ``split('', '')`` has been
+    observed returning [''] in some plan contexts, which would emit
+    a phantom '' symbol and a phantom ('', eow) pair — diverging
+    from the oracle and the pure-Python reference (both define
+    chars('') = [])."""
+    return F.when(word == F.lit(""), F.array(F.lit(eow))).otherwise(
+        F.concat(F.split(word, ""), F.array(F.lit(eow)))
+    )
 
 
 def bpe_subword_merges(
@@ -1448,8 +1474,12 @@ def frequency_rank_vocab(
        combinable, cardinality <= vocab (metadata rows, never text);
     2. bucket offsets: per-LOG-BIN running sum over the histogram
        (window partitions = histogram rows per count-octave), with
-       the <= 64 log-bin totals — the only driver collect, hard-
-       bounded by int64 width — broadcast back as bin base offsets;
+       the <= 64 log-bin totals ranked by ONE single-partition
+       window over the 64-row bin aggregate (the ``equi_depth_bins``
+       bounded-histogram idiom — never over data) and broadcast back
+       as bin base offsets.  Fully LAZY: no driver collect, so
+       callers like ``bpe_encode`` stay unevaluated until acted on
+       (and bench timings measure the whole plan);
     3. in-bucket rank: row_number per (count, prefix) partition
        ordered by token alone (count is constant inside a bucket).
 
@@ -1472,21 +1502,26 @@ def frequency_rank_vocab(
     # 1. (count, prefix) bucket histogram — bucket sizes only
     hist = vocab.groupBy("_vc", "_vp").agg(F.count("*").alias("_n"))
     # 2a. log2 bins: length of the count's binary form — integer-
-    #     exact octaves, <= 64 of them, ordered DESC = count DESC
+    #     exact octaves, <= 64 of them, ordered DESC = count DESC.
+    #     Bin base offsets = tokens in all HIGHER bins: one
+    #     single-partition window over the <= 64-row bin aggregate
+    #     (bounded by int64 width — the equi_depth_bins idiom), kept
+    #     lazy and broadcast back.  Catalyst reuses the histogram
+    #     aggregation exchange between this branch and the join below.
     lb = F.length(F.bin(F.col("_vc"))).alias("_lb")
     hist = hist.select("*", lb)
-    bins = {
-        r["_lb"]: r["_s"]
-        for r in hist.groupBy("_lb").agg(F.sum("_n").alias("_s")).collect()
-    }
-    running = 0
-    bin_offsets = []
-    for b in sorted(bins, reverse=True):  # longer binary = higher count
-        bin_offsets.append((b, running))
-        running += int(bins[b])
-    spark = counts.sparkSession
+    wb = Window.orderBy(F.desc("_lb")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
     boff = F.broadcast(
-        spark.createDataFrame(bin_offsets or [(1, 0)], "_lb int, _boff long")
+        hist.groupBy("_lb")
+        .agg(F.sum("_n").alias("_bs"))
+        .select(
+            "_lb",
+            F.coalesce(F.sum("_bs").over(wb), F.lit(0).cast("long")).alias(
+                "_boff"
+            ),
+        )
     )
     # 2b. bucket base offsets: per-bin running sum over HISTOGRAM
     #     rows (count DESC, prefix ASC — the aligned bucket order)

@@ -1856,6 +1856,59 @@ def test_bpe_subword_merges_and_encode_hand_computed(spark):
         bpe_subword_encode(enc_docs, [("a", "a")])
 
 
+def test_bpe_subword_empty_word_guard(spark):
+    """Empty / all-whitespace documents tokenize to the word '' —
+    its symbol sequence must be [</w>] alone (chars('') = [], as the
+    oracle and pure-Python reference define), never a phantom ''
+    symbol: split('', '') was observed returning [''] in some plan
+    contexts, which emitted a bogus '' token and a phantom
+    ('', '</w>') pair that could flip a merge argmax."""
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.text import (
+        bpe_subword_encode,
+        bpe_subword_merges,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "ab ab"), (2, ""), (3, "   "), (4, "ab")],
+        ["doc_id", "text"],
+    )
+    got = {
+        (r["doc_id"], r["pos"]): r["token"]
+        for r in bpe_subword_encode(docs, [("a", "b")]).collect()
+    }
+    # '' and '   ' docs each carry ONE symbol: the bare marker
+    assert got == {
+        (1, 0): "ab", (1, 1): "</w>", (1, 2): "ab", (1, 3): "</w>",
+        (2, 0): "</w>", (3, 0): "</w>",
+        (4, 0): "ab", (4, 1): "</w>",
+    }
+    rules = bpe_subword_merges(docs, "text", n_merges=1).collect()
+    # the only learnable pair is (a, b) x3 — never ('', '</w>')
+    assert [(r["merge_left"], r["merge_right"], r["pair_count"])
+            for r in rules] == [("a", "b", 3)]
+
+
+def test_qcls_joined_form_rejects_out_of_range_buckets(spark):
+    """A featurizer/table size mismatch must fail LOUDLY in the
+    broadcast-LUT form (as element_at does in the literal form under
+    ANSI) — a silent left-join drop would return a plausible but
+    wrong floor-mean."""
+    import pytest
+
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.text import qcls_score_joined
+
+    feats = spark.createDataFrame(
+        [(1, [0, 1, 4090])], ["doc_id", "_f"]
+    )
+    ok = qcls_score_joined(
+        spark.createDataFrame([(1, [0, 1, 2])], ["doc_id", "_f"]),
+        [10, 20, 30],
+    ).collect()
+    assert ok[0]["score_micros"] == 20
+    with pytest.raises(Exception, match="bucket"):
+        qcls_score_joined(feats, [10, 20, 30]).collect()
+
+
 def test_frequency_rank_vocab_matches_naive_global_window(spark):
     """The distributed vocab rank (order-aligned (count, prefix)
     buckets + per-log-bin prefix sums; no single-partition window)

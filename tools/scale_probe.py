@@ -43,42 +43,13 @@ SEMDEDUP_CLUSTERS_PER_FACTOR = 8
 
 
 def probe_url_expr() -> F.Column:
-    """The curation probes' synthesized URL column (the gate recipe:
-    md5-deterministic, ~50 sites x 6 TLDs x 3 subdomain prefixes) —
-    one builder shared by the standard and 64x blocks so the same
-    SCALING.md row name can never mix parameterizations."""
-    h_url = F.md5(
-        F.concat(F.lit("url:v1:"), F.col("doc_id").cast("string")).cast(
-            "binary"
-        )
-    )
-    tlds = ["com", "org", "co.uk", "github.io", "net", "ac.jp"]
-    return F.concat(
-        F.lit("https://"),
-        F.when(
-            F.conv(F.substring(h_url, 13, 6), 16, 10).cast("long") % 3 == 0,
-            F.lit("www."),
-        )
-        .when(
-            F.conv(F.substring(h_url, 13, 6), 16, 10).cast("long") % 3 == 1,
-            F.lit("cdn.edge."),
-        )
-        .otherwise(F.lit("")),
-        F.lit("site"),
-        (F.conv(F.substring(h_url, 1, 6), 16, 10).cast("long") % 50).cast(
-            "string"
-        ),
-        F.lit("."),
-        F.element_at(
-            F.lit(tlds),
-            (F.conv(F.substring(h_url, 7, 6), 16, 10).cast("long") % 6).cast(
-                "int"
-            )
-            + 1,
-        ),
-        F.lit("/d/"),
-        F.col("doc_id").cast("string"),
-    )
+    """The curation probes' synthesized URL column — THE gate's own
+    synthesizer, imported so SCALING.md rows named after gate
+    operators (domain_rollup/domain_capped_sample) can never measure
+    a different domain-key distribution than the gate checks."""
+    from __spark_entry__ import _gate_url_expr
+
+    return _gate_url_expr()
 
 
 def qcls_probe_weights() -> list[int]:
