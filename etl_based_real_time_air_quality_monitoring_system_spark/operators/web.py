@@ -50,6 +50,10 @@ _HOST_RE = (
     "(\\[[^\\]/?#]+\\]|[^/:?#@]+)"
 )
 
+#: join-key stand-in for "no resolvable registered domain" — NUL is
+#: not a valid hostname byte, so no real domain can collide with it
+_NO_DOMAIN_SENTINEL = "\x00unresolved"
+
 #: IP-shaped hosts carry no registrable domain: bracketed IPv6
 #: literals, or all-digits-and-dots (IPv4 and friends — without this
 #: guard 1.2.3.4 falls through the last-two-labels fallback to a
@@ -245,27 +249,36 @@ def blocklist_filter(
     LEFT ANTI join — use that form for real blocklists (1e5+ rows).
     Documents with NO resolvable registered domain are dropped by
     default (the conservative curation posture); pass
-    ``keep_unresolved=True`` to retain them."""
-    # _host materialized under an alias before the suffix fold — see
-    # registered_domain_of's CodegenFallback/no-CSE note
+    ``keep_unresolved=True`` to retain them.
+
+    Plan shape: BOTH forms compile to one broadcast LEFT ANTI join on
+    a coalesced domain key — the null-drop rides in the JOIN KEY via
+    a sentinel (a NUL-prefixed string no real domain can be; the
+    sentinel row joins the blocklist only when unresolved rows should
+    drop) instead of a separate ``isNotNull`` filter.  A filter on
+    the derived column is a trap: predicate pushdown substitutes the
+    ENTIRE domain CASE (with ~10 inlined copies of the host regex
+    and, transitively, the URL expression) below the projections and
+    then recomputes it in the project — measured ~6x the whole
+    screen's cost at the gate.  Join keys are projected exactly once;
+    ``_host`` stays a multiply-referenced alias that CollapseProject
+    leaves materialized."""
+    spark = df.sparkSession
     tagged = df.withColumn("_host", host_of(url_col)).withColumn(
         "_dom", registered_domain_of(F.col("_host"), rules)
     )
     if isinstance(blocked, DataFrame):
-        kept = tagged.join(
-            F.broadcast(blocked.select(F.col("domain").alias("_dom"))),
-            "_dom",
-            "left_anti",
-        )
-        if not keep_unresolved:
-            kept = kept.filter(F.col("_dom").isNotNull())
-        return kept.drop("_host", "_dom")
-    unresolved = F.col("_dom").isNull()
-    not_blocked = ~F.coalesce(
-        F.col("_dom").isin(*list(blocked)), F.lit(False)
-    )
-    if keep_unresolved:
-        kept = tagged.filter(unresolved | not_blocked)
+        bl = blocked.select(F.col("domain").alias("_key"))
     else:
-        kept = tagged.filter(~unresolved & not_blocked)
-    return kept.drop("_host", "_dom")
+        rows = [(d,) for d in blocked]
+        bl = spark.createDataFrame(rows, "_key string")
+    if not keep_unresolved:
+        bl = bl.unionByName(
+            spark.createDataFrame([(_NO_DOMAIN_SENTINEL,)], "_key string")
+        )
+    keyed = tagged.withColumn(
+        "_key", F.coalesce(F.col("_dom"), F.lit(_NO_DOMAIN_SENTINEL))
+    )
+    return keyed.join(F.broadcast(bl), "_key", "left_anti").drop(
+        "_host", "_dom", "_key"
+    )
