@@ -3876,20 +3876,26 @@ def _q_domain_capped_sample(spark: SparkSession, sf: str) -> DataFrame:
         domain_capped_sample,
         host_of,
         registered_domain_of,
+        suffix_of,
     )
 
     docs = load_table(spark, sf, "documents")
     kept = domain_capped_sample(
         docs.withColumn("url", _gate_url_expr()), cap=2
     )
-    # host materialized under an alias FIRST (the no-CSE rule: the
-    # suffix fold and the coalesce reference it ~6 times; an inline
-    # host_of would re-run the authority regex per reference per row)
-    return kept.withColumn("_h", host_of("url")).select(
-        "doc_id",
-        F.coalesce(
-            registered_domain_of(F.col("_h")), F.col("_h")
-        ).alias("domain_key"),
+    # host AND suffix fold materialized under aliases FIRST (the
+    # no-CSE rule: the domain CASE references the host ~6 times and
+    # the fold 3 times; inlined they re-run per reference per row)
+    return (
+        kept.withColumn("_h", host_of("url"))
+        .withColumn("_s", suffix_of(F.col("_h")))
+        .select(
+            "doc_id",
+            F.coalesce(
+                registered_domain_of(F.col("_h"), suffix=F.col("_s")),
+                F.col("_h"),
+            ).alias("domain_key"),
+        )
     )
 
 

@@ -76,8 +76,32 @@ def host_of(url: Column | str) -> Column:
     )
 
 
-def registered_domain_of(
+def suffix_of(
     host: Column, rules: Sequence[str] = DEFAULT_SUFFIX_RULES
+) -> Column:
+    """Longest rule that is a PROPER suffix of the host ('' when none
+    matches) — the public-suffix fold :func:`registered_domain_of`
+    resolves against.  Exposed so DataFrame callers can MATERIALIZE
+    it once under an alias (the ``_host`` idiom): the fold is a
+    higher-order ``aggregate`` (CodegenFallback, no common-
+    subexpression elimination), and the registered-domain CASE
+    references it three times — inlined, it runs 3x per row and
+    triples the generated expression tree (measured ~2.5x the whole
+    screen's first-run cost at the blocklist gate)."""
+    rlit = F.lit(list(rules)).cast("array<string>")
+    return F.aggregate(
+        F.filter(
+            rlit, lambda r: F.endswith(host, F.concat(F.lit("."), r))
+        ),
+        F.lit("").cast("string"),
+        lambda acc, r: F.when(F.length(r) > F.length(acc), r).otherwise(acc),
+    )
+
+
+def registered_domain_of(
+    host: Column,
+    rules: Sequence[str] = DEFAULT_SUFFIX_RULES,
+    suffix: Column | None = None,
 ) -> Column:
     """Registered (pay-level) domain of a hostname under a plain
     public-suffix rule table: the longest rule that is a PROPER
@@ -91,21 +115,17 @@ def registered_domain_of(
     same host are the same string, so the longest match is unique —
     the higher-order fold is order-independent.
 
-    Pass a MATERIALIZED column (project ``host_of(url)`` under an
-    alias first, the ``token_count_of`` idiom), not the extraction
-    expression itself: higher-order functions are CodegenFallback
-    with no common-subexpression elimination, so an embedded regex
-    host expression would re-execute once per suffix rule per row —
-    a ~rule-count multiplier on the dominant per-row cost of a
-    pure-map curation stage."""
-    rlit = F.lit(list(rules)).cast("array<string>")
-    suffix = F.aggregate(
-        F.filter(
-            rlit, lambda r: F.endswith(host, F.concat(F.lit("."), r))
-        ),
-        F.lit("").cast("string"),
-        lambda acc, r: F.when(F.length(r) > F.length(acc), r).otherwise(acc),
-    )
+    Pass MATERIALIZED columns (project ``host_of(url)`` AND
+    ``suffix_of(host)`` under aliases first, the ``token_count_of``
+    idiom), not the extraction expressions themselves: higher-order
+    functions are CodegenFallback with no common-subexpression
+    elimination, so an embedded regex host expression would
+    re-execute once per suffix rule per row, and an inlined suffix
+    fold (the ``suffix=None`` convenience default) runs 3x per row —
+    multipliers on the dominant per-row cost of a pure-map curation
+    stage."""
+    if suffix is None:
+        suffix = suffix_of(host, rules)
     labels = F.split(host, r"\.")
     fallback = F.when(
         F.size(labels) >= 2,
@@ -149,9 +169,11 @@ def domain_rollup(
             if text_col is not None
             else []
         ),
-    )
+    ).withColumn("_sfx", suffix_of(F.col("_host"), rules))
     base = hosts.select(
-        registered_domain_of(F.col("_host"), rules).alias("domain"),
+        registered_domain_of(
+            F.col("_host"), rules, suffix=F.col("_sfx")
+        ).alias("domain"),
         "_host",
         *(["_n_tok"] if text_col is not None else []),
     )
@@ -204,17 +226,26 @@ def domain_capped_sample(
 
     if cap < 1:
         raise ValueError("domain_capped_sample: cap must be >= 1")
-    reserved = ("_host", "_dom", "_grp", "_crank")
+    reserved = ("_host", "_sfx", "_dom", "_grp", "_crank")
     for r in reserved:
         if r in df.columns:
             raise ValueError(
                 f"domain_capped_sample: input already has column {r}"
             )
-    tagged = df.withColumn("_host", host_of(url_col)).withColumn(
-        "_dom", registered_domain_of(F.col("_host"), rules)
+    tagged = (
+        df.withColumn("_host", host_of(url_col))
+        .withColumn("_sfx", suffix_of(F.col("_host"), rules))
+        .withColumn(
+            "_dom",
+            registered_domain_of(
+                F.col("_host"), rules, suffix=F.col("_sfx")
+            ),
+        )
     )
     grp = F.coalesce(F.col("_dom"), F.col("_host"))
-    unhosted = tagged.filter(F.col("_host").isNull()).drop("_host", "_dom")
+    unhosted = tagged.filter(F.col("_host").isNull()).drop(
+        "_host", "_sfx", "_dom"
+    )
     capped = (
         tagged.filter(F.col("_host").isNotNull())
         .withColumn("_grp", grp)
@@ -227,7 +258,7 @@ def domain_capped_sample(
             ),
         )
         .filter(F.col("_crank") <= F.lit(int(cap)))
-        .drop("_host", "_dom", "_grp", "_crank")
+        .drop("_host", "_sfx", "_dom", "_grp", "_crank")
     )
     if keep_unhosted:
         return capped.unionByName(unhosted)
@@ -264,8 +295,15 @@ def blocklist_filter(
     ``_host`` stays a multiply-referenced alias that CollapseProject
     leaves materialized."""
     spark = df.sparkSession
-    tagged = df.withColumn("_host", host_of(url_col)).withColumn(
-        "_dom", registered_domain_of(F.col("_host"), rules)
+    tagged = (
+        df.withColumn("_host", host_of(url_col))
+        .withColumn("_sfx", suffix_of(F.col("_host"), rules))
+        .withColumn(
+            "_dom",
+            registered_domain_of(
+                F.col("_host"), rules, suffix=F.col("_sfx")
+            ),
+        )
     )
     if isinstance(blocked, DataFrame):
         bl = blocked.select(F.col("domain").alias("_key"))
@@ -280,5 +318,5 @@ def blocklist_filter(
         "_key", F.coalesce(F.col("_dom"), F.lit(_NO_DOMAIN_SENTINEL))
     )
     return keyed.join(F.broadcast(bl), "_key", "left_anti").drop(
-        "_host", "_dom", "_key"
+        "_host", "_sfx", "_dom", "_key"
     )
