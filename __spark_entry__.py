@@ -3919,6 +3919,39 @@ def _q_blocklist_filter_df(spark: SparkSession, sf: str) -> DataFrame:
     return kept.select("doc_id")
 
 
+#: the bm25_search gate's fixed query set — lowercase terms so they
+#: match the lowercased whitespace tokenization; terms absent from a
+#: given SF's corpus simply contribute nothing (OR semantics)
+_BM25_GATE_QUERIES: tuple[tuple[str, str], ...] = (
+    ("q_exec", "hash"),
+    ("q_exec", "join"),
+    ("q_exec", "shuffle"),
+    ("q_scan", "scan"),
+    ("q_scan", "filter"),
+    ("q_scan", "parquet"),
+    ("q_stream", "stream"),
+    ("q_stream", "window"),
+    ("q_stream", "state"),
+)
+
+
+def _q_bm25_search(spark: SparkSession, sf: str) -> DataFrame:
+    # lexical retrieval (Okapi BM25, log-free RSJ idf — the
+    # tfidf_terms exactness recipe): top-10 documents for each of
+    # three keyword queries.  Every per-term contribution is floored
+    # to integer micros BEFORE the per-doc sum, so score_micros is an
+    # order-independent BIGINT the oracle reproduces bit-for-bit; the
+    # oracle re-derives stats/df/saturation through its own CTE chain
+    # with the identical double parenthesization.
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.retrieval import bm25_topk
+
+    docs = load_table(spark, sf, "documents")
+    qmap: dict[str, list[str]] = {}
+    for qid, term in _BM25_GATE_QUERIES:
+        qmap.setdefault(qid, []).append(term)
+    return bm25_topk(docs, qmap, k=10)
+
+
 def _pq_micros_emb(spark: SparkSession, sf: str) -> DataFrame:
     # shared PQ input: embeddings quantized to integer micros FIRST
     # (micros_vec — the repo's single floor-half-up recipe) so every
@@ -4985,9 +5018,10 @@ def _q_sketch_bounds(spark: SparkSession, sf: str) -> DataFrame:
 
 #: The driver's correctness gate samples the FIRST 50 queries()
 #: entries, so the window is an explicit, auditable list (r8) —
-#: risk-ordered: (1) the four gate queries NEW this round
+#: risk-ordered: (1) the five gate queries NEW this round
 #: (character-level BPE, per-domain cap enforcement, the
-#: DataFrame-blocklist form, streaming IVF-PQ index maintenance),
+#: DataFrame-blocklist form, streaming IVF-PQ index maintenance,
+#: BM25 lexical retrieval),
 #: (2) the direct exerciser of every seam whose code changed this
 #: round (host_of/registered_domain_of IP guard -> domain_rollup;
 #: the qcls literal cap + empty-array guard -> quality_classifier;
@@ -4995,10 +5029,11 @@ def _q_sketch_bounds(spark: SparkSession, sf: str) -> DataFrame:
 #: distributed frequency_rank_vocab + hash join -> bpe_encode; the
 #: cluster_balanced_sample centroids param -> its gate), (3) the 14
 #: r3-stale entries the r7 window displaced (_R8_QUEUE, promised
-#: first-in-line), (4) the heaviest 29 of the 47 r4-stale entries,
-#: pair-expansion family first (the r7 verdict's ask).  The 18
-#: r4-stale entries that did not fit are _R9_QUEUE — first in line
-#: next round, which zeroes the >3-round staleness backlog
+#: first-in-line), (4) the heaviest 28 of the 47 r4-stale entries,
+#: pair-expansion family first (the r7 verdict's ask).  The 19
+#: r4-stale entries that did not fit (gopher_quality displaced
+#: late-round by the bm25_search gate) are _R9_QUEUE — first in
+#: line next round, which zeroes the >3-round staleness backlog
 #: (61 stale > 50 slots; two-round burn-down).
 _R8_WINDOW: tuple[str, ...] = (
     # new in round 8
@@ -5006,6 +5041,7 @@ _R8_WINDOW: tuple[str, ...] = (
     "domain_capped_sample",
     "blocklist_filter_df",
     "streaming_ivfpq_index",
+    "bm25_search",
     # code changed in round 8 -> re-gate the DIRECT exerciser of
     # each changed seam.  Seam-sharing twins are displaced for stale
     # burn-down (the r7 precedent): corpus_pipeline's classifier
@@ -5065,16 +5101,19 @@ _R8_WINDOW: tuple[str, ...] = (
     "drift_report",
     "ingest_metrics_passthrough",
     "multimodal_resized",
-    "gopher_quality",
 )
 
-#: the 18 r4-stale entries displaced from the r8 window by its
-#: 50-slot cap — positions 51-68 so local sweeps cover them, and
+#: the 19 r4-stale entries displaced from the r8 window by its
+#: 50-slot cap — positions 51-69 so local sweeps cover them, and
 #: FIRST IN LINE for the r9 window (each is green in this round's
 #: full 3-SF local sweep on final code; see ORACLE_SWEEP.md).
 #: Gating these in r9 makes every registry entry's latest driver
 #: row <= 3 rounds old.
 _R9_QUEUE: tuple[str, ...] = (
+    # displaced from the r8 window by the late-round bm25_search gate
+    # (never-gated entries lead; gopher_quality is r4-stale and green
+    # in this round's 3-SF sweep — first in line r9)
+    "gopher_quality",
     "sketch_profile",
     "embedding_gram",
     "multimodal_frames",
@@ -5117,6 +5156,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_capped_sample": _q_domain_capped_sample,
         "blocklist_filter_df": _q_blocklist_filter_df,
         "streaming_ivfpq_index": _q_streaming_ivfpq_index,
+        "bm25_search": _q_bm25_search,
         # --- new or code-changed in round 7 ---------------------------
         "bpe_encode": _q_bpe_encode,
         "quality_classifier": _q_quality_classifier,
@@ -6247,6 +6287,78 @@ def _oracle_sql_literal() -> dict[str, str]:
             WHERE d.domain IS NOT NULL
               AND d.domain NOT IN ('site7.com', 'site13.co.uk',
                                    'site21.github.io')
+        """,
+        # bm25_search: log-free Okapi BM25 (RSJ idf argument without
+        # the ln — the tfidf_terms exactness recipe).  Every double
+        # expression below keeps the Spark side's exact
+        # parenthesization (same exact-integer inputs -> same
+        # correctly-rounded bits), and per-term contributions floor
+        # to integer micros BEFORE the per-doc sum so score_micros is
+        # an order-independent BIGINT.  Constants: k1=1.2, b=0.75 ->
+        # C_num=2200 (=1000*(k1+1)), C_lin=300 (=1000*k1*(1-b)),
+        # C_quad=900 (=1000*k1*b).  The query VALUES interpolate from
+        # _BM25_GATE_QUERIES so the two sides can never drift.
+        "bm25_search": f"""
+            WITH dt AS (
+                SELECT doc_id,
+                       string_split_regex(trim(lower(text)), '\\s+') AS toks
+                FROM documents
+            ),
+            stats AS (
+                SELECT CAST(count(*) AS DOUBLE) AS nd,
+                       CAST(SUM(len(toks)) AS DOUBLE) AS td
+                FROM dt
+            ),
+            qt(query_id, term) AS (VALUES {", ".join(
+                f"('{q}', '{t}')" for q, t in _BM25_GATE_QUERIES
+            )}),
+            posts AS (
+                SELECT doc_id, len(toks) AS dl, unnest(toks) AS term
+                FROM dt
+            ),
+            tf AS (
+                SELECT doc_id, term,
+                       CAST(count(*) AS BIGINT) AS tf,
+                       max(dl) AS dl
+                FROM posts
+                WHERE term IN (SELECT DISTINCT term FROM qt)
+                GROUP BY doc_id, term
+            ),
+            dfreq AS (
+                SELECT term, CAST(count(*) AS DOUBLE) AS dfd
+                FROM tf GROUP BY term
+            ),
+            contrib AS (
+                SELECT q.query_id, t.doc_id,
+                    CAST(FLOOR(
+                        (((((2.0 * s.nd) - (2.0 * d.dfd) + 1.0)
+                           / ((2.0 * d.dfd) + 1.0))
+                          * (((CAST(t.tf AS DOUBLE) * 2200.0) * s.td)
+                             / (((1000.0 * s.td) * CAST(t.tf AS DOUBLE))
+                                + (300.0 * s.td)
+                                + ((900.0 * CAST(t.dl AS DOUBLE)) * s.nd))))
+                         * 1000000.0) + 0.5
+                    ) AS BIGINT) AS c
+                FROM tf t
+                JOIN qt q USING (term)
+                JOIN dfreq d USING (term)
+                CROSS JOIN stats s
+            ),
+            scored AS (
+                SELECT query_id, doc_id,
+                       CAST(SUM(c) AS BIGINT) AS score_micros
+                FROM contrib GROUP BY query_id, doc_id
+            ),
+            ranked AS (
+                SELECT query_id, doc_id, score_micros,
+                       CAST(row_number() OVER (
+                           PARTITION BY query_id
+                           ORDER BY score_micros DESC, doc_id
+                       ) AS INTEGER) AS rnk
+                FROM scored
+            )
+            SELECT query_id, doc_id, score_micros, rnk
+            FROM ranked WHERE rnk <= 10
         """,
         "pq_codes": """
             WITH mq AS (

@@ -174,6 +174,12 @@ HEADLINE = [
     "domain_rollup",
     "nn_confusion_ivfpq_stored",
     "cluster_balanced_sample",
+    # round-8 additions
+    "bpe_subword_encode",
+    "domain_capped_sample",
+    "blocklist_filter_df",
+    "streaming_ivfpq_index",
+    "bm25_search",
 ]
 
 

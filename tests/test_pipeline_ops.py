@@ -2135,3 +2135,61 @@ def test_bpe_word_merges_property_vs_sequential_fold(spark):
         assert got == ref_fold(docs, 2)
 
     case()
+
+
+def test_bm25_topk_hand_computed(spark):
+    """bm25_topk must equal a pure-Python reference computing the
+    same log-free Okapi BM25 (RSJ idf argument, exact-integer
+    saturation ratio, per-term micros floored BEFORE the sum) —
+    Python floats are the same IEEE doubles, so the comparison is
+    bit-exact, including ranking and tie-breaks."""
+    import math
+
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.retrieval import bm25_topk
+
+    docs = [
+        (1, "spark spark shuffle join"),
+        (2, "join join join hash"),
+        (3, "scan filter scan"),
+        (4, "the quick brown fox"),          # matches nothing
+        (5, "Hash JOIN hash"),               # lowercase fold
+        (6, "join"),                         # short doc, high sat
+    ]
+    queries = {"qa": ["join", "hash"], "qb": ["scan"], "qc": ["zzz"]}
+
+    toks = {i: t.lower().split() for i, t in docs}
+    n, t_total = len(docs), sum(len(v) for v in toks.values())
+    ref: dict[str, dict[int, int]] = {}
+    for qid, terms in queries.items():
+        for term in set(terms):
+            df_t = sum(1 for v in toks.values() if term in v)
+            if df_t == 0:
+                continue
+            for i, v in toks.items():
+                tf = v.count(term)
+                if tf == 0:
+                    continue
+                dl = len(v)
+                idf = ((2.0 * n) - (2.0 * df_t) + 1.0) / ((2.0 * df_t) + 1.0)
+                sat = ((tf * 2200.0) * t_total) / (
+                    ((1000.0 * t_total) * tf)
+                    + (300.0 * t_total)
+                    + ((900.0 * dl) * n)
+                )
+                c = math.floor(((idf * sat) * 1000000.0) + 0.5)
+                ref.setdefault(qid, {})
+                ref[qid][i] = ref[qid].get(i, 0) + c
+    expected = set()
+    for qid, per_doc in ref.items():
+        ranked = sorted(per_doc.items(), key=lambda kv: (-kv[1], kv[0]))
+        for rnk, (i, s) in enumerate(ranked[:3], start=1):
+            expected.add((qid, i, s, rnk))
+
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {
+        (r["query_id"], r["doc_id"], r["score_micros"], r["rnk"])
+        for r in bm25_topk(df, queries, k=3).collect()
+    }
+    assert got == expected
+    assert not any(q == "qc" for q, *_ in got)   # absent-term query
+    assert not any(d == 4 for _, d, *_ in got)   # unmatched doc

@@ -758,3 +758,18 @@ def test_domain_capped_sample_windowgrouplimit(spark, sf_dir):
     assert "WindowGroupLimit" in p
     assert n_key_shuffles(p) == 1, f"expected 1 key shuffle: {n_key_shuffles(p)}"
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_bm25_search_broadcast_and_windowgrouplimit(spark, sf_dir):
+    """BM25 retrieval: query vocabulary / doc-frequency / corpus
+    stats must all join BROADCAST (no SortMergeJoin anywhere — the
+    corpus side never re-shuffles for dimension-sized tables), and
+    the literal top-k bound must compile the map-side
+    WindowGroupLimit so at most k rows per partition per query reach
+    the final (query-count-sized) exchange.  No Python nodes."""
+    q = entrymod.queries()["bm25_search"](spark, sf_dir)
+    p = plan(q)
+    assert "BroadcastHashJoin" in p
+    assert "WindowGroupLimit" in p
+    assert "SortMergeJoin" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p

@@ -373,8 +373,24 @@ def probes(spark, sf_dir: str, factor: int) -> dict[str, tuple[DataFrame, int]]:
     cbal = cluster_balanced_sample(
         memb_inf, "vec_id", "embedding", n_clusters=16, quota=25 * factor
     )
+    # BM25 retrieval (r8): the gate's fixed 3-query set over the
+    # inflated corpus — stats pass + filtered-postings shuffle +
+    # WindowGroupLimit top-k; matched postings scale linearly, the
+    # top-k output is constant
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.retrieval import bm25_topk
+
+    bm25 = bm25_topk(
+        docs,
+        {
+            "q_exec": ["hash", "join", "shuffle"],
+            "q_scan": ["scan", "filter", "parquet"],
+            "q_stream": ["stream", "window", "state"],
+        },
+        k=10,
+    )
     return {
         "quality_classifier_score(documents)": (qcls, n_docs),
+        "bm25_topk(documents, 3q)": (bm25, n_docs),
         "domain_rollup(documents)": (domains, n_docs),
         "bpe_encode(documents, 3 rules)": (bpe_enc, n_docs),
         "bpe_subword_encode(documents, 3 rules)": (sub_enc, n_docs),
