@@ -3952,6 +3952,47 @@ def _q_bm25_search(spark: SparkSession, sf: str) -> DataFrame:
     return bm25_topk(docs, qmap, k=10)
 
 
+def _q_line_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    # C4-style corpus-wide repeated-line removal WITH document
+    # rewrite (the ACTION beside passage_dup_stats' report): every
+    # line occurring >= 2 times keeps only its globally-first
+    # occurrence (min (doc_id, pos)); documents reassemble from
+    # surviving lines in order.  The synthetic corpus is single-line,
+    # so the gate synthesizes "lines" as non-overlapping 5-token
+    # chunks (~5% of chunks repeat at sf0.01 — non-degenerate both
+    # ways) — _toks and the chunk array are materialized aliases
+    # (higher-order transform has no CSE; an inline tokens() would
+    # re-split per chunk).  size(_toks) >= 1 always (split of ''
+    # yields ['']), so the sequence upper bound >= 0 — the
+    # descending-sequence trap can't trigger.
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.dedup import line_dedup
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.text import tokens
+
+    docs = load_table(spark, sf, "documents")
+    chunked = docs.select(
+        "doc_id", tokens("text").alias("_toks")
+    ).select(
+        "doc_id",
+        F.transform(
+            F.sequence(
+                F.lit(0).cast("long"),
+                (F.ceil(F.size("_toks") / F.lit(5.0)) - F.lit(1)).cast(
+                    "long"
+                ),
+            ),
+            lambda i: F.array_join(
+                F.slice(
+                    F.col("_toks"), ((i * F.lit(5)) + F.lit(1)).cast("int"), 5
+                ),
+                " ",
+            ),
+        ).alias("_chunks"),
+    )
+    return line_dedup(
+        chunked, id_col="doc_id", lines_col="_chunks", join_sep=" "
+    )
+
+
 def _pq_micros_emb(spark: SparkSession, sf: str) -> DataFrame:
     # shared PQ input: embeddings quantized to integer micros FIRST
     # (micros_vec — the repo's single floor-half-up recipe) so every
@@ -5018,10 +5059,10 @@ def _q_sketch_bounds(spark: SparkSession, sf: str) -> DataFrame:
 
 #: The driver's correctness gate samples the FIRST 50 queries()
 #: entries, so the window is an explicit, auditable list (r8) —
-#: risk-ordered: (1) the five gate queries NEW this round
+#: risk-ordered: (1) the six gate queries NEW this round
 #: (character-level BPE, per-domain cap enforcement, the
 #: DataFrame-blocklist form, streaming IVF-PQ index maintenance,
-#: BM25 lexical retrieval),
+#: BM25 lexical retrieval, C4-style line dedup with rewrite),
 #: (2) the direct exerciser of every seam whose code changed this
 #: round (host_of/registered_domain_of IP guard -> domain_rollup;
 #: the qcls literal cap + empty-array guard -> quality_classifier;
@@ -5029,12 +5070,13 @@ def _q_sketch_bounds(spark: SparkSession, sf: str) -> DataFrame:
 #: distributed frequency_rank_vocab + hash join -> bpe_encode; the
 #: cluster_balanced_sample centroids param -> its gate), (3) the 14
 #: r3-stale entries the r7 window displaced (_R8_QUEUE, promised
-#: first-in-line), (4) the heaviest 28 of the 47 r4-stale entries,
-#: pair-expansion family first (the r7 verdict's ask).  The 19
-#: r4-stale entries that did not fit (gopher_quality displaced
-#: late-round by the bm25_search gate) are _R9_QUEUE — first in
-#: line next round, which zeroes the >3-round staleness backlog
-#: (61 stale > 50 slots; two-round burn-down).
+#: first-in-line), (4) the heaviest 27 of the 47 r4-stale entries,
+#: pair-expansion family first (the r7 verdict's ask).  The 20
+#: r4-stale entries that did not fit (gopher_quality and
+#: multimodal_resized displaced late-round by the bm25_search /
+#: line_dedup gates) are _R9_QUEUE — first in line next round,
+#: which zeroes the >3-round staleness backlog (61 stale > 50
+#: slots; two-round burn-down).
 _R8_WINDOW: tuple[str, ...] = (
     # new in round 8
     "bpe_subword_encode",
@@ -5042,6 +5084,7 @@ _R8_WINDOW: tuple[str, ...] = (
     "blocklist_filter_df",
     "streaming_ivfpq_index",
     "bm25_search",
+    "line_dedup",
     # code changed in round 8 -> re-gate the DIRECT exerciser of
     # each changed seam.  Seam-sharing twins are displaced for stale
     # burn-down (the r7 precedent): corpus_pipeline's classifier
@@ -5100,19 +5143,20 @@ _R8_WINDOW: tuple[str, ...] = (
     "dedup_graph_stats",
     "drift_report",
     "ingest_metrics_passthrough",
-    "multimodal_resized",
 )
 
-#: the 19 r4-stale entries displaced from the r8 window by its
-#: 50-slot cap — positions 51-69 so local sweeps cover them, and
+#: the 20 r4-stale entries displaced from the r8 window by its
+#: 50-slot cap — positions 51-70 so local sweeps cover them, and
 #: FIRST IN LINE for the r9 window (each is green in this round's
 #: full 3-SF local sweep on final code; see ORACLE_SWEEP.md).
 #: Gating these in r9 makes every registry entry's latest driver
 #: row <= 3 rounds old.
 _R9_QUEUE: tuple[str, ...] = (
-    # displaced from the r8 window by the late-round bm25_search gate
-    # (never-gated entries lead; gopher_quality is r4-stale and green
-    # in this round's 3-SF sweep — first in line r9)
+    # displaced from the r8 window by the late-round bm25_search /
+    # line_dedup gates (never-gated entries lead; both displaced
+    # entries are r4-stale and green in this round's 3-SF sweep —
+    # first in line r9)
+    "multimodal_resized",
     "gopher_quality",
     "sketch_profile",
     "embedding_gram",
@@ -5157,6 +5201,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "blocklist_filter_df": _q_blocklist_filter_df,
         "streaming_ivfpq_index": _q_streaming_ivfpq_index,
         "bm25_search": _q_bm25_search,
+        "line_dedup": _q_line_dedup,
         # --- new or code-changed in round 7 ---------------------------
         "bpe_encode": _q_bpe_encode,
         "quality_classifier": _q_quality_classifier,
@@ -6359,6 +6404,53 @@ def _oracle_sql_literal() -> dict[str, str]:
             )
             SELECT query_id, doc_id, score_micros, rnk
             FROM ranked WHERE rnk <= 10
+        """,
+        # line_dedup: C4-style repeated-line removal with rewrite.
+        # Lines = non-overlapping 5-token chunks (the gate synthesis;
+        # Spark transform/sequence/slice == DuckDB list_transform/
+        # range/list_slice with identical 1-based inclusive clamped
+        # bounds).  Keep rule re-derived via windows (count over line,
+        # row_number by (doc_id, pos)) — the Spark side aggregates
+        # (count, min(struct)) instead; same values.  Every doc comes
+        # back (LEFT JOIN; all-lines-cut docs get '' / 0).
+        "line_dedup": """
+            WITH dt AS (
+                SELECT doc_id,
+                       string_split_regex(trim(text), '\\s+') AS toks
+                FROM documents
+            ),
+            ln AS (
+                SELECT doc_id, CAST(i AS INT) AS pos,
+                       array_to_string(
+                           list_slice(toks, i*5 + 1, i*5 + 5), ' '
+                       ) AS line
+                FROM dt,
+                     UNNEST(range(0, CAST(ceil(len(toks) / 5.0) AS BIGINT)))
+                         AS u(i)
+            ),
+            mk AS (
+                SELECT doc_id, pos, line,
+                       count(*) OVER (PARTITION BY line) AS cnt,
+                       row_number() OVER (
+                           PARTITION BY line ORDER BY doc_id, pos
+                       ) AS rn
+                FROM ln
+            ),
+            kept AS (
+                SELECT doc_id, pos, line FROM mk
+                WHERE cnt < 2 OR rn = 1
+            ),
+            re AS (
+                SELECT doc_id,
+                       string_agg(line, ' ' ORDER BY pos) AS text_clean,
+                       CAST(count(*) AS BIGINT) AS n_kept
+                FROM kept GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   COALESCE(re.text_clean, '') AS text_clean,
+                   CAST(ceil(len(d.toks) / 5.0) AS INT) AS n_lines,
+                   CAST(COALESCE(re.n_kept, 0) AS BIGINT) AS n_kept
+            FROM dt d LEFT JOIN re USING (doc_id)
         """,
         "pq_codes": """
             WITH mq AS (

@@ -180,6 +180,7 @@ HEADLINE = [
     "blocklist_filter_df",
     "streaming_ivfpq_index",
     "bm25_search",
+    "line_dedup",
 ]
 
 

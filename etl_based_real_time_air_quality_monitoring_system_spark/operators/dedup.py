@@ -509,6 +509,99 @@ def contamination_check(
     )
 
 
+def line_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    lines_col: str | None = None,
+    text_col: str = "text",
+    sep: str = "\n",
+    join_sep: str = "\n",
+    min_count: int = 2,
+) -> DataFrame:
+    """Corpus-wide repeated-line removal WITH document rewrite — the
+    C4 recipe (Raffel et al. 2020 §2.2: "discard all but one of any
+    three-sentence span occurring more than once") and RefinedWeb's
+    line-wise dedup, as an ACTION rather than a report: every line
+    occurring ``>= min_count`` times in the corpus keeps only its
+    globally-first occurrence (min ``(id, position)`` — fully
+    deterministic), all other occurrences are cut, and each
+    document's text is reassembled from its surviving lines in
+    original order.  This is the missing REWRITE step next to
+    :func:`exact_text_dedup` (whole-doc drop) and
+    :func:`passage_dup_stats` (report only): boilerplate
+    headers/footers/navigation chrome vanish from every page that
+    repeats them while the first page keeps its copy.
+
+    ``lines_col`` names a precomputed ``array<string>`` column; else
+    ``text_col`` is split on the ``sep`` regex and rejoined with
+    ``join_sep``.  Returns ``(id, text_clean, n_lines, n_kept)`` —
+    one row per input document (a document whose every line was cut
+    comes back with ``text_clean = ''`` and ``n_kept = 0``, so
+    downstream length filters see it rather than silently losing it).
+
+    Scale shape (100 TB): the line-stats shuffle carries
+    ``(md5(line), id, pos)`` — 16-byte hashes, never line text (the
+    exact-dedup discipline); count+min are partial-aggregated
+    map-side, so a boilerplate line repeated a billion times arrives
+    at its reducer as one row per upstream partition.  Postings
+    re-join the stats on the hash (a line-cardinality table — far
+    above any broadcast threshold at corpus scale, so the planner
+    keeps it a hash-partitioned join; at test scale AQE is free to
+    broadcast it), then one ``id``-keyed
+    aggregation rebuilds documents (``collect_list`` of (pos, line)
+    structs, sorted in-expression — bounded by document size).  No
+    Python anywhere.
+    """
+    if min_count < 2:
+        raise ValueError("line_dedup: min_count must be >= 2")
+    lines_arr = (
+        F.col(lines_col)
+        if lines_col is not None
+        else F.split(F.col(text_col), sep)
+    )
+    base = spread_small_input(
+        df.select(F.col(id_col), lines_arr.alias("_lines"))
+    )
+    per_doc = base.select(
+        F.col(id_col), F.size("_lines").alias("n_lines")
+    )
+    posts = base.select(
+        F.col(id_col),
+        F.posexplode("_lines").alias("_pos", "_line"),
+    ).withColumn("_lh", F.md5(F.col("_line")))
+    stats = posts.groupBy("_lh").agg(
+        F.count("*").alias("_cnt"),
+        F.min(F.struct(F.col(id_col), F.col("_pos"))).alias("_keeper"),
+    )
+    kept = posts.join(stats, "_lh").filter(
+        (F.col("_cnt") < F.lit(int(min_count)))
+        | (F.struct(F.col(id_col), F.col("_pos")) == F.col("_keeper"))
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("_pos", "_line"))
+                ),
+                lambda x: x["_line"],
+            ),
+            join_sep,
+        ).alias("text_clean"),
+        F.count("*").alias("n_kept"),
+    )
+    return (
+        per_doc.join(rebuilt, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("text_clean"), F.lit("")).alias("text_clean"),
+            "n_lines",
+            F.coalesce(F.col("n_kept"), F.lit(0).cast("long")).alias(
+                "n_kept"
+            ),
+        )
+    )
+
+
 def passage_dup_stats(
     df: DataFrame,
     id_col: str = "doc_id",

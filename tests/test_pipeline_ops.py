@@ -2193,3 +2193,42 @@ def test_bm25_topk_hand_computed(spark):
     assert got == expected
     assert not any(q == "qc" for q, *_ in got)   # absent-term query
     assert not any(d == 4 for _, d, *_ in got)   # unmatched doc
+
+
+def test_line_dedup_hand_computed(spark):
+    """line_dedup keeps only the globally-first occurrence (min
+    (id, pos)) of every repeated line, reassembles surviving lines
+    in original order, and returns every input document — including
+    ones whose every line was cut ('' / 0)."""
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.dedup import line_dedup
+
+    rows = [
+        (1, "header\nalpha beta\nfooter"),
+        (2, "header\ngamma\nfooter"),
+        (3, "header\nalpha beta\ndelta"),
+        (4, "unique only"),
+        (5, "header\nheader\nfooter"),  # within-doc repeats count too
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = [tuple(r) for r in line_dedup(df).orderBy("doc_id").collect()]
+    assert got == [
+        (1, "header\nalpha beta\nfooter", 3, 3),  # first occurrences
+        (2, "gamma", 3, 1),
+        (3, "delta", 3, 1),
+        (4, "unique only", 1, 1),
+        (5, "", 3, 0),                            # all lines were dups
+    ]
+    # min_count=3: 'header' (5 occurrences) and 'footer' (3) cross
+    # the bar; 'alpha beta' (2) now survives everywhere
+    got3 = {
+        r["doc_id"]: (r["text_clean"], r["n_kept"])
+        for r in line_dedup(df, min_count=3).collect()
+    }
+    assert got3[1] == ("header\nalpha beta\nfooter", 3)
+    assert got3[2] == ("gamma", 1)
+    assert got3[3] == ("alpha beta\ndelta", 2)
+    assert got3[5] == ("", 0)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        line_dedup(df, min_count=1)

@@ -773,3 +773,15 @@ def test_bm25_search_broadcast_and_windowgrouplimit(spark, sf_dir):
     assert "WindowGroupLimit" in p
     assert "SortMergeJoin" not in p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_line_dedup_partial_agg_no_python(spark, sf_dir):
+    """Line dedup: the line-stats aggregation must be partial+final
+    (a boilerplate line repeated N times arrives at its reducer as
+    one row per upstream partition, not N rows), the shuffled stats
+    key is the 16-byte md5 (never line text alone), and no Python
+    nodes anywhere."""
+    q = entrymod.queries()["line_dedup"](spark, sf_dir)
+    p = plan(q)
+    assert p.count("HashAggregate") >= 2          # partial + final
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
