@@ -537,7 +537,9 @@ def line_dedup(
     ``join_sep``.  Returns ``(id, text_clean, n_lines, n_kept)`` —
     one row per input document (a document whose every line was cut
     comes back with ``text_clean = ''`` and ``n_kept = 0``, so
-    downstream length filters see it rather than silently losing it).
+    downstream length filters see it rather than silently losing it;
+    NULL entries inside a user-supplied ``lines_col`` array are
+    ignored).
 
     Scale shape (100 TB): the line-stats shuffle carries
     ``(md5(line), id, pos)`` — 16-byte hashes, never line text (the
@@ -547,10 +549,14 @@ def line_dedup(
     re-join the stats on the hash (a line-cardinality table — far
     above any broadcast threshold at corpus scale, so the planner
     keeps it a hash-partitioned join; at test scale AQE is free to
-    broadcast it), then one ``id``-keyed
-    aggregation rebuilds documents (``collect_list`` of (pos, line)
-    structs, sorted in-expression — bounded by document size).  No
-    Python anywhere.
+    broadcast it), then ONE ``id``-keyed aggregation rebuilds the
+    documents AND their totals (``posexplode_outer`` keeps
+    empty-array docs alive, so per-doc counts ride the rebuild
+    instead of a third corpus scan + re-join; ``collect_list`` of
+    kept (pos, line) structs, sorted in-expression — bounded by
+    document size).  Two corpus passes total (the postings subplan
+    feeds both the stats aggregate and the rebuild), no Python
+    anywhere.
     """
     if min_count < 2:
         raise ValueError("line_dedup: min_count must be >= 2")
@@ -562,43 +568,44 @@ def line_dedup(
     base = spread_small_input(
         df.select(F.col(id_col), lines_arr.alias("_lines"))
     )
-    per_doc = base.select(
-        F.col(id_col), F.size("_lines").alias("n_lines")
-    )
     posts = base.select(
         F.col(id_col),
-        F.posexplode("_lines").alias("_pos", "_line"),
+        F.posexplode_outer("_lines").alias("_pos", "_line"),
     ).withColumn("_lh", F.md5(F.col("_line")))
-    stats = posts.groupBy("_lh").agg(
-        F.count("*").alias("_cnt"),
-        F.min(F.struct(F.col(id_col), F.col("_pos"))).alias("_keeper"),
+    stats = (
+        posts.filter(F.col("_line").isNotNull())
+        .groupBy("_lh")
+        .agg(
+            F.count("*").alias("_cnt"),
+            F.min(F.struct(F.col(id_col), F.col("_pos"))).alias(
+                "_keeper"
+            ),
+        )
     )
-    kept = posts.join(stats, "_lh").filter(
-        (F.col("_cnt") < F.lit(int(min_count)))
-        | (F.struct(F.col(id_col), F.col("_pos")) == F.col("_keeper"))
+    # _keep is FALSE (never NULL) for the outer-explode placeholder
+    # row of an empty/all-NULL array: FALSE AND NULL = FALSE
+    flagged = posts.join(stats, "_lh", "left").withColumn(
+        "_keep",
+        F.col("_line").isNotNull()
+        & (
+            (F.col("_cnt") < F.lit(int(min_count)))
+            | (F.struct(F.col(id_col), F.col("_pos")) == F.col("_keeper"))
+        ),
     )
-    rebuilt = kept.groupBy(id_col).agg(
+    return flagged.groupBy(id_col).agg(
         F.array_join(
             F.transform(
                 F.array_sort(
-                    F.collect_list(F.struct("_pos", "_line"))
+                    F.collect_list(
+                        F.when(F.col("_keep"), F.struct("_pos", "_line"))
+                    )
                 ),
                 lambda x: x["_line"],
             ),
             join_sep,
         ).alias("text_clean"),
-        F.count("*").alias("n_kept"),
-    )
-    return (
-        per_doc.join(rebuilt, id_col, "left")
-        .select(
-            F.col(id_col),
-            F.coalesce(F.col("text_clean"), F.lit("")).alias("text_clean"),
-            "n_lines",
-            F.coalesce(F.col("n_kept"), F.lit(0).cast("long")).alias(
-                "n_kept"
-            ),
-        )
+        F.count("_line").cast("int").alias("n_lines"),
+        F.sum(F.col("_keep").cast("long")).alias("n_kept"),
     )
 
 

@@ -2232,3 +2232,21 @@ def test_line_dedup_hand_computed(spark):
 
     with _pytest.raises(ValueError):
         line_dedup(df, min_count=1)
+
+    # precomputed lines_col + the empty-array doc: posexplode_outer
+    # keeps it alive ('' / 0 / 0), it never silently vanishes
+    from pyspark.sql import functions as _F
+
+    arr_df = spark.createDataFrame(
+        [(1, ["x", "y"]), (2, ["x"]), (3, [])],
+        ["doc_id", "ls"],
+    ).select("doc_id", _F.col("ls").cast("array<string>").alias("ls"))
+    got_arr = {
+        r["doc_id"]: (r["text_clean"], r["n_lines"], r["n_kept"])
+        for r in line_dedup(arr_df, lines_col="ls", join_sep="|").collect()
+    }
+    assert got_arr == {
+        1: ("x|y", 2, 2),
+        2: ("", 1, 0),      # its only line is a dup of doc 1's first
+        3: ("", 0, 0),      # empty array stays visible
+    }
