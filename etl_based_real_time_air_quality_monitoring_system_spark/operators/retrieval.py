@@ -26,11 +26,16 @@ compute the identical double from identical exact-integer inputs
 with the identical parenthesization first.
 
 Scale shape (100 TB): one column-pruned scalar pass for corpus stats
-(N docs, T tokens — partial-aggregated map-side), one postings pass
-that explodes tokens IN the scan and broadcast-joins the distinct
+(N docs, T tokens — partial-aggregated map-side), plus the postings
+subplan — explode tokens IN the scan, broadcast-join the distinct
 query vocabulary immediately (only matching postings ever shuffle,
-keyed ``(doc_id, term)``); doc-frequency is an aggregate of that
-already-tiny table; queries, stats and df broadcast back; the final
+keyed ``(doc_id, term)``) — which Catalyst executes TWICE (once for
+tf, once for the doc-frequency aggregate: per-branch column pruning
+makes the two subplans non-identical, so exchange reuse cannot
+collapse them; the one-pass alternative — a count window over the
+term key — has unbounded per-partition size for stopword-like query
+terms, and robustness wins).  Queries, stats and df broadcast back;
+the final
 per-``(query_id, doc_id)`` sum is one shuffle over matched docs
 only; top-k is a ``row_number() <= k`` with a LITERAL bound so the
 window compiles to a map-side WindowGroupLimit — at most ``k`` rows
