@@ -3993,6 +3993,23 @@ def _q_line_dedup(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_substring_rewrite(spark: SparkSession, sf: str) -> DataFrame:
+    # the ExactSubstr ACTION (Lee et al. 2022) whose coverage
+    # substring_dup_spans reports: duplicated 8-token spans are cut
+    # from every document except their globally-first occurrence
+    # (min (doc_id, pos)), text reassembled from surviving tokens.
+    # The oracle re-derives keeper/count via windows over the literal
+    # gram strings (the Spark side shuffles md5 hashes — the
+    # dup_spans oracle precedent) and rebuilds with an order-filtered
+    # string_agg.
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.dedup import (
+        substring_dedup_rewrite,
+    )
+
+    docs = load_table(spark, sf, "documents")
+    return substring_dedup_rewrite(docs, k=8, min_count=2)
+
+
 def _pq_micros_emb(spark: SparkSession, sf: str) -> DataFrame:
     # shared PQ input: embeddings quantized to integer micros FIRST
     # (micros_vec — the repo's single floor-half-up recipe) so every
@@ -5059,10 +5076,11 @@ def _q_sketch_bounds(spark: SparkSession, sf: str) -> DataFrame:
 
 #: The driver's correctness gate samples the FIRST 50 queries()
 #: entries, so the window is an explicit, auditable list (r8) —
-#: risk-ordered: (1) the six gate queries NEW this round
+#: risk-ordered: (1) the seven gate queries NEW this round
 #: (character-level BPE, per-domain cap enforcement, the
 #: DataFrame-blocklist form, streaming IVF-PQ index maintenance,
-#: BM25 lexical retrieval, C4-style line dedup with rewrite),
+#: BM25 lexical retrieval, C4-style line dedup with rewrite, the
+#: ExactSubstr span-cut rewrite),
 #: (2) the direct exerciser of every seam whose code changed this
 #: round (host_of/registered_domain_of IP guard -> domain_rollup;
 #: the qcls literal cap + empty-array guard -> quality_classifier;
@@ -5070,13 +5088,14 @@ def _q_sketch_bounds(spark: SparkSession, sf: str) -> DataFrame:
 #: distributed frequency_rank_vocab + hash join -> bpe_encode; the
 #: cluster_balanced_sample centroids param -> its gate), (3) the 14
 #: r3-stale entries the r7 window displaced (_R8_QUEUE, promised
-#: first-in-line), (4) the heaviest 27 of the 47 r4-stale entries,
-#: pair-expansion family first (the r7 verdict's ask).  The 20
-#: r4-stale entries that did not fit (gopher_quality and
-#: multimodal_resized displaced late-round by the bm25_search /
-#: line_dedup gates) are _R9_QUEUE — first in line next round,
-#: which zeroes the >3-round staleness backlog (61 stale > 50
-#: slots; two-round burn-down).
+#: first-in-line), (4) the heaviest 26 of the 47 r4-stale entries,
+#: pair-expansion family first (the r7 verdict's ask).  The 21
+#: r4-stale entries that did not fit (gopher_quality,
+#: multimodal_resized and ingest_metrics_passthrough displaced
+#: late-round by the bm25_search / line_dedup / substring_rewrite
+#: gates) are _R9_QUEUE — first in line next round, which zeroes
+#: the >3-round staleness backlog (61 stale > 50 slots; two-round
+#: burn-down).
 _R8_WINDOW: tuple[str, ...] = (
     # new in round 8
     "bpe_subword_encode",
@@ -5085,6 +5104,7 @@ _R8_WINDOW: tuple[str, ...] = (
     "streaming_ivfpq_index",
     "bm25_search",
     "line_dedup",
+    "substring_rewrite",
     # code changed in round 8 -> re-gate the DIRECT exerciser of
     # each changed seam.  Seam-sharing twins are displaced for stale
     # burn-down (the r7 precedent): corpus_pipeline's classifier
@@ -5142,20 +5162,20 @@ _R8_WINDOW: tuple[str, ...] = (
     "embedding_near_dup_gemm",
     "dedup_graph_stats",
     "drift_report",
-    "ingest_metrics_passthrough",
 )
 
-#: the 20 r4-stale entries displaced from the r8 window by its
-#: 50-slot cap — positions 51-70 so local sweeps cover them, and
+#: the 21 r4-stale entries displaced from the r8 window by its
+#: 50-slot cap — positions 51-71 so local sweeps cover them, and
 #: FIRST IN LINE for the r9 window (each is green in this round's
 #: full 3-SF local sweep on final code; see ORACLE_SWEEP.md).
 #: Gating these in r9 makes every registry entry's latest driver
 #: row <= 3 rounds old.
 _R9_QUEUE: tuple[str, ...] = (
     # displaced from the r8 window by the late-round bm25_search /
-    # line_dedup gates (never-gated entries lead; both displaced
-    # entries are r4-stale and green in this round's 3-SF sweep —
-    # first in line r9)
+    # line_dedup / substring_rewrite gates (never-gated entries
+    # lead; every displaced entry is r4-stale and green in this
+    # round's 3-SF sweep — first in line r9)
+    "ingest_metrics_passthrough",
     "multimodal_resized",
     "gopher_quality",
     "sketch_profile",
@@ -5202,6 +5222,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_ivfpq_index": _q_streaming_ivfpq_index,
         "bm25_search": _q_bm25_search,
         "line_dedup": _q_line_dedup,
+        "substring_rewrite": _q_substring_rewrite,
         # --- new or code-changed in round 7 ---------------------------
         "bpe_encode": _q_bpe_encode,
         "quality_classifier": _q_quality_classifier,
@@ -6451,6 +6472,63 @@ def _oracle_sql_literal() -> dict[str, str]:
                    CAST(ceil(len(d.toks) / 5.0) AS INT) AS n_lines,
                    CAST(COALESCE(re.n_kept, 0) AS BIGINT) AS n_kept
             FROM dt d LEFT JOIN re USING (doc_id)
+        """,
+        # substring_rewrite: the ExactSubstr ACTION.  Keep rule
+        # (count >= 2 occurrences, keeper = first (doc_id, pos))
+        # re-derived via windows over the LITERAL gram strings (the
+        # Spark side windows over md5 hashes — the dup_spans oracle
+        # precedent); cut token positions are each non-keeper
+        # occurrence's k-token interval, DISTINCT; rebuild via an
+        # order-preserving string_agg that skips cut tokens (string_agg
+        # ignores NULL inputs).  Every doc has >= 1 token (split of ''
+        # is ['']) so the GROUP BY is total.
+        "substring_rewrite": """
+            WITH dt AS (
+                SELECT doc_id,
+                       string_split_regex(trim(text), '\\s+') AS toks
+                FROM documents
+            ),
+            gr AS (
+                SELECT doc_id, CAST(i AS INT) AS pos,
+                       array_to_string(
+                           list_slice(toks, i + 1, i + 8), ' '
+                       ) AS gram
+                FROM dt,
+                     UNNEST(range(0,
+                         CAST(greatest(len(toks) - 7, 0) AS BIGINT)))
+                         AS u(i)
+            ),
+            mk AS (
+                SELECT doc_id, pos,
+                       count(*) OVER (PARTITION BY gram) AS cnt,
+                       row_number() OVER (
+                           PARTITION BY gram ORDER BY doc_id, pos
+                       ) AS rn
+                FROM gr
+            ),
+            cut AS (
+                SELECT DISTINCT doc_id, CAST(pos + j AS INT) AS tpos
+                FROM mk, UNNEST(range(0, 8)) AS u(j)
+                WHERE cnt >= 2 AND rn > 1
+            ),
+            tk AS (
+                SELECT doc_id, CAST(i - 1 AS INT) AS tpos, toks[i] AS tok
+                FROM dt,
+                     UNNEST(range(1, CAST(len(toks) + 1 AS BIGINT)))
+                         AS u(i)
+            )
+            SELECT t.doc_id,
+                   COALESCE(string_agg(
+                       CASE WHEN c.tpos IS NULL THEN t.tok END,
+                       ' ' ORDER BY t.tpos
+                   ), '') AS text_clean,
+                   CAST(count(*) AS BIGINT) AS n_tokens,
+                   CAST(sum(CASE WHEN c.tpos IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_kept
+            FROM tk t
+            LEFT JOIN cut c
+              ON t.doc_id = c.doc_id AND t.tpos = c.tpos
+            GROUP BY t.doc_id
         """,
         "pq_codes": """
             WITH mq AS (

@@ -181,6 +181,7 @@ HEADLINE = [
     "streaming_ivfpq_index",
     "bm25_search",
     "line_dedup",
+    "substring_rewrite",
 ]
 
 

@@ -745,6 +745,42 @@ def source_overlap_matrix(
     )
 
 
+def _sliding_gram_base(
+    df: DataFrame, id_col: str, text_col: str, k: int
+) -> DataFrame:
+    """Shared sliding-k-gram projection for the ExactSubstr family:
+    (id, n_tokens, n_grams, _toks, _gh) where ``_gh[i]`` is the
+    16-byte md5 of the k-token window starting at token ``i`` —
+    hashes shuffle, window text never does.  ``sequence(a, b)``
+    DESCENDS when a > b, so sub-k docs are guarded to an empty
+    gram array."""
+    toks = tokens(text_col)
+    d = spread_small_input(df.select(id_col, text_col)).select(
+        F.col(id_col), toks.alias("_toks")
+    )
+    n_tok = F.size("_toks")
+    n_grams = F.greatest(n_tok - F.lit(k - 1), F.lit(0))
+    return d.select(
+        F.col(id_col),
+        "_toks",
+        n_tok.cast("long").alias("n_tokens"),
+        n_grams.cast("long").alias("n_grams"),
+        F.when(
+            n_grams > 0,
+            F.transform(
+                F.sequence(F.lit(0), n_grams - F.lit(1)),
+                lambda i: F.md5(
+                    F.concat_ws(" ", F.slice("_toks", i + F.lit(1), k)).cast(
+                        "binary"
+                    )
+                ),
+            ),
+        )
+        .otherwise(F.array().cast("array<string>"))
+        .alias("_gh"),
+    )
+
+
 def substring_dup_spans(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -787,31 +823,7 @@ def substring_dup_spans(
     """
     from pyspark.sql import Window
 
-    toks = tokens(text_col)
-    d = spread_small_input(df.select(id_col, text_col)).select(
-        F.col(id_col), toks.alias("_toks")
-    )
-    n_tok = F.size("_toks")
-    n_grams = F.greatest(n_tok - F.lit(k - 1), F.lit(0))
-    # sequence(a, b) DESCENDS when a > b — guard sub-k docs to []
-    base = d.select(
-        F.col(id_col),
-        n_tok.cast("long").alias("n_tokens"),
-        n_grams.cast("long").alias("n_grams"),
-        F.when(
-            n_grams > 0,
-            F.transform(
-                F.sequence(F.lit(0), n_grams - F.lit(1)),
-                lambda i: F.md5(
-                    F.concat_ws(" ", F.slice("_toks", i + F.lit(1), k)).cast(
-                        "binary"
-                    )
-                ),
-            ),
-        )
-        .otherwise(F.array().cast("array<string>"))
-        .alias("_gh"),
-    )
+    base = _sliding_gram_base(df, id_col, text_col, k)
     grams = base.select(F.col(id_col), F.posexplode("_gh").alias("pos", "gh"))
     if min_df == 2:
         # "shared by another doc" == min(doc) != max(doc) within the
@@ -874,6 +886,95 @@ def substring_dup_spans(
             .cast("long")
             .alias("dup_cover_micros"),
         )
+    )
+
+
+def substring_dedup_rewrite(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    min_count: int = 2,
+    join_sep: str = " ",
+) -> DataFrame:
+    """The ExactSubstr ACTION (Lee et al. 2022): CUT duplicated
+    ``k``-token spans out of every document and reassemble the text —
+    the rewrite step whose coverage :func:`substring_dup_spans`
+    reports.  Every k-gram occurring ``>= min_count`` times in the
+    corpus (OCCURRENCES, so within-document self-repetition counts —
+    unlike the span report's distinct-doc test) designates its
+    globally-first occurrence (min ``(id, pos)``) the keeper; every
+    token covered by any NON-keeper occurrence of a duplicated gram
+    is cut, and each document rebuilds from its surviving tokens in
+    order.  Keep-first is the conservative variant of Lee et al.
+    (who drop one side of each duplicate pair): exactly one copy of
+    every duplicated span survives, deterministically.
+
+    Returns ``(id, text_clean, n_tokens, n_kept)`` for every input
+    document (an entirely-duplicated document comes back ``'' / 0``
+    kept, visible to downstream length filters).
+
+    Scale shape (100 TB): gram postings shuffle 16-byte hashes ONCE
+    (count + keeper via two window functions over the same hash
+    partition — the :func:`substring_dup_spans` discipline); only
+    CUT occurrences expand to per-token positions (k x the duplicated
+    mass, not k x the corpus — the report operator's reason for
+    avoiding per-token materialization doesn't apply to a rewrite,
+    which must decide per token); the token stream left-joins the
+    distinct cut set on ``(id, pos)`` and ONE id-keyed aggregation
+    rebuilds text and totals (the :func:`line_dedup` rebuild).  No
+    Python anywhere.
+    """
+    from pyspark.sql import Window
+
+    if min_count < 2:
+        raise ValueError("substring_dedup_rewrite: min_count must be >= 2")
+    base = _sliding_gram_base(df, id_col, text_col, k)
+    grams = base.select(
+        F.col(id_col), F.posexplode("_gh").alias("pos", "gh")
+    )
+    wgh = Window.partitionBy("gh")
+    cut_occ = (
+        grams.withColumn("_cnt", F.count("*").over(wgh))
+        .withColumn(
+            "_keeper", F.min(F.struct(F.col(id_col), F.col("pos"))).over(wgh)
+        )
+        .filter(
+            (F.col("_cnt") >= F.lit(int(min_count)))
+            & (F.struct(F.col(id_col), F.col("pos")) != F.col("_keeper"))
+        )
+    )
+    cut_pos = (
+        cut_occ.select(
+            F.col(id_col),
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + F.lit(k - 1))
+            ).alias("tpos"),
+        )
+        .distinct()
+        .withColumn("_cut", F.lit(1))
+    )
+    toks_stream = base.select(
+        F.col(id_col), F.posexplode("_toks").alias("tpos", "_tok")
+    )
+    flagged = toks_stream.join(cut_pos, [id_col, "tpos"], "left")
+    return flagged.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("_cut").isNull(),
+                            F.struct("tpos", "_tok"),
+                        )
+                    )
+                ),
+                lambda x: x["_tok"],
+            ),
+            join_sep,
+        ).alias("text_clean"),
+        F.count("*").cast("long").alias("n_tokens"),
+        F.sum(F.col("_cut").isNull().cast("long")).alias("n_kept"),
     )
 
 

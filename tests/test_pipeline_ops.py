@@ -2250,3 +2250,38 @@ def test_line_dedup_hand_computed(spark):
         2: ("", 1, 0),      # its only line is a dup of doc 1's first
         3: ("", 0, 0),      # empty array stays visible
     }
+
+
+def test_substring_dedup_rewrite_hand_computed(spark):
+    """The ExactSubstr ACTION: duplicated k-gram spans keep only the
+    globally-first occurrence (min (id, pos)); all other covered
+    tokens are cut; exactly one copy of every duplicated span
+    survives corpus-wide, including within-document self-repeats."""
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.dedup import (
+        substring_dedup_rewrite,
+    )
+
+    rows = [
+        (1, "a b c d e f g h"),        # keeper of "a b c d e f"
+        (2, "x y z w a b c d e f"),    # keeper of "x y z w", dup tail
+        (3, "x y z w q r s t"),        # dup head, unique tail
+        (4, "p p p p p p p p"),        # pure self-repetition
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = [
+        tuple(r)
+        for r in substring_dedup_rewrite(df, k=4).orderBy("doc_id").collect()
+    ]
+    assert got == [
+        (1, "a b c d e f g h", 8, 8),
+        (2, "x y z w", 10, 4),   # its "a b c d e f" copy is cut
+        (3, "q r s t", 8, 4),    # its "x y z w" copy is cut
+        (4, "p", 8, 1),          # overlapping self-dups collapse to 1
+    ]
+    # sub-k docs carry no grams and are never cut
+    tiny = spark.createDataFrame([(1, "a b"), (2, "a b")], ["doc_id", "text"])
+    got_tiny = {
+        r["doc_id"]: r["text_clean"]
+        for r in substring_dedup_rewrite(tiny, k=4).collect()
+    }
+    assert got_tiny == {1: "a b", 2: "a b"}

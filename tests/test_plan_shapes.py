@@ -785,3 +785,15 @@ def test_line_dedup_partial_agg_no_python(spark, sf_dir):
     p = plan(q)
     assert p.count("HashAggregate") >= 2          # partial + final
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_substring_rewrite_single_gram_shuffle_no_python(spark, sf_dir):
+    """ExactSubstr rewrite: count + keeper must ride ONE window over
+    the gram-hash partition (the dup_spans discipline — a second
+    postings shuffle would re-run the tokenize+md5 projection), no
+    SortMergeJoin is required for the cut-set join at gate scale,
+    and no Python nodes anywhere."""
+    q = entrymod.queries()["substring_rewrite"](spark, sf_dir)
+    p = plan(q)
+    assert p.count("Window") >= 1
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p

@@ -411,10 +411,19 @@ def probes(spark, sf_dir: str, factor: int) -> dict[str, tuple[DataFrame, int]]:
         ).alias("_chunks"),
     )
     ldd = line_dedup(chunked, lines_col="_chunks", join_sep=" ")
+    # ExactSubstr rewrite (r8): the span-cut action over the salted
+    # corpus — gram-hash window + cut expansion (k x duplicated mass
+    # only) + token-stream join + per-doc rebuild
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.dedup import (
+        substring_dedup_rewrite,
+    )
+
+    substr_rw = substring_dedup_rewrite(docs_s, k=SUBSTR_K)
     return {
         "quality_classifier_score(documents)": (qcls, n_docs),
         "bm25_topk(documents, 3q)": (bm25, n_docs),
         "line_dedup(documents, 5tok lines)": (ldd, n_docs),
+        "substring_dedup_rewrite(documents)": (substr_rw, n_docs),
         "domain_rollup(documents)": (domains, n_docs),
         "bpe_encode(documents, 3 rules)": (bpe_enc, n_docs),
         "bpe_subword_encode(documents, 3 rules)": (sub_enc, n_docs),
