@@ -2285,3 +2285,192 @@ def test_substring_dedup_rewrite_hand_computed(spark):
         for r in substring_dedup_rewrite(tiny, k=4).collect()
     }
     assert got_tiny == {1: "a b", 2: "a b"}
+
+
+def test_line_dedup_property_vs_python_reference(spark):
+    """Property check: line_dedup must equal a pure-Python reference
+    on random corpora — and the rewrite invariant must hold: after
+    the rewrite, every line that was duplicated appears exactly ONCE
+    across the corpus, and never-duplicated lines are untouched."""
+    from collections import Counter
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.dedup import line_dedup
+
+    line = st.sampled_from(["aa", "bb", "cc", "dd"])
+    corpus = st.lists(
+        st.lists(line, min_size=0, max_size=6), min_size=1, max_size=5
+    )
+
+    def ref(docs, min_count):
+        cnt = Counter(ln for lines in docs for ln in lines)
+        first = {}
+        for did, lines in enumerate(docs):
+            for p, ln in enumerate(lines):
+                first.setdefault(ln, (did, p))
+        out = {}
+        for did, lines in enumerate(docs):
+            kept = [
+                ln
+                for p, ln in enumerate(lines)
+                if cnt[ln] < min_count or first[ln] == (did, p)
+            ]
+            out[did] = ("|".join(kept), len(lines), len(kept))
+        return out
+
+    @settings(max_examples=6, deadline=None)
+    @given(docs=corpus, mc=st.integers(min_value=2, max_value=3))
+    def case(docs, mc):
+        df = spark.createDataFrame(
+            [(i, lines) for i, lines in enumerate(docs)],
+            "doc_id int, ls array<string>",
+        )
+        got = {
+            r["doc_id"]: (r["text_clean"], r["n_lines"], r["n_kept"])
+            for r in line_dedup(
+                df, lines_col="ls", join_sep="|", min_count=mc
+            ).collect()
+        }
+        expected = ref(docs, mc)
+        assert got == expected
+        # rewrite invariant at mc=2: post-rewrite, every line occurs
+        # exactly once corpus-wide iff it was duplicated; line totals
+        # are conserved
+        if mc == 2:
+            cnt = Counter(ln for lines in docs for ln in lines)
+            post = Counter(
+                ln
+                for txt, _, _ in got.values()
+                if txt
+                for ln in txt.split("|")
+            )
+            for ln, c in cnt.items():
+                assert post[ln] == 1 if c >= 2 else post[ln] == c
+
+    case()
+
+
+def test_substring_rewrite_property_vs_python_reference(spark):
+    """Property check: substring_dedup_rewrite must equal a
+    pure-Python reference (global gram counts, first-occurrence
+    keeper, interval cut, token rebuild) on random corpora."""
+    from collections import Counter
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.dedup import (
+        substring_dedup_rewrite,
+    )
+
+    token = st.sampled_from(["a", "b", "c"])
+    corpus = st.lists(
+        st.lists(token, min_size=1, max_size=10), min_size=1, max_size=4
+    )
+
+    def ref(docs, k, min_count):
+        grams = Counter()
+        first = {}
+        for did, toks in enumerate(docs):
+            for p in range(len(toks) - k + 1):
+                g = " ".join(toks[p : p + k])
+                grams[g] += 1
+                first.setdefault(g, (did, p))
+        out = {}
+        for did, toks in enumerate(docs):
+            cut = set()
+            for p in range(len(toks) - k + 1):
+                g = " ".join(toks[p : p + k])
+                if grams[g] >= min_count and first[g] != (did, p):
+                    cut.update(range(p, p + k))
+            kept = [t for i, t in enumerate(toks) if i not in cut]
+            out[did] = (" ".join(kept), len(toks), len(kept))
+        return out
+
+    @settings(max_examples=6, deadline=None)
+    @given(docs=corpus, k=st.integers(min_value=2, max_value=4))
+    def case(docs, k):
+        df = spark.createDataFrame(
+            [(i, " ".join(toks)) for i, toks in enumerate(docs)],
+            ["doc_id", "text"],
+        )
+        got = {
+            r["doc_id"]: (r["text_clean"], r["n_tokens"], r["n_kept"])
+            for r in substring_dedup_rewrite(df, k=k).collect()
+        }
+        assert got == ref(docs, k, 2)
+
+    case()
+
+
+def test_bm25_topk_property_vs_python_reference(spark):
+    """Property check: bm25_topk equals the pure-Python reference
+    (identical IEEE double expression tree, micros floored per term)
+    on random corpora and random query sets — bit-exact scores,
+    ranks, and membership."""
+    import math
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.retrieval import bm25_topk
+
+    token = st.sampled_from(["a", "b", "c", "d", "e"])
+    corpus = st.lists(
+        st.lists(token, min_size=1, max_size=8), min_size=1, max_size=5
+    )
+    qset = st.dictionaries(
+        st.sampled_from(["q1", "q2"]),
+        st.lists(token, min_size=1, max_size=3),
+        min_size=1,
+        max_size=2,
+    )
+
+    def ref(docs, queries, k):
+        toks = {i: t for i, t in enumerate(docs)}
+        n, t_total = len(docs), sum(len(v) for v in toks.values())
+        per_q = {}
+        for qid, terms in queries.items():
+            for term in set(terms):
+                df_t = sum(1 for v in toks.values() if term in v)
+                if df_t == 0:
+                    continue
+                for i, v in toks.items():
+                    tf = v.count(term)
+                    if tf == 0:
+                        continue
+                    dl = len(v)
+                    idf = ((2.0 * n) - (2.0 * df_t) + 1.0) / (
+                        (2.0 * df_t) + 1.0
+                    )
+                    sat = ((tf * 2200.0) * t_total) / (
+                        ((1000.0 * t_total) * tf)
+                        + (300.0 * t_total)
+                        + ((900.0 * dl) * n)
+                    )
+                    c = math.floor(((idf * sat) * 1000000.0) + 0.5)
+                    per_q.setdefault(qid, {})
+                    per_q[qid][i] = per_q[qid].get(i, 0) + c
+        out = set()
+        for qid, per_doc in per_q.items():
+            ranked = sorted(per_doc.items(), key=lambda kv: (-kv[1], kv[0]))
+            for rnk, (i, s) in enumerate(ranked[:k], start=1):
+                out.add((qid, i, s, rnk))
+        return out
+
+    @settings(max_examples=6, deadline=None)
+    @given(docs=corpus, queries=qset)
+    def case(docs, queries):
+        df = spark.createDataFrame(
+            [(i, " ".join(t)) for i, t in enumerate(docs)],
+            ["doc_id", "text"],
+        )
+        got = {
+            (r["query_id"], r["doc_id"], r["score_micros"], r["rnk"])
+            for r in bm25_topk(df, queries, k=3).collect()
+        }
+        assert got == ref(docs, queries, 3)
+
+    case()
