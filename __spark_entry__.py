@@ -3960,33 +3960,22 @@ def _q_line_dedup(spark: SparkSession, sf: str) -> DataFrame:
     # surviving lines in order.  The synthetic corpus is single-line,
     # so the gate synthesizes "lines" as non-overlapping 5-token
     # chunks (~5% of chunks repeat at sf0.01 — non-degenerate both
-    # ways) — _toks and the chunk array are materialized aliases
-    # (higher-order transform has no CSE; an inline tokens() would
-    # re-split per chunk).  size(_toks) >= 1 always (split of ''
-    # yields ['']), so the sequence upper bound >= 0 — the
-    # descending-sequence trap can't trigger.
+    # ways) — the chunk recipe is the SHARED text.fixed_token_chunks
+    # helper (one definition for the gate and its scale probe, so the
+    # two can never measure different plans); _toks is a materialized
+    # alias (the helper's no-CSE precondition).
     from etl_based_real_time_air_quality_monitoring_system_spark.operators.dedup import line_dedup
-    from etl_based_real_time_air_quality_monitoring_system_spark.operators.text import tokens
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.text import (
+        fixed_token_chunks,
+        tokens,
+    )
 
     docs = load_table(spark, sf, "documents")
     chunked = docs.select(
         "doc_id", tokens("text").alias("_toks")
     ).select(
         "doc_id",
-        F.transform(
-            F.sequence(
-                F.lit(0).cast("long"),
-                (F.ceil(F.size("_toks") / F.lit(5.0)) - F.lit(1)).cast(
-                    "long"
-                ),
-            ),
-            lambda i: F.array_join(
-                F.slice(
-                    F.col("_toks"), ((i * F.lit(5)) + F.lit(1)).cast("int"), 5
-                ),
-                " ",
-            ),
-        ).alias("_chunks"),
+        fixed_token_chunks(F.col("_toks"), 5).alias("_chunks"),
     )
     return line_dedup(
         chunked, id_col="doc_id", lines_col="_chunks", join_sep=" "

@@ -781,6 +781,21 @@ def _sliding_gram_base(
     )
 
 
+def _gram_postings(base: DataFrame, id_col: str) -> DataFrame:
+    """(id, pos, gh) gram postings from :func:`_sliding_gram_base` —
+    posexplode_OUTER + an explicit post-generate null filter on
+    purpose: a plain posexplode makes Catalyst infer a
+    ``size(_gh) > 0 AND isnotnull(_gh)`` predicate that pushes below
+    the projection and INLINES the whole k-gram transform+md5 chain
+    into the scan filter (the expression then evaluates 3x per row);
+    the outer variant infers nothing, and the placeholder rows of
+    gram-less docs are dropped by a cheap column filter that cannot
+    be pushed below its own generator."""
+    return base.select(
+        F.col(id_col), F.posexplode_outer("_gh").alias("pos", "gh")
+    ).filter(F.col("gh").isNotNull())
+
+
 def substring_dup_spans(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -824,7 +839,7 @@ def substring_dup_spans(
     from pyspark.sql import Window
 
     base = _sliding_gram_base(df, id_col, text_col, k)
-    grams = base.select(F.col(id_col), F.posexplode("_gh").alias("pos", "gh"))
+    grams = _gram_postings(base, id_col)
     if min_df == 2:
         # "shared by another doc" == min(doc) != max(doc) within the
         # gh partition: ONE postings shuffle (window) instead of the
@@ -906,13 +921,18 @@ def substring_dedup_rewrite(
     globally-first occurrence (min ``(id, pos)``) the keeper; every
     token covered by any NON-keeper occurrence of a duplicated gram
     is cut, and each document rebuilds from its surviving tokens in
-    order.  Keep-first is the conservative variant of Lee et al.
-    (who drop one side of each duplicate pair): exactly one copy of
-    every duplicated span survives, deterministically.
+    order.  For NON-overlapping duplicated spans exactly one copy
+    survives, deterministically; where duplicated grams OVERLAP
+    (self-repetition runs, shifted duplicates) the non-keeper
+    intervals may trim the keeper occurrence's own span too — an
+    eight-token ``p``-run collapses to a single ``p`` (test-pinned) —
+    i.e. the cut errs toward removal, the conservative direction for
+    dedup, and is NOT a content-preservation guarantee.
 
     Returns ``(id, text_clean, n_tokens, n_kept)`` for every input
     document (an entirely-duplicated document comes back ``'' / 0``
-    kept, visible to downstream length filters).
+    kept, visible to downstream length filters; a NULL-text document
+    comes back ``'' / 0 / 0`` rather than vanishing).
 
     Scale shape (100 TB): gram postings shuffle 16-byte hashes ONCE
     (count + keeper via two window functions over the same hash
@@ -930,19 +950,22 @@ def substring_dedup_rewrite(
     if min_count < 2:
         raise ValueError("substring_dedup_rewrite: min_count must be >= 2")
     base = _sliding_gram_base(df, id_col, text_col, k)
-    grams = base.select(
-        F.col(id_col), F.posexplode("_gh").alias("pos", "gh")
-    )
+    grams = _gram_postings(base, id_col)
     wgh = Window.partitionBy("gh")
-    cut_occ = (
-        grams.withColumn("_cnt", F.count("*").over(wgh))
-        .withColumn(
-            "_keeper", F.min(F.struct(F.col(id_col), F.col("pos"))).over(wgh)
-        )
-        .filter(
-            (F.col("_cnt") >= F.lit(int(min_count)))
-            & (F.struct(F.col(id_col), F.col("pos")) != F.col("_keeper"))
-        )
+    # count + keeper in ONE select: two withColumns would interleave
+    # a Project between the Window operators, defeating CollapseWindow
+    # (same spec, but split into two passes over every partition —
+    # plan-pinned to a single Window node)
+    cut_occ = grams.select(
+        F.col(id_col),
+        "pos",
+        F.count("*").over(wgh).alias("_cnt"),
+        F.min(F.struct(F.col(id_col), F.col("pos")))
+        .over(wgh)
+        .alias("_keeper"),
+    ).filter(
+        (F.col("_cnt") >= F.lit(int(min_count)))
+        & (F.struct(F.col(id_col), F.col("pos")) != F.col("_keeper"))
     )
     cut_pos = (
         cut_occ.select(
@@ -954,27 +977,28 @@ def substring_dedup_rewrite(
         .distinct()
         .withColumn("_cut", F.lit(1))
     )
+    # posexplode_outer: a NULL-text document (tokens(NULL) = NULL)
+    # yields one placeholder row instead of vanishing — counted as
+    # 0 tokens / 0 kept, the line_dedup totality discipline
     toks_stream = base.select(
-        F.col(id_col), F.posexplode("_toks").alias("tpos", "_tok")
+        F.col(id_col), F.posexplode_outer("_toks").alias("tpos", "_tok")
     )
     flagged = toks_stream.join(cut_pos, [id_col, "tpos"], "left")
+    keep = F.col("_cut").isNull() & F.col("_tok").isNotNull()
     return flagged.groupBy(id_col).agg(
         F.array_join(
             F.transform(
                 F.array_sort(
                     F.collect_list(
-                        F.when(
-                            F.col("_cut").isNull(),
-                            F.struct("tpos", "_tok"),
-                        )
+                        F.when(keep, F.struct("tpos", "_tok"))
                     )
                 ),
                 lambda x: x["_tok"],
             ),
             join_sep,
         ).alias("text_clean"),
-        F.count("*").cast("long").alias("n_tokens"),
-        F.sum(F.col("_cut").isNull().cast("long")).alias("n_kept"),
+        F.count("_tok").cast("long").alias("n_tokens"),
+        F.sum(keep.cast("long")).alias("n_kept"),
     )
 
 

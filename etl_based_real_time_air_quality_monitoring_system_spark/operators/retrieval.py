@@ -56,18 +56,26 @@ from .text import tokens
 def _queries_frame(
     docs: DataFrame,
     queries: DataFrame | Mapping[str, Sequence[str]],
+    lowercase: bool,
 ) -> DataFrame:
     """Normalize the query set to a (query_id, term) DataFrame —
     duplicate terms within a query collapse (set semantics; BM25's
-    qtf refinement is out of scope for a curation screen)."""
+    qtf refinement is out of scope for a curation screen).  When the
+    corpus side folds case, the query terms fold WITH it — otherwise
+    a mixed-case term could never match anything and the query would
+    silently shrink."""
     if isinstance(queries, DataFrame):
-        return queries.select("query_id", "term").distinct()
-    rows = [
-        (qid, t) for qid, terms in queries.items() for t in set(terms)
-    ]
-    return docs.sparkSession.createDataFrame(
-        rows, "query_id string, term string"
-    )
+        q = queries.select("query_id", "term")
+    else:
+        rows = [
+            (qid, t) for qid, terms in queries.items() for t in set(terms)
+        ]
+        q = docs.sparkSession.createDataFrame(
+            rows, "query_id string, term string"
+        )
+    if lowercase:
+        q = q.select("query_id", F.lower(F.col("term")).alias("term"))
+    return q.distinct()
 
 
 def bm25_topk(
@@ -108,7 +116,7 @@ def bm25_topk(
         raise ValueError(
             "bm25_topk: need k1_tenths >= 0 and 0 <= b_hundredths <= 100"
         )
-    qterms = F.broadcast(_queries_frame(docs, queries))
+    qterms = F.broadcast(_queries_frame(docs, queries, lowercase))
     vocab = F.broadcast(qterms.select("term").distinct())
 
     tok_expr: Column = tokens(
@@ -122,15 +130,24 @@ def bm25_topk(
         F.sum(F.size("_toks")).alias("_t"),
     )
 
-    # postings pass: explode in the scan, keep only query-vocabulary
-    # terms (broadcast hash join on the distinct term set — no row
+    # postings pass: tokenize ONCE under a materialized alias (the
+    # token_count_of idiom — size() and explode() land in different
+    # physical operators, where an inline split would run twice per
+    # row), explode in the scan, keep only query-vocabulary terms
+    # (broadcast hash join on the distinct term set — no row
     # multiplication), then one (doc, term) shuffle sized by MATCHED
     # postings only
+    # explode_OUTER on purpose: plain explode makes Catalyst infer a
+    # `size(toks) > 0 AND isnotnull(toks)` filter that pushes below
+    # the projection and INLINES the split — measured 3 regex splits
+    # per row instead of 1; the outer variant infers nothing, and its
+    # null-term placeholder rows vanish in the inner vocab join
     posts = (
-        base.select(
+        base.select(F.col(id_col), tok_expr.alias("_toks"))
+        .select(
             F.col(id_col),
-            F.size(tok_expr).alias("dl"),
-            F.explode(tok_expr).alias("term"),
+            F.size("_toks").alias("dl"),
+            F.explode_outer("_toks").alias("term"),
         )
         .join(vocab, "term")
         .groupBy(id_col, "term")

@@ -53,6 +53,35 @@ def token_count(text: Column | str) -> Column:
     return token_count_of(tokens(text))
 
 
+def fixed_token_chunks(toks: Column, width: int) -> Column:
+    """Non-overlapping ``width``-token chunks of a pre-tokenized
+    array, each rejoined with a single space — the "synthetic lines"
+    recipe shared by the ``line_dedup`` gate and its scale probe (one
+    definition so the two can never drift).  Pass a MATERIALIZED
+    alias (the ``token_count_of`` idiom): ``transform`` is a
+    higher-order function with no CSE, so an inline ``tokens()``
+    would re-split once per chunk.  ``size(toks) >= 1`` whenever toks
+    comes from ``tokens()`` (split of ``''`` is ``['']``), so the
+    sequence bound is never negative — the descending-``sequence``
+    trap can't trigger."""
+    if width < 1:
+        raise ValueError("fixed_token_chunks: width must be >= 1")
+    return F.transform(
+        F.sequence(
+            F.lit(0).cast("long"),
+            (F.ceil(F.size(toks) / F.lit(float(width))) - F.lit(1)).cast(
+                "long"
+            ),
+        ),
+        lambda i: F.array_join(
+            F.slice(
+                toks, ((i * F.lit(width)) + F.lit(1)).cast("int"), width
+            ),
+            " ",
+        ),
+    )
+
+
 def bpe_ish_token_count(text: Column | str) -> Column:
     """BPE-ish token estimate: word-and-punctuation pieces via a
     regex tokenizer (``\\w+`` runs or single non-space symbols), the

@@ -295,6 +295,11 @@ def blocklist_filter(
     ``_host`` stays a multiply-referenced alias that CollapseProject
     leaves materialized."""
     spark = df.sparkSession
+    for r in ("_host", "_sfx", "_dom", "_key"):
+        if r in df.columns:
+            raise ValueError(
+                f"blocklist_filter: input already has column {r}"
+            )
     tagged = (
         df.withColumn("_host", host_of(url_col))
         .withColumn("_sfx", suffix_of(F.col("_host"), rules))

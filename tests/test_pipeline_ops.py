@@ -2194,6 +2194,15 @@ def test_bm25_topk_hand_computed(spark):
     assert not any(q == "qc" for q, *_ in got)   # absent-term query
     assert not any(d == 4 for _, d, *_ in got)   # unmatched doc
 
+    # mixed-case QUERY terms fold with the corpus when lowercase=True
+    # (regression: query terms used to stay verbatim and silently
+    # match nothing)
+    mixed = {
+        (r["query_id"], r["doc_id"], r["score_micros"], r["rnk"])
+        for r in bm25_topk(df, {"qa": ["JOIN", "Hash"]}, k=3).collect()
+    }
+    assert mixed == {t for t in expected if t[0] == "qa"}
+
 
 def test_line_dedup_hand_computed(spark):
     """line_dedup keeps only the globally-first occurrence (min
@@ -2285,6 +2294,17 @@ def test_substring_dedup_rewrite_hand_computed(spark):
         for r in substring_dedup_rewrite(tiny, k=4).collect()
     }
     assert got_tiny == {1: "a b", 2: "a b"}
+
+    # NULL-text docs stay visible ('' / 0 / 0) — regression: the
+    # plain posexplode used to drop them from the output entirely
+    withnull = spark.createDataFrame(
+        [(1, "a b c d e"), (2, None)], "doc_id int, text string"
+    )
+    got_null = {
+        r["doc_id"]: (r["text_clean"], r["n_tokens"], r["n_kept"])
+        for r in substring_dedup_rewrite(withnull, k=4).collect()
+    }
+    assert got_null == {1: ("a b c d e", 5, 5), 2: ("", 0, 0)}
 
 
 def test_line_dedup_property_vs_python_reference(spark):

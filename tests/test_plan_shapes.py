@@ -788,12 +788,14 @@ def test_line_dedup_partial_agg_no_python(spark, sf_dir):
 
 
 def test_substring_rewrite_single_gram_shuffle_no_python(spark, sf_dir):
-    """ExactSubstr rewrite: count + keeper must ride ONE window over
-    the gram-hash partition (the dup_spans discipline — a second
-    postings shuffle would re-run the tokenize+md5 projection), no
-    SortMergeJoin is required for the cut-set join at gate scale,
-    and no Python nodes anywhere."""
+    """ExactSubstr rewrite: count + keeper must ride exactly ONE
+    Window operator over the gram-hash partition (two same-spec
+    windows = two passes over every partition; CollapseWindow only
+    fuses them when nothing projects between), the key-shuffle
+    budget is exactly 3 (gram-hash window, distinct cut set, per-doc
+    rebuild), and no Python nodes anywhere."""
     q = entrymod.queries()["substring_rewrite"](spark, sf_dir)
     p = plan(q)
-    assert p.count("Window") >= 1
+    assert p.count(") Window") == 1, p.count(") Window")
+    assert n_key_shuffles(p) == 3, f"expected 3 key shuffles: {n_key_shuffles(p)}"
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p

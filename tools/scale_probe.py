@@ -388,27 +388,23 @@ def probes(spark, sf_dir: str, factor: int) -> dict[str, tuple[DataFrame, int]]:
         },
         k=10,
     )
-    # C4-style line dedup with rewrite (r8): gate-recipe 5-token
-    # chunk lines over the SALTED corpus (plain replication would
-    # make every line a duplicate — the probe must measure the plan,
-    # not a degenerate all-drop rewrite) — postings + stats shuffles
-    # scale with lines, the rebuild with docs
+    # C4-style line dedup with rewrite (r8): THE gate's chunk recipe
+    # (shared text.fixed_token_chunks helper — the probe measures the
+    # gated plan by construction) over the SALTED corpus (plain
+    # replication would make every line a duplicate — the probe must
+    # measure the plan, not a degenerate all-drop rewrite) — postings
+    # + stats shuffles scale with lines, the rebuild with docs
     from etl_based_real_time_air_quality_monitoring_system_spark.operators.dedup import line_dedup
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.text import (
+        fixed_token_chunks,
+        tokens as _tokens,
+    )
 
     chunked = docs_s.select(
-        "doc_id", F.split(F.trim("text"), r"\s+").alias("_tk")
+        "doc_id", _tokens("text").alias("_tk")
     ).select(
         "doc_id",
-        F.transform(
-            F.sequence(
-                F.lit(0).cast("long"),
-                (F.ceil(F.size("_tk") / F.lit(5.0)) - F.lit(1)).cast("long"),
-            ),
-            lambda i: F.array_join(
-                F.slice(F.col("_tk"), ((i * F.lit(5)) + F.lit(1)).cast("int"), 5),
-                " ",
-            ),
-        ).alias("_chunks"),
+        fixed_token_chunks(F.col("_tk"), 5).alias("_chunks"),
     )
     ldd = line_dedup(chunked, lines_col="_chunks", join_sep=" ")
     # ExactSubstr rewrite (r8): the span-cut action over the salted
