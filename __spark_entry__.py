@@ -4026,8 +4026,14 @@ def _q_pq_codes(spark: SparkSession, sf: str) -> DataFrame:
 
     emb = _pq_micros_emb(spark, sf)
     cb = pq_codebooks(emb, "vec_id", "embedding", n_subspaces=8, n_codes=16)
-    return pq_encode(emb, "vec_id", "embedding", cb).select(
-        "vec_id", F.posexplode("codes").alias("subspace", "code")
+    # posexplode_outer + null filter (see dedup._gram_postings):
+    # keeps the in-scan argmin encode chain out of the inferred filter
+    return (
+        pq_encode(emb, "vec_id", "embedding", cb)
+        .select(
+            "vec_id", F.posexplode_outer("codes").alias("subspace", "code")
+        )
+        .filter(F.col("code").isNotNull())
     )
 
 

@@ -55,7 +55,14 @@ def exploded_shingles(
 ) -> DataFrame:
     """(id, shingle) rows, distinct per doc.  The shingle projection is
     the compute hot spot (regex tokenize + n zip_with passes per doc),
-    so a small under-partitioned input is first spread across cores."""
+    so a small under-partitioned input is first spread across cores.
+
+    A plain explode over the INLINE shingle expression is safe here:
+    InferFiltersFromGenerate (post-SPARK-36715) only infers its
+    size/notnull predicates when the generator child is an attribute,
+    so the chain is never duplicated into the scan filter — the trap
+    :func:`_gram_postings` documents needs the column-through-a-
+    projection shape."""
     return spread_small_input(df.select(id_col, text_col)).select(
         F.col(id_col), F.explode(word_shingles(text_col, n)).alias("shingle")
     )
@@ -93,12 +100,19 @@ def _pair_intersections(
     # Postings length is bounded by ``max_shingle_docs`` (df-cut): a
     # shingle in d docs costs d^2 pair rows in ANY formulation, so at
     # scale the cap is what keeps this tractable, not the join shape.
-    sh = spread_small_input(df.select(id_col, text_col)).select(
-        F.col(id_col), word_shingles(text_col, n).alias("_shingles")
-    ).select(
-        F.col(id_col).alias("_id"),
-        F.size("_shingles").alias("_n"),
-        F.explode("_shingles").alias("shingle"),
+    # explode_OUTER + post-generate null filter (see _gram_postings):
+    # a plain explode lets InferFiltersFromGenerate push a
+    # size(_shingles) > 0 predicate through the projection, inlining
+    # the tokenize+shingle chain into the scan filter (3x eval/row)
+    sh = (
+        spread_small_input(df.select(id_col, text_col))
+        .select(F.col(id_col), word_shingles(text_col, n).alias("_shingles"))
+        .select(
+            F.col(id_col).alias("_id"),
+            F.size("_shingles").alias("_n"),
+            F.explode_outer("_shingles").alias("shingle"),
+        )
+        .filter(F.col("shingle").isNotNull())
     )
     postings = sh.groupBy("shingle").agg(
         F.collect_list(F.struct(F.col("_id"), F.col("_n"))).alias("_docs")
@@ -119,6 +133,8 @@ def _pair_intersections(
                 ),
             )
         )
+        # plain explode over the inline pair transform: no filter is
+        # inferred for non-attribute generator children (SPARK-36715)
         pairs = (
             postings.select(F.explode(pair_structs).alias("_p"))
             .groupBy("_p.doc_a", "_p.doc_b", "_p.na", "_p.nb")
@@ -653,9 +669,12 @@ def passage_dup_stats(
             ),
         ).otherwise(F.array().cast("array<string>")).alias("_ph"),
     )
+    # explode_outer + null filter (see _gram_postings): a plain
+    # explode would push size(_ph) > 0 through the projection and
+    # inline the tokenize+md5 passage chain into the scan filter
     exploded = passages.select(
-        F.col(id_col), F.explode("_ph").alias("ph")
-    )
+        F.col(id_col), F.explode_outer("_ph").alias("ph")
+    ).filter(F.col("ph").isNotNull())
     shared = (
         exploded.groupBy("ph")
         .agg(F.count_distinct(id_col).alias("_ndocs"))
@@ -730,7 +749,8 @@ def source_overlap_matrix(
         ).otherwise(F.array().cast("array<string>")).alias("_ph"),
     )
     per_hash = (
-        passages.select("_g", F.explode("_ph").alias("ph"))
+        passages.select("_g", F.explode_outer("_ph").alias("ph"))
+        .filter(F.col("ph").isNotNull())
         .groupBy("ph")
         .agg(F.sort_array(F.collect_set("_g")).alias("_gs"))
         .filter(F.size("_gs") >= 2)

@@ -308,19 +308,30 @@ def chunk_documents(
     beyond document length itself.
     """
     toks = tokens(text)
+    # coalesce(-1) marks _n NON-nullable so the start < _n filter's
+    # inferred isnotnull(_n) constraint can't push isnotnull(size(
+    # tokenize)) into the scan; -1 matches size()'s legacy NULL value
+    # and rejects the placeholder row exactly like NULL would
     t = spread_small_input(df).withColumn("_toks", toks).withColumn(
-        "_n", F.size(F.col("_toks"))
+        "_n", F.coalesce(F.size(F.col("_toks")), F.lit(-1))
     )
     starts = F.sequence(
         F.lit(0), F.greatest(F.col("_n") - 1, F.lit(0)), F.lit(stride)
     )
+    # posexplode_outer (see dedup._gram_postings) and a filter whose
+    # every conjunct references the GENERATED ``start`` column — the
+    # plain ``_n > 0`` spelling is pushable below the Generate, which
+    # inlines size(tokenize) into the scan filter.  ``start < _n`` is
+    # equivalent: generated starts are always <= _n - 1 when _n > 0,
+    # and the only start for an empty/NULL doc is 0 (or NULL), which
+    # ``0 < _n`` rejects exactly when ``_n > 0`` would.
     exploded = t.select(
         F.col(id_col),
         F.col("_toks"),
         F.col("_n"),
-        F.posexplode(starts).alias("chunk_id", "start"),
+        F.posexplode_outer(starts).alias("chunk_id", "start"),
     ).filter(
-        (F.col("_n") > 0)
+        (F.col("start") < F.col("_n"))
         & (
             (F.col("start") == 0)
             | (F.col("start") - stride + chunk_size < F.col("_n"))
@@ -361,6 +372,10 @@ def tfidf_terms(
     """
     from pyspark.sql import Window
 
+    # plain explode over the INLINE tokenize expression:
+    # InferFiltersFromGenerate (post-SPARK-36715) skips non-attribute
+    # generator children, so nothing duplicates into the scan filter
+    # (the dedup._gram_postings trap needs the column-shape)
     toks = spread_small_input(df.select(id_col, text)).select(
         F.col(id_col), F.explode(tokens(text)).alias("term")
     )
@@ -614,6 +629,9 @@ def token_cooccurrence(
     """
     from pyspark.sql import Window
 
+    # the generator child is array_distinct(<attr>) — a function call,
+    # not a bare attribute — so InferFiltersFromGenerate does not fire
+    # (SPARK-36715) and the chain never duplicates into the scan
     tok_docs = (
         df.select(F.col(id_col).alias("_id"), tokens(text).alias("_toks"))
         .select("_id", F.explode(F.array_distinct("_toks")).alias("tok"))
@@ -1614,9 +1632,13 @@ def bpe_encode(
     join on the token (Spark still auto-broadcasts genuinely small
     vocabularies under the default 10 MB threshold)."""
     applied = bpe_apply_merges(df, merges, text_col, id_col, sep)
+    # posexplode_outer + null filter: a plain posexplode would push
+    # size(tokens) > 0 through the projection and inline the whole
+    # in-scan merge fold into the scan filter (see
+    # dedup._gram_postings)
     stream = applied.select(
-        id_col, F.posexplode("tokens").alias("pos", "token")
-    )
+        id_col, F.posexplode_outer("tokens").alias("pos", "token")
+    ).filter(F.col("token").isNotNull())
     vocab = frequency_rank_vocab(
         stream.groupBy("token").agg(F.count("*").alias("_c"))
     )
