@@ -3800,6 +3800,48 @@ def _q_quality_classifier(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+#: the lang_id gate's language inventory — SORTED, because sorted
+#: order is the operator's deterministic tie-break order and the
+#: oracle's CASE order (both sides derive from this one tuple)
+_LANGID_GATE_LANGS: tuple[str, ...] = ("de", "en", "es", "fr")
+
+
+def _langid_gate_weights(lang: str, n_buckets: int = 256) -> list[int]:
+    """Per-language stand-in trained weight tables for the lang_id
+    gate, md5-derived like :func:`_qcls_gate_weights` so the Spark
+    literal and the SQL oracle interpolate the SAME table.  (A real
+    deployment plugs in offline-trained fastText weights; the gate
+    checks the multi-class inference plumbing, which is
+    weight-agnostic.)"""
+    import hashlib
+
+    return [
+        int(hashlib.md5(f"langw:v1:{lang}:{b}".encode()).hexdigest()[:6], 16)
+        % 1_000_001
+        for b in range(n_buckets)
+    ]
+
+
+def _q_lang_id(spark: SparkSession, sf: str) -> DataFrame:
+    # fastText-style MULTI-CLASS language identification (Joulin et
+    # al. 2016) — the classifier CCNet/C4-style curation actually
+    # runs, past the lang_pred_counts heuristic screen: hashed
+    # unigram+bigram features (one in-scan array, shared featurizer
+    # with quality_classifier/DSIR), one integer-micros weight table
+    # per language, per-language floor-mean score, argmax with ties
+    # to the lexicographically-first language.  At gate size (4 x 256
+    # buckets) every dot product is an in-scan literal fold — a pure
+    # map over the corpus, zero shuffle/join; production tables
+    # auto-switch to ONE wide broadcast-LUT join (never K joins).
+    # The oracle re-derives all four sums via explode + weight join.
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.text import lang_id_scores
+
+    docs = load_table(spark, sf, "documents")
+    return lang_id_scores(
+        docs, {lg: _langid_gate_weights(lg) for lg in _LANGID_GATE_LANGS}
+    )
+
+
 def _gate_url_expr() -> Column:
     """The curation gates' synthesized URL column — one per doc from
     md5(doc_id) (the http_ingest_simulated recipe: every derived
@@ -5210,6 +5252,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # === DECLARATION order only — gate order lives in _R8_WINDOW
         # === / _R9_QUEUE above (historical r6 grouping comments kept
         # === where they still aid navigation) =========================
+        # --- new in round 9 ------------------------------------------
+        "lang_id": _q_lang_id,
         # --- new in round 8 ------------------------------------------
         "bpe_subword_encode": _q_bpe_subword_encode,
         "domain_capped_sample": _q_domain_capped_sample,
@@ -6231,6 +6275,59 @@ def _oracle_sql_literal() -> dict[str, str]:
             )
             SELECT s.doc_id, s.pos, s.token, v.token_id
             FROM st s JOIN v USING (token)
+        """,
+        # lang_id: re-derive all four per-language floor-mean scores
+        # via ONE explode + wide weight-table join (deliberately
+        # different plan shape from the in-scan literal folds), then
+        # the same argmax/tie discipline: CASE in sorted-language
+        # order, first class equal to the greatest wins.  Weights
+        # interpolated from the same _langid_gate_weights literals.
+        "lang_id": f"""
+            WITH toks AS (
+                SELECT doc_id, {_TOKS} AS t
+                FROM documents WHERE text IS NOT NULL
+            ),
+            feats AS (
+                SELECT doc_id, unnest(list_concat(
+                    t, list_transform(range(1, len(t)),
+                                      i -> t[i] || ' ' || t[i + 1])
+                )) AS f
+                FROM toks
+            ),
+            fb AS (
+                SELECT doc_id,
+                       CAST(('0x' || substr(md5('langid:v1' || f), 1, 7))
+                            ::BIGINT % 256 AS INTEGER) AS b
+                FROM feats
+            ),
+            w AS (
+                SELECT CAST(unnest(range(0, 256)) AS INTEGER) AS b,
+                       {", ".join(
+                           "unnest(["
+                           + ",".join(str(w) for w in _langid_gate_weights(lg))
+                           + f"]) AS w{i}"
+                           for i, lg in enumerate(_LANGID_GATE_LANGS)
+                       )}
+            ),
+            agg AS (
+                SELECT fb.doc_id,
+                       count(*) AS n,
+                       {", ".join(
+                           f"CAST(sum(w{i}) AS BIGINT) // count(*) AS s{i}"
+                           for i in range(len(_LANGID_GATE_LANGS))
+                       )}
+                FROM fb JOIN w USING (b)
+                GROUP BY fb.doc_id
+            )
+            SELECT doc_id,
+                   CAST(n AS INTEGER) AS n_feats,
+                   CASE {" ".join(
+                       f"WHEN s{i} = greatest(s0, s1, s2, s3) THEN '{lg}'"
+                       for i, lg in enumerate(_LANGID_GATE_LANGS)
+                   )} END AS lang,
+                   CAST(greatest(s0, s1, s2, s3) AS BIGINT)
+                       AS score_micros
+            FROM agg
         """,
         # quality_classifier: re-derive the in-scan dot product as
         # explode + weight-table join (same exact BIGINT sum, a

@@ -1645,3 +1645,167 @@ def bpe_encode(
     return stream.join(vocab, "token").select(
         id_col, "pos", "token", "token_id"
     )
+
+
+# ------------------------------------------------- language ID (multi-class)
+def _langid_validate(
+    lang_weights: Mapping[str, Sequence[int]],
+) -> tuple[list[str], int]:
+    """Shared validation for the multi-class forms: >= 2 languages,
+    one equal-length non-negative weight table each.  Returns the
+    language ids in SORTED order (the deterministic tie-break order)
+    and the shared bucket count."""
+    if len(lang_weights) < 2:
+        raise ValueError(
+            "lang_id: need >= 2 language weight tables "
+            f"(got {len(lang_weights)})"
+        )
+    langs = sorted(lang_weights)
+    sizes = {len(lang_weights[lg]) for lg in langs}
+    if len(sizes) != 1:
+        raise ValueError(
+            "lang_id: all language weight tables must share one "
+            f"bucket count (got sizes {sorted(sizes)}) — they index "
+            "the SAME hashed-feature space"
+        )
+    for lg in langs:
+        _qcls_validate(lang_weights[lg])
+    return langs, sizes.pop()
+
+
+def lang_id_scores(
+    df: DataFrame,
+    lang_weights: Mapping[str, Sequence[int]],
+    id_col: str = "doc_id",
+    text: str = "text",
+    salt: str = "langid:v1",
+) -> DataFrame:
+    """fastText-style multi-class language identification (Joulin et
+    al. 2016, "Bag of Tricks for Efficient Text Classification") —
+    the classifier the CCNet / C4 curation pipelines actually run,
+    promoted past the :func:`lang_pred_counts` heuristic screen:
+    hashed unigram+bigram features (:func:`hashed_ngram_buckets`,
+    shared with the quality classifier and DSIR), one trained
+    integer-micros weight table per language, per-language floor-mean
+    score, argmax prediction with ties broken to the
+    lexicographically-FIRST language id (the ``_l2_assign_expr``
+    tie-to-lowest-id discipline, so the prediction is deterministic
+    and oracle-exact).
+
+    Returns (``id_col``, n_feats, lang, score_micros) for every
+    non-NULL-text document: ``lang`` the predicted language id,
+    ``score_micros`` its (exact BIGINT) winning score.  NULL-text
+    rows are dropped, matching :func:`quality_classifier_score`.
+
+    Plan at 100 TB: featurize ONCE in the scan, then
+    - small tables (K x n_buckets <= QCLS_LITERAL_MAX_BUCKETS): every
+      per-language dot product is an in-scan literal-array fold and
+      the argmax a greatest + first-match CASE — a pure map over the
+      corpus, zero shuffle, zero join (the gate shape);
+    - production tables (real fastText: 1e5-2e6 buckets x K): ONE
+      explode + ONE broadcast join against a WIDE (bucket, w_lang1..
+      w_langK) LUT table, one map-side-combinable groupBy carrying
+      (id, K sums) — never text, never K separate joins.  Same
+      auto-switch (and bit-identical scores, pinned by test) as
+      :func:`quality_classifier_score`.
+
+    Ref: reference repo has no classifier surface; this extends the
+    LLM-pipeline text family (SURVEY.md §6).
+    """
+    langs, n_buckets = _langid_validate(lang_weights)
+    feats = df.filter(F.col(text).isNotNull()).select(
+        F.col(id_col),
+        hashed_ngram_buckets(tokens(text), n_buckets, salt).alias("_f"),
+    )
+    if len(langs) * n_buckets <= QCLS_LITERAL_MAX_BUCKETS:
+        scored = feats.select(
+            id_col,
+            F.size("_f").alias("n_feats"),
+            *[
+                qcls_score_expr("_f", lang_weights[lg]).alias(f"_s_{i}")
+                for i, lg in enumerate(langs)
+            ],
+        )
+    else:
+        scored = _langid_score_joined(feats, lang_weights, langs, id_col)
+    best = F.greatest(*[F.col(f"_s_{i}") for i in range(len(langs))])
+    pred = F.coalesce(
+        *[
+            F.when(F.col(f"_s_{i}") == best, F.lit(lg))
+            for i, lg in enumerate(langs)
+        ]
+    )
+    return scored.select(
+        id_col,
+        "n_feats",
+        # empty-feature docs score NULL in every class -> greatest is
+        # NULL -> lang NULL (kept row, undecidable input — totality)
+        pred.alias("lang"),
+        best.alias("score_micros"),
+    )
+
+
+def _langid_score_joined(
+    feats: DataFrame,
+    lang_weights: Mapping[str, Sequence[int]],
+    langs: list[str],
+    id_col: str,
+) -> DataFrame:
+    """Broadcast-LUT form: ONE wide (bucket, w_0..w_{K-1}) table so
+    the corpus explodes and joins ONCE for all K classes (K separate
+    joins would scan the exploded features K times).  Floor-mean per
+    class, same empty/out-of-range discipline as
+    :func:`qcls_score_joined`."""
+    import pandas as pd
+
+    n_buckets = len(lang_weights[langs[0]])
+    spark = feats.sparkSession
+    cols = {"_bucket": range(n_buckets)}
+    for i, lg in enumerate(langs):
+        cols[f"_w_{i}"] = [int(w) for w in lang_weights[lg]]
+    schema = "_bucket int, " + ", ".join(
+        f"_w_{i} long" for i in range(len(langs))
+    )
+    wdf = spark.createDataFrame(pd.DataFrame(cols), schema=schema)
+    exploded = feats.select(
+        id_col,
+        F.size("_f").alias("_nf"),
+        F.explode_outer("_f").alias("_bucket"),
+    )
+    # out-of-range buckets fail LOUDLY (qcls_score_joined rationale)
+    guard = F.when(
+        F.col("_bucket").isNotNull() & F.col("_w_0").isNull(),
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "lang_id: feature bucket outside the weight "
+                    "tables (got bucket "
+                ),
+                F.col("_bucket").cast("string"),
+                F.lit(
+                    f", tables have {n_buckets} buckets) — featurize "
+                    "with n_buckets == table size"
+                ),
+            )
+        ).cast("long"),
+    )
+    return (
+        exploded.join(F.broadcast(wdf), "_bucket", "left")
+        .groupBy(id_col, "_nf")
+        .agg(
+            *[
+                F.sum(guard.otherwise(F.col(f"_w_{i}"))).alias(f"_sw_{i}")
+                for i in range(len(langs))
+            ]
+        )
+        .select(
+            F.col(id_col),
+            F.col("_nf").alias("n_feats"),
+            *[
+                F.expr(
+                    f"if(_nf = 0, CAST(NULL AS BIGINT), _sw_{i} div _nf)"
+                ).alias(f"_s_{i}")
+                for i in range(len(langs))
+            ],
+        )
+    )

@@ -2494,3 +2494,92 @@ def test_bm25_topk_property_vs_python_reference(spark):
         assert got == ref(docs, queries, 3)
 
     case()
+
+
+def test_lang_id_scores_vs_python_reference(spark):
+    """Multi-class language ID must equal a pure-Python reference
+    (per-language floor-mean of md5-hashed feature weights, argmax
+    with ties to the sorted-first language) exactly, in BOTH the
+    literal-fold and broadcast-LUT forms; validation rejects
+    single-class and ragged weight tables."""
+    import hashlib
+
+    import pytest
+
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators import text as text_mod
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.text import lang_id_scores
+
+    n_buckets = 64
+    langs = ["de", "en", "fr"]
+    tables = {
+        lg: [
+            int(hashlib.md5(f"lw:{lg}:{b}".encode()).hexdigest()[:6], 16)
+            % 1_000_001
+            for b in range(n_buckets)
+        ]
+        for lg in langs
+    }
+    docs = [
+        (1, "the cat sat on the mat"),
+        (2, "der hund lief schnell"),
+        (3, "zzz"),
+        (4, None),
+    ]
+
+    def ref(text: str) -> tuple[int, str, int]:
+        toks = text.strip().split()
+        feats = toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        bs = [
+            int(hashlib.md5(("langid:v1" + f).encode()).hexdigest()[:7], 16)
+            % n_buckets
+            for f in feats
+        ]
+        scores = {
+            lg: sum(tables[lg][b] for b in bs) // len(feats) for lg in langs
+        }
+        best = max(scores.values())
+        lang = min(lg for lg in langs if scores[lg] == best)
+        return len(feats), lang, best
+
+    expect = {d: ref(t) for d, t in docs[:3]}
+    got = {
+        r["doc_id"]: (r["n_feats"], r["lang"], r["score_micros"])
+        for r in lang_id_scores(
+            spark.createDataFrame(docs, ["doc_id", "text"]), tables
+        ).collect()
+    }
+    assert got == expect  # null text drops; 3 rows exact
+
+    # broadcast-LUT form (force by shrinking the literal cap) must be
+    # bit-identical, prediction included
+    orig = text_mod.QCLS_LITERAL_MAX_BUCKETS
+    text_mod.QCLS_LITERAL_MAX_BUCKETS = 1
+    try:
+        joined = {
+            r["doc_id"]: (r["n_feats"], r["lang"], r["score_micros"])
+            for r in lang_id_scores(
+                spark.createDataFrame(docs, ["doc_id", "text"]), tables
+            ).collect()
+        }
+    finally:
+        text_mod.QCLS_LITERAL_MAX_BUCKETS = orig
+    assert joined == expect
+
+    # identical tables for every class -> every doc ties -> the
+    # sorted-first language wins everywhere
+    tied = lang_id_scores(
+        spark.createDataFrame(docs, ["doc_id", "text"]),
+        {"b_lang": tables["en"], "a_lang": tables["en"]},
+    ).collect()
+    assert {r["lang"] for r in tied} == {"a_lang"}
+
+    with pytest.raises(ValueError, match=">= 2 language"):
+        lang_id_scores(
+            spark.createDataFrame(docs, ["doc_id", "text"]),
+            {"en": tables["en"]},
+        )
+    with pytest.raises(ValueError, match="share one"):
+        lang_id_scores(
+            spark.createDataFrame(docs, ["doc_id", "text"]),
+            {"en": tables["en"], "de": tables["de"][:32]},
+        )
