@@ -3765,6 +3765,48 @@ def _q_bpe_subword_encode(spark: SparkSession, sf: str) -> DataFrame:
     return bpe_subword_encode(docs, learned)
 
 
+#: closed-vocabulary size for the byte-fallback gate: small enough
+#: that real OOV symbols exist at every SF (distinct chars + merges
+#: exceed 24), large enough that '</w>' — the most frequent symbol —
+#: is always inside.  Both sides derive the vocab from this one int.
+_BPE_TOTAL_VOCAB = 24
+
+
+def _q_bpe_subword_total(spark: SparkSession, sf: str) -> DataFrame:
+    # TOTAL-coverage tokenizer shipping shape: same 3 learned
+    # character-level merges as bpe_subword_encode, but the
+    # vocabulary is FROZEN to the top-24 frequency-ranked symbols
+    # and every out-of-vocabulary symbol falls back to UTF-8 byte
+    # tokens <0xNN> with reserved ids len(vocab)+byte (GPT-2 /
+    # SentencePiece byte fallback), the eow marker re-emitted from
+    # the vocab so word boundaries survive.  decode(encode(x)) == x
+    # is test-pinned; the gate hash-checks the full (pos, token,
+    # token_id, is_byte) stream against the oracle's replay.
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.text import (
+        bpe_subword_encode,
+        bpe_subword_encode_total,
+        bpe_subword_merges,
+    )
+
+    docs = load_table(spark, sf, "documents")
+    learned = [
+        (r["merge_left"], r["merge_right"])
+        for r in bpe_subword_merges(docs, "text", n_merges=3)
+        .orderBy("merge_round")
+        .collect()
+    ]
+    vocab = [
+        r["token"]
+        for r in bpe_subword_encode(docs, learned)
+        .select("token", "token_id")
+        .distinct()
+        .filter(F.col("token_id") < _BPE_TOTAL_VOCAB)
+        .orderBy("token_id")
+        .collect()
+    ]
+    return bpe_subword_encode_total(docs, learned, vocab)
+
+
 def _qcls_gate_weights(n_buckets: int = 256) -> list[int]:
     """The gate's stand-in TRAINED weight table: one integer-micros
     weight per hash bucket, derived from md5 so it is reproducible
@@ -5254,6 +5296,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # === where they still aid navigation) =========================
         # --- new in round 9 ------------------------------------------
         "lang_id": _q_lang_id,
+        "bpe_subword_total": _q_bpe_subword_total,
         # --- new in round 8 ------------------------------------------
         "bpe_subword_encode": _q_bpe_subword_encode,
         "domain_capped_sample": _q_domain_capped_sample,
@@ -6275,6 +6318,100 @@ def _oracle_sql_literal() -> dict[str, str]:
             )
             SELECT s.doc_id, s.pos, s.token, v.token_id
             FROM st s JOIN v USING (token)
+        """,
+        # bpe_subword_total: same learn chain, vocabulary FROZEN to
+        # the top-{_BPE_TOTAL_VOCAB} frequency-ranked symbols, then
+        # the byte-fallback expansion — OOV symbols emit hex(UTF-8)
+        # byte tokens with ids vocab_size+byte, a word-final OOV
+        # symbol re-emits the in-vocab '</w>' marker after its
+        # content bytes; global positions by (wpos, spos, byte pos)
+        "bpe_subword_total": rf"""
+            WITH wt AS (
+                SELECT w, CAST(count(*) AS BIGINT) AS f FROM (
+                    SELECT unnest({_TOKS}) AS w
+                    FROM documents WHERE text IS NOT NULL
+                ) GROUP BY w
+            ),
+            s0 AS (
+                SELECT w, f, list_concat(
+                    CASE WHEN w = '' THEN []::VARCHAR[]
+                         ELSE string_split(w, '') END,
+                    ['</w>']) AS t
+                FROM wt
+            ),
+            {_bpe_sub_round_ctes(3)},
+            dw AS (
+                SELECT doc_id, CAST(i AS INTEGER) AS wpos, t[i] AS w
+                FROM (SELECT doc_id, {_TOKS} AS t
+                      FROM documents WHERE text IS NOT NULL) dt,
+                     UNNEST(range(1, len(t) + 1)) AS u(i)
+            ),
+            sub AS (
+                SELECT d.doc_id, d.wpos, CAST(j AS INTEGER) AS spos,
+                       s.t[j] AS token
+                FROM dw d JOIN s3 s USING (w),
+                     UNNEST(range(1, len(s.t) + 1)) AS u(j)
+            ),
+            v AS (
+                SELECT token, tid FROM (
+                    SELECT token, CAST(row_number() OVER (
+                               ORDER BY count(*) DESC, token
+                           ) - 1 AS INTEGER) AS tid
+                    FROM sub GROUP BY token
+                ) WHERE tid < {_BPE_TOTAL_VOCAB}
+            ),
+            subh AS (
+                SELECT s.doc_id, s.wpos, s.spos, s.token, v.tid,
+                       hex(encode(CASE
+                           WHEN s.token <> '</w>'
+                                AND ends_with(s.token, '</w>')
+                           THEN substr(s.token, 1, length(s.token) - 4)
+                           ELSE s.token END)) AS hx
+                FROM sub s LEFT JOIN v USING (token)
+            ),
+            expd AS (
+                SELECT doc_id, wpos, spos, CAST(i AS INTEGER) AS bpos,
+                       lst[i].token AS token,
+                       lst[i].token_id AS token_id,
+                       lst[i].is_byte AS is_byte
+                FROM (
+                    SELECT doc_id, wpos, spos,
+                        CASE WHEN tid IS NOT NULL THEN
+                            [struct_pack(token := token,
+                                         token_id := tid,
+                                         is_byte := 0)]
+                        ELSE list_concat(
+                            list_transform(
+                                range(1, CAST(length(hx) / 2 AS INTEGER)
+                                         + 1),
+                                j -> struct_pack(
+                                    token := '<0x' ||
+                                        substr(hx, (j - 1) * 2 + 1, 2)
+                                        || '>',
+                                    token_id := {_BPE_TOTAL_VOCAB} +
+                                        CAST(('0x' || substr(
+                                            hx, (j - 1) * 2 + 1, 2)
+                                        )::BIGINT AS INTEGER),
+                                    is_byte := 1)),
+                            CASE WHEN ends_with(token, '</w>') THEN
+                                [struct_pack(
+                                    token := '</w>',
+                                    token_id := (SELECT tid FROM v
+                                                 WHERE token = '</w>'),
+                                    is_byte := 0)]
+                            ELSE [] END)
+                        END AS lst
+                    FROM subh
+                ), UNNEST(range(1, len(lst) + 1)) u(i)
+            )
+            SELECT doc_id,
+                   CAST(row_number() OVER (
+                       PARTITION BY doc_id ORDER BY wpos, spos, bpos
+                   ) - 1 AS INTEGER) AS pos,
+                   token,
+                   CAST(token_id AS INTEGER) AS token_id,
+                   CAST(is_byte AS INTEGER) AS is_byte
+            FROM expd
         """,
         # lang_id: re-derive all four per-language floor-mean scores
         # via ONE explode + wide weight-table join (deliberately

@@ -1809,3 +1809,139 @@ def _langid_score_joined(
             ],
         )
     )
+
+
+def bpe_subword_encode_total(
+    df: DataFrame,
+    merges: Sequence[tuple[str, str]],
+    vocab: Sequence[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    eow: str = "</w>",
+) -> DataFrame:
+    """TOTAL-coverage subword encoding under a FIXED vocabulary with
+    GPT-2/SentencePiece-style byte fallback: replay the learned
+    merges, then encode every resulting symbol either as its
+    ``vocab`` id or — when the closed vocabulary can't represent it —
+    as the UTF-8 bytes of its text content, one reserved byte token
+    ``<0xNN>`` per byte with the deterministic id
+    ``len(vocab) + byte_value``.  Unlike :func:`bpe_subword_encode`
+    (which ranks ids over the symbols OBSERVED in the corpus at
+    hand), this is the tokenizer a pipeline ships: the vocabulary is
+    frozen at training time, yet EVERY document of any future corpus
+    encodes losslessly (decode(encode(x)) == x, pinned by test).
+
+    Fallback discipline: an out-of-vocabulary symbol carrying the
+    end-of-word marker emits its content bytes followed by the
+    ``eow`` vocabulary token (the marker is tokenizer metadata, never
+    byte-encoded), so word boundaries survive the fallback; ``eow``
+    is therefore REQUIRED to be in ``vocab``.
+
+    Returns (``id_col``, pos, token, token_id, is_byte) — the
+    :func:`bpe_subword_encode` stream shape plus the fallback flag.
+
+    Scale shape: merge folds and the vocabulary join run over the
+    DISTINCT word-TYPE table (vocabulary-sized work; the id table —
+    tokenizer-sized by definition — broadcasts), byte expansion is an
+    in-scan array expression over OOV type symbols, each encoded type
+    joins back onto the (doc, word) stream by hash, and the only
+    corpus-sized shuffle is the per-document position window — the
+    same class as :func:`bpe_subword_encode`.
+    """
+    for left, right in merges:
+        if left == right:
+            raise ValueError(
+                "bpe_subword_encode_total: self-pair rule "
+                f"({left!r}, {right!r}) — the learner never emits these"
+            )
+    if len(set(vocab)) != len(vocab):
+        raise ValueError("bpe_subword_encode_total: duplicate vocab entries")
+    if eow not in vocab:
+        raise ValueError(
+            f"bpe_subword_encode_total: end-of-word marker {eow!r} must "
+            "be in vocab — byte fallback emits it for every OOV "
+            "word-final symbol"
+        )
+    from pyspark.sql import Window
+
+    n_vocab = len(vocab)
+    eow_id = list(vocab).index(eow)
+    spark = df.sparkSession
+    words = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col), F.posexplode(tokens(text_col)).alias("_wpos", "_w")
+    )
+    cur = (
+        words.select("_w")
+        .distinct()
+        .select("_w", _word_symbols(F.col("_w"), eow).alias("_s"))
+        .localCheckpoint(eager=False)
+    )
+    for left, right in merges:
+        cur = cur.select(
+            "_w", _fuse_pair_expr(F.col("_s"), left, right, "").alias("_s")
+        ).localCheckpoint(eager=False)
+    vdf = spark.createDataFrame(
+        [(s, i) for i, s in enumerate(vocab)], "_vtok string, _vid int"
+    )
+    esc = eow.replace("\\", "\\\\").replace("'", "\\'")
+    syms = (
+        cur.select("_w", F.posexplode("_s").alias("_spos", "_sym"))
+        .join(F.broadcast(vdf), F.col("_sym") == F.col("_vtok"), "left")
+        .select(
+            "_w",
+            "_spos",
+            "_sym",
+            "_vid",
+            # OOV content: strip a trailing eow marker (metadata, not
+            # text); hex of the content's UTF-8 bytes drives fallback
+            F.expr(
+                f"CASE WHEN _sym != '{esc}' AND endswith(_sym, '{esc}') "
+                f"THEN substr(_sym, 1, length(_sym) - {len(eow)}) "
+                "ELSE _sym END"
+            ).alias("_c"),
+        )
+        .withColumn("_hx", F.hex(F.encode(F.col("_c"), "UTF-8")))
+    )
+    st = "array<struct<token:string,token_id:int,is_byte:int>>"
+    exp = F.expr(
+        f"""CASE WHEN _vid IS NOT NULL
+             THEN array(struct(_sym AS token, _vid AS token_id,
+                               0 AS is_byte))
+             ELSE concat(
+               if(length(_hx) = 0, CAST(array() AS {st}),
+                  transform(sequence(0, CAST(length(_hx) DIV 2 AS INT) - 1),
+                    j -> struct(
+                      concat('<0x', substr(_hx, j * 2 + 1, 2), '>')
+                          AS token,
+                      CAST(conv(substr(_hx, j * 2 + 1, 2), 16, 10) AS INT)
+                          + {n_vocab} AS token_id,
+                      1 AS is_byte))),
+               if(endswith(_sym, '{esc}'),
+                  array(struct('{esc}' AS token, {eow_id} AS token_id,
+                               0 AS is_byte)),
+                  CAST(array() AS {st})))
+        END"""
+    )
+    types = (
+        syms.select("_w", "_spos", exp.alias("_exp"))
+        .groupBy("_w")
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("_spos", "_exp"))),
+                    lambda x: x["_exp"],
+                )
+            ).alias("_tt")
+        )
+    )
+    sub = words.join(types, "_w").select(
+        id_col, "_wpos", F.posexplode("_tt").alias("_tpos", "_tok")
+    )
+    wpos = Window.partitionBy(id_col).orderBy("_wpos", "_tpos")
+    return sub.select(
+        F.col(id_col),
+        (F.row_number().over(wpos) - F.lit(1)).cast("int").alias("pos"),
+        F.col("_tok.token").alias("token"),
+        F.col("_tok.token_id").alias("token_id"),
+        F.col("_tok.is_byte").alias("is_byte"),
+    )

@@ -2583,3 +2583,117 @@ def test_lang_id_scores_vs_python_reference(spark):
             spark.createDataFrame(docs, ["doc_id", "text"]),
             {"en": tables["en"], "de": tables["de"][:32]},
         )
+
+
+def _bft_decode(rows, vocab, eow="</w>"):
+    """Pure-Python inverse of bpe_subword_encode_total's stream:
+    rebuild the word sequence, assembling fallback bytes into UTF-8."""
+    words, buf = [], b""
+    for r in sorted(rows, key=lambda r: r["pos"]):
+        if r["is_byte"]:
+            assert r["token"] == f"<0x{r['token_id'] - len(vocab):02X}>"
+            buf += bytes([r["token_id"] - len(vocab)])
+        elif r["token"] == eow:
+            words.append(buf.decode("utf-8"))
+            buf = b""
+        elif r["token"].endswith(eow):
+            buf += r["token"][: -len(eow)].encode("utf-8")
+            words.append(buf.decode("utf-8"))
+            buf = b""
+        else:
+            buf += r["token"].encode("utf-8")
+    assert buf == b""  # every word closed by an eow marker
+    return words
+
+
+def test_bpe_subword_total_roundtrip(spark):
+    """Byte-fallback total encoding: decode(encode(x)) == x
+    token-for-token for every document — including multi-byte UTF-8
+    far outside the closed vocabulary — and the byte-token tail is
+    the deterministic id map len(vocab)+byte.  Validation pins the
+    eow-in-vocab requirement."""
+    import pytest
+
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.text import (
+        bpe_subword_encode_total,
+        bpe_subword_merges,
+    )
+
+    docs = [
+        (1, "the cat sat on the mat"),
+        (2, "héllo wörld 日本 naïve"),
+        (3, "the the the zz %20 <0x41>"),
+        (4, "  "),
+        (5, None),
+    ]
+    frame = spark.createDataFrame(docs, ["doc_id", "text"])
+    learned = [
+        (r["merge_left"], r["merge_right"])
+        for r in bpe_subword_merges(frame, "text", n_merges=2)
+        .orderBy("merge_round")
+        .collect()
+    ]
+    vocab = ["</w>", "t", "h", "e", "a", "th"]
+    out = bpe_subword_encode_total(frame, learned, vocab).collect()
+    per: dict[int, list] = {}
+    for r in out:
+        per.setdefault(r["doc_id"], []).append(r)
+    assert set(per) == {1, 2, 3, 4}  # null text drops, blank doc stays
+    for doc_id, text in docs[:4]:
+        # the engine tokenizer (split on \s+ after trim) yields ['']
+        # for blank text — one empty word, encoded as a bare eow
+        expect = text.strip().split() if text.strip() else [""]
+        assert _bft_decode(per[doc_id], vocab) == expect, doc_id
+    # ids: vocab ids < len(vocab), byte ids exactly len(vocab)+byte
+    for r in out:
+        if r["is_byte"]:
+            assert len(vocab) <= r["token_id"] < len(vocab) + 256
+        else:
+            assert r["token_id"] == vocab.index(r["token"])
+    # positions are 0..n-1 dense per doc
+    for doc_id, rows in per.items():
+        assert sorted(r["pos"] for r in rows) == list(range(len(rows)))
+
+    with pytest.raises(ValueError, match="must be in vocab"):
+        bpe_subword_encode_total(frame, learned, ["t", "h"])
+    with pytest.raises(ValueError, match="duplicate"):
+        bpe_subword_encode_total(frame, learned, ["</w>", "t", "t"])
+    with pytest.raises(ValueError, match="self-pair"):
+        bpe_subword_encode_total(frame, [("a", "a")], vocab)
+
+
+def test_bpe_subword_total_roundtrip_property(spark):
+    """Hypothesis: round-trip holds for random unicode corpora under
+    a random small vocabulary (OOV-heavy by construction)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.text import bpe_subword_encode_total
+
+    word = st.text(
+        alphabet=st.characters(
+            blacklist_categories=("Zs", "Zl", "Zp", "Cc", "Cs")
+        ),
+        min_size=1,
+        max_size=5,
+    )
+    corpus = st.lists(
+        st.lists(word, min_size=0, max_size=6), min_size=1, max_size=4
+    )
+
+    @settings(max_examples=8, deadline=None)
+    @given(corpus=corpus)
+    def check(corpus):
+        docs = [(i, " ".join(ws)) for i, ws in enumerate(corpus)]
+        frame = spark.createDataFrame(docs, ["doc_id", "text"])
+        vocab = ["</w>", "e", "t", "a"]
+        out = bpe_subword_encode_total(frame, [("e", "t")], vocab).collect()
+        per: dict[int, list] = {}
+        for r in out:
+            per.setdefault(r["doc_id"], []).append(r)
+        for i, _ in enumerate(corpus):
+            text = docs[i][1]
+            expect = text.strip().split() if text.strip() else [""]
+            assert _bft_decode(per.get(i, []), vocab) == expect
+
+    check()
