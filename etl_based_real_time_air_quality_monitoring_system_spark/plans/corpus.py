@@ -49,6 +49,8 @@ def prepare_corpus(
     classifier_threshold_micros: int = 500_000,
     classifier_bias_micros: int = 0,
     classifier_salt: str = "qcls:v1",
+    lang_weights: "Mapping[str, Sequence[int]] | None" = None,
+    lang_salt: str = "langid:v1",
 ) -> DataFrame:
     """Deduplicated, filtered corpus: survivor rows (min ``id_col`` per
     exact-text fingerprint) that clear the quality / language /
@@ -60,25 +62,84 @@ def prepare_corpus(
     integer-micros score (``operators.text.qcls_score_expr``) is
     computed in the same scan — no extra shuffle — exposed as
     ``qcls_micros``, and rows below ``classifier_threshold_micros``
-    are dropped."""
+    are dropped.
+
+    ``lang_weights`` upgrades the language screen from the heuristic
+    ``lang_id_of`` to the trained multi-class classifier
+    (``operators.text.lang_id_scores`` semantics, evaluated here as
+    the same-scan literal argmax): ``lang_pred`` becomes the
+    classifier's prediction (argmax per-language floor-mean, ties to
+    the sorted-first language) and the ``lang_pred == lang`` keep
+    rule is unchanged — one more in-scan expression, still zero
+    extra shuffles.  CCNet/C4 run exactly this shape."""
     w = Window.partitionBy(fingerprint(text_col)).orderBy(F.col(id_col))
     survivors = (
         docs.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
-    profiled = (
-        survivors.withColumn("_toks", tokens(text_col))
-        .withColumn("_ltoks", tokens(F.lower(F.col(text_col))))
-        .withColumns(
-            {
-                "quality": quality_score_of(F.col("_toks")),
-                "n_tokens": token_count_of(F.col("_toks")),
-                "lang_pred": lang_id_of(F.col("_ltoks")),
-            }
+    if lang_weights is None:
+        profiled = (
+            survivors.withColumn("_toks", tokens(text_col))
+            .withColumn("_ltoks", tokens(F.lower(F.col(text_col))))
+            .withColumns(
+                {
+                    "quality": quality_score_of(F.col("_toks")),
+                    "n_tokens": token_count_of(F.col("_toks")),
+                    "lang_pred": lang_id_of(F.col("_ltoks")),
+                }
+            )
+            .drop("_toks", "_ltoks")
         )
-        .drop("_toks", "_ltoks")
-    )
+    else:
+        # classifier language screen — the lang_id_scores literal
+        # form, staged here so the shared featurization (_lf, a
+        # multi-use non-cheap alias Catalyst won't collapse) and the
+        # K per-language folds all stay in the SAME scan as the
+        # quality/token profile: zero extra shuffles or joins
+        from ..operators.text import (
+            QCLS_LITERAL_MAX_BUCKETS,
+            _langid_validate,
+            hashed_ngram_buckets,
+            qcls_score_expr,
+        )
+
+        langs, n_buckets = _langid_validate(lang_weights)
+        if len(langs) * n_buckets > QCLS_LITERAL_MAX_BUCKETS:
+            raise ValueError(
+                "prepare_corpus: lang_weights too large for the "
+                f"in-scan literal form ({len(langs)}x{n_buckets} > "
+                f"{QCLS_LITERAL_MAX_BUCKETS}) — run "
+                "operators.text.lang_id_scores (broadcast-LUT form) "
+                "and join its prediction back instead"
+            )
+        score_cols = {
+            f"_ls_{i}": qcls_score_expr("_lf", lang_weights[lg])
+            for i, lg in enumerate(langs)
+        }
+        best = F.greatest(*[F.col(c) for c in score_cols])
+        pred = F.coalesce(
+            *[
+                F.when(F.col(f"_ls_{i}") == best, F.lit(lg))
+                for i, lg in enumerate(langs)
+            ]
+        )
+        profiled = (
+            survivors.withColumn("_toks", tokens(text_col))
+            .withColumn(
+                "_lf",
+                hashed_ngram_buckets(tokens(text_col), n_buckets, lang_salt),
+            )
+            .withColumns(
+                {
+                    "quality": quality_score_of(F.col("_toks")),
+                    "n_tokens": token_count_of(F.col("_toks")),
+                    **score_cols,
+                }
+            )
+            .withColumn("lang_pred", pred)
+            .drop("_toks", "_lf", *score_cols)
+        )
     kept = profiled.filter(
         (F.col("quality") >= min_quality)
         & (F.col("lang_pred") == lang)

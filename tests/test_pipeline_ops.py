@@ -2697,3 +2697,69 @@ def test_bpe_subword_total_roundtrip_property(spark):
             assert _bft_decode(per.get(i, []), vocab) == expect
 
     check()
+
+
+def test_prepare_corpus_lang_classifier_stage(spark):
+    """prepare_corpus(lang_weights=...) must keep exactly the docs
+    lang_id_scores predicts as the keep-language (same-scan literal
+    argmax == the operator's own literal form), and reject tables too
+    large for the in-scan literal."""
+    import hashlib
+
+    import pytest
+
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.text import lang_id_scores
+    from etl_based_real_time_air_quality_monitoring_system_spark.plans.corpus import prepare_corpus
+
+    n_buckets = 64
+    text_en = "alpha bravo charlie delta echo"
+    text_xx = "zulu yankee xray whiskey victor"
+
+    def buckets(text: str) -> set[int]:
+        toks = text.split()
+        feats = toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        return {
+            int(hashlib.md5(("langid:v1" + f).encode()).hexdigest()[:7], 16)
+            % n_buckets
+            for f in feats
+        }
+
+    # each class upweights exactly its own family's feature buckets,
+    # so family membership decides the argmax deterministically
+    tables = {
+        "en": [1_000_000 if b in buckets(text_en) else 0 for b in range(n_buckets)],
+        "xx": [1_000_000 if b in buckets(text_xx) else 0 for b in range(n_buckets)],
+    }
+    # unique v{i} suffix defeats the exact-text dedup stage; its
+    # buckets weigh 0 in BOTH tables so the argmax is unaffected
+    corpus = spark.createDataFrame(
+        [
+            (i, (text_en if i % 2 == 0 else text_xx) + f" v{i}")
+            for i in range(20)
+        ],
+        ["doc_id", "text"],
+    )
+    preds = {
+        r["doc_id"]: r["lang"]
+        for r in lang_id_scores(
+            corpus, tables, salt="langid:v1"
+        ).collect()
+    }
+    assert set(preds.values()) == {"en", "xx"}  # both classes occur
+    for keep_lang in ("en", "xx"):
+        kept = prepare_corpus(
+            corpus,
+            min_tokens=1,
+            min_quality=0.0,
+            lang=keep_lang,
+            lang_weights=tables,
+        ).collect()
+        assert {r["doc_id"] for r in kept} == {
+            d for d, lg in preds.items() if lg == keep_lang
+        }
+        assert all(r["lang_pred"] == keep_lang for r in kept)
+    with pytest.raises(ValueError, match="too large"):
+        prepare_corpus(
+            corpus,
+            lang_weights={"en": [1] * 600, "xx": [1] * 600},
+        )
