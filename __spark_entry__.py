@@ -3807,6 +3807,19 @@ def _q_bpe_subword_total(spark: SparkSession, sf: str) -> DataFrame:
     return bpe_subword_encode_total(docs, learned, vocab)
 
 
+def _q_bpe_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    # The shipping-tokenizer CONTRACT, gated end-to-end at corpus
+    # scale: encode under the frozen top-24 vocabulary with byte
+    # fallback, decode the stream back, and the oracle is simply the
+    # whitespace-normalized ORIGINAL corpus — if any symbol, byte
+    # split, marker, or position is wrong anywhere, some document's
+    # rebuilt text hash-mismatches.  (decode: percent-encode pieces,
+    # one url_decode per doc; '+' carries the word boundary.)
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.text import bpe_subword_decode
+
+    return bpe_subword_decode(_q_bpe_subword_total(spark, sf))
+
+
 def _qcls_gate_weights(n_buckets: int = 256) -> list[int]:
     """The gate's stand-in TRAINED weight table: one integer-micros
     weight per hash bucket, derived from md5 so it is reproducible
@@ -5178,6 +5191,7 @@ _R9_WINDOW: tuple[str, ...] = (
     # new in round 9
     "lang_id",
     "bpe_subword_total",
+    "bpe_roundtrip",
     # code changed in round 9 (explode audit) -> re-gate the direct
     # exerciser of each changed seam on current plans
     "ngram_jaccard",
@@ -5230,7 +5244,6 @@ _R9_WINDOW: tuple[str, ...] = (
     "funnel_over_cdc",
     "multimodal_decode",
     "corpus_assembly",
-    "grouped_stats",
 )
 
 #: the 25 r5-stale entries that did not fit the r9 window — positions
@@ -5238,6 +5251,10 @@ _R9_WINDOW: tuple[str, ...] = (
 #: window (each is untouched code, green in every 3-SF sweep since
 #: r5).  Gating these in r10 empties the r5 staleness backlog.
 _R10_QUEUE: tuple[str, ...] = (
+    # displaced from the r9 window by the late-round bpe_roundtrip
+    # gate (never-gated entries lead; grouped_stats is untouched code,
+    # green in every sweep since r5 — first in line r10)
+    "grouped_stats",
     "band_distribution",
     "hourly_activity",
     "multikey_summary",
@@ -5286,6 +5303,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new in round 9 ------------------------------------------
         "lang_id": _q_lang_id,
         "bpe_subword_total": _q_bpe_subword_total,
+        "bpe_roundtrip": _q_bpe_roundtrip,
         # --- new in round 8 ------------------------------------------
         "bpe_subword_encode": _q_bpe_subword_encode,
         "domain_capped_sample": _q_domain_capped_sample,
@@ -6401,6 +6419,16 @@ def _oracle_sql_literal() -> dict[str, str]:
                    CAST(token_id AS INTEGER) AS token_id,
                    CAST(is_byte AS INTEGER) AS is_byte
             FROM expd
+        """,
+        # bpe_roundtrip: the tokenizer contract itself — encode under
+        # the frozen vocab with byte fallback, decode back; the oracle
+        # is the whitespace-normalized ORIGINAL corpus, no replay of
+        # the pipeline at all (any wrong symbol/byte/position anywhere
+        # hash-mismatches some document)
+        "bpe_roundtrip": f"""
+            SELECT doc_id,
+                   array_to_string({_TOKS}, ' ') AS text_rebuilt
+            FROM documents WHERE text IS NOT NULL
         """,
         # lang_id: re-derive all four per-language floor-mean scores
         # via ONE explode + wide weight-table join (deliberately

@@ -1945,3 +1945,80 @@ def bpe_subword_encode_total(
         F.col("_tok.token_id").alias("token_id"),
         F.col("_tok.is_byte").alias("is_byte"),
     )
+
+
+def bpe_subword_decode(
+    stream: DataFrame,
+    id_col: str = "doc_id",
+    eow: str = "</w>",
+) -> DataFrame:
+    """Inverse of :func:`bpe_subword_encode_total`: rebuild each
+    document's whitespace-normalized text from its token stream —
+    the decode half of the shipping tokenizer, so the round trip
+    ``decode(encode(corpus)) == normalize(corpus)`` is checkable at
+    corpus scale (the ``bpe_roundtrip`` gate does exactly that with
+    the ORIGINAL corpus as the oracle).
+
+    All built-ins, no Python: every token maps to a percent-encoded
+    piece (byte tokens ``<0xNN>`` to ``%NN`` directly; in-vocab
+    symbol content to the percent-encoding of its UTF-8 bytes — so a
+    literal ``%`` or ``+`` in the text survives; the end-of-word
+    marker to ``+``), pieces concatenate in position order per
+    document, and ONE ``url_decode`` reassembles arbitrary UTF-8 —
+    including multi-byte characters split across byte-fallback
+    tokens — with ``+`` decoding to the single space that joins
+    words.  The trailing word boundary is dropped before decoding,
+    so a blank document (one empty word) rebuilds to ``''``.
+
+    Plan: one in-scan piece projection, one groupBy(``id_col``)
+    carrying (pos, piece) structs — a single shuffle whose payload
+    is the document's own bytes (~3x, percent-encoded) — then the
+    sort+concat+decode entirely in the aggregate projection.
+    """
+    esc = eow.replace("\\", "\\\\").replace("'", "\\'")
+    st = "array<string>"
+    pct = (
+        "if(length(_dhx) = 0, '', concat_ws('', "
+        "transform(sequence(0, CAST(length(_dhx) DIV 2 AS INT) - 1), "
+        "j -> concat('%', substr(_dhx, j * 2 + 1, 2)))))"
+    )
+    piece = F.expr(
+        f"""CASE WHEN is_byte = 1 THEN concat('%', substr(token, 4, 2))
+             WHEN token = '{esc}' THEN '+'
+             WHEN endswith(token, '{esc}') THEN concat({pct}, '+')
+             ELSE {pct}
+        END"""
+    )
+    content = F.expr(
+        f"CASE WHEN token != '{esc}' AND endswith(token, '{esc}') "
+        f"THEN substr(token, 1, length(token) - {len(eow)}) "
+        "ELSE token END"
+    )
+    pieces = stream.select(
+        F.col(id_col),
+        F.col("pos"),
+        F.col("is_byte"),
+        F.col("token"),
+        F.hex(F.encode(content, "UTF-8")).alias("_dhx"),
+    ).select(F.col(id_col), F.col("pos"), piece.alias("_piece"))
+    joined = F.concat_ws(
+        "",
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "_piece"))),
+            lambda x: x["_piece"],
+        ),
+    )
+    return (
+        pieces.groupBy(id_col)
+        .agg(joined.alias("_joined"))
+        .select(
+            F.col(id_col),
+            F.url_decode(
+                F.expr(
+                    "CASE WHEN endswith(_joined, '+') "
+                    "THEN substr(_joined, 1, length(_joined) - 1) "
+                    "ELSE _joined END"
+                )
+            ).alias("text_rebuilt"),
+        )
+    )

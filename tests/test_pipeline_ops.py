@@ -2763,3 +2763,41 @@ def test_prepare_corpus_lang_classifier_stage(spark):
             corpus,
             lang_weights={"en": [1] * 600, "xx": [1] * 600},
         )
+
+
+def test_bpe_subword_decode_spark_side(spark):
+    """The Spark-side decoder must rebuild whitespace-normalized
+    text exactly — including literal '%' and '+' (which url_decode
+    would otherwise mangle), multi-byte UTF-8 split across fallback
+    byte tokens, and the blank document."""
+    import re
+
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.text import (
+        bpe_subword_decode,
+        bpe_subword_encode_total,
+        bpe_subword_merges,
+    )
+
+    docs = [
+        (1, "the cat sat"),
+        (2, "héllo wörld 日本 50% a+b"),
+        (3, "  "),
+        (4, None),
+        (5, "x%2By  spaced\tout"),
+    ]
+    frame = spark.createDataFrame(docs, ["doc_id", "text"])
+    learned = [
+        (r["merge_left"], r["merge_right"])
+        for r in bpe_subword_merges(frame, "text", n_merges=2)
+        .orderBy("merge_round")
+        .collect()
+    ]
+    vocab = ["</w>", "t", "h", "e", "th", "%", "+"]
+    enc = bpe_subword_encode_total(frame, learned, vocab)
+    dec = {r["doc_id"]: r["text_rebuilt"] for r in bpe_subword_decode(enc).collect()}
+    assert set(dec) == {1, 2, 3, 5}
+    for doc_id, text in docs:
+        if text is None:
+            continue
+        want = " ".join(re.split(r"\s+", text.strip())) if text.strip() else ""
+        assert dec[doc_id] == want, (doc_id, dec[doc_id], want)
