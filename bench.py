@@ -182,6 +182,10 @@ HEADLINE = [
     "bm25_search",
     "line_dedup",
     "substring_rewrite",
+    # round-9 additions
+    "lang_id",
+    "bpe_subword_total",
+    "bpe_roundtrip",
 ]
 
 

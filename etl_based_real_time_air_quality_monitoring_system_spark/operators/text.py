@@ -1713,7 +1713,12 @@ def lang_id_scores(
     LLM-pipeline text family (SURVEY.md §6).
     """
     langs, n_buckets = _langid_validate(lang_weights)
-    feats = df.filter(F.col(text).isNotNull()).select(
+    # the per-row featurize + K folds are the compute hot spot, so an
+    # under-partitioned small input is first spread across cores (the
+    # exploded_shingles discipline)
+    feats = spread_small_input(
+        df.filter(F.col(text).isNotNull()).select(id_col, text)
+    ).select(
         F.col(id_col),
         hashed_ngram_buckets(tokens(text), n_buckets, salt).alias("_f"),
     )

@@ -89,6 +89,43 @@ def learned_subword_merges(spark, sf_dir: str) -> list[tuple[str, str]]:
     ]
 
 
+def frozen_subword_vocab(
+    spark, sf_dir: str, rules: list[tuple[str, str]], k: int = 24
+) -> list[str]:
+    """Top-``k`` frequency-ranked subword vocabulary from the BASE
+    table — frozen across inflation factors, like a shipped
+    tokenizer's (the bpe_subword_total gate recipe)."""
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.text import bpe_subword_encode
+
+    base_docs = load_table(spark, sf_dir, "documents")
+    return [
+        r["token"]
+        for r in bpe_subword_encode(base_docs, rules)
+        .select("token", "token_id")
+        .distinct()
+        .filter(F.col("token_id") < k)
+        .orderBy("token_id")
+        .collect()
+    ]
+
+
+def _probe_lang_tables(n_buckets: int = 256) -> dict[str, list[int]]:
+    """The lang_id gate's md5-derived 4-language weight tables."""
+    import hashlib
+
+    return {
+        lg: [
+            int(
+                hashlib.md5(f"langw:v1:{lg}:{b}".encode()).hexdigest()[:6],
+                16,
+            )
+            % 1_000_001
+            for b in range(n_buckets)
+        ]
+        for lg in ("de", "en", "es", "fr")
+    }
+
+
 def inflate(df: DataFrame, factor: int, shift_cols: tuple[str, ...]) -> DataFrame:
     """factor copies of df, id-like columns shifted per replica so key
     cardinality scales with volume (no artificial hot keys)."""
@@ -361,7 +398,24 @@ def probes(spark, sf_dir: str, factor: int) -> dict[str, tuple[DataFrame, int]]:
     # per-doc position window + distributed frequency rank
     from etl_based_real_time_air_quality_monitoring_system_spark.operators.text import bpe_subword_encode
 
-    sub_enc = bpe_subword_encode(docs, learned_subword_merges(spark, sf_dir))
+    sub_rules = learned_subword_merges(spark, sf_dir)
+    sub_enc = bpe_subword_encode(docs, sub_rules)
+    # r9 tokenizer-shipping probes: total encoding under a FROZEN
+    # base-table vocabulary (byte fallback does real work on the
+    # inflated salted replicas — their salted tokens are OOV by
+    # construction) and the full encode->decode round trip
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.text import (
+        bpe_subword_decode,
+        bpe_subword_encode_total,
+        lang_id_scores,
+    )
+
+    sub_vocab = frozen_subword_vocab(spark, sf_dir, sub_rules)
+    sub_total = bpe_subword_encode_total(docs, sub_rules, sub_vocab)
+    sub_rt = bpe_subword_decode(
+        bpe_subword_encode_total(docs, sub_rules, sub_vocab)
+    )
+    lid = lang_id_scores(docs, _probe_lang_tables())
     # cluster-balanced sample: fixed k=16 (the flat in-scan argmin
     # primitive — large k goes through two_level_assign instead, rule
     # (e)); quota scales with volume so selection density is constant
@@ -423,6 +477,9 @@ def probes(spark, sf_dir: str, factor: int) -> dict[str, tuple[DataFrame, int]]:
         "domain_rollup(documents)": (domains, n_docs),
         "bpe_encode(documents, 3 rules)": (bpe_enc, n_docs),
         "bpe_subword_encode(documents, 3 rules)": (sub_enc, n_docs),
+        "bpe_subword_total(documents, frozen24)": (sub_total, n_docs),
+        "bpe_subword_roundtrip(documents)": (sub_rt, n_docs),
+        "lang_id_scores(documents, 4x256)": (lid, n_docs),
         "domain_capped_sample(documents)": (capped, n_docs),
         "cluster_balanced_sample(embeddings)": (cbal, n_emb),
         "pq_encode(embeddings)": (pq, n_emb),
