@@ -3804,6 +3804,18 @@ def _q_bpe_subword_total(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy("token_id")
         .collect()
     ]
+    # the oracle hardcodes byte-fallback ids as _BPE_TOTAL_VOCAB +
+    # byte while the operator derives them from len(vocab) — if a
+    # future SF ever yields fewer than _BPE_TOTAL_VOCAB distinct
+    # subword symbols the two drift by an id offset; fail loudly at
+    # the source instead of as a confusing hash mismatch
+    if len(vocab) != _BPE_TOTAL_VOCAB:
+        raise AssertionError(
+            f"bpe_subword_total gate: corpus yielded {len(vocab)} distinct "
+            f"subword symbols < _BPE_TOTAL_VOCAB={_BPE_TOTAL_VOCAB}; the "
+            "oracle's hardcoded byte-id offset no longer matches — lower "
+            "_BPE_TOTAL_VOCAB for this SF"
+        )
     return bpe_subword_encode_total(docs, learned, vocab)
 
 
@@ -4123,8 +4135,10 @@ def _q_pq_codes(spark: SparkSession, sf: str) -> DataFrame:
 
     emb = _pq_micros_emb(spark, sf)
     cb = pq_codebooks(emb, "vec_id", "embedding", n_subspaces=8, n_codes=16)
-    # posexplode_outer + null filter (see dedup._gram_postings):
-    # keeps the in-scan argmin encode chain out of the inferred filter
+    # posexplode_outer + null filter (see dedup._pair_intersections;
+    # PQ code arrays have no NULL elements, so the rewrite's
+    # no-NULL-elements precondition holds): keeps the in-scan argmin
+    # encode chain out of the inferred filter
     return (
         pq_encode(emb, "vec_id", "embedding", cb)
         .select(
@@ -6436,6 +6450,13 @@ def _oracle_sql_literal() -> dict[str, str]:
         # the same argmax/tie discipline: CASE in sorted-language
         # order, first class equal to the greatest wins.  Weights
         # interpolated from the same _langid_gate_weights literals.
+        # NOTE: this oracle's inner feature join would DROP a doc
+        # whose feature list is empty, while the operator keeps such
+        # rows with NULL lang (totality) — unreachable today only
+        # because tokens('') returns [''] so every non-NULL-text doc
+        # has >= 1 feature; if tokenization ever changes, add the
+        # LEFT JOIN back onto the doc set (the lang_id_joined oracle
+        # below does exactly that).
         "lang_id": f"""
             WITH toks AS (
                 SELECT doc_id, {_TOKS} AS t

@@ -61,8 +61,8 @@ def exploded_shingles(
     InferFiltersFromGenerate (post-SPARK-36715) only infers its
     size/notnull predicates when the generator child is an attribute,
     so the chain is never duplicated into the scan filter — the trap
-    :func:`_gram_postings` documents needs the column-through-a-
-    projection shape."""
+    :func:`_pair_intersections` documents needs the
+    column-through-a-projection shape."""
     return spread_small_input(df.select(id_col, text_col)).select(
         F.col(id_col), F.explode(word_shingles(text_col, n)).alias("shingle")
     )
@@ -100,10 +100,18 @@ def _pair_intersections(
     # Postings length is bounded by ``max_shingle_docs`` (df-cut): a
     # shingle in d docs costs d^2 pair rows in ANY formulation, so at
     # scale the cap is what keeps this tractable, not the join shape.
-    # explode_OUTER + post-generate null filter (see _gram_postings):
-    # a plain explode lets InferFiltersFromGenerate push a
-    # size(_shingles) > 0 predicate through the projection, inlining
-    # the tokenize+shingle chain into the scan filter (3x eval/row)
+    # explode_OUTER + post-generate null filter — the CANONICAL
+    # InferFiltersFromGenerate rewrite every "(see
+    # _pair_intersections)" site refers to: a plain explode lets the
+    # rule push a size(_shingles) > 0 predicate through the
+    # projection, inlining the tokenize+shingle chain into the scan
+    # filter (3x eval/row).  PRECONDITION: the exploded array must
+    # contain no NULL *elements* — a plain explode would emit them as
+    # rows, while this form's isNotNull filter drops them along with
+    # the outer-join placeholders, silently changing semantics.  Every
+    # producer here satisfies it (shingles / passage hashes / tokens /
+    # PQ codes are built from non-NULL parts); a producer that can
+    # yield NULL members must not use this rewrite.
     sh = (
         spread_small_input(df.select(id_col, text_col))
         .select(F.col(id_col), word_shingles(text_col, n).alias("_shingles"))
@@ -669,9 +677,11 @@ def passage_dup_stats(
             ),
         ).otherwise(F.array().cast("array<string>")).alias("_ph"),
     )
-    # explode_outer + null filter (see _gram_postings): a plain
-    # explode would push size(_ph) > 0 through the projection and
-    # inline the tokenize+md5 passage chain into the scan filter
+    # explode_outer + null filter (see _pair_intersections, incl. the
+    # no-NULL-elements precondition — _ph members are md5 hex of
+    # non-NULL parts): a plain explode would push size(_ph) > 0
+    # through the projection and inline the tokenize+md5 passage
+    # chain into the scan filter
     exploded = passages.select(
         F.col(id_col), F.explode_outer("_ph").alias("ph")
     ).filter(F.col("ph").isNotNull())
@@ -748,6 +758,9 @@ def source_overlap_matrix(
             ),
         ).otherwise(F.array().cast("array<string>")).alias("_ph"),
     )
+    # explode_outer + null filter (see _pair_intersections; _ph
+    # members are md5 hex of non-NULL parts, so the no-NULL-elements
+    # precondition holds)
     per_hash = (
         passages.select("_g", F.explode_outer("_ph").alias("ph"))
         .filter(F.col("ph").isNotNull())
@@ -810,7 +823,12 @@ def _gram_postings(base: DataFrame, id_col: str) -> DataFrame:
     into the scan filter (the expression then evaluates 3x per row);
     the outer variant infers nothing, and the placeholder rows of
     gram-less docs are dropped by a cheap column filter that cannot
-    be pushed below its own generator."""
+    be pushed below its own generator.
+
+    PRECONDITION (shared by every explode_outer+isNotNull rewrite —
+    see the canonical comment in :func:`_pair_intersections`): the
+    array must contain no NULL *elements*; ``_gh`` members are md5
+    hex of non-NULL parts, so it holds here."""
     return base.select(
         F.col(id_col), F.posexplode_outer("_gh").alias("pos", "gh")
     ).filter(F.col("gh").isNotNull())

@@ -318,7 +318,7 @@ def chunk_documents(
     starts = F.sequence(
         F.lit(0), F.greatest(F.col("_n") - 1, F.lit(0)), F.lit(stride)
     )
-    # posexplode_outer (see dedup._gram_postings) and a filter whose
+    # posexplode_outer (see dedup._pair_intersections) and a filter whose
     # every conjunct references the GENERATED ``start`` column — the
     # plain ``_n > 0`` spelling is pushable below the Generate, which
     # inlines size(tokenize) into the scan filter.  ``start < _n`` is
@@ -375,7 +375,7 @@ def tfidf_terms(
     # plain explode over the INLINE tokenize expression:
     # InferFiltersFromGenerate (post-SPARK-36715) skips non-attribute
     # generator children, so nothing duplicates into the scan filter
-    # (the dedup._gram_postings trap needs the column-shape)
+    # (the dedup._pair_intersections trap needs the column-shape)
     toks = spread_small_input(df.select(id_col, text)).select(
         F.col(id_col), F.explode(tokens(text)).alias("term")
     )
@@ -1635,7 +1635,8 @@ def bpe_encode(
     # posexplode_outer + null filter: a plain posexplode would push
     # size(tokens) > 0 through the projection and inline the whole
     # in-scan merge fold into the scan filter (see
-    # dedup._gram_postings)
+    # dedup._pair_intersections; token arrays have no NULL elements,
+    # so the rewrite's no-NULL-elements precondition holds)
     stream = applied.select(
         id_col, F.posexplode_outer("tokens").alias("pos", "token")
     ).filter(F.col("token").isNotNull())

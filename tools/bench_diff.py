@@ -80,10 +80,26 @@ def measure_anchors(out_path: str) -> int:
 
 
 def epoch_ratio(old_anchor_path: str, new_anchor_path: str) -> tuple[float, dict]:
-    old = json.load(open(old_anchor_path))["anchors"]
-    new = json.load(open(new_anchor_path))["anchors"]
+    def _anchors(path: str) -> dict:
+        data = json.load(open(path))
+        if "anchors" not in data or not isinstance(data["anchors"], dict):
+            raise SystemExit(
+                f"bench_diff: {path} has no 'anchors' map — generate it "
+                "with `python tools/bench_diff.py --anchors <out.json>`"
+            )
+        return data["anchors"]
+
+    old = _anchors(old_anchor_path)
+    new = _anchors(new_anchor_path)
     shared = sorted(set(old) & set(new))
     ratios = {q: new[q] / old[q] for q in shared if old[q] > 0}
+    if not ratios:
+        raise SystemExit(
+            "bench_diff: anchor files are incompatible — no shared anchor "
+            f"query has a positive old timing (old has {sorted(old)}, "
+            f"new has {sorted(new)}); re-measure both sides with the same "
+            "anchor set"
+        )
     return statistics.median(ratios.values()), ratios
 
 
@@ -101,6 +117,12 @@ def main() -> int:
         else:
             pos.append(args[i])
             i += 1
+    if len(pos) < 2:
+        raise SystemExit(
+            "usage: bench_diff.py <old_bench.json> <new_bench.json> "
+            "[ratio] [floor] [--old-anchors A.json --new-anchors B.json]"
+            "\n       bench_diff.py --anchors <out.json>"
+        )
     old_path, new_path = pos[0], pos[1]
     ratio = float(pos[2]) if len(pos) > 2 else 1.5
     floor = float(pos[3]) if len(pos) > 3 else 0.5
