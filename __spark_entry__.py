@@ -3909,6 +3909,73 @@ def _q_lang_id(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_lang_id_joined(spark: SparkSession, sf: str) -> DataFrame:
+    # the PRODUCTION branch of lang_id: 4 langs x 512 buckets = 2048
+    # crosses QCLS_LITERAL_MAX_BUCKETS (1024), so lang_id_scores
+    # auto-switches to the broadcast-LUT form a real fastText table
+    # (1e5-2e6 buckets) takes — ONE explode + ONE broadcast join
+    # against a WIDE (bucket, w_de..w_fr) table + one
+    # map-side-combinable groupBy carrying (id, 4 sums), never K
+    # joins (r9 verdict ask: this branch was only test-pinned
+    # bit-identical to the literal form; the blocklist_filter_df
+    # precedent says gate it).  The oracle mirrors the same shape
+    # with a LEFT JOIN back onto the doc set, so the NULL-lang
+    # totality path is oracled too.
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.text import lang_id_scores
+
+    docs = load_table(spark, sf, "documents")
+    return lang_id_scores(
+        docs,
+        {
+            lg: _langid_gate_weights(lg, n_buckets=512)
+            for lg in _LANGID_GATE_LANGS
+        },
+    )
+
+
+#: unicode noise injected around every document by the normalize_text
+#: gate so each normalization class (Cf strip, Cc blank, space folds,
+#: fullwidth, quotes, dashes, ligatures, ellipsis, casefold, run
+#: collapse) is exercised on EVERY row even though the synthetic
+#: corpus is ASCII — both sides interpolate these same literals
+_NORM_NOISE_PREFIX = " “ＦＵＬＬｗｉdth”\x07\t "
+_NORM_NOISE_SUFFIX = (
+    " — co­operate… ﬁnal　‘Q’  end​."
+)
+
+
+def _q_normalize_text(spark: SparkSession, sf: str) -> DataFrame:
+    # pre-tokenize text normalization (the CCNet/C4 stage Spark has
+    # no NFKC built-in for): documented compatibility-subset folds as
+    # one in-scan built-in chain — format-char strip, control-char
+    # blank, ONE translate for the 1:1 folds, a replace chain for
+    # ligature/ellipsis expansions, lower, single-space collapse.
+    # Spark expression and DuckDB oracle are both generated from the
+    # SAME fold tables (operators.text.NORMALIZE_CHAR_FOLDS /
+    # NORMALIZE_EXPANSIONS) so they can never drift; deterministic
+    # unicode noise is injected around each doc so every fold class
+    # is live on every row.  Idempotence (normalize∘normalize ==
+    # normalize) is property-pinned in tests.
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.text import (
+        normalize_text,
+        tokens,
+    )
+
+    docs = load_table(spark, sf, "documents")
+    noisy = F.concat(
+        F.lit(_NORM_NOISE_PREFIX), F.col("text"), F.lit(_NORM_NOISE_SUFFIX)
+    )
+    return (
+        docs.filter(F.col("text").isNotNull())
+        .select("doc_id", normalize_text(noisy).alias("text_norm"))
+        .select(
+            "doc_id",
+            "text_norm",
+            F.size(tokens("text_norm")).alias("n_tokens"),
+        )
+    )
+
+
 def _gate_url_expr() -> Column:
     """The curation gates' synthesized URL column — one per doc from
     md5(doc_id) (the http_ingest_simulated recipe: every derived
@@ -5314,6 +5381,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # === DECLARATION order only — gate order lives in _R9_WINDOW
         # === / _R10_QUEUE above (historical r6 grouping comments kept
         # === where they still aid navigation) =========================
+        # --- new in round 10 (+2, the growth cap the r9 verdict set) -
+        "normalize_text": _q_normalize_text,
+        "lang_id_joined": _q_lang_id_joined,
         # --- new in round 9 ------------------------------------------
         "lang_id": _q_lang_id,
         "bpe_subword_total": _q_bpe_subword_total,
@@ -5571,6 +5641,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # --- generated oracle fragments for the hash-based dedup family -------
 
 _TOKS = r"string_split_regex(trim(text), '\s+')"
+
+
+def _sql_str(s: str) -> str:
+    """A DuckDB single-quoted string literal (doubled inner quotes;
+    raw unicode/control characters embed as-is — both engines read
+    the same UTF-8 bytes, so no escape-syntax drift)."""
+    return "'" + s.replace("'", "''") + "'"
+
+
+def _normalize_sql(expr: str) -> str:
+    """DuckDB expression for ``operators.text.normalize_text`` over
+    ``expr`` — generated from the SAME fold tables as the Spark
+    expression (one source of truth; see the operator docstring for
+    the stage order rationale)."""
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.text import (
+        NORMALIZE_EXPANSIONS,
+        _NORM_FROM,
+        _NORM_TO,
+    )
+
+    x = f"regexp_replace({expr}, '\\p{{Cf}}', '', 'g')"
+    x = f"regexp_replace({x}, '\\p{{Cc}}', ' ', 'g')"
+    x = f"translate({x}, {_sql_str(_NORM_FROM)}, {_sql_str(_NORM_TO)})"
+    for src, dst in NORMALIZE_EXPANSIONS:
+        x = f"replace({x}, {_sql_str(src)}, {_sql_str(dst)})"
+    return f"trim(regexp_replace(lower({x}), ' +', ' ', 'g'))"
 _STOP_SQL = "(" + ", ".join(f"'{w}'" for w in STOPWORDS) + ")"
 #: Gopher required-stopword list as a DuckDB list literal (mirrors
 #: operators.text.GOPHER_STOPWORDS)
@@ -6503,6 +6599,87 @@ def _oracle_sql_literal() -> dict[str, str]:
                    CAST(greatest(s0, s1, s2, s3) AS BIGINT)
                        AS score_micros
             FROM agg
+        """,
+        # lang_id_joined: the PRODUCTION broadcast-LUT branch (4 x 512
+        # buckets crosses the literal cap).  Same explode + wide
+        # weight-join + argmax/tie chain as lang_id at 512 buckets,
+        # but LEFT-JOINed back onto the non-NULL-text doc set so the
+        # operator's NULL-lang totality path (empty feature array ->
+        # n_feats 0, NULL scores, NULL lang) is oracled rather than
+        # relying on tokens('') == [''] (r9 advice).
+        "lang_id_joined": f"""
+            WITH toks AS (
+                SELECT doc_id, {_TOKS} AS t
+                FROM documents WHERE text IS NOT NULL
+            ),
+            feats AS (
+                SELECT doc_id, unnest(list_concat(
+                    t, list_transform(range(1, len(t)),
+                                      i -> t[i] || ' ' || t[i + 1])
+                )) AS f
+                FROM toks
+            ),
+            fb AS (
+                SELECT doc_id,
+                       CAST(('0x' || substr(md5('langid:v1' || f), 1, 7))
+                            ::BIGINT % 512 AS INTEGER) AS b
+                FROM feats
+            ),
+            w AS (
+                SELECT CAST(unnest(range(0, 512)) AS INTEGER) AS b,
+                       {", ".join(
+                           "unnest(["
+                           + ",".join(
+                               str(w)
+                               for w in _langid_gate_weights(lg, 512)
+                           )
+                           + f"]) AS w{i}"
+                           for i, lg in enumerate(_LANGID_GATE_LANGS)
+                       )}
+            ),
+            agg AS (
+                SELECT fb.doc_id,
+                       count(*) AS n,
+                       {", ".join(
+                           f"CAST(sum(w{i}) AS BIGINT) // count(*) AS s{i}"
+                           for i in range(len(_LANGID_GATE_LANGS))
+                       )}
+                FROM fb JOIN w USING (b)
+                GROUP BY fb.doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(coalesce(agg.n, 0) AS INTEGER) AS n_feats,
+                   CASE {" ".join(
+                       f"WHEN s{i} = greatest(s0, s1, s2, s3) THEN '{lg}'"
+                       for i, lg in enumerate(_LANGID_GATE_LANGS)
+                   )} END AS lang,
+                   CAST(greatest(s0, s1, s2, s3) AS BIGINT)
+                       AS score_micros
+            FROM (SELECT doc_id FROM documents
+                  WHERE text IS NOT NULL) d
+            LEFT JOIN agg USING (doc_id)
+        """,
+        # normalize_text: the whole fold chain re-generated for DuckDB
+        # from the SAME tables the Spark expression is built from
+        # (operators.text.NORMALIZE_CHAR_FOLDS / NORMALIZE_EXPANSIONS
+        # via _normalize_sql) — translate/replace/lower/regexp are
+        # character-identical across the engines, so any drift in the
+        # fold tables or stage order hash-mismatches every row
+        "normalize_text": f"""
+            WITH n AS (
+                SELECT doc_id,
+                       {_normalize_sql(
+                           _sql_str(_NORM_NOISE_PREFIX)
+                           + " || text || "
+                           + _sql_str(_NORM_NOISE_SUFFIX)
+                       )} AS text_norm
+                FROM documents WHERE text IS NOT NULL
+            )
+            SELECT doc_id,
+                   text_norm,
+                   CAST(len(string_split_regex(trim(text_norm), '\\s+'))
+                        AS INTEGER) AS n_tokens
+            FROM n
         """,
         # quality_classifier: re-derive the in-scan dot product as
         # explode + weight-table join (same exact BIGINT sum, a

@@ -53,6 +53,103 @@ def token_count(text: Column | str) -> Column:
     return token_count_of(tokens(text))
 
 
+# ------------------------------------------------- text normalization
+# The pre-tokenize normalization every CCNet/C4-style pipeline runs
+# before anything else touches the text.  Spark has no NFKC built-in,
+# so this is a DOCUMENTED COMPATIBILITY SUBSET — the folds that occur
+# in real web text — expressed entirely in built-ins (translate /
+# replace / lower / regexp_replace) so it is exactly mirrorable in
+# the DuckDB oracle: both engines' expressions are generated from the
+# ONE table below and can never drift.  A full NFKC (every
+# compatibility decomposition + canonical reorder) would need an
+# arrow-seam pandas UDF (unicodedata.normalize — the multimodal
+# precedent) and would lose the oracle; the subset keeps the hot path
+# JVM-side and hash-checkable.
+
+#: 1:1 codepoint folds, applied as ONE translate() call: unicode
+#: spaces -> ASCII space; fullwidth ASCII block -> ASCII; curly /
+#: angled quotes -> straight; dash family -> '-'.  INVARIANT
+#: (idempotence): no target character appears as any source, and
+#: lower() never produces a source character.
+NORMALIZE_CHAR_FOLDS: tuple[tuple[str, str], ...] = (
+    # Zs space separators (U+2000..200A: en/em/thin/hair... spaces)
+    # + NBSP, Ogham, narrow NBSP, math space, ideographic space, and
+    # the Zl/Zp line/paragraph separators
+    *(
+        (ch, " ")
+        for ch in (
+            "  "
+            + "".join(chr(c) for c in range(0x2000, 0x200B))
+            + "  　  "
+        )
+    ),
+    # fullwidth ASCII block (U+FF01..FF5E) -> ASCII (U+0021..007E)
+    *((chr(0xFF01 + i), chr(0x21 + i)) for i in range(94)),
+    # single quotes / apostrophes
+    *((ch, "'") for ch in "‘’‚‛´"),
+    # double quotes (incl. guillemets)
+    *((ch, '"') for ch in "“”„‟«»"),
+    # hyphen/dash family (U+2010..2015) + unicode minus
+    *((ch, "-") for ch in "‐‑‒–—―−"),
+)
+
+#: one-to-MANY expansions translate() can't express, applied as a
+#: replace() chain after the folds: Latin ligatures (U+FB00..FB06)
+#: and the horizontal ellipsis.  Same idempotence invariant: no
+#: expansion output contains a source character of any stage.
+NORMALIZE_EXPANSIONS: tuple[tuple[str, str], ...] = (
+    ("ﬀ", "ff"),
+    ("ﬁ", "fi"),
+    ("ﬂ", "fl"),
+    ("ﬃ", "ffi"),
+    ("ﬄ", "ffl"),
+    ("ﬅ", "st"),
+    ("ﬆ", "st"),
+    ("…", "..."),
+)
+
+_NORM_FROM = "".join(s for s, _ in NORMALIZE_CHAR_FOLDS)
+_NORM_TO = "".join(t for _, t in NORMALIZE_CHAR_FOLDS)
+
+
+def normalize_text(text: Column | str) -> Column:
+    """Pre-tokenize text normalization (the CCNet/C4 stage), as one
+    in-scan expression chain — a pure map, zero shuffle at any scale:
+
+    1. strip format characters (``\\p{Cf}``: soft hyphen, ZWSP, ZWJ,
+       BOM, bidi marks) — removed, NOT blanked, so a soft-hyphenated
+       word rejoins;
+    2. blank control characters (``\\p{Cc}``, incl. tab/newline) to
+       a space;
+    3. fold :data:`NORMALIZE_CHAR_FOLDS` in one ``translate`` (unicode
+       spaces, fullwidth ASCII, curly quotes, dash family);
+    4. expand :data:`NORMALIZE_EXPANSIONS` (ligatures, ellipsis);
+    5. casefold via ``lower`` (simple Unicode lowercase — both engines
+       agree on it; full/locale case folding is deliberately out);
+    6. collapse whitespace runs and trim.  After stages 1-3 every
+       whitespace character IS an ASCII space, so the collapse regex
+       is a plain ``' +'`` — no ``\\s`` class-semantics drift between
+       Java regex and RE2.
+
+    Idempotent by construction (``normalize(normalize(x)) ==
+    normalize(x)``, property-tested): no stage's output contains any
+    stage's source character.  NULL stays NULL (totality: the caller
+    decides whether NULL text survives).
+
+    Ref: reference repo has no text surface; this extends the
+    LLM-pipeline text family (SURVEY.md §6) with the stage that runs
+    ahead of :func:`tokens` in ``plans.corpus.prepare_corpus``.
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    x = F.regexp_replace(c, r"\p{Cf}", "")
+    x = F.regexp_replace(x, r"\p{Cc}", " ")
+    x = F.translate(x, _NORM_FROM, _NORM_TO)
+    for src, dst in NORMALIZE_EXPANSIONS:
+        x = F.replace(x, F.lit(src), F.lit(dst))
+    x = F.lower(x)
+    return F.trim(F.regexp_replace(x, " +", " "))
+
+
 def fixed_token_chunks(toks: Column, width: int) -> Column:
     """Non-overlapping ``width``-token chunks of a pre-tokenized
     array, each rejoined with a single space — the "synthetic lines"
@@ -1477,13 +1574,36 @@ def bpe_subword_encode(
         cur = cur.select(
             "_w", _fuse_pair_expr(F.col("_s"), left, right, "").alias("_s")
         ).localCheckpoint(eager=False)
-    sub = words.join(cur, "_w").select(
-        id_col, "_wpos", F.posexplode("_s").alias("_spos", "token")
+    # Per-doc positions WITHOUT sorting the token stream: the window
+    # input is the narrow (id, _wpos, _w, n_syms) WORD stream — each
+    # word's base offset is the sum of its predecessors' symbol
+    # counts — and the symbol arrays join back by word TYPE after the
+    # sort, so pos = base + in-word offset.  The previous shape
+    # (explode first, row_number over the token rows) sorted 4-6x
+    # more rows each carrying its token string, and its 64x scale
+    # probe blew the default 8 GiB heap in the sort (SCALING.md r9);
+    # at cluster scale that's executor sort-spill pressure.  The
+    # extra type-table join is vocabulary-sized build-side work.
+    tsz = cur.select("_w", F.size("_s").alias("_ns"))
+    woff = (
+        Window.partitionBy(id_col)
+        .orderBy("_wpos")
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
-    wpos = Window.partitionBy(id_col).orderBy("_wpos", "_spos")
-    stream = sub.select(
+    based = words.join(tsz, "_w").select(
         id_col,
-        (F.row_number().over(wpos) - F.lit(1)).cast("int").alias("pos"),
+        "_w",
+        F.coalesce(F.sum("_ns").over(woff), F.lit(0).cast("long")).alias(
+            "_boff"
+        ),
+    )
+    stream = based.join(cur, "_w").select(
+        id_col,
+        F.posexplode("_s").alias("_spos", "token"),
+        "_boff",
+    ).select(
+        id_col,
+        (F.col("_boff") + F.col("_spos")).cast("int").alias("pos"),
         "token",
     )
     vocab = frequency_rank_vocab(
@@ -1928,6 +2048,8 @@ def bpe_subword_encode_total(
                   CAST(array() AS {st})))
         END"""
     )
+    # checkpointed because it is read TWICE below (sizes for the
+    # position window, arrays for the join-back) — vocabulary-sized
     types = (
         syms.select("_w", "_spos", exp.alias("_exp"))
         .groupBy("_w")
@@ -1939,14 +2061,31 @@ def bpe_subword_encode_total(
                 )
             ).alias("_tt")
         )
+        .localCheckpoint(eager=False)
     )
-    sub = words.join(types, "_w").select(
-        id_col, "_wpos", F.posexplode("_tt").alias("_tpos", "_tok")
+    # narrow position window + type join-back (see bpe_subword_encode
+    # for the rationale: the token-stream row_number sort carried the
+    # encoded structs and blew the 64x probe's default heap)
+    tsz = types.select("_w", F.size("_tt").alias("_nt"))
+    woff = (
+        Window.partitionBy(id_col)
+        .orderBy("_wpos")
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
-    wpos = Window.partitionBy(id_col).orderBy("_wpos", "_tpos")
-    return sub.select(
+    based = words.join(tsz, "_w").select(
+        id_col,
+        "_w",
+        F.coalesce(F.sum("_nt").over(woff), F.lit(0).cast("long")).alias(
+            "_boff"
+        ),
+    )
+    return based.join(types, "_w").select(
         F.col(id_col),
-        (F.row_number().over(wpos) - F.lit(1)).cast("int").alias("pos"),
+        F.posexplode("_tt").alias("_tpos", "_tok"),
+        "_boff",
+    ).select(
+        F.col(id_col),
+        (F.col("_boff") + F.col("_tpos")).cast("int").alias("pos"),
         F.col("_tok.token").alias("token"),
         F.col("_tok.token_id").alias("token_id"),
         F.col("_tok.is_byte").alias("is_byte"),

@@ -51,10 +51,20 @@ def prepare_corpus(
     classifier_salt: str = "qcls:v1",
     lang_weights: "Mapping[str, Sequence[int]] | None" = None,
     lang_salt: str = "langid:v1",
+    normalize: bool = False,
 ) -> DataFrame:
     """Deduplicated, filtered corpus: survivor rows (min ``id_col`` per
     exact-text fingerprint) that clear the quality / language /
     token-count bar, with profile columns attached.
+
+    ``normalize=True`` runs :func:`operators.text.normalize_text`
+    FIRST — ahead of the dedup fingerprint and every tokenization —
+    the CCNet/C4 stage order (normalize, then dedup, then filter):
+    two docs that differ only in compatibility characters /
+    whitespace shape then fingerprint identically and dedup together,
+    and every profile metric sees the normalized text.  Another pure
+    in-scan expression: still zero extra shuffles.  Off by default
+    (the gates pin raw-text behavior).
 
     ``classifier_weights`` adds the OPTIONAL model-based screen on top
     of the heuristic one (the GPT-3/LLaMA curation shape: heuristics
@@ -72,6 +82,10 @@ def prepare_corpus(
     the sorted-first language) and the ``lang_pred == lang`` keep
     rule is unchanged — one more in-scan expression, still zero
     extra shuffles.  CCNet/C4 run exactly this shape."""
+    if normalize:
+        from ..operators.text import normalize_text
+
+        docs = docs.withColumn(text_col, normalize_text(F.col(text_col)))
     w = Window.partitionBy(fingerprint(text_col)).orderBy(F.col(id_col))
     survivors = (
         docs.withColumn("_rn", F.row_number().over(w))

@@ -2801,3 +2801,134 @@ def test_bpe_subword_decode_spark_side(spark):
             continue
         want = " ".join(re.split(r"\s+", text.strip())) if text.strip() else ""
         assert dec[doc_id] == want, (doc_id, dec[doc_id], want)
+
+
+def test_normalize_text_hand_computed(spark):
+    """The NFKC-subset fold chain on hand-picked inputs covering every
+    stage: Cf strip (soft hyphen rejoins a word, ZWSP drops), Cc blank
+    (BEL/tab/newline), unicode-space + fullwidth + quote + dash folds,
+    ligature/ellipsis expansion, casefold, run collapse + trim, and
+    NULL totality."""
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.text import normalize_text
+
+    rows = [
+        (1, " “ＦＵＬＬｗｉdth”\x07\tok"),
+        (2, "co­operate… ﬁnal　‘Q’  end​."),
+        (3, "plain  text\nwith\ttabs"),
+        (4, None),
+        (5, "d—e−f–g «q» ﬀﬃﬆ"),
+        (6, ""),
+        (7, "   "),
+    ]
+    want = {
+        1: '"fullwidth" ok',
+        2: "cooperate... final 'q' end.",
+        3: "plain text with tabs",
+        4: None,
+        5: 'd-e-f-g "q" ffffist',
+        6: "",
+        7: "",
+    }
+    df = spark.createDataFrame(rows, ["id", "t"])
+    got = {
+        r["id"]: r["n"]
+        for r in df.select("id", normalize_text("t").alias("n")).collect()
+    }
+    assert got == want
+
+
+def test_normalize_text_idempotent_property(spark):
+    """normalize(normalize(x)) == normalize(x) on adversarial strings
+    drawn from the fold alphabet itself (sources, targets, expansions,
+    control/format chars, mixed case, whitespace runs), plus output
+    postconditions: no source char survives, lowercase, single
+    spaces, trimmed."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.text import (
+        NORMALIZE_EXPANSIONS,
+        _NORM_FROM,
+        normalize_text,
+    )
+
+    alphabet = (
+        _NORM_FROM
+        + "".join(s for s, _ in NORMALIZE_EXPANSIONS)
+        + "\x00\x07\t\n\r\x7f­​‍﻿"
+        + "aZ mÉé%+.'\"-"
+    )
+
+    @given(
+        st.lists(
+            st.text(alphabet=alphabet, max_size=24), min_size=1, max_size=24
+        )
+    )
+    @settings(max_examples=5, deadline=None)
+    def check(texts):
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], ["id", "t"]
+        )
+        once = {
+            r["id"]: r["n"]
+            for r in df.select(
+                "id", normalize_text("t").alias("n")
+            ).collect()
+        }
+        twice = {
+            r["id"]: r["n"]
+            for r in df.select(
+                "id", normalize_text(normalize_text("t")).alias("n")
+            ).collect()
+        }
+        assert once == twice
+        bad = set(_NORM_FROM) | {s for s, _ in NORMALIZE_EXPANSIONS} | set(
+            "\x07\t\n­​﻿"
+        )
+        for v in once.values():
+            assert not (set(v) & bad), repr(v)
+            assert v == v.lower()
+            assert "  " not in v
+            assert v == v.strip()
+
+    check()
+
+
+def test_prepare_corpus_normalize_stage(spark):
+    """normalize=True must fold BEFORE the dedup fingerprint and every
+    profile tokenization: docs differing only by compatibility chars /
+    whitespace shape dedup to ONE survivor (min id), and n_tokens
+    counts the normalized tokens."""
+    from etl_based_real_time_air_quality_monitoring_system_spark.plans.corpus import prepare_corpus
+
+    base = "the quick brown fox jumps over the lazy dog " * 3
+    variants = [
+        (1, base.strip()),
+        # fullwidth + curly quotes fold away; extra spaces collapse
+        (2, base.replace("quick", "ｑｕｉｃｋ").strip() + " "),
+        # soft hyphen strips, tab blanks
+        (3, base.replace("brown", "br­own").replace(" ", "\t", 1).strip()),
+        (4, "a genuinely different document body about other things entirely"),
+    ]
+    # variant 2/3 normalize to variant 1's text exactly
+    out = prepare_corpus(
+        spark.createDataFrame(variants, ["doc_id", "text"]),
+        min_tokens=1,
+        min_quality=0.0,
+        lang="en",
+        normalize=True,
+    ).collect()
+    kept = {r["doc_id"] for r in out}
+    assert 1 in kept and 2 not in kept and 3 not in kept
+    n_base = len(base.split())
+    row1 = next(r for r in out if r["doc_id"] == 1)
+    assert row1["n_tokens"] == n_base
+    assert row1["text"] == " ".join(base.split())
+    # without normalize, all four docs fingerprint apart
+    raw = prepare_corpus(
+        spark.createDataFrame(variants, ["doc_id", "text"]),
+        min_tokens=1,
+        min_quality=0.0,
+        lang="en",
+    ).collect()
+    assert {r["doc_id"] for r in raw} >= {1, 2, 3}

@@ -799,3 +799,30 @@ def test_substring_rewrite_single_gram_shuffle_no_python(spark, sf_dir):
     assert p.count(") Window") == 1, p.count(") Window")
     assert n_key_shuffles(p) == 3, f"expected 3 key shuffles: {n_key_shuffles(p)}"
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_lang_id_joined_gate_one_broadcast_lut_join(spark, sf_dir):
+    """The production (broadcast-LUT) branch of lang_id: ONE broadcast
+    join against the wide weight table (never K per-language joins),
+    ONE map-side-combinable groupBy carrying (id, K sums), no sort-
+    merge join, no Python."""
+    q = entrymod._q_lang_id_joined(spark, sf_dir)
+    p = plan(q)
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    # exactly one key shuffle: the (id, n_feats) aggregation — the
+    # LUT join itself moves no corpus rows
+    assert n_key_shuffles(p) == 1
+    assert "partial_sum" in p  # map-side combine before the exchange
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_normalize_text_gate_pure_map(spark, sf_dir):
+    """normalize_text is a single in-scan expression chain: zero
+    shuffles of any kind, no Python, and the text-not-null filter
+    pushed into the parquet scan."""
+    q = entrymod._q_normalize_text(spark, sf_dir)
+    p = plan(q)
+    assert n_key_shuffles(p) == 0
+    assert "PushedFilters: [IsNotNull(text)]" in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
