@@ -5248,93 +5248,48 @@ def _q_sketch_bounds(spark: SparkSession, sf: str) -> DataFrame:
 
 
 #: The driver's correctness gate samples the FIRST 50 queries()
-#: entries, so the window is an explicit, auditable list (r9) —
-#: risk-ordered: (1) the two gate queries NEW this round (multi-class
-#: language ID; byte-fallback total subword encoding), never
-#: driver-gated; (2) the direct exerciser of every seam whose code
-#: changed in the r9 explode-over-expression audit (the
-#: InferFiltersFromGenerate column-shape fix now applied to the
-#: shingle postings in _pair_intersections -> the three ngram gates;
-#: passage_dup_stats -> passage_dedup; source_overlap_matrix ->
-#: source_overlap; chunk_documents' generated-column filter rewrite
-#: -> doc_chunks; bpe_encode's token-stream posexplode; pq_codes'
-#: encode-chain posexplode — all values oracle-pinned unchanged, but
-#: the gate should say so on CURRENT plans); (3) the promised
-#: _R9_QUEUE in full — all 21 r4-stale entries displaced from the r8
-#: window; (4) 19 of the 46 r5-stale entries, heaviest/most
-#: semantics-bearing first (the r8 verdict's priority list: substring
-#: spans, SemDeDup, incremental near-dup, curation pipeline, PPS, the
-#: PQ/IVF-PQ quartet, plus the streaming/CDC members so each window
-#: keeps re-gating Spark-version-sensitive streaming semantics).
-#: The 25 r5-stale entries that did not fit are _R10_QUEUE — first in
-#: line next round, which empties the r5 backlog.
-_R9_WINDOW: tuple[str, ...] = (
-    # new in round 9
-    "lang_id",
+#: entries, so the window is an explicit, auditable list (r10) —
+#: risk-ordered: (1) the two gate queries NEW this round
+#: (normalize_text; lang_id_joined, the broadcast-LUT production
+#: branch), never driver-gated; (2) the direct exercisers of the one
+#: seam whose code changed this round — the BPE position-window
+#: narrowing (word-level base-offset sum + type join-back replacing
+#: the token-stream row_number sort) touches bpe_subword_encode and
+#: bpe_subword_encode_total, so all three stream gates re-gate on
+#: CURRENT plans (values oracle-pinned unchanged); (3) standing
+#: policy (r9 verdict item 6): at least one watermark/window
+#: streaming entry re-gates EVERY round, because a Spark upgrade can
+#: change streaming semantics while batch oracles stay green; (4) the
+#: promised _R10_QUEUE in full — all 26 r5-stale entries, which
+#: EMPTIES the r5 backlog; (5) 18 r6-stale picks in the r9 verdict's
+#: priority order.
+#:
+#: Rotation arithmetic the policy must respect (r10 verdict
+#: discussion): with 216 registry entries and a 50-row window, full
+#: coverage takes ceil(216/50) = 5 rounds, so under a strict
+#: least-recently-gated rotation the OLDEST gate evidence is always
+#: ~4 rounds old and `tools/staleness.py --max-age 3` can never reach
+#: zero — the steady-state floor is 216 - 3*50 = 66 entries.  The
+#: discipline that keeps this honest: (a) strict LRU rotation with
+#: the pins above (new / changed-seam / streaming) taking <= 6 slots,
+#: (b) registry growth capped at +2 per round, (c) the per-round
+#: 3-SF local oracle sweep on final code (ORACLE_SWEEP.md) covering
+#: ALL entries as the alternate evidence for the rotation tail.
+#: `python tools/staleness.py --plan` emits the next LRU window
+#: mechanically.
+_R10_WINDOW: tuple[str, ...] = (
+    # new in round 10 (+2 registry growth, the r9 verdict's cap)
+    "normalize_text",
+    "lang_id_joined",
+    # code changed in round 10 (BPE position-window narrowing) ->
+    # re-gate every stream-shape exerciser on current plans
+    "bpe_subword_encode",
     "bpe_subword_total",
     "bpe_roundtrip",
-    # code changed in round 9 (explode audit) -> re-gate the direct
-    # exerciser of each changed seam on current plans
-    "ngram_jaccard",
-    "ngram_containment",
-    "ngram_jaccard_capped",
-    "passage_dedup",
-    "doc_chunks",
-    "bpe_encode",
-    "source_overlap",
-    "pq_codes",
-    # the 21 r4-stale entries displaced from the r8 window (the
-    # promised _R9_QUEUE, in full)
-    "ingest_metrics_passthrough",
-    "multimodal_resized",
-    "gopher_quality",
-    "sketch_profile",
-    "embedding_gram",
-    "multimodal_frames",
-    "cluster_safe_split",
-    "sink_orc_roundtrip",
-    "key_skew_report",
-    "schema_evolution_roundtrip",
-    "zorder_cells",
-    "label_centroids",
-    "mixture_sample",
-    "sink_sharded_export",
+    # standing streaming re-gate (r9 verdict item 6)
     "streaming_session_stats",
-    "streaming_sliding_counts",
-    "sink_csv_roundtrip",
-    "dedup_clusters",
-    "streaming_dedup_keys",
-    "streaming_hourly_counts",
-    "streaming_click_purchase",
-    # 19 r5-stale entries, r8-verdict priority order
-    "substring_dup_spans",
-    "semantic_dedup",
-    "incremental_neardup",
-    "curation_pipeline",
-    "pps_sample",
-    "pq_topk_adc",
-    "pq_recall",
-    "ivfpq_topk",
-    "ivfpq_recall",
-    "bigram_lm",
-    "dup_graph_pagerank",
-    "zorder_pruning",
-    "streaming_late_data_drop",
-    "cdc_time_travel",
-    "ivf_topk_recall",
-    "funnel_over_cdc",
-    "multimodal_decode",
-    "corpus_assembly",
-)
-
-#: the 25 r5-stale entries that did not fit the r9 window — positions
-#: 51-75 so local sweeps cover them, and FIRST IN LINE for the r10
-#: window (each is untouched code, green in every 3-SF sweep since
-#: r5).  Gating these in r10 empties the r5 staleness backlog.
-_R10_QUEUE: tuple[str, ...] = (
-    # displaced from the r9 window by the late-round bpe_roundtrip
-    # gate (never-gated entries lead; grouped_stats is untouched code,
-    # green in every sweep since r5 — first in line r10)
+    # the full 26-entry r5-stale queue (the r9-promised _R10_QUEUE) —
+    # this empties the r5 staleness backlog
     "grouped_stats",
     "band_distribution",
     "hourly_activity",
@@ -5361,6 +5316,65 @@ _R10_QUEUE: tuple[str, ...] = (
     "value_delta_per_user",
     "users_click_and_purchase",
     "users_click_not_purchase",
+    # 18 r6-stale picks, r9-verdict priority order (heaviest / most
+    # semantics-bearing first; ivf_topk and lsh_topk are the
+    # rows-only ANN paths whose hash-gated recall twins ride along)
+    "tfidf_terms",
+    "top_tokens",
+    "simhash",
+    "embedding_topk",
+    "knn_join",
+    "ivf_topk",
+    "lsh_topk",
+    "retrieval_ndcg",
+    "sketch_bounds",
+    "streaming_pq_index",
+    "tpch_q1",
+    "tpch_q4",
+    "tpch_q7",
+    "tpch_q8",
+    "lsh_topk_recall",
+    "scd2_user_history",
+    "point_in_time_features",
+    "gapfill_hourly_locf",
+)
+
+#: the 29 r6-stale entries that did not fit the r10 window —
+#: positions 51-79 so local sweeps cover them, and FIRST IN LINE for
+#: the r11 window (each is untouched code, green in every 3-SF sweep
+#: since r6).  r11 window = these 29 + ~21 r7-stale LRU picks
+#: (`tools/staleness.py --plan` emits the exact list), which empties
+#: the r6 backlog.
+_R11_QUEUE: tuple[str, ...] = (
+    "union_hot_or_error",
+    "pivot_qty_by_status",
+    "rollup_flag_status",
+    "unpivot_means",
+    "value_temp_bands",
+    "high_value_events",
+    "notnull_count",
+    "acctbal_range",
+    "count_distinct",
+    "global_means",
+    "salted_revenue_by_segment",
+    "order_snapshot_diff",
+    "range_band_join",
+    "pii_redaction",
+    "funnel_conversion",
+    "retention_cohorts",
+    "event_transitions",
+    "doc_fingerprints",
+    "rolling_fingerprints",
+    "levenshtein_near_dup",
+    "embedding_near_dup",
+    "ivf_topk_exhaustive",
+    "text_stats",
+    "text_quality",
+    "lang_pred_counts",
+    "train_test_split",
+    "zscore_outliers",
+    "trailing_hour_count",
+    "latest_event_per_type",
 )
 
 
@@ -5370,16 +5384,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     ORDER MATTERS: the driver's correctness gate samples the first 50
     entries (CORRECTNESS_r05/r06 confirmed exactly 50).  The order is
-    defined by the explicit ``_R9_WINDOW`` (the gate window) then
-    ``_R10_QUEUE`` (next round's first-in-line), then every remaining
+    defined by the explicit ``_R10_WINDOW`` (the gate window) then
+    ``_R11_QUEUE`` (next round's first-in-line), then every remaining
     entry in the literal's declaration order (roughly
     least-recently-gated first among the rest; the freshly-r6-gated
     entries displaced by this rotation sit wherever the literal
     declares them — their evidence is the newest on file).
     """
     base = {
-        # === DECLARATION order only — gate order lives in _R9_WINDOW
-        # === / _R10_QUEUE above (historical r6 grouping comments kept
+        # === DECLARATION order only — gate order lives in _R10_WINDOW
+        # === / _R11_QUEUE above (historical r6 grouping comments kept
         # === where they still aid navigation) =========================
         # --- new in round 10 (+2, the growth cap the r9 verdict set) -
         "normalize_text": _q_normalize_text,
@@ -5629,8 +5643,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "users_click_and_purchase": _q_users_click_and_purchase,
         "users_click_not_purchase": _q_users_click_not_purchase,
     }
-    ordered = {n: base[n] for n in _R9_WINDOW}
-    for n in _R10_QUEUE:
+    ordered = {n: base[n] for n in _R10_WINDOW}
+    for n in _R11_QUEUE:
         ordered[n] = base[n]
     for n, f in base.items():
         if n not in ordered:

@@ -13,7 +13,20 @@ order against every ``CORRECTNESS_r*.json`` and prints
 - never-gated entries (worst class — they outrank every re-gate),
 - and whether the CURRENT first-50 window covers the stalest cohort.
 
-Usage: python tools/staleness.py [--max-age N]
+``--plan`` additionally emits the NEXT round's window mechanically:
+the least-recently-gated 50 entries (never-gated first, then by
+latest gate round, ties in registry order) — paste the list into the
+``_R{N}_WINDOW`` tuple and put the pins (new gates, changed-seam
+re-gates, the standing streaming entry) at the front, displacing the
+freshest tail entries.  Rotation floor, for honesty when reading the
+stale count: with R registry entries and a 50-row window, strict LRU
+rotation re-gates everything every ceil(R/50) rounds, so at
+``--max-age`` A the stale count can never drop below R - A*50
+(216 - 150 = 66 at the r10 registry) — the per-round 3-SF local
+sweep on final code is the standing alternate evidence for that
+tail.
+
+Usage: python tools/staleness.py [--max-age N] [--plan]
 """
 
 from __future__ import annotations
@@ -85,6 +98,17 @@ def main() -> int:
               "alternate evidence in the registry comments).")
     else:
         print("\ncurrent window covers every stale entry (or none exist).")
+    floor = max(len(names) - max_age * 50, 0)
+    print(f"rotation floor at this registry size: {floor} "
+          f"(= {len(names)} - {max_age}*50; strict LRU cannot go lower)")
+
+    if "--plan" in sys.argv:
+        order = {n: i for i, n in enumerate(names)}
+        lru = sorted(names, key=lambda n: (latest.get(n, -1), order[n]))
+        print("\nNEXT-WINDOW PLAN (least-recently-gated 50; put the "
+              "round's pins first, displacing the freshest tail):")
+        for n in lru[:50]:
+            print(f'    "{n}",  # r{latest.get(n, 0)}')
     return 0
 
 
