@@ -186,6 +186,9 @@ HEADLINE = [
     "lang_id",
     "bpe_subword_total",
     "bpe_roundtrip",
+    # round-10 additions
+    "normalize_text",
+    "lang_id_joined",
 ]
 
 
