@@ -150,6 +150,47 @@ def normalize_text(text: Column | str) -> Column:
     return F.trim(F.regexp_replace(x, " +", " "))
 
 
+def normalize_text_nfkc(text: Column | str) -> Column:
+    """FULL Unicode NFKC normalization ahead of the
+    :func:`normalize_text` fold chain — the arrow-seam big brother
+    for corpora where the compatibility SUBSET isn't enough (CJK
+    squared units ㎒/㍿, vulgar fractions, superscripts, Arabic
+    presentation forms...).  ``unicodedata.normalize("NFKC", x)`` is
+    stdlib, so this runs for real — but it is a PYTHON seam
+    (Arrow-batched ``pandas_udf``, the multimodal-decode discipline:
+    vectorized batches, never row-at-a-time), so it is deliberately
+    NOT the default and NOT oracle-checkable (DuckDB has NFC only) —
+    keep it out of oracle-gated plans; its agreement with the subset
+    on subset-class inputs is test-pinned instead.
+
+    Equivalence contract: for strings whose characters all lie in
+    ASCII ∪ the subset fold tables ∪ Cc/Cf, ``normalize_text_nfkc(x)
+    == normalize_text(x)`` (NFKC performs the same fullwidth /
+    ligature / space folds and touches nothing else in that range —
+    quotes and dashes are NOT compatibility mappings, which is
+    exactly why the subset folds them explicitly).  Idempotent like
+    the subset (NFKC is idempotent; the chain preserves it).
+
+    Plan shape at 100 TB: one ArrowEvalPython stage fused into the
+    scan projection — still a pure map, zero shuffle; budget ~2-3x
+    the subset's per-row cost for the Python hop (SCALING.md).
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _nfkc(s):  # pragma: no cover - body runs on executors
+        import unicodedata
+
+        return s.map(
+            lambda x: unicodedata.normalize("NFKC", x)
+            if x is not None
+            else None
+        )
+
+    c = F.col(text) if isinstance(text, str) else text
+    return normalize_text(_nfkc(c))
+
+
 def fixed_token_chunks(toks: Column, width: int) -> Column:
     """Non-overlapping ``width``-token chunks of a pre-tokenized
     array, each rejoined with a single space — the "synthetic lines"

@@ -2932,3 +2932,71 @@ def test_prepare_corpus_normalize_stage(spark):
         lang="en",
     ).collect()
     assert {r["doc_id"] for r in raw} >= {1, 2, 3}
+
+
+def test_normalize_text_nfkc_full(spark):
+    """The arrow-seam FULL NFKC variant: handles compatibility classes
+    the subset doesn't (squared units, vulgar fractions,
+    superscripts), matches the pure-Python NFKC reference, agrees
+    with the subset on subset-class inputs, stays idempotent, and
+    keeps NULL totality."""
+    import unicodedata
+
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.text import (
+        normalize_text,
+        normalize_text_nfkc,
+    )
+
+    beyond = [
+        (1, "5 ㎒ and ㌔ units"),
+        (2, "x² plus ½ of ¼"),
+        (3, "Ⅻ o'clock ﬁne"),
+        (4, None),
+    ]
+    df = spark.createDataFrame(beyond, ["id", "t"])
+    got = {
+        r["id"]: r["n"]
+        for r in df.select(
+            "id", normalize_text_nfkc("t").alias("n")
+        ).collect()
+    }
+
+    def ref(x):
+        # the same chain in pure Python: NFKC, then the subset folds
+        # are a no-op on these (post-NFKC chars are ASCII-ish), then
+        # lower + collapse
+        y = unicodedata.normalize("NFKC", x)
+        return " ".join(y.lower().split())
+
+    for i, t in beyond[:3]:
+        assert got[i] == ref(t), (i, got[i], ref(t))
+    assert got[4] is None
+    # NFKC did real work the subset can't: MHz expansion etc.
+    assert "mhz" in got[1]
+    assert got[2] == "x2 plus 1⁄2 of 1⁄4"
+    assert got[3].startswith("xii")
+
+    # agreement with the subset on subset-class inputs
+    subset_rows = [
+        (1, " “ＦＵＬＬｗｉdth”\x07\tok"),
+        (2, "co­operate… ﬁnal　‘Q’  end​."),
+        (3, "d—e−f–g «q» ﬀﬃﬆ"),
+    ]
+    sdf = spark.createDataFrame(subset_rows, ["id", "t"])
+    both = sdf.select(
+        "id",
+        normalize_text("t").alias("sub"),
+        normalize_text_nfkc("t").alias("full"),
+    ).collect()
+    for r in both:
+        assert r["sub"] == r["full"], (r["id"], r["sub"], r["full"])
+
+    # idempotence of the full chain
+    twice = {
+        r["id"]: r["n"]
+        for r in df.select(
+            "id",
+            normalize_text_nfkc(normalize_text_nfkc("t")).alias("n"),
+        ).collect()
+    }
+    assert twice == got
