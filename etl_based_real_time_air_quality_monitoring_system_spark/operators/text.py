@@ -172,8 +172,10 @@ def normalize_text_nfkc(text: Column | str) -> Column:
     the subset (NFKC is idempotent; the chain preserves it).
 
     Plan shape at 100 TB: one ArrowEvalPython stage fused into the
-    scan projection — still a pure map, zero shuffle; budget ~2-3x
-    the subset's per-row cost for the Python hop (SCALING.md).
+    scan projection — still a pure map, zero shuffle.  Measured cost
+    of the Python hop: ~20% over the subset at 64x (26.5 vs 22.1
+    s/Mrow, SCALING.md r10) — the JVM fold chain dominates, so
+    choosing full NFKC is a semantics decision, not a budget one.
     """
     from pyspark.sql.functions import pandas_udf
 

@@ -52,9 +52,15 @@ def main() -> int:
             load_table(spark, sf_dir, "documents"), factor, ("doc_id",)
         ).localCheckpoint(eager=False)
         n = docs.count()
+        from etl_based_real_time_air_quality_monitoring_system_spark.operators.text import normalize_text_nfkc
+
         probes = {
             "normalize_text(documents)": docs.select(
                 "doc_id", normalize_text(F.col("text")).alias("text_norm")
+            ),
+            "normalize_text_nfkc(documents, arrow seam)": docs.select(
+                "doc_id",
+                normalize_text_nfkc(F.col("text")).alias("text_norm"),
             ),
             "lang_id_joined(documents, 4x512 LUT)": lang_id_scores(
                 docs, lut
