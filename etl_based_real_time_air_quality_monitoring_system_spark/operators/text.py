@@ -91,6 +91,17 @@ NORMALIZE_CHAR_FOLDS: tuple[tuple[str, str], ...] = (
     *((ch, '"') for ch in "“”„‟«»"),
     # hyphen/dash family (U+2010..2015) + unicode minus
     *((ch, "-") for ch in "‐‑‒–—―−"),
+    # the two FULL-casing divergences, pre-folded so the later
+    # lower() is pure SIMPLE lowercase on both engines: Java/ICU
+    # full lowercase maps İ (U+0130) to i+U+0307 and word-final Σ to
+    # ς (context-sensitive), while DuckDB's utf8proc lower is simple
+    # (İ -> i, Σ -> σ everywhere).  Folding İ -> i and BOTH sigmas to
+    # medial σ up front removes every SpecialCasing lowercase entry
+    # from the input, so the engines' lower() agree character for
+    # character (final-sigma folding is standard IR normalization).
+    ("İ", "i"),
+    ("Σ", "σ"),
+    ("ς", "σ"),
 )
 
 #: one-to-MANY expansions translate() can't express, applied as a
@@ -124,8 +135,12 @@ def normalize_text(text: Column | str) -> Column:
     3. fold :data:`NORMALIZE_CHAR_FOLDS` in one ``translate`` (unicode
        spaces, fullwidth ASCII, curly quotes, dash family);
     4. expand :data:`NORMALIZE_EXPANSIONS` (ligatures, ellipsis);
-    5. casefold via ``lower`` (simple Unicode lowercase — both engines
-       agree on it; full/locale case folding is deliberately out);
+    5. casefold via ``lower`` — pure SIMPLE Unicode lowercase by
+       construction: the two full-casing divergences between Java/ICU
+       and utf8proc (dotted İ, context-sensitive Greek final sigma)
+       are pre-folded in stage 3, so both engines' ``lower`` agree on
+       every remaining character (locale case folding is
+       deliberately out);
     6. collapse whitespace runs and trim.  After stages 1-3 every
        whitespace character IS an ASCII space, so the collapse regex
        is a plain ``' +'`` — no ``\\s`` class-semantics drift between
@@ -165,11 +180,16 @@ def normalize_text_nfkc(text: Column | str) -> Column:
 
     Equivalence contract: for strings whose characters all lie in
     ASCII ∪ the subset fold tables ∪ Cc/Cf, ``normalize_text_nfkc(x)
-    == normalize_text(x)`` (NFKC performs the same fullwidth /
-    ligature / space folds and touches nothing else in that range —
-    quotes and dashes are NOT compatibility mappings, which is
-    exactly why the subset folds them explicitly).  Idempotent like
-    the subset (NFKC is idempotent; the chain preserves it).
+    == normalize_text(x)``.  The subset's 1:1 folds are applied
+    BEFORE NFKC to make this literally true — a few fold sources are
+    themselves NFKC-decomposable to something the subset wouldn't
+    then fold (´ U+00B4 -> space+combining-acute under NFKC, vs the
+    subset's apostrophe), so folding first pins the subset's choice;
+    everything the pre-fold and NFKC both handle (fullwidth,
+    ligatures, spaces) folds to the same target either way, and
+    quotes/dashes are NOT compatibility mappings (exactly why the
+    subset folds them explicitly).  Idempotent like the subset (NFKC
+    is idempotent; the chain preserves it).
 
     Plan shape at 100 TB: one ArrowEvalPython stage fused into the
     scan projection — still a pure map, zero shuffle.  Measured cost
@@ -190,7 +210,9 @@ def normalize_text_nfkc(text: Column | str) -> Column:
         )
 
     c = F.col(text) if isinstance(text, str) else text
-    return normalize_text(_nfkc(c))
+    # subset 1:1 folds FIRST (see the contract above), then NFKC,
+    # then the full subset chain (its translate re-run is a no-op)
+    return normalize_text(_nfkc(F.translate(c, _NORM_FROM, _NORM_TO)))
 
 
 def fixed_token_chunks(toks: Column, width: int) -> Column:

@@ -2819,6 +2819,10 @@ def test_normalize_text_hand_computed(spark):
         (5, "d—e−f–g «q» ﬀﬃﬆ"),
         (6, ""),
         (7, "   "),
+        # the two cross-engine FULL-casing divergences, pre-folded in
+        # the table: dotted İ (Java lower -> i+U+0307, utf8proc -> i)
+        # and context-sensitive Greek final sigma
+        (8, "İstanbul ΣΟΦΟΣ ´acute"),
     ]
     want = {
         1: '"fullwidth" ok',
@@ -2828,6 +2832,7 @@ def test_normalize_text_hand_computed(spark):
         5: 'd-e-f-g "q" ffffist',
         6: "",
         7: "",
+        8: "istanbul σοφοσ 'acute",
     }
     df = spark.createDataFrame(rows, ["id", "t"])
     got = {
@@ -2981,6 +2986,9 @@ def test_normalize_text_nfkc_full(spark):
         (1, " “ＦＵＬＬｗｉdth”\x07\tok"),
         (2, "co­operate… ﬁnal　‘Q’  end​."),
         (3, "d—e−f–g «q» ﬀﬃﬆ"),
+        # ´ is NFKC-decomposable (space + combining acute) — the
+        # pre-fold pins the subset's apostrophe; İ/Σ pre-fold too
+        (4, "a´b İstanbul ΣΟΦΟΣ"),
     ]
     sdf = spark.createDataFrame(subset_rows, ["id", "t"])
     both = sdf.select(

@@ -49,13 +49,16 @@ def main() -> int:
     rules = learned_subword_merges(spark, sf_dir)
 
     # frozen vocab from the BASE table — the bpe_subword_total gate
-    # recipe (scale_probe's 1/4/16 rows use the same construction)
+    # recipe (scale_probe's 1/4/16 rows use the same construction);
+    # the cutoff is THE gate's constant, not a copy of it
+    from __spark_entry__ import _BPE_TOTAL_VOCAB
+
     base_enc = bpe_subword_encode(load_table(spark, sf_dir, "documents"), rules)
     vocab = [
         r["token"]
         for r in base_enc.select("token", "token_id")
         .distinct()
-        .filter("token_id < 24")
+        .filter(f"token_id < {_BPE_TOTAL_VOCAB}")
         .orderBy("token_id")
         .collect()
     ]
