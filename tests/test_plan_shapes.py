@@ -826,3 +826,36 @@ def test_normalize_text_gate_pure_map(spark, sf_dir):
     assert n_key_shuffles(p) == 0
     assert "PushedFilters: [IsNotNull(text)]" in p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_dynamic_partition_pruning_through_join(spark, sf_dir, tmp_path):
+    """Dynamic partition pruning — the third 100 TB scan-reduction
+    lever after static PartitionFilters and runtime bloom filters: a
+    selective filter on the DIM side of a join must prune the
+    partitioned FACT side's directories at runtime (a
+    dynamicpruningexpression subquery inside PartitionFilters), so
+    unmatched partitions are never even listed, let alone scanned."""
+    from etl_based_real_time_air_quality_monitoring_system_spark.sources.writers import write_partitioned_parquet
+
+    events = load_table(spark, sf_dir, "events")
+    write_partitioned_parquet(
+        events, str(tmp_path / "fact"), partition_cols=("event_type",)
+    )
+    # the dim must be a SEPARATE relation with a selective filter on a
+    # NON-join column — a filter on the join key itself is statically
+    # pushable and never becomes a DPP subquery
+    events.select("event_type").distinct().withColumn(
+        "flag", F.length("event_type")
+    ).write.parquet(str(tmp_path / "dim"))
+    fact = spark.read.parquet(str(tmp_path / "fact"))
+    dim = spark.read.parquet(str(tmp_path / "dim")).filter(
+        F.col("flag") == F.lit(len("purchase"))
+    )
+    q = fact.join(dim, "event_type").select("event_id", "value")
+    p = plan(q)
+    assert "dynamicpruningexpression" in p.lower(), p[:2000]
+    n = q.count()
+    expect = events.filter(
+        F.length("event_type") == F.lit(len("purchase"))
+    ).count()
+    assert n == expect
