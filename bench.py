@@ -213,12 +213,25 @@ def main() -> None:
     # per-query codegen/JIT noise (±20% run-to-run on cold timings) for
     # regression comparisons; the driver's default protocol stays cold
     warm = os.environ.get("BENCH_WARM", "").lower() not in ("", "0", "false")
+    # BENCH_GC=N: force a JVM GC every N queries (off by default; the
+    # driver's protocol stays untouched).  Diagnostic for the
+    # sustained-suite slowdown hypothesis: a 216-query suite in one
+    # JVM accumulates localCheckpoint blocks + broadcasts that are
+    # only freed when the JVM GC collects their Python-side-dead
+    # references.  MEASURED r10: BENCH_GC=20 made the suite ~27%
+    # SLOWER (180 vs 142 s) — full System.gc() pauses cost more than
+    # any storage pressure they relieve; the in-suite drift is the
+    # machine's sustained-load envelope, not reclaimable state.  Keep
+    # off; the knob stays for future epochs' diagnostics.
+    gc_every = int(os.environ.get("BENCH_GC", "0") or 0)
     timings: dict[str, float] = {}
-    for name in names:
+    for i, name in enumerate(names):
         t = run_once(qs[name](spark, sf_dir))
         if warm:
             t = min(t, run_once(qs[name](spark, sf_dir)))
         timings[name] = round(t, 3)
+        if gc_every and (i + 1) % gc_every == 0:
+            spark._jvm.System.gc()
     total = round(sum(timings.values()), 3)
     full = {
         "metric": "headline_queries_total",
