@@ -3812,9 +3812,11 @@ def _q_bpe_subword_total(spark: SparkSession, sf: str) -> DataFrame:
     if len(vocab) != _BPE_TOTAL_VOCAB:
         raise AssertionError(
             f"bpe_subword_total gate: corpus yielded {len(vocab)} distinct "
-            f"subword symbols < _BPE_TOTAL_VOCAB={_BPE_TOTAL_VOCAB}; the "
-            "oracle's hardcoded byte-id offset no longer matches — lower "
-            "_BPE_TOTAL_VOCAB for this SF"
+            f"subword symbols, expected exactly _BPE_TOTAL_VOCAB="
+            f"{_BPE_TOTAL_VOCAB}; the oracle's hardcoded byte-id offset no "
+            "longer matches — adjust _BPE_TOTAL_VOCAB for this SF (an "
+            "under-count means the corpus is too small for the frozen "
+            "vocabulary; an over-count means the token_id cap above changed)"
         )
     return bpe_subword_encode_total(docs, learned, vocab)
 
@@ -3973,6 +3975,117 @@ def _q_normalize_text(spark: SparkSession, sf: str) -> DataFrame:
             "text_norm",
             F.size(tokens("text_norm")).alias("n_tokens"),
         )
+    )
+
+
+#: NFKC-ONLY unicode noise (compatibility classes the subset fold
+#: tables deliberately do NOT cover: squared units, vulgar fractions,
+#: Roman numerals, superscripts) — exercised by the rows-only
+#: ``normalize_text_nfkc`` gate.  DuckDB has NFC only, so this path is
+#: NOT oracle-expressible; the expected expansions ("mhz", "1⁄2",
+#: "xii", "2") are pinned in pytest instead
+#: (tests/test_pipeline_ops.py::test_normalize_text_nfkc_gate_noise).
+_NFKC_NOISE_PREFIX = "㎒½ "
+_NFKC_NOISE_SUFFIX = " Ⅻ²"
+
+
+def _q_normalize_text_nfkc(spark: SparkSession, sf: str) -> DataFrame:
+    # the FULL-NFKC big brother of normalize_text (arrow-seam
+    # unicodedata.normalize, the multimodal-decode discipline): same
+    # output shape as the normalize_text gate but with NFKC-ONLY
+    # compatibility noise (㎒ ½ Ⅻ ²) injected alongside the subset
+    # noise, so the Python seam demonstrably does work the subset
+    # can't.  ROWS-ONLY by design — DuckDB has NFC only, so no oracle
+    # can re-derive the values; the hash-gated agreement twin
+    # (normalize_text_nfkc_agree) pins the full path's values on
+    # subset-class inputs, and pytest pins the NFKC-only expansions.
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.text import (
+        normalize_text_nfkc,
+        tokens,
+    )
+
+    docs = load_table(spark, sf, "documents")
+    noisy = F.concat(
+        F.lit(_NFKC_NOISE_PREFIX + _NORM_NOISE_PREFIX),
+        F.col("text"),
+        F.lit(_NORM_NOISE_SUFFIX + _NFKC_NOISE_SUFFIX),
+    )
+    return (
+        docs.filter(F.col("text").isNotNull())
+        .select("doc_id", normalize_text_nfkc(noisy).alias("text_norm"))
+        .select(
+            "doc_id",
+            "text_norm",
+            F.size(tokens("text_norm")).alias("n_tokens"),
+        )
+    )
+
+
+def _q_normalize_text_nfkc_agree(spark: SparkSession, sf: str) -> DataFrame:
+    # the HASH-GATED agreement twin: normalize_text_nfkc run on
+    # subset-class-only input (the normalize_text gate's exact noisy
+    # recipe — ASCII corpus + _NORM_NOISE_* covers ASCII ∪ the fold
+    # tables ∪ Cc/Cf, the documented equivalence domain), checked
+    # against the normalize_text ORACLE verbatim.  Green means the
+    # whole Python seam (pre-fold -> ArrowEvalPython NFKC -> subset
+    # chain) is value-for-value what the oracle-generated fold SQL
+    # computes — the strongest check available for a path DuckDB
+    # cannot express directly.
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.text import (
+        normalize_text_nfkc,
+        tokens,
+    )
+
+    docs = load_table(spark, sf, "documents")
+    noisy = F.concat(
+        F.lit(_NORM_NOISE_PREFIX), F.col("text"), F.lit(_NORM_NOISE_SUFFIX)
+    )
+    return (
+        docs.filter(F.col("text").isNotNull())
+        .select("doc_id", normalize_text_nfkc(noisy).alias("text_norm"))
+        .select(
+            "doc_id",
+            "text_norm",
+            F.size(tokens("text_norm")).alias("n_tokens"),
+        )
+    )
+
+
+def _q_corpus_pipeline_normalized(spark: SparkSession, sf: str) -> DataFrame:
+    # the normalized capstone: prepare_corpus(normalize=True) — the
+    # CCNet/C4 stage ORDER (normalize -> dedup fingerprint -> filter)
+    # where normalization changes the dedup survivors and every
+    # profile metric sees normalized text.  The normalize_text gate's
+    # unicode noise is injected around each doc first so every fold
+    # class is live inside the chain; the oracle re-derives the whole
+    # thing through _CORPUS_KEPT_CTES generated over the SAME fold
+    # tables (_normalize_sql), so a drift in stage order (e.g.
+    # fingerprinting raw text instead of normalized) flips survivors
+    # and hash-mismatches.  The report mirrors corpus_report but takes
+    # the quality mean in EXACT integer 1e-4 units (quality is
+    # floor(q*1e4+0.5)/1e4 by construction, so the integer recovers
+    # exactly; half-up integer division replaces round(avg(double)))
+    # — corpus_report's round(avg(quality),4) sat exactly 1e-4 apart
+    # between the engines on the normalized values at sf0.001:
+    # float-sum order put the mean on a rounding-tie boundary, the
+    # drift class the integer-micros ANN gates were designed around.
+    from etl_based_real_time_air_quality_monitoring_system_spark.plans.corpus import prepare_corpus
+
+    docs = load_table(spark, sf, "documents").withColumn(
+        "text",
+        F.concat(
+            F.lit(_NORM_NOISE_PREFIX), F.col("text"), F.lit(_NORM_NOISE_SUFFIX)
+        ),
+    )
+    kept = prepare_corpus(docs, normalize=True).withColumn(
+        "_q4", F.floor(F.col("quality") * 10000 + F.lit(0.5)).cast("long")
+    )
+    return kept.groupBy("source").agg(
+        F.count("*").alias("kept_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.expr("(2 * sum(_q4) + count(*)) div (2 * count(*))").alias(
+            "avg_quality_q4"
+        ),
     )
 
 
@@ -5277,75 +5390,15 @@ def _q_sketch_bounds(spark: SparkSession, sf: str) -> DataFrame:
 #: ALL entries as the alternate evidence for the rotation tail.
 #: `python tools/staleness.py --plan` emits the next LRU window
 #: mechanically.
-_R10_WINDOW: tuple[str, ...] = (
-    # new in round 10 (+2 registry growth, the r9 verdict's cap)
-    "normalize_text",
-    "lang_id_joined",
-    # code changed in round 10 (BPE position-window narrowing) ->
-    # re-gate every stream-shape exerciser on current plans
-    "bpe_subword_encode",
-    "bpe_subword_total",
-    "bpe_roundtrip",
-    # standing streaming re-gate (r9 verdict item 6)
-    "streaming_session_stats",
-    # the full 26-entry r5-stale queue (the r9-promised _R10_QUEUE) —
-    # this empties the r5 staleness backlog
-    "grouped_stats",
-    "band_distribution",
-    "hourly_activity",
-    "multikey_summary",
-    "priority_counts",
-    "dq_report",
-    "latest_value_max_by",
-    "value_histogram",
-    "priority_except_all",
-    "priority_intersect_all",
-    "top_orders",
-    "price_bands",
-    "calendar_parts",
-    "weighted_score",
-    "props_k_stats",
-    "member_filter",
-    "distinct_user_event",
-    "join_revenue_by_segment",
-    "join_star_region",
-    "customers_with_orders",
-    "customers_without_orders",
-    "running_user_value",
-    "top3_per_type",
-    "value_delta_per_user",
-    "users_click_and_purchase",
-    "users_click_not_purchase",
-    # 18 r6-stale picks, r9-verdict priority order (heaviest / most
-    # semantics-bearing first; ivf_topk and lsh_topk are the
-    # rows-only ANN paths whose hash-gated recall twins ride along)
-    "tfidf_terms",
-    "top_tokens",
-    "simhash",
-    "embedding_topk",
-    "knn_join",
-    "ivf_topk",
-    "lsh_topk",
-    "retrieval_ndcg",
-    "sketch_bounds",
-    "streaming_pq_index",
-    "tpch_q1",
-    "tpch_q4",
-    "tpch_q7",
-    "tpch_q8",
-    "lsh_topk_recall",
-    "scd2_user_history",
-    "point_in_time_features",
-    "gapfill_hourly_locf",
-)
-
-#: the 29 r6-stale entries that did not fit the r10 window —
-#: positions 51-79 so local sweeps cover them, and FIRST IN LINE for
-#: the r11 window (each is untouched code, green in every 3-SF sweep
-#: since r6).  r11 window = these 29 + ~21 r7-stale LRU picks
-#: (`tools/staleness.py --plan` emits the exact list), which empties
-#: the r6 backlog.
-_R11_QUEUE: tuple[str, ...] = (
+_R11_WINDOW: tuple[str, ...] = (
+    # new in round 11 (+3 — DELIBERATELY one over the usual +2 cap:
+    # r10 verdict items 2 and 3 jointly require these three entries;
+    # the pins still take <= 6 slots per the standing policy)
+    "normalize_text_nfkc",
+    "normalize_text_nfkc_agree",
+    "corpus_pipeline_normalized",
+    # the full 29-entry r6-stale queue (the r10-promised _R11_QUEUE)
+    # — this EMPTIES the r6 staleness backlog
     "union_hot_or_error",
     "pivot_qty_by_status",
     "rollup_flag_status",
@@ -5375,6 +5428,67 @@ _R11_QUEUE: tuple[str, ...] = (
     "zscore_outliers",
     "trailing_hour_count",
     "latest_event_per_type",
+    # 18 r7-stale LRU picks (tools/staleness.py --plan order; the r10
+    # verdict's "21 oldest r7" assumed zero new entries — the 3 pins
+    # above displace the 3 freshest of those 21, which lead
+    # _R12_QUEUE).  streaming_stateful_stats doubles as the standing
+    # per-round watermark/stateful streaming re-gate (r9 policy).
+    "nn_confusion_ivfpq_stored",
+    "cluster_balanced_sample",
+    "nn_confusion_ivfpq",
+    "cdc_vacuum",
+    "bpe_merges",
+    "flagship",
+    "cube_flag_status",
+    "asof_purchase_attribution",
+    "user_sessions",
+    "value_percentiles",
+    "session_window_stats",
+    "cdc_merge_upsert",
+    "repetition_stats",
+    "sequence_packing",
+    "benchmark_contamination",
+    "corpus_datacard",
+    "streaming_stateful_stats",
+    "multimodal_features",
+)
+
+#: the 29 r7-stale entries that did not fit the r11 window —
+#: positions 51-79 so local sweeps cover them, and FIRST IN LINE for
+#: the r12 window (each is untouched code, green in every 3-SF sweep
+#: since r7).  r12 window = these 29 + ~21 r8-stale LRU picks
+#: (`tools/staleness.py --plan` emits the exact list), which empties
+#: the r7 backlog.
+_R12_QUEUE: tuple[str, ...] = (
+    "corpus_pipeline",
+    "serving_tiles",
+    "tpch_q2",
+    "tpch_q3",
+    "tpch_q5",
+    "tpch_q6",
+    "tpch_q9",
+    "tpch_q10",
+    "tpch_q11",
+    "tpch_q12",
+    "tpch_q13",
+    "tpch_q14",
+    "tpch_q15",
+    "tpch_q16",
+    "tpch_q17",
+    "tpch_q18",
+    "tpch_q19",
+    "tpch_q20",
+    "tpch_q21",
+    "tpch_q22",
+    "http_ingest_simulated",
+    "json_scan_roundtrip",
+    "cache_fanout",
+    "dead_letter_split",
+    "streaming_to_table_roundtrip",
+    "sink_partitioned_roundtrip",
+    "sink_bucketed_join",
+    "target_affinity",
+    "streaming_cdc_apply",
 )
 
 
@@ -5384,17 +5498,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     ORDER MATTERS: the driver's correctness gate samples the first 50
     entries (CORRECTNESS_r05/r06 confirmed exactly 50).  The order is
-    defined by the explicit ``_R10_WINDOW`` (the gate window) then
-    ``_R11_QUEUE`` (next round's first-in-line), then every remaining
+    defined by the explicit ``_R11_WINDOW`` (the gate window) then
+    ``_R12_QUEUE`` (next round's first-in-line), then every remaining
     entry in the literal's declaration order (roughly
-    least-recently-gated first among the rest; the freshly-r6-gated
+    least-recently-gated first among the rest; the freshly-gated
     entries displaced by this rotation sit wherever the literal
     declares them — their evidence is the newest on file).
     """
     base = {
-        # === DECLARATION order only — gate order lives in _R10_WINDOW
-        # === / _R11_QUEUE above (historical r6 grouping comments kept
+        # === DECLARATION order only — gate order lives in _R11_WINDOW
+        # === / _R12_QUEUE above (historical grouping comments kept
         # === where they still aid navigation) =========================
+        # --- new in round 11 (+3, r10 verdict items 2-3) --------------
+        "normalize_text_nfkc": _q_normalize_text_nfkc,
+        "normalize_text_nfkc_agree": _q_normalize_text_nfkc_agree,
+        "corpus_pipeline_normalized": _q_corpus_pipeline_normalized,
         # --- new in round 10 (+2, the growth cap the r9 verdict set) -
         "normalize_text": _q_normalize_text,
         "lang_id_joined": _q_lang_id_joined,
@@ -5643,8 +5761,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "users_click_and_purchase": _q_users_click_and_purchase,
         "users_click_not_purchase": _q_users_click_not_purchase,
     }
-    ordered = {n: base[n] for n in _R10_WINDOW}
-    for n in _R11_QUEUE:
+    ordered = {n: base[n] for n in _R11_WINDOW}
+    for n in _R12_QUEUE:
         ordered[n] = base[n]
     for n, f in base.items():
         if n not in ordered:
@@ -6055,11 +6173,16 @@ _LANG_SCORES = ",\n                   ".join(
 
 #: the shared dedup -> profile -> quality/lang/token-bound filter CTE
 #: chain (mirrors plans.corpus.prepare_corpus) — factored so the
-#: corpus_pipeline and corpus_assembly oracles can never drift apart
-_CORPUS_KEPT_CTES = rf"""fp AS (
+#: corpus_pipeline / corpus_assembly / corpus_pipeline_normalized
+#: oracles can never drift apart.  ``doc_src`` is the relation the
+#: chain reads (``documents`` raw, or a normalizing stage-0 CTE for
+#: the prepare_corpus(normalize=True) twin — the CCNet/C4 stage order
+#: means normalization happens BEFORE the dedup fingerprint).
+def _corpus_kept_ctes(doc_src: str = "documents") -> str:
+    return rf"""fp AS (
                 SELECT doc_id, source, text,
                        md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS f
-                FROM documents
+                FROM {doc_src}
             ),
             surv AS (
                 SELECT doc_id, source, text FROM (
@@ -6102,6 +6225,29 @@ _CORPUS_KEPT_CTES = rf"""fp AS (
             )"""
 
 
+_CORPUS_KEPT_CTES = _corpus_kept_ctes()
+
+#: the prepare_corpus(normalize=True) chain: a stage-0 CTE normalizes
+#: the noise-injected text through the fold-table SQL (generated from
+#: the SAME NORMALIZE_CHAR_FOLDS / NORMALIZE_EXPANSIONS tables as the
+#: Spark expression via _normalize_sql), then the SAME kept-chain runs
+#: over it — so the dedup fingerprint, every profile metric, and the
+#: keep filters all see normalized text, exactly the Spark stage order
+_CORPUS_KEPT_CTES_NORM = (
+    f"""normdocs AS (
+                SELECT doc_id, source,
+                       {_normalize_sql(
+                           _sql_str(_NORM_NOISE_PREFIX)
+                           + " || text || "
+                           + _sql_str(_NORM_NOISE_SUFFIX)
+                       )} AS text
+                FROM documents
+            ),
+            """
+    + _corpus_kept_ctes("normdocs")
+)
+
+
 def oracle_sql() -> dict[str, str]:
     """DuckDB-ANSI twins, column-name-aligned with ``queries()``."""
     out = _oracle_sql_literal()
@@ -6114,6 +6260,14 @@ def oracle_sql() -> dict[str, str]:
     # the streamed PQ index must equal the one-shot batch encode for
     # any micro-batch composition, so it shares pq_codes' oracle
     out["streaming_pq_index"] = out["pq_codes"]
+    # the full-NFKC path on subset-class-only input (ASCII corpus +
+    # _NORM_NOISE_*) must equal the subset fold chain character for
+    # character (the documented equivalence contract), so the
+    # agreement twin shares normalize_text's fold-SQL oracle verbatim
+    # — hash-gating an ArrowEvalPython path DuckDB cannot express.
+    # (normalize_text_nfkc itself, with NFKC-ONLY noise, is rows-only
+    # by design: DuckDB has NFC only.)
+    out["normalize_text_nfkc_agree"] = out["normalize_text"]
     return out
 
 
@@ -10220,6 +10374,23 @@ def _oracle_sql_literal() -> dict[str, str]:
             SELECT source, count(*) AS kept_docs,
                    CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
                    round(avg(quality), 4) AS avg_quality
+            FROM kept GROUP BY source
+        """,
+        # prepare_corpus(normalize=True): the SAME kept-chain over a
+        # stage-0 normalizing CTE (fold-table SQL generated from the
+        # same tables as the Spark expression) — normalization runs
+        # BEFORE the dedup fingerprint, so survivors themselves differ
+        # from corpus_pipeline's and any stage-order drift flips them.
+        # Quality mean in exact integer 1e-4 units (half-up integer
+        # division), see the Spark twin's comment on the round(avg)
+        # tie-boundary drift this replaces.
+        "corpus_pipeline_normalized": rf"""
+            WITH {_CORPUS_KEPT_CTES_NORM}
+            SELECT source, count(*) AS kept_docs,
+                   CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+                   CAST((2 * sum(CAST(floor(quality * 10000 + 0.5) AS BIGINT))
+                         + count(*)) // (2 * count(*)) AS BIGINT)
+                       AS avg_quality_q4
             FROM kept GROUP BY source
         """,
         "corpus_assembly": rf"""

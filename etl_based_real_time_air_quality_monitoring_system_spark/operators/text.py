@@ -1872,8 +1872,12 @@ def lang_id_scores(
     promoted past the :func:`lang_pred_counts` heuristic screen:
     hashed unigram+bigram features (:func:`hashed_ngram_buckets`,
     shared with the quality classifier and DSIR), one trained
-    integer-micros weight table per language, per-language floor-mean
-    score, argmax prediction with ties broken to the
+    integer-micros weight table per language, per-language TRUNCATED
+    integer mean score (Spark's ``div`` and DuckDB's ``//`` both
+    truncate toward zero — equal to floor only because the
+    md5-derived gate weights are non-negative; a real fastText table
+    with negative weights truncates UP on negative sums, identically
+    on both engines), argmax prediction with ties broken to the
     lexicographically-FIRST language id (the ``_l2_assign_expr``
     tie-to-lowest-id discipline, so the prediction is deterministic
     and oracle-exact).
@@ -1944,9 +1948,10 @@ def _langid_score_joined(
 ) -> DataFrame:
     """Broadcast-LUT form: ONE wide (bucket, w_0..w_{K-1}) table so
     the corpus explodes and joins ONCE for all K classes (K separate
-    joins would scan the exploded features K times).  Floor-mean per
-    class, same empty/out-of-range discipline as
-    :func:`qcls_score_joined`."""
+    joins would scan the exploded features K times).  TRUNCATED
+    integer mean per class (toward zero, both engines — floor only
+    for non-negative weights; see :func:`lang_id_scores`), same
+    empty/out-of-range discipline as :func:`qcls_score_joined`."""
     import pandas as pd
 
     n_buckets = len(lang_weights[langs[0]])

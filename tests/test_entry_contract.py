@@ -19,8 +19,54 @@ def test_queries_oracle_alignment():
     # a forgotten oracle fails loudly instead of silently degrading
     # the gate to a rows-only check
     assert set(o) <= set(q)
-    rows_only_allowed = {"ivf_topk", "lsh_topk", "sketch_profile"}
+    rows_only_allowed = {
+        "ivf_topk",
+        "lsh_topk",
+        "sketch_profile",
+        # full NFKC on NFKC-only noise classes — DuckDB has NFC only;
+        # the hash-gated normalize_text_nfkc_agree twin pins the same
+        # path's values on the subset-equivalence domain
+        "normalize_text_nfkc",
+    }
     assert set(q) - set(o) == rows_only_allowed
+
+
+def test_normalize_text_nfkc_gate_noise(spark, sf_dir):
+    """The rows-only NFKC gate's expected values, pinned here since no
+    SQL oracle can express NFKC (DuckDB has NFC only): the injected
+    NFKC-ONLY noise classes (㎒ ½ Ⅻ ²) must come out expanded on
+    EVERY row ("mhz", "1⁄2", "xii ...2" after casefold), and the
+    hash-gated agree twin must equal the subset chain row-for-row on
+    its subset-class-only input (the equivalence-domain contract the
+    driver then hash-checks against the fold-table SQL)."""
+    q = entrymod.queries()
+    rows = q["normalize_text_nfkc"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["text_norm"].startswith("mhz1⁄2 "), r["text_norm"]
+        assert r["text_norm"].endswith(" xii2"), r["text_norm"]
+    from pyspark.sql import functions as F
+
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.text import normalize_text
+    from etl_based_real_time_air_quality_monitoring_system_spark.sources.readers import load_table
+
+    noisy = F.concat(
+        F.lit(entrymod._NORM_NOISE_PREFIX),
+        F.col("text"),
+        F.lit(entrymod._NORM_NOISE_SUFFIX),
+    )
+    subset = {
+        r["doc_id"]: r["t"]
+        for r in load_table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", normalize_text(noisy).alias("t"))
+        .collect()
+    }
+    agree = {
+        r["doc_id"]: r["text_norm"]
+        for r in q["normalize_text_nfkc_agree"](spark, sf_dir).collect()
+    }
+    assert agree == subset
 
 
 def test_all_queries_run_smoke(spark, sf_dir):

@@ -108,7 +108,10 @@ def main() -> int:
         print("\nNEXT-WINDOW PLAN (least-recently-gated 50; put the "
               "round's pins first, displacing the freshest tail):")
         for n in lru[:50]:
-            print(f'    "{n}",  # r{latest.get(n, 0)}')
+            # never-gated is a DISTINCT worst class, not round 0 —
+            # print it as such so the plan can't be misread
+            tag = f"r{latest[n]}" if n in latest else "never"
+            print(f'    "{n}",  # {tag}')
     return 0
 
 
