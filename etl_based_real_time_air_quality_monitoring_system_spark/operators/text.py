@@ -1355,6 +1355,192 @@ def _fuse_pair_expr(t: Column, left: str, right: str, sep: str) -> Column:
     )
 
 
+#: max merge-rule count replayed as SEQUENTIAL per-rank array folds
+#: (one plan + lazy localCheckpoint per rank).  Beyond this the apply
+#: paths auto-switch to :func:`_ranked_fixpoint_apply`: the fold
+#: chain's unresolved lineage is only truncated at ACTION time, so
+#: Catalyst analyzes all R chained plans recursively at once — a
+#: StackOverflowError at R=256 on the default JVM stack (r11 probe,
+#: tools/probe_bpe_rules.py), and even below the crash point each
+#: rank is a full pass over its input (R passes, vs the fixpoint's
+#: ~max-symbols-per-row rounds).  24 keeps every oracle-gated plan
+#: (<= 3 rules) and every differential test (<= 16) on the proven
+#: fold-chain shape while staying far from the cliff.
+BPE_APPLY_FOLD_MAX = 24
+
+
+def _validate_fixpoint_merges(
+    merges: "Sequence[tuple[str, str]]", sep: str
+) -> None:
+    """The fixpoint form's equivalence precondition: NO rule's input
+    symbol may equal a LATER rule's output (``left+sep+right``).
+    Learner-produced tables satisfy this by construction — rule k's
+    inputs are base symbols or outputs of rules < k — except in the
+    degenerate case where two different merge paths produce the same
+    symbol STRING (e.g. ('ab','c') before ('a','bc'), both making
+    'abc' under sep='').  Under the precondition, fusing rule k can
+    only create adjacencies involving its own output, so no rule of
+    lower rank ever becomes applicable again and min-rank fixpoint
+    order is exactly sequential replay order (proof in
+    :func:`_ranked_fixpoint_apply`).  Also asserts symbols are
+    whitespace-free — guaranteed for anything produced by
+    :func:`tokens` / :func:`_word_symbols` — because the in-plan rank
+    LUT keys pairs as ``left + ' ' + right``."""
+    later_outputs: set[str] = set()
+    for left, right in reversed(list(merges)):
+        if left == right:
+            raise ValueError(
+                f"self-pair rule ({left!r}, {right!r}) — the learner "
+                "never emits these (fusion would be order-dependent)"
+            )
+        if any(ch.isspace() for ch in left + right):
+            raise ValueError(
+                f"rule ({left!r}, {right!r}) contains whitespace — "
+                "impossible for whitespace-split symbols, and the "
+                "fixpoint rank LUT keys pairs on a space separator"
+            )
+        if left in later_outputs or right in later_outputs:
+            raise ValueError(
+                f"rule input ({left!r}, {right!r}) is produced by a "
+                "LATER rule — min-rank fixpoint would diverge from "
+                "sequential replay on this table; re-learn the rules "
+                "(learner output never does this unless two merge "
+                "paths collide on the same symbol string)"
+            )
+        later_outputs.add(left + sep + right)
+
+
+def _fuse_pair_dyn(
+    t: Column, left: Column, right: Column, fused: Column
+) -> Column:
+    """:func:`_fuse_pair_expr` with the merge pair as per-row COLUMNS
+    instead of plan literals — the fixpoint round fuses a DIFFERENT
+    rule per row (each row's lowest-ranked applicable pair).  Same
+    order-independence argument: callers guarantee left != right per
+    row, so occurrences never overlap."""
+    n = F.size(t)
+
+    def cell(i: Column) -> Column:
+        at = lambda j: F.element_at(t, j + 1)  # noqa: E731 — 0-based
+        return (
+            F.when(
+                (i < n - 1) & (at(i) == left) & (at(i + 1) == right),
+                fused,
+            )
+            .when(
+                (i > 0) & (at(i - 1) == left) & (at(i) == right),
+                F.lit(None).cast("string"),
+            )
+            .otherwise(at(i))
+        )
+
+    return F.when(n <= 0, F.array().cast("array<string>")).otherwise(
+        F.filter(
+            F.transform(F.sequence(F.lit(0), n - 1), cell),
+            lambda x: x.isNotNull(),
+        )
+    )
+
+
+def _ranked_fixpoint_apply(
+    df: DataFrame,
+    sym_col: str,
+    merges: "Sequence[tuple[str, str]]",
+    sep: str,
+    carry_cols: "Sequence[str]",
+) -> DataFrame:
+    """Replay a ranked merge table by MIN-RANK FIXPOINT — the
+    GPT-2/HuggingFace apply algorithm — instead of one sequential
+    fold per rank: each round, every row fuses ALL occurrences of its
+    single lowest-ranked applicable pair; rounds repeat until no row
+    has an applicable pair.
+
+    EQUIVALENCE to sequential replay (requires
+    :func:`_validate_fixpoint_merges`): fusing pair k's output f_k
+    only creates NEW adjacencies involving f_k itself, so a rule i
+    whose inputs are not producible by later rules can never become
+    applicable after it first goes inapplicable — each row therefore
+    applies rules in strictly increasing rank order, fusing all of a
+    rule's occurrences at once, which is literally what the
+    sequential fold does at that rule's rank.  A rule also applies at
+    most ONCE per row (new occurrences of (l_k, r_k) would need l_k
+    or r_k produced by a rank > k — excluded), so round count is
+    bounded by the max symbol count per row (word length for the
+    subword TYPE table), INDEPENDENT of the rule count.
+
+    Plan shape per round: one in-scan expression pass — the rank LUT
+    is three constant-folded map literals (pair->rank, rank->left,
+    rank->right: the PQ-codebook broadcast-literal idiom, fine to 32k
+    rules because a python-list ``F.lit`` is ONE Literal node, not a
+    per-element expression tree) — then an EAGER localCheckpoint (the
+    lineage cut that keeps analysis depth constant; the fold chain's
+    lazy cuts are what stack-overflowed) plus one bounded
+    ``limit(1).count()`` termination probe.  Total cost ~rounds
+    passes over the input vs the fold chain's R passes: at a shipped
+    32k-merge vocabulary over a 1e8-row word-type table that is ~20
+    materializations instead of 32,000."""
+    _validate_fixpoint_merges(merges, sep)
+    pair_keys = [left + " " + right for left, right in merges]
+    if len(set(pair_keys)) != len(pair_keys):
+        raise ValueError(
+            "duplicate merge pair in ranked table — ranks would be "
+            "ambiguous"
+        )
+    ranks = list(range(len(merges)))
+    rank_map = F.map_from_arrays(F.lit(pair_keys), F.lit(ranks))
+    left_map = F.map_from_arrays(
+        F.lit(ranks), F.lit([left for left, _ in merges])
+    )
+    right_map = F.map_from_arrays(
+        F.lit(ranks), F.lit([right for _, right in merges])
+    )
+
+    def min_rank(t: Column) -> Column:
+        # sequence(a, b) DESCENDS when a > b — guard size < 2
+        pair_ranks = F.transform(
+            F.sequence(F.lit(0), F.size(t) - 2),
+            lambda i: F.element_at(
+                rank_map,
+                F.concat(
+                    F.element_at(t, i + 1),
+                    F.lit(" "),
+                    F.element_at(t, i + 2),
+                ),
+            ),
+        )
+        return F.when(F.size(t) >= 2, F.array_min(pair_ranks)).otherwise(
+            F.lit(None).cast("int")
+        )
+
+    carry = list(carry_cols)
+    cur = df
+    # round bound: max symbols per row caps applied rules per row; the
+    # hard cap is a runaway guard only (a 100k-symbol row would mean
+    # a 100k-char word reached the tokenizer)
+    for _ in range(100_000):
+        cur = cur.withColumn("_mr", min_rank(F.col(sym_col))).localCheckpoint(
+            eager=True
+        )
+        if cur.filter(F.col("_mr").isNotNull()).limit(1).count() == 0:
+            return cur.drop("_mr")
+        lc = F.element_at(left_map, F.col("_mr"))
+        rc = F.element_at(right_map, F.col("_mr"))
+        fused = F.concat(lc, F.lit(sep), rc)
+        cur = cur.select(
+            *carry,
+            F.when(
+                F.col("_mr").isNotNull(),
+                _fuse_pair_dyn(F.col(sym_col), lc, rc, fused),
+            )
+            .otherwise(F.col(sym_col))
+            .alias(sym_col),
+        )
+    raise RuntimeError(
+        "_ranked_fixpoint_apply: 100k rounds without convergence — "
+        "input symbol arrays are pathologically long"
+    )
+
+
 def bpe_word_merges(
     df: DataFrame,
     text_col: str = "text",
@@ -1476,10 +1662,16 @@ def bpe_apply_merges(
         .select(F.col(id_col), tokens(text_col).alias("_t"))
         .localCheckpoint(eager=False)
     )
-    for left, right in merges:
-        cur = cur.select(
-            id_col, _fuse_pair_expr(F.col("_t"), left, right, sep).alias("_t")
-        ).localCheckpoint(eager=False)
+    if len(merges) <= BPE_APPLY_FOLD_MAX:
+        for left, right in merges:
+            cur = cur.select(
+                id_col,
+                _fuse_pair_expr(F.col("_t"), left, right, sep).alias("_t"),
+            ).localCheckpoint(eager=False)
+    else:
+        # realistic rule tables: min-rank fixpoint (rounds bounded by
+        # tokens per document, not rule count — see BPE_APPLY_FOLD_MAX)
+        cur = _ranked_fixpoint_apply(cur, "_t", merges, sep, [id_col])
     return cur.select(id_col, F.col("_t").alias("tokens"))
 
 
@@ -1635,10 +1827,16 @@ def bpe_subword_encode(
         .select("_w", _word_symbols(F.col("_w"), eow).alias("_s"))
         .localCheckpoint(eager=False)
     )
-    for left, right in merges:
-        cur = cur.select(
-            "_w", _fuse_pair_expr(F.col("_s"), left, right, "").alias("_s")
-        ).localCheckpoint(eager=False)
+    if len(merges) <= BPE_APPLY_FOLD_MAX:
+        for left, right in merges:
+            cur = cur.select(
+                "_w", _fuse_pair_expr(F.col("_s"), left, right, "").alias("_s")
+            ).localCheckpoint(eager=False)
+    else:
+        # realistic vocabularies (hundreds..32k merges): min-rank
+        # fixpoint over the TYPE table — ~max-word-length rounds
+        # instead of one fold pass per rule (see BPE_APPLY_FOLD_MAX)
+        cur = _ranked_fixpoint_apply(cur, "_s", merges, "", ["_w"])
     # Per-doc positions WITHOUT sorting the token stream: the window
     # input is the narrow (id, _wpos, _w, n_syms) WORD stream — each
     # word's base offset is the sum of its predecessors' symbol
@@ -2072,10 +2270,15 @@ def bpe_subword_encode_total(
         .select("_w", _word_symbols(F.col("_w"), eow).alias("_s"))
         .localCheckpoint(eager=False)
     )
-    for left, right in merges:
-        cur = cur.select(
-            "_w", _fuse_pair_expr(F.col("_s"), left, right, "").alias("_s")
-        ).localCheckpoint(eager=False)
+    if len(merges) <= BPE_APPLY_FOLD_MAX:
+        for left, right in merges:
+            cur = cur.select(
+                "_w", _fuse_pair_expr(F.col("_s"), left, right, "").alias("_s")
+            ).localCheckpoint(eager=False)
+    else:
+        # shipped-tokenizer rule tables: min-rank fixpoint (see
+        # bpe_subword_encode / BPE_APPLY_FOLD_MAX)
+        cur = _ranked_fixpoint_apply(cur, "_s", merges, "", ["_w"])
     vdf = spark.createDataFrame(
         [(s, i) for i, s in enumerate(vocab)], "_vtok string, _vid int"
     )

@@ -3008,3 +3008,115 @@ def test_normalize_text_nfkc_full(spark):
         ).collect()
     }
     assert twice == got
+
+
+def test_bpe_fixpoint_apply_equals_sequential_fold(spark, monkeypatch):
+    """The min-rank fixpoint apply path (engaged automatically past
+    BPE_APPLY_FOLD_MAX rules — the sequential fold chain
+    stack-overflows Catalyst near 256 chained ranks) must equal the
+    sequential per-rank fold EXACTLY, across the public apply
+    surfaces: same encode stream, same word-level token arrays.
+    Forced head-to-head by patching the switch to 0 so both paths run
+    on the same learned rule tables."""
+    import random
+    from collections import Counter
+
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators import text as T
+
+    EOW = "</w>"
+
+    def fuse(seq, l, r):
+        out, i = [], 0
+        while i < len(seq):
+            if i + 1 < len(seq) and seq[i] == l and seq[i + 1] == r:
+                out.append(l + r)
+                i += 2
+            else:
+                out.append(seq[i])
+                i += 1
+        return out
+
+    def learn(docs, n_merges):
+        wt = Counter(w for d in docs for w in d.split())
+        syms = {w: list(w) + [EOW] for w in wt}
+        rules = []
+        for _ in range(n_merges):
+            pc = Counter()
+            for w, f in wt.items():
+                s = syms[w]
+                for a, b in zip(s, s[1:]):
+                    if a != b:
+                        pc[(a, b)] += f
+            if not pc:
+                break
+            best = min(pc, key=lambda p: (-pc[p], p[0], p[1]))
+            rules.append(best)
+            for w in syms:
+                syms[w] = fuse(syms[w], *best)
+        return rules
+
+    rng = random.Random(411)
+    for trial in range(3):
+        docs = [
+            " ".join(
+                "".join(rng.choice("abcd") for _ in range(rng.randint(1, 6)))
+                for _ in range(rng.randint(1, 7))
+            )
+            for _ in range(8)
+        ]
+        sdf = spark.createDataFrame(list(enumerate(docs)), ["doc_id", "text"])
+        rules = learn(docs, 12)
+        assert rules, "degenerate trial corpus"
+
+        monkeypatch.setattr(T, "BPE_APPLY_FOLD_MAX", len(rules) + 1)
+        seq_enc = sorted(
+            tuple(r) for r in T.bpe_subword_encode(sdf, rules).collect()
+        )
+        monkeypatch.setattr(T, "BPE_APPLY_FOLD_MAX", 0)
+        fix_enc = sorted(
+            tuple(r) for r in T.bpe_subword_encode(sdf, rules).collect()
+        )
+        assert fix_enc == seq_enc, f"trial {trial}: subword encode stream"
+
+    # word-level apply surface (sep-joined fused tokens)
+    wdocs = [
+        "the cat sat on the mat",
+        "the cat ate the cat food",
+        "on the mat the cat sat",
+    ]
+    wdf = spark.createDataFrame(list(enumerate(wdocs)), ["doc_id", "text"])
+    wrules = [("the", "cat"), ("on", "the"), ("the\x01cat", "sat")]
+    monkeypatch.setattr(T, "BPE_APPLY_FOLD_MAX", 24)
+    seq_w = sorted(
+        (r["doc_id"], tuple(r["tokens"]))
+        for r in T.bpe_apply_merges(wdf, wrules).collect()
+    )
+    monkeypatch.setattr(T, "BPE_APPLY_FOLD_MAX", 0)
+    fix_w = sorted(
+        (r["doc_id"], tuple(r["tokens"]))
+        for r in T.bpe_apply_merges(wdf, wrules).collect()
+    )
+    assert fix_w == seq_w
+
+
+def test_bpe_fixpoint_validation_rejects_bad_tables(spark):
+    """_validate_fixpoint_merges: self-pairs, whitespace symbols, and
+    tables where a later rule produces an earlier rule's input (the
+    one case where min-rank fixpoint diverges from sequential replay)
+    must all be rejected loudly."""
+    import pytest
+
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.text import (
+        _validate_fixpoint_merges,
+    )
+
+    with pytest.raises(ValueError, match="self-pair"):
+        _validate_fixpoint_merges([("a", "a")], "")
+    with pytest.raises(ValueError, match="whitespace"):
+        _validate_fixpoint_merges([("a b", "c")], "")
+    # rule 0 consumes 'bc', rule 1 PRODUCES 'bc' — fixpoint would
+    # fuse ('a','bc') on adjacencies sequential replay never sees
+    with pytest.raises(ValueError, match="LATER rule"):
+        _validate_fixpoint_merges([("a", "bc"), ("b", "c")], "")
+    # learner-shaped table passes
+    _validate_fixpoint_merges([("b", "c"), ("a", "bc")], "")

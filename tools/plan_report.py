@@ -77,10 +77,63 @@ def describe(plan: str) -> dict[str, object]:
     }
 
 
+def outer_generate_risks(df) -> list[str]:
+    """The explode_outer+isNotNull precondition LINT (r10 verdict item
+    6, making the r9-documented convention structural): walk the
+    ANALYZED logical plan for OUTER Generate nodes whose generator
+    input has nullable elements (``containsNull=true``) AND whose
+    generated attribute is isnotnull-filtered above.  At such a site
+    the rewrite is value-preserving only under the no-NULL-elements
+    convention (``dedup.py`` canonical comment) — the type system
+    cannot certify it, so the site must be adjudicated (or its
+    producer tightened until ``containsNull=false``).  Sites where
+    the type system PROVES null-free elements, and outer generates
+    kept deliberately un-filtered (placeholder-preserving forms like
+    line_dedup's), are not flagged."""
+    notnull_ids: set[str] = set()
+    risks: list[str] = []
+
+    def walk(node) -> None:
+        name = node.getClass().getSimpleName()
+        if name == "Filter":
+            for m in re.finditer(
+                r"isnotnull\([^()#]*#(\d+)", node.condition().toString()
+            ):
+                notnull_ids.add(m.group(1))
+        if name == "Generate" and node.outer():
+            gen = node.generator()
+            child = gen.children().apply(0)
+            dt = child.dataType()
+            contains = (
+                bool(dt.containsNull())
+                if hasattr(dt, "containsNull")
+                else True
+            )
+            gout = node.generatorOutput()
+            attrs = [gout.apply(i) for i in range(gout.size())]
+            filtered = any(
+                str(a.exprId().id()) in notnull_ids for a in attrs
+            )
+            if contains and filtered:
+                risks.append(
+                    f"outer Generate {gen.toString()[:80]} — nullable "
+                    "elements + isNotNull filter above"
+                )
+        kids = node.children()
+        for i in range(kids.size()):
+            walk(kids.apply(i))
+        # subquery plans (CTE/exists) are not walked: no outer
+        # generate in the repo lives inside one (grep-checked)
+
+    walk(df._jdf.queryExecution().analyzed())
+    return risks
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     spark = get_session("plan-report")
     rows = []
+    lint: list[str] = []
     for name, fn in entrymod.queries().items():
         if name.startswith(SKIP_PREFIX) or name in ITERATIVE:
             rows.append((name, None))
@@ -90,6 +143,8 @@ def main() -> None:
             df._jdf.queryExecution(), "formatted"
         )
         rows.append((name, describe(plan)))
+        for r in outer_generate_risks(df):
+            lint.append(f"{name}: {r}")
 
     lines = [
         "# PLANS — physical-plan scale report",
@@ -117,10 +172,28 @@ def main() -> None:
                 f"| {name} | {d['shuffles']} | {d['spreads']} | {d['broadcasts']} "
                 f"| {d['joins']} | {d['pushdown']} | {d['topk']} | {d['python']} |"
             )
+    lines += [
+        "",
+        "## explode_outer precondition lint",
+        "",
+        "Sites where an OUTER generate has nullable-element input AND",
+        "an isNotNull filter on the generated column — the rewrite is",
+        "then value-preserving only under the no-NULL-elements",
+        "convention (see `operators/dedup.py`'s canonical comment) and",
+        "needs adjudication.  Empty = every such rewrite in every",
+        "query plan is type-certified null-free.",
+        "",
+    ]
+    if lint:
+        lines += [f"- **FLAG** {x}" for x in lint]
+    else:
+        lines.append("- none (0 flagged sites)")
     out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md")
     with open(out, "w") as f:
         f.write("\n".join(lines) + "\n")
-    print(f"wrote {out} ({len(rows)} queries)")
+    print(f"wrote {out} ({len(rows)} queries, {len(lint)} lint flags)")
+    for x in lint:
+        print(f"LINT: {x}")
     spark.stop()
 
 
