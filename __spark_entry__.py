@@ -4317,12 +4317,16 @@ def _q_pq_codes(spark: SparkSession, sf: str) -> DataFrame:
     cb = pq_codebooks(emb, "vec_id", "embedding", n_subspaces=8, n_codes=16)
     # posexplode_outer + null filter (see dedup._pair_intersections;
     # PQ code arrays have no NULL elements, so the rewrite's
-    # no-NULL-elements precondition holds): keeps the in-scan argmin
-    # encode chain out of the inferred filter
+    # no-NULL-elements precondition holds — array_compact certifies
+    # it at type level): keeps the in-scan argmin encode chain out of
+    # the inferred filter
     return (
         pq_encode(emb, "vec_id", "embedding", cb)
         .select(
-            "vec_id", F.posexplode_outer("codes").alias("subspace", "code")
+            "vec_id",
+            F.posexplode_outer(F.array_compact("codes")).alias(
+                "subspace", "code"
+            ),
         )
         .filter(F.col("code").isNotNull())
     )

@@ -189,6 +189,10 @@ HEADLINE = [
     # round-10 additions
     "normalize_text",
     "lang_id_joined",
+    # round-11 additions
+    "normalize_text_nfkc",
+    "normalize_text_nfkc_agree",
+    "corpus_pipeline_normalized",
 ]
 
 

@@ -110,8 +110,16 @@ def _pair_intersections(
     # rows, while this form's isNotNull filter drops them along with
     # the outer-join placeholders, silently changing semantics.  Every
     # producer here satisfies it (shingles / passage hashes / tokens /
-    # PQ codes are built from non-NULL parts); a producer that can
-    # yield NULL members must not use this rewrite.
+    # PQ codes are built from non-NULL parts).  Since r11 the
+    # convention is STRUCTURAL: producers whose element type the
+    # engine cannot prove non-null wrap in array_compact (a no-op on
+    # null-free arrays that sets containsNull=false — NULL members
+    # then drop by construction, which is exactly what the filter did
+    # by convention), and tools/plan_report.py lints every query plan
+    # for outer generates with nullable-element input + an isNotNull
+    # filter above — any new un-certified site flags in PLANS.md.
+    # (_shingles below is already type-certified null-free; no
+    # compact needed.)
     sh = (
         spread_small_input(df.select(id_col, text_col))
         .select(F.col(id_col), word_shingles(text_col, n).alias("_shingles"))
@@ -589,8 +597,13 @@ def line_dedup(
         if lines_col is not None
         else F.split(F.col(text_col), sep)
     )
+    # array_compact: a no-op under the no-NULL-elements convention
+    # that CERTIFIES it at type level (containsNull=false — the
+    # plan_report lint's condition; a caller-provided lines_col with
+    # NULL members now drops them structurally instead of by the
+    # downstream filter's convention)
     base = spread_small_input(
-        df.select(F.col(id_col), lines_arr.alias("_lines"))
+        df.select(F.col(id_col), F.array_compact(lines_arr).alias("_lines"))
     )
     posts = base.select(
         F.col(id_col),
@@ -681,9 +694,10 @@ def passage_dup_stats(
     # no-NULL-elements precondition — _ph members are md5 hex of
     # non-NULL parts): a plain explode would push size(_ph) > 0
     # through the projection and inline the tokenize+md5 passage
-    # chain into the scan filter
+    # chain into the scan filter.  array_compact certifies the
+    # precondition at type level (no-op on null-free arrays).
     exploded = passages.select(
-        F.col(id_col), F.explode_outer("_ph").alias("ph")
+        F.col(id_col), F.explode_outer(F.array_compact("_ph")).alias("ph")
     ).filter(F.col("ph").isNotNull())
     shared = (
         exploded.groupBy("ph")
@@ -760,9 +774,11 @@ def source_overlap_matrix(
     )
     # explode_outer + null filter (see _pair_intersections; _ph
     # members are md5 hex of non-NULL parts, so the no-NULL-elements
-    # precondition holds)
+    # precondition holds — array_compact certifies it at type level)
     per_hash = (
-        passages.select("_g", F.explode_outer("_ph").alias("ph"))
+        passages.select(
+            "_g", F.explode_outer(F.array_compact("_ph")).alias("ph")
+        )
         .filter(F.col("ph").isNotNull())
         .groupBy("ph")
         .agg(F.sort_array(F.collect_set("_g")).alias("_gs"))
@@ -828,9 +844,12 @@ def _gram_postings(base: DataFrame, id_col: str) -> DataFrame:
     PRECONDITION (shared by every explode_outer+isNotNull rewrite —
     see the canonical comment in :func:`_pair_intersections`): the
     array must contain no NULL *elements*; ``_gh`` members are md5
-    hex of non-NULL parts, so it holds here."""
+    hex of non-NULL parts, so it holds here — and ``array_compact``
+    certifies it at type level (containsNull=false, the
+    plan_report lint's condition; a no-op on null-free arrays)."""
     return base.select(
-        F.col(id_col), F.posexplode_outer("_gh").alias("pos", "gh")
+        F.col(id_col),
+        F.posexplode_outer(F.array_compact("_gh")).alias("pos", "gh"),
     ).filter(F.col("gh").isNotNull())
 
 

@@ -2019,9 +2019,11 @@ def bpe_encode(
     # size(tokens) > 0 through the projection and inline the whole
     # in-scan merge fold into the scan filter (see
     # dedup._pair_intersections; token arrays have no NULL elements,
-    # so the rewrite's no-NULL-elements precondition holds)
+    # so the rewrite's no-NULL-elements precondition holds —
+    # array_compact certifies it at type level, no-op on null-free)
     stream = applied.select(
-        id_col, F.posexplode_outer("tokens").alias("pos", "token")
+        id_col,
+        F.posexplode_outer(F.array_compact("tokens")).alias("pos", "token"),
     ).filter(F.col("token").isNotNull())
     vocab = frequency_rank_vocab(
         stream.groupBy("token").agg(F.count("*").alias("_c"))

@@ -114,6 +114,11 @@ def test_staleness_rotation_floor_and_plan_shape():
     assert f"{max(n - 150, 0)} (= {n} - 3*50" in out
     plan_lines = out.split("NEXT-WINDOW PLAN")[1].splitlines()[1:51]
     assert len(plan_lines) == 50
-    # never-gated (r0) entries, if any, must lead
-    rounds = [int(ln.rsplit("# r", 1)[1]) for ln in plan_lines]
+    # never-gated entries print a distinct '# never' tag (r11 advice
+    # fix: '# r0' conflated them with a genuine round-0 gate) and
+    # must lead; the rest are in nondecreasing gate-round order
+    rounds = []
+    for ln in plan_lines:
+        tag = ln.rsplit("# ", 1)[1]
+        rounds.append(-1 if tag == "never" else int(tag.lstrip("r")))
     assert rounds == sorted(rounds)
