@@ -1475,10 +1475,18 @@ def _ranked_fixpoint_apply(
     per-element expression tree) — then an EAGER localCheckpoint (the
     lineage cut that keeps analysis depth constant; the fold chain's
     lazy cuts are what stack-overflowed) plus one bounded
-    ``limit(1).count()`` termination probe.  Total cost ~rounds
-    passes over the input vs the fold chain's R passes: at a shipped
-    32k-merge vocabulary over a 1e8-row word-type table that is ~20
-    materializations instead of 32,000."""
+    ``limit(1).count()`` termination probe.
+
+    ACTIVE-SET loop: a row leaves the loop the first round it has no
+    applicable pair (most words converge in a few rounds — round
+    count is driven by the LONGEST row), so per-round work shrinks
+    with the active frontier and total materialized rows ~ input +
+    total merges applied, NOT rounds x input.  The result is the
+    union of the per-round finished slices (each a filter over that
+    round's checkpoint — bounded at one part per round).  vs the fold
+    chain's R full passes: at a shipped 32k-merge vocabulary over a
+    1e8-row word-type table that is ~input-sized total work instead
+    of 32,000 full passes."""
     _validate_fixpoint_merges(merges, sep)
     pair_keys = [left + " " + right for left, right in merges]
     if len(set(pair_keys)) != len(pair_keys):
@@ -1512,8 +1520,11 @@ def _ranked_fixpoint_apply(
             F.lit(None).cast("int")
         )
 
+    from functools import reduce as _reduce
+
     carry = list(carry_cols)
     cur = df
+    finished_parts: list[DataFrame] = []
     # round bound: max symbols per row caps applied rules per row; the
     # hard cap is a runaway guard only (a 100k-symbol row would mean
     # a 100k-char word reached the tokenizer)
@@ -1521,19 +1532,24 @@ def _ranked_fixpoint_apply(
         cur = cur.withColumn("_mr", min_rank(F.col(sym_col))).localCheckpoint(
             eager=True
         )
-        if cur.filter(F.col("_mr").isNotNull()).limit(1).count() == 0:
-            return cur.drop("_mr")
+        # converged rows exit HERE, once — the next round's pass runs
+        # only over the shrinking active frontier
+        finished_parts.append(
+            cur.filter(F.col("_mr").isNull()).drop("_mr")
+        )
+        active = cur.filter(F.col("_mr").isNotNull())
+        if active.limit(1).count() == 0:
+            return (
+                finished_parts[0]
+                if len(finished_parts) == 1
+                else _reduce(DataFrame.unionByName, finished_parts)
+            )
         lc = F.element_at(left_map, F.col("_mr"))
         rc = F.element_at(right_map, F.col("_mr"))
         fused = F.concat(lc, F.lit(sep), rc)
-        cur = cur.select(
+        cur = active.select(
             *carry,
-            F.when(
-                F.col("_mr").isNotNull(),
-                _fuse_pair_dyn(F.col(sym_col), lc, rc, fused),
-            )
-            .otherwise(F.col(sym_col))
-            .alias(sym_col),
+            _fuse_pair_dyn(F.col(sym_col), lc, rc, fused).alias(sym_col),
         )
     raise RuntimeError(
         "_ranked_fixpoint_apply: 100k rounds without convergence — "
