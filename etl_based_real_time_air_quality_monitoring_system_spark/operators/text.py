@@ -1325,33 +1325,12 @@ def _fuse_pair_expr(t: Column, left: str, right: str, sep: str) -> Column:
     pair is a broadcast LITERAL in the plan (the PQ-codebook idiom).
     Requires ``left != right`` (self-pairs would make leftmost-greedy
     fusion sequential; see :func:`bpe_word_merges`), which makes the
-    occurrence set non-overlapping and the fold order-independent."""
-    fused = left + sep + right
-    n = F.size(t)
-
-    def cell(i: Column) -> Column:
-        at = lambda j: F.element_at(t, j + 1)  # noqa: E731 — 0-based
-        return (
-            F.when(
-                (i < n - 1)
-                & (at(i) == F.lit(left))
-                & (at(i + 1) == F.lit(right)),
-                F.lit(fused),
-            )
-            .when(
-                (i > 0) & (at(i - 1) == F.lit(left)) & (at(i) == F.lit(right)),
-                F.lit(None).cast("string"),
-            )
-            .otherwise(at(i))
-        )
-
-    # sequence(a, b) DESCENDS when a > b — guard the (never produced
-    # by split, but API-reachable) empty-array case
-    return F.when(n <= 0, F.array().cast("array<string>")).otherwise(
-        F.filter(
-            F.transform(F.sequence(F.lit(0), n - 1), cell),
-            lambda x: x.isNotNull(),
-        )
+    occurrence set non-overlapping and the fold order-independent.
+    Delegates to :func:`_fuse_pair_dyn` (ONE canonical implementation
+    of the subtle simultaneous-fusion expression) with the pair as
+    plan literals."""
+    return _fuse_pair_dyn(
+        t, F.lit(left), F.lit(right), F.lit(left + sep + right)
     )
 
 
@@ -1488,6 +1467,11 @@ def _ranked_fixpoint_apply(
     1e8-row word-type table that is ~input-sized total work instead
     of 32,000 full passes."""
     _validate_fixpoint_merges(merges, sep)
+    if not merges:
+        # vacuous table: nothing to apply (and F.lit([]) literals
+        # below would be un-typable) — public callers never reach
+        # here (the fold branch owns <= BPE_APPLY_FOLD_MAX)
+        return df
     pair_keys = [left + " " + right for left, right in merges]
     if len(set(pair_keys)) != len(pair_keys):
         raise ValueError(
@@ -1525,6 +1509,12 @@ def _ranked_fixpoint_apply(
     carry = list(carry_cols)
     cur = df
     finished_parts: list[DataFrame] = []
+
+    def _union(parts: list[DataFrame]) -> DataFrame:
+        return parts[0] if len(parts) == 1 else _reduce(
+            DataFrame.unionByName, parts
+        )
+
     # round bound: max symbols per row caps applied rules per row; the
     # hard cap is a runaway guard only (a 100k-symbol row would mean
     # a 100k-char word reached the tokenizer)
@@ -1533,17 +1523,33 @@ def _ranked_fixpoint_apply(
             eager=True
         )
         # converged rows exit HERE, once — the next round's pass runs
-        # only over the shrinking active frontier
-        finished_parts.append(
-            cur.filter(F.col("_mr").isNull()).drop("_mr")
-        )
-        active = cur.filter(F.col("_mr").isNotNull())
-        if active.limit(1).count() == 0:
-            return (
-                finished_parts[0]
-                if len(finished_parts) == 1
-                else _reduce(DataFrame.unionByName, finished_parts)
+        # only over the shrinking active frontier.  ONE bounded
+        # aggregate per round answers both control questions
+        # (any-finished? any-active?) over the checkpointed data; a
+        # second per-round action would dominate toy-scale wall time.
+        # Skip empty slices and collapse the part list through an
+        # eager checkpoint before it grows into the very plan-depth
+        # cliff the fixpoint exists to avoid: without this,
+        # rounds-deep unionByName chains re-resolve a growing prefix
+        # each round (O(rounds^2) analysis) and a many-hundred-round
+        # corpus apply could re-hit the Catalyst recursion limit.
+        counts = cur.agg(
+            F.count_if(F.col("_mr").isNull()).alias("f"),
+            F.count_if(F.col("_mr").isNotNull()).alias("a"),
+        ).first()
+        if counts["f"] > 0:
+            finished_parts.append(
+                cur.filter(F.col("_mr").isNull()).drop("_mr")
             )
+        if len(finished_parts) >= 32:
+            finished_parts = [
+                _union(finished_parts).localCheckpoint(eager=True)
+            ]
+        active = cur.filter(F.col("_mr").isNotNull())
+        if counts["a"] == 0:
+            if not finished_parts:  # empty input df
+                return cur.drop("_mr")
+            return _union(finished_parts)
         lc = F.element_at(left_map, F.col("_mr"))
         rc = F.element_at(right_map, F.col("_mr"))
         fused = F.concat(lc, F.lit(sep), rc)
@@ -1555,6 +1561,54 @@ def _ranked_fixpoint_apply(
         "_ranked_fixpoint_apply: 100k rounds without convergence — "
         "input symbol arrays are pathologically long"
     )
+
+
+#: largest rule table the SEQUENTIAL fold chain is known-safe for —
+#: the collision-table fallback bound of :func:`_apply_ranked_merges`.
+#: The Catalyst recursion cliff was measured at 256 chained ranks
+#: (StackOverflowError, tools/probe_bpe_rules.py); 128 leaves 2x
+#: headroom.
+BPE_APPLY_SEQ_FALLBACK_MAX = 128
+
+
+def _apply_ranked_merges(
+    df: DataFrame,
+    sym_col: str,
+    merges: "Sequence[tuple[str, str]]",
+    sep: str,
+    carry_cols: "Sequence[str]",
+) -> DataFrame:
+    """The ONE branch-selection point all apply paths share: replay
+    ``merges`` over ``df[sym_col]`` via the sequential fold chain
+    (<= :data:`BPE_APPLY_FOLD_MAX` rules — the oracle-gated plan
+    shape) or the min-rank fixpoint (:func:`_ranked_fixpoint_apply`)
+    beyond it.
+
+    Escape hatch: a learner-LEGITIMATE table can still fail the
+    fixpoint equivalence precondition when two merge paths collide on
+    the same symbol string (a later rule producing an earlier rule's
+    input — possible under sep='' subword concatenation).  Sequential
+    replay handles such tables correctly, so up to
+    :data:`BPE_APPLY_SEQ_FALLBACK_MAX` rules the helper FALLS BACK to
+    the fold chain instead of refusing; past that, both paths are
+    unusable (the fold chain hits the measured ~256-rank Catalyst
+    recursion cliff) and the error propagates with its re-learn
+    guidance."""
+    carry = list(carry_cols)
+    if len(merges) > BPE_APPLY_FOLD_MAX:
+        try:
+            return _ranked_fixpoint_apply(df, sym_col, merges, sep, carry)
+        except ValueError:
+            if len(merges) > BPE_APPLY_SEQ_FALLBACK_MAX:
+                raise
+            # collision table small enough for the proven fold chain
+    cur = df
+    for left, right in merges:
+        cur = cur.select(
+            *carry,
+            _fuse_pair_expr(F.col(sym_col), left, right, sep).alias(sym_col),
+        ).localCheckpoint(eager=False)
+    return cur
 
 
 def bpe_word_merges(
@@ -1678,16 +1732,10 @@ def bpe_apply_merges(
         .select(F.col(id_col), tokens(text_col).alias("_t"))
         .localCheckpoint(eager=False)
     )
-    if len(merges) <= BPE_APPLY_FOLD_MAX:
-        for left, right in merges:
-            cur = cur.select(
-                id_col,
-                _fuse_pair_expr(F.col("_t"), left, right, sep).alias("_t"),
-            ).localCheckpoint(eager=False)
-    else:
-        # realistic rule tables: min-rank fixpoint (rounds bounded by
-        # tokens per document, not rule count — see BPE_APPLY_FOLD_MAX)
-        cur = _ranked_fixpoint_apply(cur, "_t", merges, sep, [id_col])
+    # fold chain at gate sizes, min-rank fixpoint at realistic rule
+    # tables (rounds bounded by tokens per document, not rule count) —
+    # one shared branch point, see _apply_ranked_merges
+    cur = _apply_ranked_merges(cur, "_t", merges, sep, [id_col])
     return cur.select(id_col, F.col("_t").alias("tokens"))
 
 
@@ -1843,16 +1891,11 @@ def bpe_subword_encode(
         .select("_w", _word_symbols(F.col("_w"), eow).alias("_s"))
         .localCheckpoint(eager=False)
     )
-    if len(merges) <= BPE_APPLY_FOLD_MAX:
-        for left, right in merges:
-            cur = cur.select(
-                "_w", _fuse_pair_expr(F.col("_s"), left, right, "").alias("_s")
-            ).localCheckpoint(eager=False)
-    else:
-        # realistic vocabularies (hundreds..32k merges): min-rank
-        # fixpoint over the TYPE table — ~max-word-length rounds
-        # instead of one fold pass per rule (see BPE_APPLY_FOLD_MAX)
-        cur = _ranked_fixpoint_apply(cur, "_s", merges, "", ["_w"])
+    # fold chain at gate sizes, min-rank fixpoint at realistic
+    # vocabularies (hundreds..32k merges: ~max-word-length rounds over
+    # the TYPE table instead of one fold pass per rule) — one shared
+    # branch point, see _apply_ranked_merges
+    cur = _apply_ranked_merges(cur, "_s", merges, "", ["_w"])
     # Per-doc positions WITHOUT sorting the token stream: the window
     # input is the narrow (id, _wpos, _w, n_syms) WORD stream — each
     # word's base offset is the sum of its predecessors' symbol
@@ -2288,15 +2331,9 @@ def bpe_subword_encode_total(
         .select("_w", _word_symbols(F.col("_w"), eow).alias("_s"))
         .localCheckpoint(eager=False)
     )
-    if len(merges) <= BPE_APPLY_FOLD_MAX:
-        for left, right in merges:
-            cur = cur.select(
-                "_w", _fuse_pair_expr(F.col("_s"), left, right, "").alias("_s")
-            ).localCheckpoint(eager=False)
-    else:
-        # shipped-tokenizer rule tables: min-rank fixpoint (see
-        # bpe_subword_encode / BPE_APPLY_FOLD_MAX)
-        cur = _ranked_fixpoint_apply(cur, "_s", merges, "", ["_w"])
+    # fold chain at gate sizes, min-rank fixpoint at shipped-tokenizer
+    # rule tables — one shared branch point, see _apply_ranked_merges
+    cur = _apply_ranked_merges(cur, "_s", merges, "", ["_w"])
     vdf = spark.createDataFrame(
         [(s, i) for i, s in enumerate(vocab)], "_vtok string, _vid int"
     )

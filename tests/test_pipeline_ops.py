@@ -3120,3 +3120,41 @@ def test_bpe_fixpoint_validation_rejects_bad_tables(spark):
         _validate_fixpoint_merges([("a", "bc"), ("b", "c")], "")
     # learner-shaped table passes
     _validate_fixpoint_merges([("b", "c"), ("a", "bc")], "")
+
+
+def test_bpe_fixpoint_collision_fallback(spark, monkeypatch):
+    """A learner-legitimate COLLISION table (a later rule produces an
+    earlier rule's input string — only possible under the subword
+    sep='' concatenation) fails the fixpoint precondition — past
+    BPE_APPLY_FOLD_MAX the shared branch point must FALL BACK to the
+    sequential fold (which replays such tables correctly) up to
+    BPE_APPLY_SEQ_FALLBACK_MAX rules, and re-raise with guidance
+    beyond that (the fold chain hits the measured ~256-rank Catalyst
+    cliff, so there is no safe path)."""
+    import pytest
+
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators import text as T
+
+    # subword rules: rank 0 consumes symbol 'bc', rank 2 PRODUCES it
+    # (b+c under sep='') — sequential replay never revisits rank 0,
+    # min-rank fixpoint would wrongly apply it after rank 2 fires
+    rules = [("a", "bc"), ("x", "y"), ("b", "c")]
+    df = spark.createDataFrame(
+        [(0, "abc xy"), (1, "bca cab")], ["doc_id", "text"]
+    )
+    # sequential semantics reference (fold path, switch above table)
+    monkeypatch.setattr(T, "BPE_APPLY_FOLD_MAX", 24)
+    expect = sorted(
+        tuple(r) for r in T.bpe_subword_encode(df, rules).collect()
+    )
+    # force the fixpoint branch: validation fails, fallback replays
+    # the fold chain — output must be identical
+    monkeypatch.setattr(T, "BPE_APPLY_FOLD_MAX", 0)
+    got = sorted(
+        tuple(r) for r in T.bpe_subword_encode(df, rules).collect()
+    )
+    assert got == expect
+    # beyond the fold-safe bound the error must propagate
+    monkeypatch.setattr(T, "BPE_APPLY_SEQ_FALLBACK_MAX", 2)
+    with pytest.raises(ValueError, match="LATER rule"):
+        T.bpe_subword_encode(df, rules)

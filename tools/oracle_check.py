@@ -92,8 +92,32 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[
     return problems
 
 
+def _print_code_sha() -> None:
+    """Stamp the RUN's code identity into the log itself, so
+    tools/sweep_report.py can attest the SHA the sweep actually ran
+    on (not the SHA at report-generation time — the two can differ
+    when the log is reused)."""
+    import subprocess
+
+    try:
+        sha = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            cwd="/root/repo", capture_output=True, text=True, check=True,
+        ).stdout.strip()
+        dirty = bool(
+            subprocess.run(
+                ["git", "status", "--porcelain"],
+                cwd="/root/repo", capture_output=True, text=True, check=True,
+            ).stdout.strip()
+        )
+        print(f"CODE_SHA {sha}{'-dirty' if dirty else ''}")
+    except Exception:
+        print("CODE_SHA unknown")
+
+
 def main() -> int:
     args = sys.argv[1:]
+    _print_code_sha()
     if args and args[0] == "--all-sf":
         # the standard robustness sweep: the gate runs at sf0.01, but
         # value drift (float summation order, exact-half rounding) is

@@ -162,7 +162,16 @@ def main() -> int:
         if rc > len(all_rules):
             print(f"{rc:>6}  corpus exhausted at {len(all_rules)} rules")
             continue
-        t = run_once(bpe_subword_encode(docs, all_rules[:rc]))
+        # time construction + write TOGETHER: the fixpoint rounds run
+        # EAGERLY during bpe_subword_encode() construction (eager
+        # localCheckpoint + termination probe per round), so a
+        # write-only timer would miss nearly all the apply work (the
+        # original r11 probe did exactly that — fold-path rows were
+        # honest because fold rounds are lazy and execute during the
+        # write, but fixpoint rows only timed the final noop write)
+        t0 = time.perf_counter()
+        run_once(bpe_subword_encode(docs, all_rules[:rc]))
+        t = time.perf_counter() - t0
         print(f"{rc:>6} {t:8.1f} {t / rc * 100:13.2f}")
     return 0
 
