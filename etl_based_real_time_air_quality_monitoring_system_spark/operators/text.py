@@ -986,8 +986,12 @@ def quality_classifier_score(
     ``weights_micros`` is the TRAINED-OFFLINE weight table, one
     integer-micros weight per hash bucket, passed as a plan literal
     (training happens wherever it happens; inference at corpus scale
-    is this operator).  A document scores the floor-mean of its
-    features' weights plus ``bias_micros`` — an EXACT integer dot
+    is this operator).  A document scores the truncated integer mean
+    (``div`` truncates toward zero on both engines — floor only
+    because the gate weights are non-negative; a real table with
+    negative weights truncates UP on negative sums, identically on
+    both engines) of its features' weights plus ``bias_micros`` — an
+    EXACT integer dot
     product, evaluated entirely in-scan: featurize (one array
     expression), look each bucket up in the literal weight array,
     fold.  No shuffle, no join, no Python — at 100 TB this is a pure
@@ -1059,7 +1063,8 @@ def qcls_score_expr(
 ) -> Column:
     """The classifier dot product over a NAMED hashed-feature array
     column, as one generated-SQL expression (the k*d-term rule: one
-    string, not k Column objects): floor-mean of the literal weight
+    string, not k Column objects): truncated integer mean (toward
+    zero, see :func:`quality_classifier_score`) of the literal weight
     array indexed by each bucket, plus bias — exact BIGINT end to
     end.  Shared by :func:`quality_classifier_score` and the optional
     ``prepare_corpus`` classifier stage so the two can't drift.
@@ -1103,7 +1108,9 @@ def qcls_score_joined(
     broadcast-join a (bucket, weight) table — the stored-LUT idiom
     (``ivfpq_adc_knn_stored``), so generated code stays CONSTANT in
     table size.  Bit-identical to :func:`qcls_score_expr` (pinned by
-    test): floor-mean of matched weights plus bias, exact BIGINT; a
+    test): truncated integer mean (toward zero, see
+    :func:`quality_classifier_score`) of matched weights plus bias,
+    exact BIGINT; a
     doc with an empty feature array keeps its row (explode_outer)
     and scores NULL, exactly as ``x div 0`` does in the literal form.
 
@@ -1189,8 +1196,9 @@ def target_affinity(
     ratio ``(c_target * scale) div c_raw`` in exact BIGINT arithmetic
     (the global ``N_raw/N_target`` normalization is a constant factor
     over all docs and cannot change any ranking/threshold decision, so
-    it is dropped).  A doc's score is the floor-mean of its features'
-    weights, in micros.  Relative to the log form this up-weights
+    it is dropped).  A doc's score is the truncated integer mean of
+    its features' weights, in micros (floor here — the count-ratio
+    weights are non-negative by construction).  Relative to the log form this up-weights
     high-ratio features — acceptable for a screen whose output is an
     ordering; documented, deterministic, and oracle-checkable.
 
@@ -1251,8 +1259,9 @@ def bigram_lm_score(
     conditional probability in EXACT integer micros —
     ``((c12 + 1) * scale) div (c1 + V)`` with c12 = reference count of
     the bigram, c1 = reference count of the prefix word, V = reference
-    vocabulary size — and a doc scores the floor-mean of its bigram
-    probabilities.  The arithmetic mean ranks fluent text above
+    vocabulary size — and a doc scores the truncated integer mean of
+    its bigram probabilities (floor here — smoothed probabilities are
+    non-negative by construction).  The arithmetic mean ranks fluent text above
     gibberish just like the geometric mean (dominated by the same
     zero-count mass), and every value is BIGINT — deterministic,
     oracle-checkable, ordering-stable.
