@@ -3122,6 +3122,27 @@ def test_bpe_fixpoint_validation_rejects_bad_tables(spark):
     _validate_fixpoint_merges([("b", "c"), ("a", "bc")], "")
 
 
+def test_bpe_fixpoint_empty_merges_is_identity(spark):
+    """_ranked_fixpoint_apply with an EMPTY rule table returns the
+    input unchanged (the vacuous-table guard: public callers route
+    <= BPE_APPLY_FOLD_MAX rules to the fold branch, so only direct
+    internal calls can reach the fixpoint with zero rules — the
+    untyped-literal construction below the guard would fail there)."""
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators.text import (
+        _ranked_fixpoint_apply,
+    )
+
+    df = spark.createDataFrame(
+        [(1, ["a", "b", "c"]), (2, ["x"])], ["doc_id", "syms"]
+    )
+    out = _ranked_fixpoint_apply(df, "syms", [], "", ["doc_id"])
+    assert out is df
+    assert sorted((r["doc_id"], tuple(r["syms"])) for r in out.collect()) == [
+        (1, ("a", "b", "c")),
+        (2, ("x",)),
+    ]
+
+
 def test_bpe_fixpoint_collision_fallback(spark, monkeypatch):
     """A learner-legitimate COLLISION table (a later rule produces an
     earlier rule's input string — only possible under the subword
