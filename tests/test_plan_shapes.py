@@ -859,3 +859,47 @@ def test_dynamic_partition_pruning_through_join(spark, sf_dir, tmp_path):
         F.length("event_type") == F.lit(len("purchase"))
     ).count()
     assert n == expect
+
+
+def test_outer_generate_lint_flags_and_clears(spark):
+    """`tools/plan_report.outer_generate_risks` — the structural form
+    of the explode_outer+isNotNull precondition: a nullable-element
+    explode_outer with an isNotNull filter on the generated attribute
+    is FLAGGED; certifying the producer with array_compact (elements
+    become containsNull=false) clears it; and an outer generate kept
+    deliberately un-filtered (placeholder-preserving) is never
+    flagged."""
+    import os
+    import sys
+
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(__file__), "..", "tools")
+    )
+    from plan_report import outer_generate_risks
+
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, "")], ["doc_id", "text"]
+    ).select(
+        "doc_id",
+        # split never yields NULL elements, but the TYPE cannot show
+        # that after a when/otherwise against a nullable literal —
+        # force containsNull=true the way real producers do
+        F.when(
+            F.length("text") > 0, F.split("text", " ")
+        ).otherwise(F.array(F.lit(None).cast("string"))).alias("toks"),
+    )
+    risky = df.select(
+        "doc_id", F.explode_outer("toks").alias("tok")
+    ).filter(F.col("tok").isNotNull())
+    assert len(outer_generate_risks(risky)) == 1
+
+    certified = df.select(
+        "doc_id",
+        F.explode_outer(F.array_compact("toks")).alias("tok"),
+    ).filter(F.col("tok").isNotNull())
+    assert outer_generate_risks(certified) == []
+
+    unfiltered = df.select(
+        "doc_id", F.explode_outer("toks").alias("tok")
+    )
+    assert outer_generate_risks(unfiltered) == []
