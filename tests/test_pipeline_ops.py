@@ -2058,6 +2058,94 @@ def test_bpe_subword_property_vs_python_reference(spark):
         assert got == expect, f"trial {trial}: stream"
 
 
+def test_bpe_subword_fixpoint_vs_python_reference(spark):
+    """ABSOLUTE correctness of the auto-selected FIXPOINT apply
+    branch (rules > BPE_APPLY_FOLD_MAX) against the pure-Python
+    reference — until now the fixpoint was pinned only transitively
+    (fixpoint == fold differential, fold == python reference).  Learn
+    >24 rules on a corpus rich enough to sustain them, let
+    bpe_subword_encode pick the branch itself, and compare the full
+    (doc, pos) -> (token, token_id) stream to the reference replay."""
+    import random
+    from collections import Counter
+
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators import text as T
+
+    EOW = "</w>"
+
+    def fuse(seq, l, r):
+        out, i = [], 0
+        while i < len(seq):
+            if i + 1 < len(seq) and seq[i] == l and seq[i + 1] == r:
+                out.append(l + r)
+                i += 2
+            else:
+                out.append(seq[i])
+                i += 1
+        return out
+
+    def ref(docs, n_merges):
+        wt = Counter(w for d in docs for w in d.split())
+        syms = {w: list(w) + [EOW] for w in wt}
+        rules = []
+        for _ in range(n_merges):
+            pc = Counter()
+            for w, f in wt.items():
+                s = syms[w]
+                for a, b in zip(s, s[1:]):
+                    if a != b:
+                        pc[(a, b)] += f
+            if not pc:
+                break
+            best = min(pc, key=lambda p: (-pc[p], p[0], p[1]))
+            rules.append(best)
+            for w in syms:
+                syms[w] = fuse(syms[w], *best)
+        return rules, syms
+
+    rng = random.Random(2711)
+    docs = [
+        " ".join(
+            "".join(
+                rng.choice("abcdefgh") for _ in range(rng.randint(2, 8))
+            )
+            for _ in range(10)
+        )
+        for _ in range(12)
+    ]
+    n_merges = T.BPE_APPLY_FOLD_MAX + 6
+    rules, syms = ref(docs, n_merges)
+    # the point of the test is the fixpoint branch — fail loudly if
+    # the corpus couldn't sustain enough merges to engage it
+    assert len(rules) > T.BPE_APPLY_FOLD_MAX, len(rules)
+
+    sdf = spark.createDataFrame(list(enumerate(docs)), ["doc_id", "text"])
+    got_rules = [
+        (r["merge_left"], r["merge_right"])
+        for r in T.bpe_subword_merges(sdf, "text", n_merges=n_merges)
+        .orderBy("merge_round")
+        .collect()
+    ]
+    assert got_rules == rules
+
+    stream_ref = []
+    for doc_id, d in enumerate(docs):
+        pos = 0
+        for w in d.split():
+            for t in syms[w]:
+                stream_ref.append((doc_id, pos, t))
+                pos += 1
+    vc = Counter(t for _, _, t in stream_ref)
+    order = sorted(vc, key=lambda t: (-vc[t], t))
+    ids = {t: i for i, t in enumerate(order)}
+    expect = {(d, p): (t, ids[t]) for d, p, t in stream_ref}
+    got = {
+        (r["doc_id"], r["pos"]): (r["token"], r["token_id"])
+        for r in T.bpe_subword_encode(sdf, rules).collect()
+    }
+    assert got == expect
+
+
 def test_bpe_word_merges_degenerate_corpora(spark):
     """Sub-2-token docs contribute no pairs; a corpus with ONLY
     self-pairs learns nothing (empty result, not a crash)."""
