@@ -197,6 +197,14 @@ HEADLINE = [
 
 
 def run_once(df) -> float:
+    # Timed region: the noop-write ACTION on the already-built frame.
+    # DataFrame construction is excluded — for most queries that is
+    # plan building only, but the BPE gates' merge LEARNING (bounded
+    # 1-row argmax collects, documented per query) also runs at build
+    # time.  Cross-round comparisons stay valid because the region
+    # has been identical since r1; isolated probes that time
+    # build+action will read higher than in-suite numbers
+    # (BENCH_NOTES.md r11 close-out).
     t0 = time.perf_counter()
     df.write.format("noop").mode("overwrite").save()
     return time.perf_counter() - t0
