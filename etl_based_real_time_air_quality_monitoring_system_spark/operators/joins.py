@@ -72,8 +72,12 @@ def salted_join(
 
     AQE's skew-join splitting (enabled in session.py) handles most
     skew at runtime; explicit salting is for the cases AQE can't fix —
-    a single key too hot for any split, or a deterministic layout you
-    want stable across runs.  Cost: right side shuffles n_salts copies
+    a single key too hot for any split, a join whose output
+    partitioning a downstream same-key aggregate reuses (AQE refuses
+    to split there: it would break the required distribution — both
+    behaviors pinned on executed adaptive plans in
+    ``test_aqe_skew_join_split_fires_and_its_limit``), or a
+    deterministic layout you want stable across runs.  Cost: right side shuffles n_salts copies
     — use only when the right side is modest (but too big / wrong
     shape to broadcast).
 

@@ -903,3 +903,71 @@ def test_outer_generate_lint_flags_and_clears(spark):
         "doc_id", F.explode_outer("toks").alias("tok")
     )
     assert outer_generate_risks(unfiltered) == []
+
+
+def test_aqe_skew_join_split_fires_and_its_limit(spark):
+    """Both halves of the skew story `operators/joins.py` claims
+    (salted_join docstring: AQE's skew-join splitting handles most
+    skew at runtime; explicit salting is for the cases AQE can't
+    fix), pinned on the executed adaptive plan with thresholds scaled
+    to test data: (1) a skewed sort-merge join with a free output
+    partitioning IS split at runtime — SortMergeJoin(skew=true) with
+    a 'skewed' AQEShuffleRead; (2) the SAME join feeding a
+    same-key aggregate is NOT split (splitting would break the
+    required hash distribution the aggregate reuses) — the case
+    where explicit salting remains the only fix."""
+    conf = spark.conf
+    keys = [
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        "spark.sql.autoBroadcastJoinThreshold",
+    ]
+    old = {}
+    for k in keys:
+        try:
+            old[k] = conf.get(k)
+        except Exception:
+            old[k] = None
+    try:
+        conf.set(keys[0], "64KB")
+        conf.set(keys[1], "32KB")
+        conf.set(keys[2], "2")
+        conf.set(keys[3], "-1")  # force SMJ — skew split needs one
+
+        left = spark.range(0, 200_000).select(
+            F.when(F.col("id") % 10 < 9, F.lit(1))
+            .otherwise(F.col("id"))
+            .alias("k"),
+            F.concat(F.lit("x" * 50), F.col("id").cast("string")).alias(
+                "payload"
+            ),
+        )
+        right = spark.range(0, 2_000).select(
+            F.col("id").alias("k"), F.lit("r").alias("tag")
+        )
+
+        free = left.join(right, "k").select(
+            F.length("payload").alias("lp")
+        )
+        assert len(free.collect()) == 180_200
+        p = free._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in p
+        assert "SortMergeJoin(skew=true)" in p, p[:1500]
+        assert "skewed" in p  # the AQEShuffleRead split marker
+
+        reused = (
+            left.join(right, "k")
+            .groupBy("k")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        assert len(reused.collect()) == 201
+        p2 = reused._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in p2
+        assert "SortMergeJoin(skew=true)" not in p2, p2[:1500]
+    finally:
+        for k, v in old.items():
+            if v is None:
+                conf.unset(k)
+            else:
+                conf.set(k, v)
