@@ -74,3 +74,23 @@ def test_all_queries_run_smoke(spark, sf_dir):
         df = fn(spark, sf_dir)
         assert df.columns, f"{name} returned no columns"
         df.limit(1).collect()
+
+
+def test_entry_idempotent_on_one_session(spark):
+    """entry() twice on one session (the driver may re-invoke):
+    session.prepare() must be idempotent and the result stable."""
+    a = entrymod.entry(spark)
+    b = entrymod.entry(spark)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_query_at_bogus_sf_dir_raises_cleanly(spark):
+    """A query pointed at a nonexistent sf_dir must surface Spark's
+    own AnalysisException (PATH_NOT_FOUND), not an engine-invented
+    error or a silent empty frame."""
+    import pytest
+    from pyspark.errors import AnalysisException
+
+    q = entrymod.queries()["flagship"]
+    with pytest.raises(AnalysisException, match="PATH_NOT_FOUND"):
+        q(spark, "/root/testdata/sf_does_not_exist").limit(1).collect()
