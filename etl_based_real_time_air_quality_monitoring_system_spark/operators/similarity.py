@@ -1293,18 +1293,37 @@ def pq_encode(
     # is generated as ONE SQL string per subspace — building 1k
     # multiply terms as Column objects costs thousands of py4j
     # round-trips (~5 s of driver time per call, measured); the
-    # parser builds the same tree JVM-side in milliseconds.  The
-    # unrolled scalar multiply-adds stay inside whole-stage codegen.
+    # parser builds the same tree JVM-side in milliseconds.
+    #
+    # r12 codegen-size fix: the codebook is a constant-folded literal
+    # array of (norm, vector) structs folded with transform/zip_with/
+    # aggregate higher-order functions, NOT n_codes x sub unrolled
+    # multiply terms.  The unrolled form's generated Java grew with
+    # the table (O(n_codes*sub) statements) and, fused into one stage
+    # with the coarse assign + per-query ADC LUTs, blew janino's hard
+    # 64 KB method limit — every ACTION then re-attempted the doomed
+    # compile (~1.5 s, failures are never cached) and ran the whole
+    # stage interpreted.  The HOF fold keeps generated code O(1) in
+    # table size (the loop lives in the expression evaluator), so the
+    # stage compiles again.  Bit-identical: the dot is the same
+    # left-to-right multiply-add chain (aggregate's 0.0D seed is
+    # exact: 0.0 + x == x), the norms are the same numpy doubles, and
+    # array_min over (dist, code) keeps the identical tie rule.
+    # slice() is hoisted via a 1-element transform binding so the
+    # subvector materializes once per row, not once per code.
     def subspace_expr(j: int) -> str:
-        structs = []
-        for c in range(n_codes):
-            cb = codebooks[j][c]
-            dot = " + ".join(
-                f"_pqe[{j * sub + i}] * {_dlit(cb[i])}" for i in range(sub)
-            )
-            dist = f"{_dlit(np.dot(cb, cb))} - 2.0D * ({dot})"
-            structs.append(f"named_struct('dist', {dist}, 'code', {c})")
-        return f"array_min(array({', '.join(structs)})).code"
+        cbs = ", ".join(
+            "named_struct('n', %s, 'v', array(%s))"
+            % (_dlit(np.dot(c, c)), ", ".join(_dlit(x) for x in c))
+            for c in codebooks[j]
+        )
+        return (
+            "element_at(transform(array(slice(_pqe, %d, %d)), _sv -> "
+            "array_min(transform(array(%s), (_s, _i) -> named_struct("
+            "'dist', _s.n - 2.0D * aggregate(zip_with(_sv, _s.v, "
+            "(_x, _y) -> _x * _y), 0.0D, (_a, _x) -> _a + _x), "
+            "'code', _i))).code), 1)" % (j * sub + 1, sub, cbs)
+        )
     return (
         df.withColumn("_pqe", _as_double_array(emb_col))
         .withColumn(out_col, F.array(*[F.expr(subspace_expr(j)) for j in range(m)]))
@@ -1353,13 +1372,24 @@ def pq_adc_lut(query_vec: Sequence[float], codebooks: np.ndarray) -> np.ndarray:
 
 
 def _lut_dist_expr(lut: np.ndarray, codes_ref: str) -> str:
-    """Generated-SQL ADC distance: sum_j (literal LUT row j, constant
-    folded)[codes[j]] — shared by every ADC consumer so a fix to the
-    lookup form lands everywhere at once."""
-    return " + ".join(
-        f"(array({', '.join(str(int(v)) + 'L' for v in lut[j])}))"
-        f"[{codes_ref}[{j}]]"
-        for j in range(lut.shape[0])
+    """Generated-SQL ADC distance: fold the (constant-folded) literal
+    LUT against the code word — ``sum_j LUT[j][codes[j]]`` as ONE
+    zip_with/aggregate pair, shared by every ADC consumer so a fix to
+    the lookup form lands everywhere at once.
+
+    r12 codegen-size fix (see ``pq_encode``): the previous unrolled
+    ``lut_j[codes[j]] + ...`` chain emitted O(m) generated-Java
+    statements PER (query, probe) branch; with 16 queries x 4 probes
+    fused in one stage that contributed to janino's 64 KB method
+    blow-up.  The fold form is O(1) generated code per branch and
+    sums the same int64 lookups left-to-right from an exact 0L seed —
+    bit-identical."""
+    rows = ", ".join(
+        "array(%s)" % ", ".join(str(int(v)) + "L" for v in row) for row in lut
+    )
+    return (
+        "aggregate(zip_with(array(%s), %s, (_l, _c) -> _l[_c]), 0L, "
+        "(_a, _x) -> _a + _x)" % (rows, codes_ref)
     )
 
 
@@ -1445,15 +1475,25 @@ def pq_adc_knn(
 def _l2_assign_expr(coarse: np.ndarray, emb_ref: str = "_pqe") -> str:
     """Generated-SQL argmin-by-squared-L2 over coarse centroid
     literals (ties -> LOWEST centroid id): the same dot-identity /
-    constant-term-drop trick as :func:`pq_encode`, full-dimension."""
-    structs = []
-    for cid, c in enumerate(coarse):
-        dot = " + ".join(
-            f"{emb_ref}[{i}] * {_dlit(c[i])}" for i in range(len(c))
-        )
-        dist = f"{_dlit(np.dot(c, c))} - 2.0D * ({dot})"
-        structs.append(f"named_struct('dist', {dist}, 'cid', {cid})")
-    return f"array_min(array({', '.join(structs)})).cid"
+    constant-term-drop trick as :func:`pq_encode`, full-dimension —
+    and, like it (r12), folded over a constant literal struct array
+    with transform/zip_with/aggregate so generated code stays O(1) in
+    the centroid count (the unrolled n_coarse x dim multiply chain
+    was the other half of the 64 KB janino blow-up).  transform's
+    index lambda supplies the centroid id, so ties still resolve to
+    the lowest cid; the fold order matches the old left-to-right
+    chain exactly."""
+    cbs = ", ".join(
+        "named_struct('n', %s, 'v', array(%s))"
+        % (_dlit(np.dot(c, c)), ", ".join(_dlit(x) for x in c))
+        for c in coarse
+    )
+    return (
+        "array_min(transform(array(%s), (_s, _i) -> named_struct("
+        "'dist', _s.n - 2.0D * aggregate(zip_with(%s, _s.v, "
+        "(_x, _y) -> _x * _y), 0.0D, (_a, _x) -> _a + _x), "
+        "'cid', _i))).cid" % (cbs, emb_ref)
+    )
 
 
 def ivfpq_codebooks(

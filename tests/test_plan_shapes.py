@@ -709,6 +709,27 @@ def test_ivfpq_stored_index_prunes_partitions_and_compiles(spark, sf_dir, tmp_pa
         spark.conf.set("spark.sql.codegen.fallback", old)
 
 
+def test_ivfpq_inscan_encode_compiles_no_fallback(spark, sf_dir):
+    """r12: the IN-SCAN IVF-PQ shape (coarse assign + residual PQ
+    encode + 16 queries x 4-probe ADC LUTs fused in one stage) now
+    COMPILES — the r11 code generated O(table-size) unrolled
+    multiply chains that blew janino's hard 64 KB method limit, so
+    every action re-attempted a doomed compile (~1.5 s each; failed
+    compiles are never cached) and ran the stage interpreted.  The
+    compact constant-folded-literal + transform/zip_with/aggregate
+    fold forms (pq_encode, _l2_assign_expr, _lut_dist_expr) keep
+    generated code O(1) in codebook/LUT size.  fallback=false makes
+    any 64 KB overflow throw instead of silently interpreting, so a
+    clean run pins 'compiles at full gate size'."""
+    q = entrymod.queries()["nn_confusion_ivfpq"](spark, sf_dir)
+    old = spark.conf.get("spark.sql.codegen.fallback", "true")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try:
+        assert q.count() > 0
+    finally:
+        spark.conf.set("spark.sql.codegen.fallback", old)
+
+
 def test_quality_classifier_single_scan_no_exchange(spark, sf_dir):
     """The classifier is a pure map: 0 exchanges, no Python nodes,
     filter pushdown intact, and the literal weight array constant-
