@@ -2524,10 +2524,27 @@ def _q_ivf_topk_recall(spark: SparkSession, sf: str) -> DataFrame:
     # Without this, sub-ulp summation drift could flip a probe or
     # candidate ranking between engines (the reason ivf_topk itself
     # stays rows-only).
+    # r12: batched one-scan form (the lsh_topk_recall shape, measured
+    # 3.6x there): the r11 body unioned 5 ivf_topk + 5 brute_force_topk
+    # BRANCHES — 10 corpus scans, 10 TakeOrdered jobs, 5 joins, and the
+    # 8-centroid assignment expression re-evaluated per branch.  Here
+    # the scan runs ONCE: cluster assignment once per row, every
+    # query's rounded cosine in the same projection, explode to skinny
+    # (qid, vec_id) triples, one window for the probe-filtered IVF rank
+    # and one for the brute-force rank.  Search-equivalent by
+    # construction: probes come from the SAME driver-side rule
+    # (ivf_probes — extracted from ivf_topk, not copied), the cosine /
+    # rounding expressions are identical, and row_number over
+    # (cos desc, vec_id) is the same total order TakeOrdered(10) used —
+    # so both top-10 sets, hence n_hits, are unchanged (oracle-pinned).
+    from pyspark.sql import Window
+
     from etl_based_real_time_air_quality_monitoring_system_spark.operators.similarity import (
-        brute_force_topk,
+        cosine,
+        ivf_assign,
         ivf_centroids,
-        ivf_topk,
+        ivf_probes,
+        vec_lit,
     )
 
     emb = load_table(spark, sf, "embeddings").select(
@@ -2544,25 +2561,38 @@ def _q_ivf_topk_recall(spark: SparkSession, sf: str) -> DataFrame:
         .collect()
     )
     cents = ivf_centroids(emb, "vec_id", "embedding", 8)
-    hits = None
+    structs = []
     for r in qrows:
         qv = list(r["e"])
-        qid = F.lit(int(r["vec_id"])).alias("qid")
-        ivf = ivf_topk(
-            emb, "vec_id", "embedding", qv,
-            k=10, n_centroids=8, n_probe=4, centroids=cents,
-        ).select(qid, "vec_id")
-        bf = brute_force_topk(emb, "vec_id", "embedding", qv, k=10).select(
-            qid, "vec_id"
+        probes = ivf_probes(cents, qv, n_probe=4)
+        structs.append(
+            F.struct(
+                F.lit(int(r["vec_id"])).alias("qid"),
+                F.round(cosine(F.col("_e"), vec_lit(qv)), 6).alias("_cos"),
+                F.col("cluster_id").isin(probes).alias("_inp"),
+            )
         )
-        piece = ivf.join(bf, ["qid", "vec_id"], "inner")
-        hits = piece if hits is None else hits.unionByName(piece)
-    n_q = len(qrows)
-    return hits.agg(F.count("*").alias("n_hits")).select(
-        F.lit(n_q).alias("n_queries"),
-        "n_hits",
-        F.expr(f"(n_hits * 1000000) div {10 * n_q}").alias("recall_micros"),
+    assigned = ivf_assign(
+        emb.select("vec_id", F.col("embedding").cast("array<double>").alias("_e")),
+        "_e",
+        cents,
     )
+    stacked = assigned.select(
+        "vec_id", F.explode(F.array(*structs)).alias("_q")
+    ).select("vec_id", "_q.qid", "_q._cos", "_q._inp")
+    w = Window.partitionBy("qid").orderBy(F.desc("_cos"), F.col("vec_id"))
+    ivf10 = (
+        stacked.filter(F.col("_inp"))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= 10)
+        .select("qid", "vec_id")
+    )
+    bf10 = (
+        stacked.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= 10)
+        .select("qid", "vec_id")
+    )
+    return _recall_row(ivf10, bf10, len(qrows))
 
 
 #: LSH recall-gate geometry: 12 hyperplanes over the 64-dim embedding

@@ -671,6 +671,23 @@ def ivf_assign(
     return df.withColumn(alias, F.array_max(scored).getField("cid"))
 
 
+def ivf_probes(
+    centroids: np.ndarray, query_vec: Sequence[float], n_probe: int
+) -> list[int]:
+    """The ``n_probe`` centroid ids nearest a query by cosine — the
+    driver-side probe-selection rule of :func:`ivf_topk`, extracted so
+    batched callers (the recall gate) select probes with the IDENTICAL
+    arithmetic and tie rule.  Stable sort: exact similarity ties
+    resolve to the LOWEST centroid id (argsort's default quicksort is
+    unstable, which would make the probe set nondeterministic on tied
+    similarities)."""
+    qv = np.asarray(list(query_vec), dtype=float)
+    sims = (centroids @ qv) / (
+        np.linalg.norm(centroids, axis=1) * np.linalg.norm(qv) + 1e-12
+    )
+    return [int(i) for i in np.argsort(-sims, kind="stable")[:n_probe]]
+
+
 def ivf_topk(
     df: DataFrame,
     id_col: str,
@@ -691,13 +708,7 @@ def ivf_topk(
     if centroids is None:
         centroids = ivf_centroids(df, id_col, emb_col, n_centroids)
     qv = np.asarray(list(query_vec), dtype=float)
-    sims = (centroids @ qv) / (
-        np.linalg.norm(centroids, axis=1) * np.linalg.norm(qv) + 1e-12
-    )
-    # stable sort: exact similarity ties resolve to the LOWEST centroid
-    # id (argsort's default quicksort is unstable, which would make the
-    # probe set nondeterministic on tied similarities)
-    probes = [int(i) for i in np.argsort(-sims, kind="stable")[:n_probe]]
+    probes = ivf_probes(centroids, qv, n_probe)
     assigned = ivf_assign(
         df.select(F.col(id_col), _as_double_array(emb_col).alias("_e")), "_e", centroids
     )
