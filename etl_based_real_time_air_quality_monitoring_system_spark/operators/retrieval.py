@@ -29,12 +29,16 @@ Scale shape (100 TB): one column-pruned scalar pass for corpus stats
 (N docs, T tokens — partial-aggregated map-side), plus the postings
 subplan — explode tokens IN the scan, broadcast-join the distinct
 query vocabulary immediately (only matching postings ever shuffle,
-keyed ``(doc_id, term)``) — which Catalyst executes TWICE (once for
-tf, once for the doc-frequency aggregate: per-branch column pruning
-makes the two subplans non-identical, so exchange reuse cannot
-collapse them; the one-pass alternative — a count window over the
-term key — has unbounded per-partition size for stopword-like query
-terms, and robustness wins).  Queries, stats and df broadcast back;
+keyed ``(doc_id, term)``) — which both the tf side and the
+doc-frequency aggregate now consume through ONE reused exchange
+(r12: a tautological ``tf >= 1 AND dl >= 1`` filter keeps the
+aggregate buffers alive in the doc-frequency branch so the two
+exchanges canonicalize equal; without it per-branch column pruning
+made them differ, exchange reuse could not collapse them, and the
+corpus was scanned + tokenized twice.  The one-pass alternative — a
+count window over the term key — has unbounded per-partition size
+for stopword-like query terms, so the reused two-aggregate shape
+keeps the robustness AND the single scan).  Queries, stats and df broadcast back;
 the final
 per-``(query_id, doc_id)`` sum is one shuffle over matched docs
 only; top-k is a ``row_number() <= k`` with a LITERAL bound so the
@@ -153,7 +157,22 @@ def bm25_topk(
         .groupBy(id_col, "term")
         .agg(F.count("*").alias("tf"), F.max("dl").alias("dl"))
     )
-    dfreq = posts.groupBy("term").agg(F.count("*").alias("df"))
+    # r12: tautological filter (tf is a count(*) so tf >= 1 always; a
+    # matched term implies the doc had a token so dl >= 1 always).
+    # Its only effect is keeping tf AND dl alive through this branch's
+    # partial aggregate: without it, column pruning makes the
+    # doc-frequency branch's (doc, term) exchange differ from the
+    # postings branch's, exchange reuse cannot collapse them, and the
+    # corpus is scanned + tokenized + vocab-joined TWICE (the module
+    # docstring's r11 note).  With it the two exchanges canonicalize
+    # equal and AQE's stage cache executes the postings subtree once —
+    # the robustness argument against the count-window alternative
+    # (unbounded partition for stopword-like terms) stays intact.
+    dfreq = (
+        posts.filter((F.col("tf") >= 1) & (F.col("dl") >= 1))
+        .groupBy("term")
+        .agg(F.count("*").alias("df"))
+    )
 
     c_num = float(1000 + 100 * k1_tenths)          # 1000·(k1+1)
     c_lin = float(k1_tenths * (100 - b_hundredths))  # 1000·k1·(1−b)

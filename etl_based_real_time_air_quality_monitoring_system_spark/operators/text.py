@@ -542,7 +542,19 @@ def tfidf_terms(
         F.col(id_col), F.explode(tokens(text)).alias("term")
     )
     tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
-    docfreq = tf.groupBy("term").agg(F.count("*").alias("doc_freq"))
+    # r12: the ``tf >= 1`` filter is a tautology on a count(*) output;
+    # its ONLY effect is keeping the tf column alive through this
+    # branch's partial aggregate.  Without it, per-branch column
+    # pruning drops tf from the doc-frequency branch, the two
+    # branches' (doc, term) exchanges stop canonicalizing equal, and
+    # exchange reuse CANNOT collapse them — the corpus is then
+    # scanned and tokenized TWICE (verified: one extra executed stage
+    # and ~1.5x the wall time).  With it, AQE's stage cache runs the
+    # tokenize+tf subtree once and both consumers read the same
+    # shuffle output.
+    docfreq = tf.filter(F.col("tf") >= 1).groupBy("term").agg(
+        F.count("*").alias("doc_freq")
+    )
     # ``ids_unique=True`` (one row per document — the normal corpus
     # shape) downgrades N from a count-distinct (full id shuffle) to a
     # partial-aggregated scalar count
@@ -855,7 +867,13 @@ def rescore_pairs_tfidf(
         F.col(id_col), F.explode(tokens(text)).alias("term")
     )
     tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
-    docfreq = tf.groupBy("term").agg(F.count("*").alias("doc_freq"))
+    # tautological tf >= 1 (see tfidf_terms): keeps tf in this
+    # branch's partial aggregate so all THREE consumers of tf (tf_a,
+    # tf_b, doc-frequency) canonicalize to the SAME exchange and the
+    # tokenize+tf subtree executes once, not three times
+    docfreq = tf.filter(F.col("tf") >= 1).groupBy("term").agg(
+        F.count("*").alias("doc_freq")
+    )
     n_docs = df.select(F.count(id_col).cast("long").alias("n_docs"))
     tf_a = tf.select(
         F.col(id_col).alias(a_col),
