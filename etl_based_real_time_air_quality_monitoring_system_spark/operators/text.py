@@ -1622,6 +1622,20 @@ def _apply_ranked_merges(
     recursion cliff) and the error propagates with its re-learn
     guidance."""
     carry = list(carry_cols)
+    # r12: pin the apply chain's parallelism.  The input usually
+    # arrives through a distinct()/join exchange whose output AQE
+    # coalesces BY BYTES — and the type/doc table is tiny in bytes
+    # while the fold below it is the most compute-dense projection in
+    # the repo (R chained per-symbol array rewrites per row), so
+    # byte-based coalescing starves it down to 1-2 tasks (measured: a
+    # 2-task apply stage carrying 3-5 s of single-core CPU each at
+    # sf0.1 in a vanilla session).  An explicit numbered repartition
+    # is the one exchange AQE never coalesces; the key keeps rows of
+    # one word/doc together and the moved bytes are the (small)
+    # symbol table itself.  Results are row-local rewrites — order
+    # never matters downstream (gates hash order-insensitively).
+    n_spread = df.sparkSession.sparkContext.defaultParallelism
+    df = df.repartition(n_spread, carry[0] if carry else sym_col)
     if len(merges) > BPE_APPLY_FOLD_MAX:
         try:
             return _ranked_fixpoint_apply(df, sym_col, merges, sep, carry)
