@@ -320,7 +320,14 @@ def _nn_label_confusion_gemm(
     # unpersists it — no explicit destroy() (which would break the
     # still-lazy plan)
     bcast = spark.sparkContext.broadcast((corpus_ids, corpus_lbl, corpus))
-    parts = max(1, min(spark.sparkContext.defaultParallelism, n // 4096))
+    # same fan-out rule as cosine_near_dup_gemm (r12): under ~64 MB of
+    # broadcast corpus the per-worker unpickle is noise, so ~256 query
+    # rows per task instead of one serial GEMM task
+    dim = corpus.shape[1]
+    if n * dim * 8 <= 64 << 20:
+        parts = max(1, min(spark.sparkContext.defaultParallelism, n // 256))
+    else:
+        parts = max(1, min(spark.sparkContext.defaultParallelism, n // 4096))
     if narrow.rdd.getNumPartitions() != parts:
         narrow = narrow.repartition(parts)
 
@@ -454,10 +461,22 @@ def cosine_near_dup_gemm(
         return cosine_near_dup_lsh(df, id_col, emb_col, threshold, scale=scale)
     corpus_pdf = narrow.toPandas()
     # partition count scales with the corpus: each mapInPandas worker
-    # pays a broadcast unpickle of the whole corpus, so tiny corpora
-    # run as ONE GEMM (worker startup would dominate); big ones fan
-    # out to ~8k query rows per task
-    parts = max(1, min(spark.sparkContext.defaultParallelism, n // 8192))
+    # pays a broadcast unpickle of the whole corpus, so the fan-out is
+    # throttled only when that unpickle is actually expensive.  r12:
+    # the old unconditional n // 8192 rule collapsed every sub-8k
+    # corpus to ONE task — a single core did the whole n x n GEMM
+    # while the broadcast it was amortizing cost ~1 ms to unpickle.
+    # Under ~64 MB of corpus (n*d*8 bytes) the unpickle is noise, so
+    # fan out at ~256 query rows per task (measured at sf0.1: 8 tasks
+    # beat both 1 task, which serializes the GEMM, and 31 tasks,
+    # which pays more python-worker dispatch than it wins); above it,
+    # keep the ~8k-rows-per-task rule that bounds total unpickle work
+    # on a cluster.
+    dim = len(corpus_pdf["_e"].iloc[0]) if n else 0
+    if n * dim * 8 <= 64 << 20:
+        parts = max(1, min(spark.sparkContext.defaultParallelism, n // 256))
+    else:
+        parts = max(1, min(spark.sparkContext.defaultParallelism, n // 8192))
     if narrow.rdd.getNumPartitions() != parts:
         narrow = narrow.repartition(parts)
     corpus_ids = corpus_pdf["_id"].to_numpy()
