@@ -1375,6 +1375,16 @@ def _fuse_pair_expr(t: Column, left: str, right: str, sep: str) -> Column:
 BPE_APPLY_FOLD_MAX = 24
 
 
+class FixpointPreconditionError(ValueError):
+    """The ONE fixpoint-apply failure the fold chain legitimately
+    handles: a learner-legitimate table where two merge paths collide
+    on the same symbol string (a later rule producing an earlier
+    rule's input).  Distinct from plain ``ValueError`` so
+    :func:`_apply_ranked_merges` falls back ONLY for this case —
+    genuinely malformed tables (self-pairs, whitespace symbols,
+    duplicate pairs) keep surfacing (r11 advisor finding)."""
+
+
 def _validate_fixpoint_merges(
     merges: "Sequence[tuple[str, str]]", sep: str
 ) -> None:
@@ -1406,7 +1416,7 @@ def _validate_fixpoint_merges(
                 "fixpoint rank LUT keys pairs on a space separator"
             )
         if left in later_outputs or right in later_outputs:
-            raise ValueError(
+            raise FixpointPreconditionError(
                 f"rule input ({left!r}, {right!r}) is produced by a "
                 "LATER rule — min-rank fixpoint would diverge from "
                 "sequential replay on this table; re-learn the rules "
@@ -1516,9 +1526,14 @@ def _ranked_fixpoint_apply(
 
     def min_rank(t: Column) -> Column:
         # sequence(a, b) DESCENDS when a > b — guard size < 2
+        # try_element_at, not element_at: most adjacent pairs are NOT
+        # in the rank table, and the NULL-on-missing-key contract this
+        # lookup depends on is exactly what a stricter ANSI
+        # element_at-on-map semantics would break
+        # (MAP_KEY_DOES_NOT_EXIST) — r11 advisor finding
         pair_ranks = F.transform(
             F.sequence(F.lit(0), F.size(t) - 2),
-            lambda i: F.element_at(
+            lambda i: F.try_element_at(
                 rank_map,
                 F.concat(
                     F.element_at(t, i + 1),
@@ -1639,7 +1654,10 @@ def _apply_ranked_merges(
     if len(merges) > BPE_APPLY_FOLD_MAX:
         try:
             return _ranked_fixpoint_apply(df, sym_col, merges, sep, carry)
-        except ValueError:
+        except FixpointPreconditionError:
+            # ONLY the collision precondition falls back (r11 advisor
+            # finding: a blanket ValueError catch also swallowed the
+            # malformed-table validations, which must surface)
             if len(merges) > BPE_APPLY_SEQ_FALLBACK_MAX:
                 raise
             # collision table small enough for the proven fold chain

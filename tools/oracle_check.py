@@ -16,6 +16,7 @@ observed cross-engine drift classes).
 from __future__ import annotations
 
 import math
+import os
 import sys
 import time
 
@@ -99,15 +100,19 @@ def _print_code_sha() -> None:
     when the log is reused)."""
     import subprocess
 
+    # derive the repo root from this file (sweep_report.py's idiom) —
+    # a hardcoded /root/repo silently degrades to "CODE_SHA unknown"
+    # on any other checkout (r11 advisor finding)
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     try:
         sha = subprocess.run(
             ["git", "rev-parse", "--short", "HEAD"],
-            cwd="/root/repo", capture_output=True, text=True, check=True,
+            cwd=repo_root, capture_output=True, text=True, check=True,
         ).stdout.strip()
         dirty = bool(
             subprocess.run(
                 ["git", "status", "--porcelain"],
-                cwd="/root/repo", capture_output=True, text=True, check=True,
+                cwd=repo_root, capture_output=True, text=True, check=True,
             ).stdout.strip()
         )
         print(f"CODE_SHA {sha}{'-dirty' if dirty else ''}")
