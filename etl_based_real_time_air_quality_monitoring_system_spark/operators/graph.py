@@ -15,9 +15,12 @@ rounds; the pointer jump makes long chains collapse in O(log d)
 rounds (cf. the MapReduce small-star/large-star family, Kiveris et
 al., "Connected Components in MapReduce and Beyond", SoCC'14).  LSH
 duplicate clusters are near-cliques (diameter 1-2), so in practice
-2-3 rounds converge.  Labels persist per round with explicit
-unpersist, and lineage is cut with localCheckpoint so the plan does
-not grow unboundedly with iterations.
+2-3 rounds converge.  The edge set and each round's tables cut
+lineage with localCheckpoint so per-round plans stay O(round body)
+instead of re-embedding (and re-analyzing) the candidate-pair
+pipeline, and each round runs exactly ONE job: the convergence
+answer rides on a flag column aggregated over the round's
+checkpoint (r13).
 """
 
 from __future__ import annotations
@@ -44,66 +47,73 @@ def connected_components(
     scaling probe reports it; O(log diameter) by the pointer jump).
     """
     sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    # EAGER lineage cut, not persist: a persisted frame keeps its full
+    # logical plan, so every per-round join used to re-embed (and the
+    # driver re-analyze) the whole candidate-pair pipeline — measured
+    # 2-4 s of pure driver plan analysis PER ROUND at sf0.1 vs
+    # 0.3-0.7 s of execution (r13).  The checkpoint pays the pipeline
+    # once and makes each round's plan O(round body).
     sym = (
         sym.union(sym.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .distinct()
-        .persist()
+        .localCheckpoint(eager=True)
     )
-    labels = (
-        sym.select(F.col("a").alias("v"))
-        .distinct()
-        .withColumn("label", F.col("v"))
-        .persist()
+    labels = sym.select(F.col("a").alias("v")).distinct().withColumn(
+        "label", F.col("v")
     )
-    try:
-        for _round in range(max_iter):
-            if stats is not None:
-                stats["rounds"] = _round + 1
-            # min label over neighbors, joined back onto every vertex
-            nbr_min = (
-                sym.join(labels, sym.b == labels.v)
-                .groupBy("a")
-                .agg(F.min("label").alias("_nmin"))
-            )
-            stepped = (
-                labels.join(nbr_min, labels.v == nbr_min.a, "left")
-                .select(
-                    F.col("v"),
-                    F.least(
-                        F.col("label"), F.coalesce(F.col("_nmin"), F.col("label"))
-                    ).alias("label"),
-                )
-            )
-            # pointer jump: label <- label(label).  label(x) <= x is an
-            # invariant (labels start as self and only decrease), so
-            # this is monotone and collapses label chains exponentially.
-            jump = stepped.alias("s").join(
-                stepped.select(
-                    F.col("v").alias("_lv"), F.col("label").alias("_ll")
-                ),
-                F.col("s.label") == F.col("_lv"),
-            )
-            new_labels = jump.select(
-                F.col("s.v").alias("v"),
-                F.least(F.col("s.label"), F.col("_ll")).alias("label"),
-            ).localCheckpoint(eager=False)
-            new_labels.persist()
-            changed = (
-                new_labels.alias("n")
-                .join(labels.alias("o"), "v")
-                .filter(F.col("n.label") != F.col("o.label"))
-                .limit(1)
-                .count()
-            )
-            labels.unpersist()
-            labels = new_labels
-            if changed == 0:
-                break
-        return labels.select(
-            F.col("v").alias("vertex"), F.col("label").alias("component")
+    for _round in range(max_iter):
+        if stats is not None:
+            stats["rounds"] = _round + 1
+        # min label over neighbors, joined back onto every vertex
+        nbr_min = (
+            sym.join(labels, sym.b == labels.v)
+            .groupBy("a")
+            .agg(F.min("label").alias("_nmin"))
         )
-    finally:
-        sym.unpersist()
+        # carry the round-start label so convergence is answered by a
+        # flag aggregate over this round's checkpoint — one action per
+        # round, no extra old-vs-new join (guide §5: fewer driver
+        # round-trips per iteration)
+        stepped = (
+            labels.join(nbr_min, labels.v == nbr_min.a, "left")
+            .select(
+                F.col("v"),
+                F.col("label").alias("_old"),
+                F.least(
+                    F.col("label"), F.coalesce(F.col("_nmin"), F.col("label"))
+                ).alias("label"),
+            )
+            # lazy cut: the pointer-jump self-join below reads ONE
+            # materialization of this table instead of evaluating the
+            # join+aggregate subtree once per side
+            .localCheckpoint(eager=False)
+        )
+        # pointer jump: label <- label(label).  label(x) <= x is an
+        # invariant (labels start as self and only decrease), so
+        # this is monotone and collapses label chains exponentially.
+        jump = stepped.alias("s").join(
+            stepped.select(
+                F.col("v").alias("_lv"), F.col("label").alias("_ll")
+            ),
+            F.col("s.label") == F.col("_lv"),
+        )
+        new_labels = jump.select(
+            F.col("s.v").alias("v"),
+            F.least(F.col("s.label"), F.col("_ll")).alias("label"),
+            (F.least(F.col("s.label"), F.col("_ll")) != F.col("s._old")).alias(
+                "_chg"
+            ),
+        ).localCheckpoint(eager=False)
+        # the ONE action of the round: materializes both checkpoints
+        # and answers the convergence question (NULL max on an empty
+        # graph is falsy — converged, exactly like the old count()==0)
+        changed = new_labels.agg(F.max("_chg")).first()[0]
+        labels = new_labels.select("v", "label")
+        if not changed:
+            break
+    return labels.select(
+        F.col("v").alias("vertex"), F.col("label").alias("component")
+    )
 
 
 def graph_stats(

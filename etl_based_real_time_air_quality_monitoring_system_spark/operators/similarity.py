@@ -429,7 +429,12 @@ def cosine_near_dup_gemm(
     import pandas as pd
 
     spark = df.sparkSession
-    narrow = df.select(F.col(id_col).alias("_id"), _as_double_array(emb_col).alias("_e"))
+    # NULL embeddings can't participate in any cosine pair and would
+    # crash the dim probe / np.stack below with a cryptic TypeError
+    # (r12 advisor) — drop them in the narrow select
+    narrow = df.select(
+        F.col(id_col).alias("_id"), _as_double_array(emb_col).alias("_e")
+    ).filter(F.col("_e").isNotNull())
     # the one collect-class operation in the repo: never let a
     # fact-sized corpus silently OOM the driver.  Default behavior is a
     # PLAN SWITCH, not an abort: over the bound, delegate to the banded

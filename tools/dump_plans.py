@@ -7,6 +7,8 @@ Writes <dir>/<query><suffix>.txt for each query.
 from __future__ import annotations
 
 import argparse
+import contextlib
+import io
 import os
 import sys
 
@@ -29,9 +31,13 @@ def main() -> None:
     qs = entrymod.queries()
     for name in args.names:
         df = qs[name](spark, sf_dir)
-        plan = df._sc._jvm.PythonSQLUtils.explainString(
-            df._jdf.queryExecution(), "formatted"
-        )
+        # public API capture (r12 advisor): df.explain prints to stdout;
+        # the private _jdf/_jvm seam breaks across versions and under
+        # Spark Connect
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        plan = buf.getvalue()
         out = os.path.join(args.dir, f"{name}{args.suffix}.txt")
         with open(out, "w") as fh:
             fh.write(plan)

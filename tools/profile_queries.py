@@ -44,6 +44,8 @@ def main() -> None:
     spark = get_session("profile")
     qs = entrymod.queries()
     names = args.names or [n for n in bench.HEADLINE if n in qs]
+    if not names:
+        sys.exit("profile_queries: no queries to profile")
 
     # prime file listing + JVM the same way bench.py does
     qs[names[0]](spark, sf_dir).write.format("noop").mode("overwrite").save()
