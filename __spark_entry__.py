@@ -2145,15 +2145,20 @@ def _q_top_tokens(spark: SparkSession, sf: str) -> DataFrame:
     # the canonical wordcount shape: explode tokens -> partial+final
     # count -> TakeOrderedAndProject(50).  The generator runs inside
     # the scan stage (no pre-shuffle materialization); only (token,
-    # partial count) rows shuffle.
-    from etl_based_real_time_air_quality_monitoring_system_spark.operators.balance import (
-        spread_small_input,
-    )
+    # partial count) rows shuffle.  r13: the spread_small_input that
+    # used to sit on the scan was this query's inverse-scaling cause
+    # (r12 verdict item: 32-core/8-core ratio 0.41) AND a net loss at
+    # every measured core count — the round-robin exchange moves the
+    # full text (plus its sort-before-repartition) to parallelize a
+    # projection cheap enough that the partial count already bounds
+    # the stage (isolated warm at sf0.1: 0.54 s spread vs 0.18 s
+    # plain at 32 cores, 0.29 vs 0.21 at 8).  At 100 TB the scan has
+    # thousands of partitions and the spread was a no-op anyway.
     from etl_based_real_time_air_quality_monitoring_system_spark.operators.text import tokens
 
     docs = load_table(spark, sf, "documents")
     return (
-        spread_small_input(docs.select("text"))
+        docs.select("text")
         .select(F.explode(tokens(F.lower(F.col("text")))).alias("token"))
         .groupBy("token")
         .agg(F.count("*").alias("occurrences"))

@@ -20,7 +20,6 @@ from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
-from .balance import spread_small_input
 
 
 def broadcast_join(
@@ -115,10 +114,16 @@ def range_join(
     tiers); for two large interval sets you'd bucketize both sides on
     ``floor(value / bucket)`` first to recover an equi-join."""
     cond = (F.col(value) >= F.col(lo)) & (F.col(value) < F.col(hi))
-    # BNLJ evaluates its condition per (row, interval) — compute-bound,
-    # so an under-partitioned small fact extract is spread first (no-op
-    # on a real fact table, whose scan is already wide)
-    return spread_small_input(fact).join(F.broadcast(intervals), cond, "inner")
+    # r13: no pre-shuffle.  The spread_small_input that used to sit on
+    # the fact side was a measured net loss for dimension-sized
+    # interval sets (the operator's stated domain): the round-robin
+    # exchange of the fact extract costs more than the per-row
+    # condition it parallelizes (isolated warm at sf0.1, 5 bands:
+    # 0.37 s plain vs 0.48 s spread at 32 cores; plain also scales
+    # normally where spread inverted 8->32 cores).  On a real fact
+    # table the scan is already wide, so this changes nothing at
+    # scale; for a HUGE interval side use range_join_bucketed.
+    return fact.join(F.broadcast(intervals), cond, "inner")
 
 
 def asof_join(

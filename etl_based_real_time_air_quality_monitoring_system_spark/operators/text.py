@@ -863,9 +863,21 @@ def rescore_pairs_tfidf(
     [vocabulary-sized shuffle], broadcast N, then two id-keyed joins
     from the pair list into the tf table and a per-pair sum.
     """
-    toks = spread_small_input(df.select(id_col, text)).select(
-        F.col(id_col), F.explode(tokens(text)).alias("term")
-    )
+    # r13: filter NULL ids at the shared tf source.  The two id-keyed
+    # inner joins push IsNotNull(id) into the tf_a/tf_b subtrees but
+    # NOT into the doc-frequency one, so the three (doc, term)
+    # exchanges stopped canonicalizing equal and the corpus was
+    # re-scanned and re-tokenized for doc frequency (verified in the
+    # formatted plan: Filter isnotnull(doc_id) under two of the three
+    # spread exchanges).  Filtering once at the source makes the
+    # pushed predicates redundant (constraint-pruned) and all three
+    # consumers share ONE tokenize+tf subtree.  A NULL id is not a
+    # document identity — candidate pairs can never reference one
+    # (the generators key on the id), so the pair scores are
+    # unchanged; this only pins that convention for doc_freq too.
+    toks = spread_small_input(
+        df.filter(F.col(id_col).isNotNull()).select(id_col, text)
+    ).select(F.col(id_col), F.explode(tokens(text)).alias("term"))
     tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
     # tautological tf >= 1 (see tfidf_terms): keeps tf in this
     # branch's partial aggregate so all THREE consumers of tf (tf_a,
