@@ -9,6 +9,17 @@ Each query is forced end-to-end with the ``noop`` sink (full compute,
 no driver collect, no disk write) so the number is engine time, not
 materialization time.  A warmup query first touches every input file so
 JVM/codegen startup isn't billed to the first query.
+
+NOTE on the printed line's per-query map (r13, after the r12 PERF
+misread): the stdout line is SIZE-CAPPED (~1800 B — the driver records
+only a ~2000-byte stdout tail) and keeps the SLOWEST queries,
+folding the rest into ``queries_omitted``/``omitted_sec``.  Which
+queries make the printed cut therefore CHURNS round-to-round as
+relative speeds shift — a query missing from the printed map is NOT
+dropped from the bench (the driver's ``dropped_from_bench`` diff reads
+this way every round).  ``n_queries`` counts every query actually run;
+the COMPLETE map is written to ``$BENCH_OUT`` and committed as
+``BENCH_LOCAL_r{N}_full*.json`` — diff those, not the stdout tail.
 """
 
 from __future__ import annotations

@@ -137,8 +137,13 @@ def graph_stats(
     # the edge set feeds degrees + edge count + THREE triangle-join
     # branches; without materialization each branch re-evaluates the
     # upstream candidate generator (measured 6x the LSH pipeline).
-    # Same persist discipline as connected_components: cache the
-    # (a, b) pairs — two ids per edge, tiny relative to the corpus.
+    # Same lineage discipline as connected_components (r13): an EAGER
+    # localCheckpoint, so the five consuming branches are planned —
+    # and driver-analyzed — over a LogicalRDD instead of each
+    # re-embedding the candidate-pair pipeline; the one-row summary
+    # is collected below anyway, so the materialization cost was
+    # always paid at build.  Stored rows are (a, b) id pairs — tiny
+    # relative to the corpus.
     e = (
         edges.select(
             F.least(F.col(src), F.col(dst)).alias("a"),
@@ -146,8 +151,7 @@ def graph_stats(
         )
         .filter(F.col("a") != F.col("b"))
         .distinct()
-        .localCheckpoint(eager=False)
-        .persist()
+        .localCheckpoint(eager=True)
     )
     degrees = (
         e.select(F.col("a").alias("v"))
@@ -173,15 +177,12 @@ def graph_stats(
         .crossJoin(F.broadcast(tri))
         .select("n_vertices", "n_edges", "max_degree", "n_triangles")
     )
-    # the summary is ONE row: materialize it eagerly so the cached
-    # edge set can be released (connected_components' finally-block
-    # discipline — a lazy return would leak one cached dataset per
-    # call for the application lifetime)
-    try:
-        spark = edges.sparkSession
-        return spark.createDataFrame(out.collect(), out.schema)
-    finally:
-        e.unpersist()
+    # the summary is ONE row: materialize it eagerly so the result
+    # carries no reference to the checkpointed edge set (its storage
+    # is released when the RDD is garbage-collected, the standing
+    # localCheckpoint discipline of the iterative operators)
+    spark = edges.sparkSession
+    return spark.createDataFrame(out.collect(), out.schema)
 
 
 def pagerank_micros(

@@ -2084,8 +2084,23 @@ def bpe_subword_encode(
         (F.col("_boff") + F.col("_spos")).cast("int").alias("pos"),
         "token",
     )
+    # r13: vocabulary counts from the word-TYPE table, not the stream.
+    # ``stream.groupBy(token).count()`` planned as: re-tokenize the
+    # corpus, join EVERY word occurrence to the type table, explode
+    # symbols per occurrence (corpus-SYMBOL-sized, ~5x words), then
+    # aggregate.  The same counts are ``Σ_w freq(w) · occurrences(
+    # token in syms(w))`` — every (doc, word occurrence) contributes
+    # its type's symbol multiset — so the explode now runs over the
+    # CHECKPOINTED type table with the word-count table broadcast,
+    # and the corpus-side work shrinks to one map-side-combinable
+    # word count (exactly :func:`bpe_subword_vocab`).  Identical ids
+    # (hash-gated oracle at 3 SFs).
+    wfreq = words.groupBy("_w").agg(F.count("*").alias("_f"))
     vocab = frequency_rank_vocab(
-        stream.groupBy("token").agg(F.count("*").alias("_c"))
+        cur.select("_w", F.explode("_s").alias("token"))
+        .join(wfreq, "_w")
+        .groupBy("token")
+        .agg(F.sum("_f").alias("_c"))
     )
     return stream.join(vocab, "token").select(
         id_col, "pos", "token", "token_id"
